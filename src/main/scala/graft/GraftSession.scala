@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Local mode stands in for a multi-executor cluster; every knob here is
+  * chosen to behave identically on a 1000-executor deployment:
+  *   - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+  *     which is what makes the same plan survive a 100x scale-up.
+  *   - shuffle.partitions sized to the local core count (on a real cluster
+  *     this would be ~2-3x total cores; AQE coalesces the excess).
+  *   - UTC session timezone so timestamp semantics match the reference's
+  *     `time.Now().UTC()` behavior (/root/reference/persistor/internal/
+  *     persistor/storage.go:104) and the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(shufflePartitions = shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,81 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching ANSI-SQL oracle in
+  * [[oracleSql]] (DuckDB dialect-compatible) computing the identical
+  * result over the same parquet tables. Determinism rules:
+  *   - doubles are aggregated as DECIMAL(12,2) (exact, order-independent)
+  *     and cast back to double;
+  *   - all outputs ORDER BY a unique key;
+  *   - integer-typed outputs are cast so Spark/DuckDB parquet types agree.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.pricingSummary(Tables(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables(s, dir))),
+    "q3_shipping_priority" -> ((s, dir) => Analytics.shippingPriority(Tables(s, dir))),
+    "q5_local_supplier_volume" -> ((s, dir) => Analytics.localSupplierVolume(Tables(s, dir))),
+    "q_top_customers_per_nation" -> ((s, dir) => Analytics.topCustomersPerNation(Tables(s, dir)))
+  )
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_customers_per_nation" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk""".stripMargin
+  )
 }

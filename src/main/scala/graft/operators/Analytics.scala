@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Headline analytical queries over the star schema.
+  *
+  * These exercise the engine's scan → filter → join → aggregate path and
+  * are the bench workload. Cross-engine determinism rules (shared with the
+  * DuckDB oracle):
+  *   - double columns are cast to DECIMAL(12,2) *before* aggregation so the
+  *     sum is exact and independent of partition/summation order, then the
+  *     exact decimal is cast back to double for a stable output schema;
+  *   - every output row set has an explicit ORDER BY with a unique key.
+  *
+  * Scale notes (100 TB): all joins are star-schema joins where the dimension
+  * side is orders of magnitude smaller — marked `broadcast()` so no shuffle
+  * of the fact table happens on the build side; aggregations are partial
+  * (map-side combine) by construction of groupBy/agg.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
+  def pricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+          .cast("double")
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: fact-to-fact join (orders⋈lineitem) with a broadcast
+    * customer filter; revenue per order, top 10 by revenue.
+    */
+  def shippingPriority(t: Tables): DataFrame = {
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t.lineitem
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+          .cast("double")
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 5-way star join, revenue by nation. All dimension
+    * tables broadcast; the only shuffle is the final groupBy on n_name.
+    */
+  def localSupplierVolume(t: Tables): DataFrame = {
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = t.orders
+      .filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val cust = t.customer.select("c_custkey", "c_nationkey")
+    val supp = t.supplier.select("s_suppkey", "s_nationkey")
+    val nat = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    val reg = t.region.filter(col("r_name") === "ASIA").select("r_regionkey")
+
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") && cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+          .cast("double")
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window-function workload: rank customers by account balance within
+    * nation, keep top 3 per nation. Single shuffle on the window key.
+    */
+  def topCustomersPerNation(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json query against DuckDB views over the sfDir
+parquet tables and compares (column-name-sorted, row-sorted) values
+against the parquet Verify dumped for that query.
+"""
+import duckdb
+import glob
+import json
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sfdir}/{tbl}.parquet'")
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output parquet")
+                fails += 1
+                continue
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            exp = exp[sorted(exp.columns)]
+            got = got[sorted(got.columns)]
+            if list(exp.columns) != list(got.columns):
+                print(f"FAIL {name}: cols {list(exp.columns)} vs {list(got.columns)}")
+                fails += 1
+                continue
+            if exp.dtypes.tolist() != got.dtypes.tolist():
+                print(f"WARN {name}: dtypes oracle={exp.dtypes.tolist()} spark={got.dtypes.tolist()}")
+            e = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+            g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+            if len(e) != len(g):
+                print(f"FAIL {name}: rows oracle={len(e)} spark={len(g)}")
+                fails += 1
+                continue
+            if not e.equals(g):
+                neq = (e != g) & ~(e.isna() & g.isna())
+                bad = neq.any(axis=1)
+                print(f"FAIL {name}: {int(bad.sum())} mismatched rows of {len(e)}")
+                print("  oracle:", e[bad].head(3).to_dict("records"))
+                print("  spark :", g[bad].head(3).to_dict("records"))
+                fails += 1
+                continue
+            print(f"OK   {name} ({len(e)} rows)")
+        except Exception as ex:
+            print(f"ERR  {name}: {str(ex)[:300]}")
+            fails += 1
+    print(f"== {len(oracle) - fails}/{len(oracle)} queries match")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
