@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
@@ -14,18 +15,86 @@ import graft.operators._
   *   - integer-typed outputs are cast so Spark/DuckDB parquet types agree.
   */
 object SparkEntry {
+  import graft.model.IndexModel
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(Tables(spark, "/root/testdata/sf0.001"))
 
+  private def idx(s: SparkSession, dir: String): DataFrame =
+    IndexModel.fromEvents(Tables(s, dir).events)
+
+  private def qs(s: SparkSession, dir: String): QueryService =
+    QueryService(idx(s, dir))
+
+  private val T1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+  private val T2 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+  private val intervalProj =
+    Seq("unique_id", "publish_time", "location_key", "location_position")
+
+  private val orFilters: Seq[Map[String, FilterValue]] = Seq(
+    Map("business_source_key" -> Eq("bsk1"),
+      "publish_time" -> Cmp("gte", "2024-01-10 00:00:00")),
+    Map("ordering_key" -> Eq(""), "additional_metadata.k" -> Cmp("gte", "50")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- analytics / bench headliners --------------------------------------
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables(s, dir))),
     "q3_shipping_priority" -> ((s, dir) => Analytics.shippingPriority(Tables(s, dir))),
     "q5_local_supplier_volume" -> ((s, dir) => Analytics.localSupplierVolume(Tables(s, dir))),
-    "q_top_customers_per_nation" -> ((s, dir) => Analytics.topCustomersPerNation(Tables(s, dir)))
+    "q_top_customers_per_nation" -> ((s, dir) => Analytics.topCustomersPerNation(Tables(s, dir))),
+    // -- index model + query surface (SURVEY §2.1 S7-S10, §2.3 T4/T5, §2.5 A1-A3)
+    "q_idx_build" -> ((s, dir) =>
+      IndexModel.fromEventsFlat(Tables(s, dir).events).orderBy(col("unique_id"))),
+    "q_idx_point_lookup" -> { (s, dir) =>
+      val service = qs(s, dir)
+      val id = service.index.agg(min(col("unique_id"))).head().getString(0)
+      service.get(id, intervalProj)
+    },
+    "q_idx_multi_id" -> { (s, dir) =>
+      val service = qs(s, dir)
+      val ids = service.index.groupBy(col("broker_id"))
+        .agg(min(col("unique_id")).as("id")).collect().map(_.getString(1)).toSeq
+      service.getAll(ids, Seq("unique_id", "broker_id", "location_key"))
+        .orderBy(col("unique_id"))
+    },
+    "q_idx_interval" -> ((s, dir) =>
+      qs(s, dir).getAllInInterval(T1, T2, "t-click", limit = 20, offset = 40,
+        attrs = intervalProj)),
+    "q_idx_count_interval" -> ((s, dir) => qs(s, dir).countInInterval(T1, T2, "t-click")),
+    "q_idx_query_or" -> ((s, dir) =>
+      qs(s, dir).getQueried(orFilters, limit = 50, offset = 0,
+        attrs = Seq("unique_id", "business_source_key", "ordering_key", "meta_k"))),
+    "q_idx_count_query" -> ((s, dir) => qs(s, dir).countQueried(orFilters))
   )
+
+  /** DuckDB CTE building the identical index table from `events` — keep in
+    * lockstep with [[graft.model.IndexModel.fromEvents]].
+    */
+  private val IndexCte =
+    """WITH idx AS (
+      |  SELECT
+      |    't-' || event_type AS broker_id,
+      |    CAST(event_id AS VARCHAR) AS broker_msg_id,
+      |    't-' || event_type || '_' || CAST(event_id AS VARCHAR) AS unique_id,
+      |    CASE WHEN user_id % 5 = 0 THEN NULL
+      |         ELSE 'bsk' || CAST(user_id % 5 AS VARCHAR) END AS business_source_key,
+      |    'bok' || CAST(event_id % 10 AS VARCHAR) AS business_object_key,
+      |    CASE WHEN user_id % 5 = 0 THEN NULL
+      |         ELSE 'bsk' || CAST(user_id % 5 AS VARCHAR) || '_bok' || CAST(event_id % 10 AS VARCHAR)
+      |         END AS index_source_key,
+      |    CASE WHEN user_id % 3 = 0 THEN ''
+      |         ELSE 'u' || CAST(user_id AS VARCHAR) END AS ordering_key,
+      |    json_extract_string(props, '$.k') AS meta_k,
+      |    'gs://graft/events/blob-' || CAST(event_id // 100 AS VARCHAR) AS location_key,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_id // 100 ORDER BY event_id) AS BIGINT)
+      |      AS location_position,
+      |    ts AS publish_time,
+      |    ts + INTERVAL 1 SECOND AS ingestion_time,
+      |    FALSE AS confirmation_flag
+      |  FROM events
+      |)""".stripMargin
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
@@ -33,6 +102,45 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_idx_build" ->
+      s"""$IndexCte
+         |SELECT * FROM idx ORDER BY unique_id""".stripMargin,
+    "q_idx_point_lookup" ->
+      s"""$IndexCte
+         |SELECT unique_id, publish_time, location_key, location_position
+         |FROM idx WHERE unique_id = (SELECT min(unique_id) FROM idx)""".stripMargin,
+    "q_idx_multi_id" ->
+      s"""$IndexCte
+         |SELECT unique_id, broker_id, location_key FROM idx
+         |WHERE unique_id IN (SELECT min(unique_id) FROM idx GROUP BY broker_id)
+         |ORDER BY unique_id""".stripMargin,
+    "q_idx_interval" ->
+      s"""$IndexCte
+         |SELECT unique_id, publish_time, location_key, location_position
+         |FROM idx
+         |WHERE publish_time >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND publish_time <  TIMESTAMP '2024-01-15 00:00:00'
+         |  AND broker_id = 't-click'
+         |ORDER BY unique_id LIMIT 20 OFFSET 40""".stripMargin,
+    "q_idx_count_interval" ->
+      s"""$IndexCte
+         |SELECT COUNT(*) AS cnt FROM idx
+         |WHERE publish_time >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND publish_time <  TIMESTAMP '2024-01-15 00:00:00'
+         |  AND broker_id = 't-click'""".stripMargin,
+    "q_idx_query_or" ->
+      s"""$IndexCte
+         |SELECT unique_id, business_source_key, ordering_key, meta_k FROM idx
+         |WHERE (business_source_key = 'bsk1'
+         |       AND publish_time >= TIMESTAMP '2024-01-10 00:00:00')
+         |   OR (ordering_key = '' AND meta_k >= '50')
+         |ORDER BY unique_id LIMIT 50""".stripMargin,
+    "q_idx_count_query" ->
+      s"""$IndexCte
+         |SELECT COUNT(*) AS cnt FROM idx
+         |WHERE (business_source_key = 'bsk1'
+         |       AND publish_time >= TIMESTAMP '2024-01-10 00:00:00')
+         |   OR (ordering_key = '' AND meta_k >= '50')""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -59,12 +167,12 @@ object SparkEntry {
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
-         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_top_customers_per_nation" ->

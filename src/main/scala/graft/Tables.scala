@@ -19,7 +19,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read it as raw nanos and floor-truncate to micros
+    * — exactly what DuckDB does when it reads the same file, so oracle
+    * comparisons stay value-identical.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

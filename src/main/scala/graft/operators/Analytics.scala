@@ -68,8 +68,8 @@ object Analytics {
     val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val ord = t.orders
       .filter(
-        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
-          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
       .select("o_orderkey", "o_custkey")
     val cust = t.customer.select("c_custkey", "c_nationkey")
     val supp = t.supplier.select("s_suppkey", "s_nationkey")
@@ -78,8 +78,7 @@ object Analytics {
 
     li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp),
-        li("l_suppkey") === supp("s_suppkey") && cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
