@@ -66,7 +66,97 @@ object SparkEntry {
     "q_idx_query_or" -> ((s, dir) =>
       qs(s, dir).getQueried(orFilters, limit = 50, offset = 0,
         attrs = Seq("unique_id", "business_source_key", "ordering_key", "meta_k"))),
-    "q_idx_count_query" -> ((s, dir) => qs(s, dir).countQueried(orFilters))
+    "q_idx_count_query" -> ((s, dir) => qs(s, dir).countQueried(orFilters)),
+    // -- persist-side projections (SURVEY §2.3 T1/T2/T9/T14, §2.2 K5, §2.5 A8)
+    "q_persist_partition" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val mask = Persist.parseMask("year/month/day/hour/{et}")
+      val withCols = Persist.withPartitionColumns(
+        ev, mask, col("ts"),
+        Map("et" -> when(col("event_type") === "view", lit(null).cast("string"))
+          .otherwise(col("event_type"))))
+      withCols
+        .withColumn("path", Persist.partitionPath("gs://graft/events", mask))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("path"))
+    },
+    "q_version_batching" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val versioned = Persist.withVersionColumns(ev, Map(
+        "v_color" -> when(col("event_id") % 4 === 0, lit("blue"))
+          .when(col("event_id") % 4 === 1, lit("red"))
+          .when(col("event_id") % 4 === 3, lit("yellow")),
+        "v_spin" -> when(col("user_id") % 2 === 0, lit("left")).otherwise(lit("right"))))
+      versioned.groupBy(col("v_color"), col("v_spin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("v_color"), col("v_spin"))
+    },
+    "q_dead_letter" -> { (s, dir) =>
+      val index = idx(s, dir)
+      Persist.deadLetter(
+        index.filter(col("business_source_key").isNull),
+        col("unique_id"),
+        "validation_error",
+        concat(lit("missing required field business_source_key for "), col("broker_msg_id")),
+        "indexer"
+      ).orderBy(col("unique_id"))
+    },
+    "q_error_dedup" -> { (s, dir) =>
+      val failures = idx(s, dir).filter(col("business_source_key").isNull)
+      Replay.errorCounts(
+        failures,
+        concat(lit("missing field on broker "), col("broker_id")))
+        .orderBy(col("message"))
+    },
+    "q_size_calc" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      ev.withColumn("broker_id", concat(lit("t-"), col("event_type")))
+        .withColumn("size", Persist.messageSize(
+          col("props").cast("binary"),
+          map(lit("k"), get_json_object(col("props"), "$.k"),
+            lit("et"), col("event_type"))))
+        .groupBy(col("broker_id"))
+        .agg(sum(col("size")).as("total_bytes"), count(lit(1)).as("n"))
+        .orderBy(col("broker_id"))
+    },
+    "q_good_bad_split" -> { (s, dir) =>
+      val index = idx(s, dir)
+      val failedIds = index
+        .filter(col("broker_msg_id").cast("long") % 7 === 0)
+        .select("unique_id")
+      val (good, bad) = Persist.goodBadSplit(index, failedIds, "unique_id")
+      val g = good.groupBy(col("broker_id")).agg(count(lit(1)).as("n_good"))
+      val b = bad.groupBy(col("broker_id")).agg(count(lit(1)).as("n_bad"))
+      g.join(b, Seq("broker_id"), "full_outer")
+        .select(col("broker_id"),
+          coalesce(col("n_good"), lit(0L)).as("n_good"),
+          coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+        .orderBy(col("broker_id"))
+    },
+    // -- replay pipeline (SURVEY §2.4 J1/J2, §2.3 T13, §2.6 W6)
+    "q_fetch_jobs" -> ((s, dir) =>
+      Replay.fetchJobs(idx(s, dir)).orderBy(col("location_key"))),
+    "q_positional_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val records = IndexModel.recordsFromEvents(t.events)
+      val slice = QueryService(idx(s, dir)).index.filter(
+        col("publish_time") >= lit(T1) && col("publish_time") < lit(T2) &&
+          col("broker_id") === "t-purchase")
+      Replay.positionalJoin(records, slice, broadcastIndex = true)
+        .select("unique_id", "location_key", "location_position", "payload")
+        .orderBy(col("unique_id"))
+    },
+    "q_ordering_groups" -> ((s, dir) =>
+      Replay.orderingGroups(idx(s, dir)).orderBy(col("ordering_key"))),
+    "q_repackage_metadata" -> { (s, dir) =>
+      Replay.repackagedMetadata(idx(s, dir))
+        .select(col("unique_id"),
+          concat_ws(",",
+            transform(array_sort(map_entries(col("attributes"))),
+              e => concat(e.getField("key"), lit("="), e.getField("value"))))
+            .as("attrs_flat"))
+        .orderBy(col("unique_id"))
+    }
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -102,6 +192,81 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_persist_partition" ->
+      """SELECT 'gs://graft/events/' || strftime(ts, '%Y') || '/' || strftime(ts, '%m')
+        |       || '/' || strftime(ts, '%d') || '/' || strftime(ts, '%H') || '/'
+        |       || CASE WHEN event_type = 'view' THEN 'unknown' ELSE event_type END AS path,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_version_batching" ->
+      """SELECT CASE WHEN event_id % 4 = 0 THEN 'blue'
+        |            WHEN event_id % 4 = 1 THEN 'red'
+        |            WHEN event_id % 4 = 3 THEN 'yellow'
+        |            ELSE 'unknown' END AS v_color,
+        |       CASE WHEN user_id % 2 = 0 THEN 'left' ELSE 'right' END AS v_spin,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dead_letter" ->
+      s"""$IndexCte
+         |SELECT unique_id,
+         |       'validation_error' AS dead_letter_error_category,
+         |       'missing required field business_source_key for ' || broker_msg_id
+         |         AS dead_letter_error_reason,
+         |       'indexer' AS dead_letter_error_source
+         |FROM idx WHERE business_source_key IS NULL
+         |ORDER BY unique_id""".stripMargin,
+    "q_error_dedup" ->
+      s"""$IndexCte
+         |SELECT 'missing field on broker ' || broker_id AS message, COUNT(*) AS n
+         |FROM idx WHERE business_source_key IS NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_size_calc" ->
+      """SELECT 't-' || event_type AS broker_id,
+        |       CAST(SUM(octet_length(encode(props))
+        |                + 1 + length(json_extract_string(props, '$.k'))
+        |                + 2 + length(event_type)) AS BIGINT) AS total_bytes,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_good_bad_split" ->
+      s"""$IndexCte
+         |SELECT broker_id,
+         |       CAST(SUM(CASE WHEN CAST(broker_msg_id AS BIGINT) % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |       CAST(SUM(CASE WHEN CAST(broker_msg_id AS BIGINT) % 7 =  0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+         |FROM idx GROUP BY broker_id ORDER BY broker_id""".stripMargin,
+    "q_fetch_jobs" ->
+      s"""$IndexCte
+         |SELECT location_key, COUNT(*) AS n_records,
+         |       MIN(location_position) AS min_pos, MAX(location_position) AS max_pos
+         |FROM idx GROUP BY location_key ORDER BY location_key""".stripMargin,
+    "q_positional_join" ->
+      s"""$IndexCte, records AS (
+         |  SELECT 'gs://graft/events/blob-' || CAST(event_id // 100 AS VARCHAR) AS location_key,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY event_id // 100 ORDER BY event_id) AS BIGINT)
+         |           AS location_position,
+         |         props AS payload
+         |  FROM events)
+         |SELECT unique_id, location_key, location_position, payload
+         |FROM records JOIN idx USING (location_key, location_position)
+         |WHERE publish_time >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND publish_time <  TIMESTAMP '2024-01-15 00:00:00'
+         |  AND broker_id = 't-purchase'
+         |ORDER BY unique_id""".stripMargin,
+    "q_ordering_groups" ->
+      s"""$IndexCte
+         |SELECT ordering_key, COUNT(*) AS n,
+         |       string_agg(unique_id, ',' ORDER BY location_key, location_position, unique_id)
+         |         AS publish_order
+         |FROM idx GROUP BY ordering_key ORDER BY ordering_key""".stripMargin,
+    "q_repackage_metadata" ->
+      s"""$IndexCte
+         |SELECT unique_id,
+         |       'business_object_key=' || business_object_key
+         |       || CASE WHEN business_source_key IS NULL THEN ''
+         |               ELSE ',business_source_key=' || business_source_key END
+         |       || ',k=' || meta_k
+         |       || CASE WHEN ordering_key = '' THEN ''
+         |               ELSE ',ordering_key=' || ordering_key END AS attrs_flat
+         |FROM idx ORDER BY unique_id""".stripMargin,
     "q_idx_build" ->
       s"""$IndexCte
          |SELECT * FROM idx ORDER BY unique_id""".stripMargin,

@@ -100,4 +100,20 @@ object IndexModel {
     */
   def fromEventsFlat(events: DataFrame): DataFrame =
     fromEvents(events).drop("additional_metadata")
+
+  /** The stored-record view of the same events: what reading the persisted
+    * blobs back yields — (location, 1-based position, payload), the replay
+    * pipeline's left side for the positional join (SURVEY §2.4 J2). The
+    * position is a stored column, never file order (SURVEY §7.4 item 2).
+    */
+  def recordsFromEvents(events: DataFrame): DataFrame = {
+    val posWindow = Window.partitionBy(col("blob_no")).orderBy(col("event_id"))
+    events
+      .withColumn("blob_no", expr("event_id DIV 100"))
+      .withColumn("location_key",
+        concat(lit("gs://graft/events/blob-"), col("blob_no").cast("string")))
+      .withColumn("location_position", row_number().over(posWindow).cast("long"))
+      .select(col("location_key"), col("location_position"),
+        col("props").as("payload"))
+  }
 }

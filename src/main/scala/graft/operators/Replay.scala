@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Replay-side operators: the resubmitter's query → fetch → positional-join
+  * → repackage → ordered-publish pipeline (SURVEY §3.3), minus the HTTP and
+  * channel plumbing that Spark's task scheduling replaces.
+  */
+object Replay {
+
+  /** J1 `groupByLocationKey` (resubmitter-api/lib/resubmitter/util.go:30-40):
+    * one fetch job per blob. Returns per-blob row counts and the position
+    * range — the job manifest a fetch stage would consume.
+    */
+  def fetchJobs(index: DataFrame): DataFrame =
+    index
+      .groupBy(col("location_key"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        min(col("location_position")).as("min_pos"),
+        max(col("location_position")).as("max_pos"))
+
+  /** J2 positional join (util.go:42-60): re-associate deserialized blob
+    * records with their index rows via (blob, position) — the reference
+    * indexes an in-memory array with `location_position - 1`; here it is an
+    * equi hash join on the composite key, broadcastable when the queried
+    * index slice is small.
+    *
+    * `records` must carry `location_key` and `location_position` columns
+    * (stored at write time — SURVEY §7.4 item 2: never rely on file order).
+    */
+  def positionalJoin(records: DataFrame, index: DataFrame, broadcastIndex: Boolean = false): DataFrame = {
+    val idx = if (broadcastIndex) broadcast(index) else index
+    records.join(idx, Seq("location_key", "location_position"), "inner")
+  }
+
+  /** T13 `packageMetadata` (util.go:62-82): flatten an index row back into
+    * the attribute map that gets republished: additional_metadata ∪
+    * {business keys} ∪ {ordering_key if nonempty}. Null-valued entries are
+    * dropped, like the reference only sets keys it has.
+    */
+  def repackagedMetadata(index: DataFrame): DataFrame =
+    index.withColumn(
+      "attributes",
+      map_filter(
+        map_concat(
+          col("additional_metadata"),
+          map(
+            lit("business_source_key"), col("business_source_key"),
+            lit("business_object_key"), col("business_object_key"),
+            lit("ordering_key"),
+            when(col("ordering_key") === "", lit(null).cast("string"))
+              .otherwise(col("ordering_key")))),
+        (_, v) => v.isNotNull))
+
+  /** W6 ordering-key publish groups (resubmitter_job.go:387-455): per-key
+    * sequential order, keyless records independent. The publish order per
+    * key is (location_key, location_position) — materialized here as an
+    * ordered id list per group so the contract is testable; the real sink
+    * path is `repartition(ordering_key).sortWithinPartitions(...)` feeding a
+    * per-partition-ordered sink (Kafka).
+    */
+  def orderingGroups(index: DataFrame): DataFrame =
+    index
+      .groupBy(col("ordering_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(
+              col("location_key"), col("location_position"), col("unique_id")))),
+            e => e.getField("unique_id"))).as("publish_order"))
+
+  /** The scale-path form of W6: a DataFrame physically partitioned by
+    * ordering key and sorted by publish position within partitions, ready
+    * for an order-preserving per-partition sink.
+    */
+  def orderedForPublish(index: DataFrame): DataFrame =
+    index
+      .repartition(col("ordering_key"))
+      .sortWithinPartitions(
+        col("ordering_key"), col("location_key"), col("location_position"))
+
+  /** T9 `ObserveError` (persistor/internal/indexer/transform.go:32-42):
+    * aggregate identical error messages with counts.
+    */
+  def errorCounts(errors: DataFrame, message: Column): DataFrame =
+    errors.groupBy(message.as("message")).agg(count(lit(1)).as("n"))
+}
