@@ -27,6 +27,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet ships TIMESTAMP(NANOS); read as long, see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(shufflePartitions: Int = 32): SparkSession = {

@@ -263,7 +263,7 @@ object SparkEntry {
          |       'business_object_key=' || business_object_key
          |       || CASE WHEN business_source_key IS NULL THEN ''
          |               ELSE ',business_source_key=' || business_source_key END
-         |       || ',k=' || meta_k
+         |       || CASE WHEN meta_k IS NULL THEN '' ELSE ',k=' || meta_k END
          |       || CASE WHEN ordering_key = '' THEN ''
          |               ELSE ',ordering_key=' || ordering_key END AS attrs_flat
          |FROM idx ORDER BY unique_id""".stripMargin,

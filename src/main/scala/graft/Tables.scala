@@ -22,13 +22,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
     * parquet reader rejects. Read it as raw nanos and floor-truncate to micros
     * — exactly what DuckDB does when it reads the same file, so oracle
-    * comparisons stay value-identical.
+    * comparisons stay value-identical. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build time
+    * ([[GraftSession]] / Verify / Bench), NOT mutated here: flipping shared
+    * session conf inside a getter is racy against already-planned scans.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -16,10 +16,11 @@ import graft.Tables
   *     exact decimal is cast back to double for a stable output schema;
   *   - every output row set has an explicit ORDER BY with a unique key.
   *
-  * Scale notes (100 TB): all joins are star-schema joins where the dimension
-  * side is orders of magnitude smaller — marked `broadcast()` so no shuffle
-  * of the fact table happens on the build side; aggregations are partial
-  * (map-side combine) by construction of groupBy/agg.
+  * Scale notes (100 TB): only true dimensions (customer, supplier, nation,
+  * region) carry `broadcast()` hints; fact⋈fact joins (lineitem⋈orders)
+  * are left to shuffle joins with AQE choosing the physical strategy —
+  * broadcasting a filtered fact looks fine at sf0.1 and OOMs at 100x.
+  * Aggregations are partial (map-side combine) by construction.
   */
 object Analytics {
 
@@ -50,7 +51,11 @@ object Analytics {
     val li = t.lineitem
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    // orders is a FACT table: never broadcast it (OOMs at 100x scale).
+    // customer (a dimension, pre-filtered) broadcasts into orders; the
+    // lineitem⋈orders join shuffles on the join key and AQE picks the
+    // physical strategy at runtime.
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(
@@ -61,8 +66,9 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: 5-way star join, revenue by nation. All dimension
-    * tables broadcast; the only shuffle is the final groupBy on n_name.
+  /** TPC-H Q5-style: 5-way star join, revenue by nation. Dimension tables
+    * broadcast; lineitem⋈orders shuffles on the join key; final groupBy on
+    * n_name is the only other shuffle.
     */
   def localSupplierVolume(t: Tables): DataFrame = {
     val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -76,7 +82,9 @@ object Analytics {
     val nat = t.nation.select("n_nationkey", "n_name", "n_regionkey")
     val reg = t.region.filter(col("r_name") === "ASIA").select("r_regionkey")
 
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+    // lineitem⋈orders is fact⋈fact — shuffle join (AQE decides); only the
+    // true dimensions (customer/supplier/nation/region) are broadcast.
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))

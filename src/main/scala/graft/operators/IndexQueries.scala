@@ -65,7 +65,7 @@ final case class QueryService(index: DataFrame) {
       attrs: Seq[String] = Nil,
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): DataFrame = {
     require(!to.after(now()), s"interval upper bound $to is in the future")
-    page(project(intervalFilter(from, to, brokerId), attrs), limit, offset)
+    project(page(intervalFilter(from, to, brokerId), limit, offset), attrs)
   }
 
   /** Interval count — A1 (mongo.go:194-209). */
@@ -82,7 +82,7 @@ final case class QueryService(index: DataFrame) {
       limit: Int = 20,
       offset: Int = 0,
       attrs: Seq[String] = Nil): DataFrame =
-    page(project(index.filter(compile(filters)), attrs), limit, offset)
+    project(page(index.filter(compile(filters)), limit, offset), attrs)
 
   /** Count over the generic query — A2 (mongo.go:242-249). */
   def countQueried(filters: Seq[Map[String, FilterValue]]): DataFrame =
@@ -99,7 +99,9 @@ final case class QueryService(index: DataFrame) {
     if (attrs.isEmpty) df else df.select(attrs.map(resolve): _*)
 
   /** Deterministic limit/offset — A3. Top-k first (distributed), then a
-    * row_number window over at most offset+limit rows.
+    * row_number window over at most offset+limit rows. Runs BEFORE the
+    * attribute projection so pagination order never depends on the caller
+    * including `unique_id` in attrs.
     */
   private def page(df: DataFrame, limit: Int, offset: Int): DataFrame = {
     require(limit >= 0 && offset >= 0, "limit/offset must be non-negative")

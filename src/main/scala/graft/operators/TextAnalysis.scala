@@ -42,7 +42,8 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
-      (punct / length(col("text")).cast("double")).as("punct_ratio"),
+      when(length(col("text")) > 0, punct / length(col("text")).cast("double"))
+        .otherwise(lit(0.0)).as("punct_ratio"),
       when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
       when(nTok > 0,
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
