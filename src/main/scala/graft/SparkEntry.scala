@@ -156,7 +156,40 @@ object SparkEntry {
               e => concat(e.getField("key"), lit("="), e.getField("value"))))
             .as("attrs_flat"))
         .orderBy(col("unique_id"))
-    }
+    },
+    // -- LLM training-data pipeline: dedup over documents ------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprint(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(Tables(s, dir).documents)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables(s, dir).documents, 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // -- similarity search over embeddings ---------------------------------
+    "q_topk_cosine" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
+        .orderBy(col("query_id"), col("rank"))),
+    "q_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
+        .orderBy(col("query_id"), col("rank"))),
+    "q_near_dup_embeddings" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    // -- text analysis over documents ---------------------------------------
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScores(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_text_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables(s, dir).documents).orderBy(col("doc_id")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -188,6 +221,51 @@ object SparkEntry {
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  /** DuckDB CTE: whitespace tokens of lowercased document text — keep in
+    * lockstep with [[graft.functions.TextFunctions.tokens]].
+    */
+  private val ToksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB CTE clause: distinct word-3-gram shingle sets (≥3 tokens) —
+    * lockstep with [[graft.functions.TextFunctions.shingleSet]].
+    */
+  private val ShinglesCte =
+    """sets AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [] END) AS sh
+      |  FROM toks),
+      |s2 AS (SELECT * FROM sets WHERE len(sh) > 0)""".stripMargin
+
+  /** DuckDB h60 — lockstep with [[graft.functions.TextFunctions.h60]]. */
+  private def h60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB CTE: embeddings with double vector, norm, and the SRP sign-bit
+    * array over planes 0..23 — lockstep with
+    * [[graft.operators.Similarity.srpPlane]] (w[p][d] = h60(p|d)/2^59 - 1).
+    */
+  private val EmbCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS d,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+      |         list_transform(range(0, 24), p ->
+      |           CASE WHEN list_sum(list_transform(range(1, 65), dd ->
+      |                  (CAST('0x' || substr(md5(p || '|' || (dd-1)), 1, 15) AS BIGINT)::DOUBLE
+      |                     / 576460752303423488.0 - 1.0) * embedding[dd]::DOUBLE)) > 0
+      |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+      |  FROM embeddings)""".stripMargin
+
+  private val StopEn = "['the','a','of','and','to','in','is','it']"
+  private val StopEs = "['el','la','de','que','y','en','un','es']"
+  private val StopDe = "['der','die','das','und','ist','von','ein','zu']"
+  private val StopFr = "['le','la','de','et','est','un','une','dans']"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -349,6 +427,159 @@ object SparkEntry {
         |                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer)
         |WHERE rnk <= 3
-        |ORDER BY c_nationkey, rnk""".stripMargin
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |       count(*) OVER (PARTITION BY md5(text)) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_fingerprint" ->
+      s"""$ToksCte
+         |SELECT doc_id, fp,
+         |       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+         |       count(*) OVER (PARTITION BY fp) AS group_size
+         |FROM (SELECT doc_id,
+         |             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |      FROM toks)
+         |ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""$ToksCte,
+         |$ShinglesCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       len(list_intersect(a.sh, b.sh))::DOUBLE
+         |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |         AS jaccard
+         |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+         |WHERE jaccard >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |mh AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 24), i ->
+         |      list_min(list_transform(sh, s -> ${h60Sql("i || '|' || s")}))) AS sig
+         |  FROM s2),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |         md5(array_to_string(list_transform(range(b*3+1, b*3+4),
+         |             j -> CAST(sig[j] AS VARCHAR)), ',')) AS bsig
+         |  FROM mh, range(0, 8) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       len(list_intersect(a.sh, b.sh))::DOUBLE
+         |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |         AS jaccard
+         |FROM cand JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
+         |WHERE jaccard >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""$ToksCte,
+         |sims AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+         |    AS simhash
+         |  FROM (SELECT doc_id,
+         |               list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
+         |        FROM toks))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_topk_cosine" ->
+      s"""$EmbCte,
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM e JOIN q ON query_id <> e.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ivf_topk" ->
+      s"""$EmbCte,
+         |c AS (SELECT vec_id, d, nrm,
+         |             CAST(list_sum(list_transform(range(0, 4),
+         |                 p -> bits[p+1] << p)) AS BIGINT) AS cell
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, cell, d AS dq, nrm AS nq
+         |      FROM c WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM c JOIN q ON q.cell = c.cell AND query_id <> c.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, cell, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_near_dup_embeddings" ->
+      s"""$EmbCte,
+         |bands AS (
+         |  SELECT vec_id, b AS band,
+         |         CAST(list_sum(list_transform(range(0, 4),
+         |             r -> bits[b*4 + r + 1] << r)) AS BIGINT) AS sig
+         |  FROM e, range(0, 6) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |              list_dot_product(ea.d, eb.d) / (ea.nrm * eb.nrm) AS cosine
+         |       FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_token_counts" ->
+      s"""$ToksCte
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""$ToksCte
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN length(text) > 0 THEN
+         |    (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+         |      / length(text)::DOUBLE
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    len(list_filter(toks, t -> list_contains($StopEn, t)))::DOUBLE
+         |      / len(toks)::DOUBLE
+         |  ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / len(toks)::DOUBLE
+         |  ELSE 0.0 END AS mean_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""$ToksCte,
+         |h AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopEn, t))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopEs, t))) AS BIGINT) AS es_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopDe, t))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopFr, t))) AS BIGINT) AS fr_hits
+         |  FROM toks)
+         |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+         |       WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+         |       WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END AS guessed_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprints" ->
+      s"""$ToksCte
+         |SELECT doc_id,
+         |       ${h60Sql("array_to_string(toks, ' ')")} AS content_h60,
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp
+         |FROM toks ORDER BY doc_id""".stripMargin
   )
 }

@@ -16,8 +16,9 @@ import graft.functions.TextFunctions._
   *   - n-gram Jaccard ground truth: inverted shingle index equi-join, for
   *     oracle-checkable truth at test scale (inherently O(pairs) — the LSH
   *     variant is the scale path);
-  *   - SimHash: per-row 60-bit signature; pair scan at test scale, with
-  *     bit-chunk blocking as the documented scale path.
+  *   - SimHash: per-row 60-bit signature; pigeonhole bit-chunk blocking
+  *     (equi-join on signature chunks) makes pair enumeration near-linear
+  *     while staying exactly equal to the all-pairs result.
   *
   * All hashing is the engine-portable h60 (md5-derived) so the DuckDB
   * oracle can replay the identical pipeline bit-for-bit.
@@ -119,24 +120,44 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
-    * distance ≤ maxDist. Signature computation is per-row and linear; the
-    * pair enumeration here is an all-pairs scan (fine at verification
-    * scale). At 100 TB, block on bit chunks first: split the signature
-    * into maxDist+1 chunks — any pair within maxDist shares at least one
-    * exact chunk (pigeonhole), turning the scan into an equi-join.
+    * distance ≤ maxDist. Signature computation is per-row and linear;
+    * pair enumeration uses pigeonhole bit-chunk blocking: the signature is
+    * split into maxDist+1 contiguous chunks — any pair within maxDist
+    * differs in at most maxDist chunks, so it matches EXACTLY on at least
+    * one chunk. Candidates come from an equi-join on (chunkIdx, chunkValue)
+    * and are verified with the true Hamming distance, so the output is
+    * identical to the all-pairs scan with no cartesian product in the plan.
     */
   def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 60, "maxDist must be in [0, 60)")
     val sims = docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("simhash", simHashSql("toks"))
       .select(col("doc_id"), col("simhash"))
-    sims
+    // chunk boundaries: maxDist+1 chunks covering all 60 bits (first
+    // `60 % n` chunks get one extra bit)
+    val n = maxDist + 1
+    val widths = Seq.tabulate(n)(c => 60 / n + (if (c < 60 % n) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val chunkStructs = (0 until n).map { c =>
+      val mask = (1L << widths(c)) - 1
+      struct(
+        lit(c).as("c"),
+        shiftright(col("simhash"), starts(c)).bitwiseAND(lit(mask)).as("v"))
+    }
+    val chunks = sims
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks
       .as("a")
-      .join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 }

@@ -9,16 +9,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Cosine math is done in double with a strict left-fold order
   * (`aggregate` over `zip_with`), which makes scores bit-identical across
   * engines — the DuckDB oracle reproduces them exactly with
-  * `list_reduce(list_transform(...))`. No UDFs: everything is Catalyst
-  * higher-order functions on the array column.
+  * `list_dot_product` on `::DOUBLE[]` casts (verified bit-for-bit at
+  * sf0.01). No UDFs: everything is Catalyst higher-order functions on the
+  * array column.
+  *
+  * The coarse quantizer is sign-random-projection (SRP): hyperplane
+  * component w[p][d] derives deterministically from md5 — the identical
+  * constant is computable on the JVM (embedded as a literal array, zero
+  * per-row hashing cost) and in ANSI SQL (the oracle re-derives it), so
+  * LSH cells match bit-for-bit across engines.
   *
   * Scale design: norms are precomputed once per row; the brute-force path
   * broadcasts the (small) query side so the corpus never shuffles; the IVF
-  * path adds a coarse-partition equi-join key so each query only scans its
-  * cell — the standard recall/cost trade at 100 TB, where brute force is
-  * O(queries × corpus) and IVF is O(queries × corpus / cells).
+  * path adds the SRP cell as an equi-join key so each query only scans its
+  * cell; near-dup pair mining blocks on SRP bands (candidates only where a
+  * band collides, verified with exact cosine) — no cartesian product
+  * anywhere. At 100 TB the corpus side of every join is partitioned by the
+  * equi-key and each band/cell bucket is independent.
   */
 object Similarity {
+
+  /** Embedding dimensionality of the driver's embeddings table. */
+  val Dim = 64
 
   /** Left-fold double dot product of two float arrays. */
   def dot(a: Column, b: Column): Column =
@@ -29,6 +41,30 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** SRP hyperplane `p` over `dim` dims: component d is
+    * h60(s"p|d") / 2^59 - 1.0 ∈ [-1, 1) — the same md5-derived constant
+    * the oracle computes as
+    * `CAST('0x'||substr(md5(p||'|'||d),1,15) AS BIGINT)::DOUBLE / 2^59 - 1`.
+    */
+  def srpPlane(p: Int, dim: Int = Dim): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = md.digest(s"$p|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16).toDouble / (1L << 59).toDouble - 1.0
+    }
+  }
+
+  /** One SRP sign bit: 1 when the embedding is on the positive side of
+    * hyperplane `p`, else 0. The plane is a literal array — evaluated once
+    * at plan time, so the per-row cost is one 64-element fold.
+    */
+  def srpBit(emb: Column, p: Int, dim: Int = Dim): Column =
+    when(dot(typedLit(srpPlane(p, dim)), emb) > lit(0.0), lit(1L)).otherwise(lit(0L))
+
+  /** Little-endian SRP code over planes [p0, p0+bits): the LSH cell id. */
+  def srpCode(emb: Column, p0: Int, bits: Int, dim: Int = Dim): Column =
+    (0 until bits).map(i => srpBit(emb, p0 + i, dim) * lit(1L << i)).reduce(_ + _)
+
   /** Corpus annotated with its precomputed norm. */
   private def withNorm(embeddings: DataFrame): DataFrame =
     embeddings.withColumn("nrm", norm(col("embedding")))
@@ -36,6 +72,8 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector (vec_id ∈ querySet),
     * the k nearest corpus vectors by cosine, ties broken by vec_id.
     * The query side is broadcast; ranking is a per-query window (k small).
+    * This is the exact baseline — O(queries × corpus) by definition; the
+    * scale path is [[ivfTopK]].
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val corpus = withNorm(embeddings)
@@ -53,17 +91,25 @@ object Similarity {
   }
 
   /** IVF-style top-k: identical contract but each query only scans its
-    * coarse cell (here the `label` column plays the quantizer assignment —
-    * in a real deployment the cell id comes from a centroid model). The
-    * cell equi-join key turns the cross product into a hash join.
+    * coarse cell. The cell is the SRP code over `cellBits` hyperplanes —
+    * a real quantizer assignment (not a data label), derived from the
+    * embedding alone, so it works on unlabeled corpora. The cell equi-join
+    * key turns the cross product into a hash join; recall is bounded by
+    * cell granularity (2^cellBits cells), the standard IVF trade.
     */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val corpus = withNorm(embeddings)
-      .select(col("vec_id").as("neighbor_id"), col("label").as("cell"),
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      cellBits: Int = 4): DataFrame = {
+    val cells = withNorm(embeddings)
+      .withColumn("cell", srpCode(col("embedding"), 0, cellBits))
+    val corpus = cells
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("emb_n"), col("nrm").as("nrm_n"))
-    val queries = withNorm(embeddings)
+    val queries = cells
       .filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("label").as("cell"),
+      .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     corpus
@@ -75,16 +121,42 @@ object Similarity {
       .select("query_id", "cell", "neighbor_id", "rank", "cosine")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    * cosine ≥ threshold. All-pairs at test scale; at 100 TB this blocks on
-    * an LSH/IVF cell first, like [[ivfTopK]].
+  /** Embedding-cosine near-duplicate pairs via SRP-LSH banding: planes
+    * [0, bands·rowsPerBand) are split into `bands` bands of `rowsPerBand`
+    * sign bits; vector pairs colliding in any band become candidates and
+    * are verified with exact cosine ≥ threshold — so the output contains
+    * no false positives and the enumeration is an equi-join on
+    * (band, signature), never a cartesian product. Recall is the standard
+    * LSH S-curve: pick wider bands (larger rowsPerBand) for higher
+    * thresholds; at near-dup thresholds (≥0.9) a handful of 8-bit bands
+    * give ~full recall with vanishing collision noise.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm(embeddings)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = withNorm(embeddings)
-      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+  def nearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      bands: Int = 6,
+      rowsPerBand: Int = 4): DataFrame = {
+    val e = withNorm(embeddings)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        srpCode(col("embedding"), b * rowsPerBand, rowsPerBand).as("sig"))
+    }
+    val banded = e
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded
+      .as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    cand
+      .join(ea, "vec_a")
+      .join(eb, "vec_b")
       .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
