@@ -21,8 +21,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(Tables(spark, "/root/testdata/sf0.001"))
 
+  /** The materialized index store (written once per JVM, then a parquet
+    * scan with real pushdown) — NOT a per-query derivation.
+    */
   private def idx(s: SparkSession, dir: String): DataFrame =
-    IndexModel.fromEvents(Tables(s, dir).events)
+    graft.store.IndexStore.materialized(s, dir)
 
   private def qs(s: SparkSession, dir: String): QueryService =
     QueryService(idx(s, dir))

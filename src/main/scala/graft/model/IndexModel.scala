@@ -44,6 +44,20 @@ object IndexModel {
   val TimestampAttributes: Set[String] =
     Set("publish_time", "ingestion_time", "indexer_ingestion_time")
 
+  /** Canonical column order of the index table. */
+  val Columns: Seq[String] = Seq(
+    "broker_id", "broker_msg_id", "unique_id",
+    "business_source_key", "business_object_key", "index_source_key",
+    "ordering_key", "meta_k", "additional_metadata",
+    "location_key", "location_position",
+    "publish_time", "ingestion_time", "confirmation_flag")
+
+  /** Metadata map keys ALSO materialized as plain columns — query filters
+    * on `additional_metadata.<key>` are rewritten to the column so the
+    * predicate pushes down to parquet (a map probe never does).
+    */
+  val MaterializedMetaKeys: Map[String, String] = Map("k" -> "meta_k")
+
   /** Number of messages per stored blob in the synthetic derivation —
     * stands in for the reference's mini-batch (BatchSize default 5000,
     * persistor/config/persistor.toml:80), sized down to the testdata.
@@ -61,7 +75,7 @@ object IndexModel {
     * can build the identical table (see SparkEntry.IndexCte).
     */
   def fromEvents(events: DataFrame): DataFrame = {
-    val blobNo = expr("event_id DIV 100")
+    val blobNo = expr(s"event_id DIV $BlobSize")
     val bsk = when(col("user_id") % 5 === 0, lit(null).cast("string"))
       .otherwise(concat(lit("bsk"), (col("user_id") % 5).cast("string")))
     val bok = concat(lit("bok"), (col("event_id") % 10).cast("string"))
@@ -88,11 +102,7 @@ object IndexModel {
       .withColumn("publish_time", col("ts"))
       .withColumn("ingestion_time", col("ts") + expr("INTERVAL 1 SECOND"))
       .withColumn("confirmation_flag", lit(false))
-      .select("broker_id", "broker_msg_id", "unique_id",
-        "business_source_key", "business_object_key", "index_source_key",
-        "ordering_key", "meta_k", "additional_metadata",
-        "location_key", "location_position",
-        "publish_time", "ingestion_time", "confirmation_flag")
+      .select(Columns.map(col): _*)
   }
 
   /** Same projection minus the MapType column — parquet-dump-friendly for
@@ -109,7 +119,7 @@ object IndexModel {
   def recordsFromEvents(events: DataFrame): DataFrame = {
     val posWindow = Window.partitionBy(col("blob_no")).orderBy(col("event_id"))
     events
-      .withColumn("blob_no", expr("event_id DIV 100"))
+      .withColumn("blob_no", expr(s"event_id DIV $BlobSize"))
       .withColumn("location_key",
         concat(lit("gs://graft/events/blob-"), col("blob_no").cast("string")))
       .withColumn("location_position", row_number().over(posWindow).cast("long"))

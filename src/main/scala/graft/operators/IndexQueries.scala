@@ -143,13 +143,20 @@ final case class QueryService(index: DataFrame) {
   }
 
   /** Key whitelist (T12): a key must be a known index attribute or an
-    * `additional_metadata.<subkey>` map access.
+    * `additional_metadata.<subkey>` map access. Subkeys materialized as
+    * plain columns (IndexModel.MaterializedMetaKeys) are rewritten to the
+    * column so the predicate pushes down to the parquet scan — a map probe
+    * never can.
     */
   private def resolve(key: String): Column =
     if (IndexModel.QueryableAttributes.contains(key)) col(key)
-    else if (key.startsWith("additional_metadata."))
-      element_at(col("additional_metadata"), key.stripPrefix("additional_metadata."))
-    else throw new IllegalArgumentException(s"attribute not queryable: $key")
+    else if (key.startsWith("additional_metadata.")) {
+      val sub = key.stripPrefix("additional_metadata.")
+      IndexModel.MaterializedMetaKeys.get(sub) match {
+        case Some(column) => col(column)
+        case None         => element_at(col("additional_metadata"), sub)
+      }
+    } else throw new IllegalArgumentException(s"attribute not queryable: $key")
 
   /** Timestamp coercion (T11): string literals on the three timestamp
     * attributes are parsed as timestamps; everything else compares as-is.
