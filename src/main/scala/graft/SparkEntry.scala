@@ -30,6 +30,28 @@ object SparkEntry {
   private def qs(s: SparkSession, dir: String): QueryService =
     QueryService(idx(s, dir))
 
+  /** One streaming persist run per JVM per testdata dir: fresh work dir +
+    * checkpoint, Trigger.AvailableNow drains the source, foreachBatch
+    * persists each micro-batch (W1/W2).
+    */
+  private object StreamRuns {
+    private val ran = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def ensure(s: SparkSession, dir: String): String =
+      ran.computeIfAbsent(dir, { d =>
+        val wd = s"${graft.streaming.PersistPipeline.workRoot}/stream-${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        graft.streaming.PersistPipeline.deleteRecursively(java.nio.file.Paths.get(wd))
+        // file-source streams read a DIRECTORY of arriving files — stage
+        // the bounded table as that directory
+        val src = java.nio.file.Paths.get(s"$wd/source")
+        java.nio.file.Files.createDirectories(src)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          src.resolve("events.parquet"))
+        graft.streaming.PersistPipeline.runStream(s, src.toString, wd)
+        wd
+      })
+  }
+
   private val T1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
   private val T2 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
   private val intervalProj =
@@ -139,15 +161,50 @@ object SparkEntry {
     // -- replay pipeline (SURVEY §2.4 J1/J2, §2.3 T13, §2.6 W6)
     "q_fetch_jobs" -> ((s, dir) =>
       Replay.fetchJobs(idx(s, dir)).orderBy(col("location_key"))),
+    // Replay read-back: the records side is the Avro OCF blobs the persist
+    // pipeline actually WROTE (D2/S4-local), not a derived view.
     "q_positional_join" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      val records = IndexModel.recordsFromEvents(t.events)
-      val slice = QueryService(idx(s, dir)).index.filter(
+      val wd = graft.streaming.PersistPipeline.ensureRun(s, dir)
+      val records = graft.streaming.PersistPipeline.readRecords(s, wd)
+        .withColumn("payload", col("data").cast("string"))
+      val slice = idx(s, dir).filter(
         col("publish_time") >= lit(T1) && col("publish_time") < lit(T2) &&
           col("broker_id") === "t-purchase")
       Replay.positionalJoin(records, slice, broadcastIndex = true)
         .select("unique_id", "location_key", "location_position", "payload")
         .orderBy(col("unique_id"))
+    },
+    // D1/D2 in isolation: everything written as Avro comes back intact.
+    "q_persist_records" -> { (s, dir) =>
+      val wd = graft.streaming.PersistPipeline.ensureRun(s, dir)
+      graft.streaming.PersistPipeline.readRecords(s, wd)
+        .select(col("location_key"), col("location_position"),
+          col("id"), col("data").cast("string").as("payload"),
+          element_at(col("metadata"), "broker_id").as("broker_id"),
+          element_at(col("metadata"), "ordering_key").as("ordering_key"))
+        .orderBy(col("location_key"), col("location_position"))
+    },
+    // D4/T7 live on the real written topic: per-broker valid-doc counts
+    // (plus dead-letter count, zero on clean data) after strict decode.
+    "q_indexer_validation" -> { (s, dir) =>
+      val wd = graft.streaming.PersistPipeline.ensureRun(s, dir)
+      val topic = s.read.parquet(s"$wd/indexer_topic")
+      val (good, bad) = graft.streaming.PersistPipeline.validateTopic(topic)
+      good.groupBy(col("broker_id")).agg(count(lit(1)).as("n_valid"))
+        .withColumn("n_dead_lettered",
+          lit(bad.count()).cast("long"))
+        .orderBy(col("broker_id"))
+    },
+    // W1/W2: the same pipeline through checkpointed foreachBatch micro-
+    // batches (Trigger.AvailableNow), then read back what the STREAM wrote.
+    "q_stream_persist" -> { (s, dir) =>
+      val wd = StreamRuns.ensure(s, dir)
+      s.read.parquet(s"$wd/index")
+        .groupBy(col("broker_id")).agg(
+          count(lit(1)).as("n"),
+          min(col("location_position")).as("min_pos"),
+          max(col("location_position")).as("max_pos"))
+        .orderBy(col("broker_id"))
     },
     "q_ordering_groups" -> ((s, dir) =>
       Replay.orderingGroups(idx(s, dir)).orderBy(col("ordering_key"))),
@@ -431,6 +488,29 @@ object SparkEntry {
         |  FROM customer)
         |WHERE rnk <= 3
         |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q_persist_records" ->
+      """SELECT 'gs://graft/events/blob-' || CAST(event_id // 100 AS VARCHAR) AS location_key,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY event_id // 100 ORDER BY event_id) AS BIGINT)
+        |         AS location_position,
+        |       CAST(event_id AS VARCHAR) AS id,
+        |       props AS payload,
+        |       't-' || event_type AS broker_id,
+        |       CASE WHEN user_id % 3 = 0 THEN NULL
+        |            ELSE 'u' || CAST(user_id AS VARCHAR) END AS ordering_key
+        |FROM events
+        |ORDER BY location_key, location_position""".stripMargin,
+    "q_indexer_validation" ->
+      """SELECT 't-' || event_type AS broker_id, COUNT(*) AS n_valid,
+        |       CAST(0 AS BIGINT) AS n_dead_lettered
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_persist" ->
+      """SELECT 't-' || event_type AS broker_id, COUNT(*) AS n,
+        |       MIN(pos) AS min_pos, MAX(pos) AS max_pos
+        |FROM (SELECT event_type,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY event_id // 100
+        |                                     ORDER BY event_id) AS BIGINT) AS pos
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
