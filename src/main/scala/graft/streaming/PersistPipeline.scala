@@ -279,13 +279,13 @@ object PersistPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "broker_id")
       .parquet(s"$workDir/index")
+    // explicit batch_id=<id> path (not partitionBy): an all-valid batch
+    // still writes one empty schema-bearing file, so the DL topic is
+    // always readable; overwriting the subdir keeps reprocessing idempotent
     bad
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1)
+      .repartition(1)
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$workDir/dead_letter")
+      .parquet(s"$workDir/dead_letter/batch_id=$batchId")
   }
 
   // ---------------------------------------------------------- entry points
@@ -325,13 +325,13 @@ object PersistPipeline {
       spark: SparkSession,
       eventsPath: String,
       workDir: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      prepare: DataFrame => DataFrame = identity): Unit = {
     val schema = spark.read.parquet(eventsPath).schema
-    val source = spark.readStream
+    val source = prepare(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventsPath)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .parquet(eventsPath))
     source.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$workDir/checkpoint")

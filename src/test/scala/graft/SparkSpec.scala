@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one per forked test JVM). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = GraftSession
+      .builder(master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Replay-side tests: the positional join (J2), fetch-job grouping (J1),
+  * metadata repackaging (T13), and the ordering-key publish contract (W6)
+  * in its scale-safe `orderedForPublish` form — asserting actual
+  * within-partition physical order, the property an order-preserving sink
+  * (Kafka per partition) relies on.
+  */
+class ReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val index = Seq(
+    ("b_1", "blob-0", 1L, "u1", Map("k" -> "1"), "bsk1", "bok1"),
+    ("b_2", "blob-0", 2L, "", Map("k" -> "2"), null, "bok2"),
+    ("b_3", "blob-1", 1L, "u1", Map("k" -> "3"), "bsk2", "bok3"),
+    ("b_4", "blob-1", 2L, "u2", Map("k" -> "4"), "bsk1", "bok4"))
+    .toDF("unique_id", "location_key", "location_position", "ordering_key",
+      "additional_metadata", "business_source_key", "business_object_key")
+
+  private lazy val records = Seq(
+    ("blob-0", 1L, "p1"), ("blob-0", 2L, "p2"),
+    ("blob-1", 1L, "p3"), ("blob-1", 2L, "p4"), ("blob-1", 3L, "orphan"))
+    .toDF("location_key", "location_position", "payload")
+
+  test("positionalJoin aligns records to index rows on (blob, position)") {
+    val out = Replay.positionalJoin(records, index, broadcastIndex = true)
+      .select("unique_id", "payload").as[(String, String)].collect().toMap
+    assert(out === Map("b_1" -> "p1", "b_2" -> "p2", "b_3" -> "p3", "b_4" -> "p4"))
+  }
+
+  test("fetchJobs manifests one job per blob with the position range") {
+    val out = Replay.fetchJobs(index).orderBy("location_key")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out === Array(("blob-0", 2L, 1L, 2L), ("blob-1", 2L, 1L, 2L)))
+  }
+
+  test("repackagedMetadata flattens business keys and drops empty ordering keys (T13)") {
+    val out = Replay.repackagedMetadata(index)
+      .select("unique_id", "attributes")
+      .as[(String, Map[String, String])].collect().toMap
+    assert(out("b_1") === Map("k" -> "1", "business_source_key" -> "bsk1",
+      "business_object_key" -> "bok1", "ordering_key" -> "u1"))
+    // null bsk and empty ordering key are omitted, like the reference
+    assert(out("b_2") === Map("k" -> "2", "business_object_key" -> "bok2"))
+  }
+
+  test("orderedForPublish physically sorts each partition by key and position (W6)") {
+    val big = (1 to 500).map { i =>
+      (s"m_$i", if (i % 5 == 0) "" else s"u${i % 7}", s"blob-${i % 13}", (i % 37).toLong)
+    }.toDF("unique_id", "ordering_key", "location_key", "location_position")
+    val ordered = Replay.orderedForPublish(big)
+      .select("ordering_key", "location_key", "location_position")
+      .as[(String, String, Long)]
+    val partitionsSorted = ordered.mapPartitions { it =>
+      val rows = it.toVector
+      Iterator.single(rows == rows.sortBy(identity))
+    }.collect()
+    assert(partitionsSorted.forall(identity))
+    // every key lands in exactly one partition
+    val keyPartitions = ordered.mapPartitions { it =>
+      it.map(_._1).toSet.iterator
+    }.rdd.mapPartitionsWithIndex((i, it) => it.map(k => (k, i)))
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(keyPartitions.values.forall(_ == 1))
+  }
+
+  test("errorCounts aggregates identical error messages (T9)") {
+    val errs = Seq("x", "x", "y").toDF("m")
+    val out = Replay.errorCounts(errs, col("m")).orderBy("message")
+      .as[(String, Long)].collect()
+    assert(out === Array(("x", 2L), ("y", 1L)))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Dedup / similarity / text-function tests, including the equivalence of
+  * the blocked (scale-path) pair enumerations with their all-pairs ground
+  * truth, and known-value checks of the engine-portable hashes.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80).cache()
+
+  test("h60 matches the documented md5-prefix construction") {
+    // md5("hello") = 5d41402abc4b2a76... → 0x5d41402abc4b2a7
+    val v = Seq("hello").toDF("s").select(TextFunctions.h60(col("s"))).head().getLong(0)
+    assert(v === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    assert(v === 419982666956583591L)
+  }
+
+  test("tokens lowercases, splits on single spaces, and drops empties") {
+    val t = Seq("The Quick  brown FOX ").toDF("s")
+      .select(TextFunctions.tokens(col("s"))).head().getSeq[String](0)
+    assert(t === Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles3 yields n-2 trigrams and empty below 3 tokens") {
+    val out = Seq("a b c d", "a b").toDF("s")
+      .select(TextFunctions.shingleSet(col("s"))).collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("canonical_id")).toSeq === Seq(1L, 1L, 3L))
+    assert(out.map(_.getAs[Long]("group_size")).toSeq === Seq(2L, 2L, 1L))
+  }
+
+  test("fingerprint dedup catches token reorderings that exact dedup misses") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fingerprint(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("canonical_id")).toSeq === Seq(1L, 1L, 3L))
+    val exact = Dedup.exact(d).filter(col("group_size") > 1).count()
+    assert(exact === 0L)
+  }
+
+  test("blocked simHashPairs equals the all-pairs scan (pigeonhole is lossless)") {
+    val maxDist = 3
+    val sims = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("simhash", TextFunctions.simHashSql("toks"))
+      .select(col("doc_id"), col("simhash"))
+    val naive = sims.as("a")
+      .join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Dedup.simHashPairs(docs, maxDist)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked === naive)
+    assert(blocked.nonEmpty)
+  }
+
+  test("minHashLsh emits only true near-duplicates (verified candidates)") {
+    val truth = Dedup.ngramJaccardPairs(docs, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, numHashes = 24, bands = 8, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth))
+  }
+
+  test("bruteForceTopK ranks by cosine with neighbor-id tie-break") {
+    val e = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out === Array(1L, 3L, 2L))
+  }
+
+  test("srpBit agrees with a driver-side dot-product sign computation") {
+    val emb = Array.tabulate(Similarity.Dim)(i => (math.sin(i + 1)).toFloat)
+    val expected = (0 until 8).map { p =>
+      val w = Similarity.srpPlane(p)
+      val d = w.zip(emb).map { case (a, b) => a * b.toDouble }.foldLeft(0.0)(_ + _)
+      if (d > 0) 1L else 0L
+    }
+    val got = Seq(Tuple1(emb)).toDF("embedding")
+      .select(array((0 until 8).map(p => Similarity.srpBit(col("embedding"), p)): _*))
+      .head().getSeq[Long](0)
+    assert(got === expected)
+  }
+
+  test("nearDupPairs contains no false positives and no self/inverted pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.nearDupPairs(emb, 0.3).collect()
+    assert(out.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
+  }
+
+  test("languageId falls back to und when no stopword list hits") {
+    val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d).orderBy("doc_id")
+      .select("guessed_lang").as[String].collect()
+    assert(out === Array("und", "en"))
+  }
+
+  test("qualityScores guards zero-length and zero-token documents") {
+    val d = Seq((1L, ""), (2L, "hi there.")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScores(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("punct_ratio") === 0.0)
+    assert(out(0).getAs[Double]("stopword_ratio") === 0.0)
+    assert(out(0).getAs[Double]("mean_token_len") === 0.0)
+    assert(out(1).getAs[Double]("punct_ratio") > 0.0)
+  }
+}
