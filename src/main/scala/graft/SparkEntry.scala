@@ -55,6 +55,17 @@ object SparkEntry {
       })
   }
 
+  /** One ordered publish per JVM per testdata dir (K6-K9/W6 sink). */
+  private object PublishRuns {
+    private val ran = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def ensure(s: SparkSession, dir: String): String =
+      ran.computeIfAbsent(dir, { d =>
+        val topic = s"${graft.streaming.PersistPipeline.ensureRun(s, d)}/publish_topic"
+        Publisher.publishOrdered(idx(s, d), topic)
+        topic
+      })
+  }
+
   private val T1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
   private val T2 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
   private val intervalProj =
@@ -220,6 +231,43 @@ object SparkEntry {
             .as("attrs_flat"))
         .orderBy(col("unique_id"))
     },
+    // J4: large-ID-set membership as a semi-join (vs isin literal lists).
+    "q_idx_getall_join" -> { (s, dir) =>
+      val service = qs(s, dir)
+      val ids = service.index
+        .filter(col("broker_msg_id").cast("long") % 3 === 0)
+        .select("unique_id")
+      service.getAllJoin(ids, Seq("unique_id", "broker_id", "location_key"))
+        .orderBy(col("unique_id"))
+    },
+    // K6-K9/W6: ordered publish to a file topic, then read the TOPIC back
+    // and prove per-key publish order survived the round trip.
+    "q_replay_publish" -> { (s, dir) =>
+      val topic = PublishRuns.ensure(s, dir)
+      Publisher.readTopic(s, topic)
+        .groupBy(col("ordering_key"))
+        .agg(
+          count(lit(1)).as("n"),
+          concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("publish_seq"), col("unique_id")))),
+              e => e.getField("unique_id"))).as("publish_order"))
+        .orderBy(col("ordering_key"))
+    },
+    // A6: pipeline latency summary — exact p50/p90/p99 of ingestion lag
+    // against the newest ingested message as the deterministic "now".
+    "q_latency_metrics" -> { (s, dir) =>
+      val i = idx(s, dir)
+      val mx = i.agg(max(col("ingestion_time")).as("mx"))
+      i.crossJoin(broadcast(mx))
+        .withColumn("latency_sec",
+          (unix_micros(col("mx")) - unix_micros(col("ingestion_time"))) / lit(1000000.0))
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("latency_sec"), lit(0.5)).as("p50"),
+          percentile(col("latency_sec"), lit(0.9)).as("p90"),
+          percentile(col("latency_sec"), lit(0.99)).as("p99"))
+    },
     // -- LLM training-data pipeline: dedup over documents ------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -324,6 +372,16 @@ object SparkEntry {
       |                     / 576460752303423488.0 - 1.0) * embedding[dd]::DOUBLE)) > 0
       |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
       |  FROM embeddings)""".stripMargin
+
+  /** MinHash affine coefficients, inlined as SQL list literals — lockstep
+    * with [[graft.functions.TextFunctions.minHashCoeffs]].
+    */
+  private val mhCoeffLists = {
+    val (as, bs) = graft.functions.TextFunctions.minHashCoeffs(24).unzip
+    (as.mkString("[", ",", "]"), bs.mkString("[", ",", "]"))
+  }
+  private val MhA = mhCoeffLists._1
+  private val MhB = mhCoeffLists._2
 
   private val StopEn = "['the','a','of','and','to','in','is','it']"
   private val StopEs = "['el','la','de','que','y','en','un','es']"
@@ -491,6 +549,24 @@ object SparkEntry {
         |  FROM customer)
         |WHERE rnk <= 3
         |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q_idx_getall_join" ->
+      s"""$IndexCte
+         |SELECT unique_id, broker_id, location_key FROM idx
+         |WHERE CAST(broker_msg_id AS BIGINT) % 3 = 0
+         |ORDER BY unique_id""".stripMargin,
+    "q_replay_publish" ->
+      s"""$IndexCte
+         |SELECT ordering_key, COUNT(*) AS n,
+         |       string_agg(unique_id, ',' ORDER BY location_key, location_position, unique_id)
+         |         AS publish_order
+         |FROM idx GROUP BY ordering_key ORDER BY ordering_key""".stripMargin,
+    "q_latency_metrics" ->
+      """SELECT COUNT(*) AS n,
+        |       quantile_cont(lat, 0.5) AS p50,
+        |       quantile_cont(lat, 0.9) AS p90,
+        |       quantile_cont(lat, 0.99) AS p99
+        |FROM (SELECT (epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) / 1000000.0 AS lat
+        |      FROM events)""".stripMargin,
     "q_persist_records" ->
       """SELECT 'gs://graft/events/blob-' || CAST(event_id // 100 AS VARCHAR) AS location_key,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY event_id // 100 ORDER BY event_id) AS BIGINT)
@@ -543,13 +619,16 @@ object SparkEntry {
          |$ShinglesCte,
          |mh AS (
          |  SELECT doc_id, sh, list_transform(range(0, 24), i ->
-         |      list_min(list_transform(sh, s -> ${h60Sql("i || '|' || s")}))) AS sig
-         |  FROM s2),
+         |      list_min(list_transform(hs, h -> ($MhA[i+1] * h + $MhB[i+1])
+         |                                        % ${graft.functions.TextFunctions.MinHashP}))) AS sig
+         |  FROM (SELECT doc_id, sh,
+         |               list_transform(sh, s -> ${h60Sql("s")} & 4294967295) AS hs
+         |        FROM s2)),
          |bands AS (
          |  SELECT doc_id, b AS band,
-         |         md5(array_to_string(list_transform(range(b*3+1, b*3+4),
+         |         md5(array_to_string(list_transform(range(b*4+1, b*4+5),
          |             j -> CAST(sig[j] AS VARCHAR)), ',')) AS bsig
-         |  FROM mh, range(0, 8) t(b)),
+         |  FROM mh, range(0, 6) t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b

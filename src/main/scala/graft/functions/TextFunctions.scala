@@ -23,9 +23,33 @@ object TextFunctions {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant — the family of hash functions for MinHash. */
-  def h60Seeded(seed: Column, c: Column): Column =
-    h60(concat(seed.cast("string"), lit("|"), c))
+  /** JVM-side h60 — the identical constant-space hash for deriving
+    * coefficients that get INLINED as literals into both the Catalyst plan
+    * and the oracle SQL (no per-row hashing for them anywhere).
+    */
+  def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Modulus for the MinHash affine hash family — a prime just above 2^32,
+    * so (a·h + b) with a,b < 2^31 and h < 2^32 never overflows a signed
+    * 64-bit integer (DuckDB raises on BIGINT overflow; Spark wraps — the
+    * bound keeps both engines in exact agreement).
+    */
+  val MinHashP = 4294967311L
+
+  /** Deterministic affine coefficients (a odd, both < 2^31) for the k
+    * MinHash functions h_i(x) = (a_i·x + b_i) mod P over 32-bit base
+    * hashes. One md5 per SHINGLE total (the base hash); the k functions
+    * are pure arithmetic — vs k md5s per shingle, the classic trick that
+    * makes MinHash linear in practice.
+    */
+  def minHashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      ((h60Jvm(s"a|$i") % (1L << 31)) | 1L, h60Jvm(s"b|$i") % (1L << 31))
+    }
 
   /** Whitespace tokens of the lowercased text, empties dropped. Plain
     * split-on-space (no regex) so every engine agrees byte-for-byte.
@@ -47,13 +71,25 @@ object TextFunctions {
   /** Distinct shingle set for similarity/dedup comparisons. */
   def shingleSet(text: Column): Column = array_distinct(shingles3(tokens(text)))
 
-  /** MinHash signature: for each of `k` seeded hash functions, the minimum
-    * h60 over the shingle set. Computed per-row with higher-order
-    * functions — no explode, no shuffle; scales linearly in documents.
+  /** 32-bit base hashes of a shingle set — md5 evaluated ONCE per shingle;
+    * every MinHash function reuses these.
     */
-  def minHashSignature(shingleSet: Column, k: Int): Column =
+  def baseHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => h60(s).bitwiseAND(lit(0xFFFFFFFFL)))
+
+  /** MinHash signature over precomputed base hashes: for each of `k`
+    * affine hash functions, the minimum of (a_i·h + b_i) mod P. Per-row
+    * higher-order functions — no explode, no shuffle, linear in documents,
+    * and only arithmetic in the inner loop.
+    */
+  def minHashSignature(baseHashes: Column, k: Int): Column = {
+    val (as, bs) = minHashCoeffs(k).unzip
+    val aLit = typedLit(as)
+    val bLit = typedLit(bs)
     transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleSet, s => h60Seeded(i, s))))
+      array_min(transform(baseHashes, h =>
+        (element_at(aLit, i + 1) * h + element_at(bLit, i + 1)) % lit(MinHashP))))
+  }
 
   /** LSH band signatures: split the k-length signature into bands of
     * `rowsPerBand` and hash each band; docs sharing any (band, signature)
@@ -68,30 +104,33 @@ object TextFunctions {
             element_at(signature, b * rowsPerBand + r + 1).cast("string")): _*))
           .as("sig")))
 
-  /** SimHash over distinct-token h60 hashes: bit b of the result is set
+  /** SimHash over precomputed token hashes: bit b of the result is set
     * when the majority of token hashes have bit b set (ties → 0). 60 bits.
+    * `hsCol` must name an array<bigint> column in scope (h60 of each
+    * distinct token, hashed ONCE — the 60 bit-folds are pure arithmetic).
     *
     * Built as a SQL expression string because variable shift amounts are
     * only exposed through the SQL `shiftright`/`shiftleft` functions (the
-    * Scala DSL pins the shift to a literal Int). `toksCol` must name an
-    * array<string> column in scope.
+    * Scala DSL pins the shift to a literal Int).
     */
-  def simHashSql(toksCol: String): Column = expr(
+  def simHashSql(hsCol: String): Column = expr(
     s"""aggregate(
        |  sequence(0, 59), CAST(0 AS BIGINT),
        |  (acc, b) -> acc + IF(
-       |    aggregate(
-       |      transform(array_distinct($toksCol),
-       |                t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
-       |      CAST(0 AS BIGINT),
+       |    aggregate($hsCol, CAST(0 AS BIGINT),
        |      (a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) > 0,
        |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
 
+  /** h60 of each distinct token — the simhash input, one md5 per token. */
+  def tokenHashes(toks: Column): Column =
+    transform(array_distinct(toks), t => h60(t))
+
   /** Exact Jaccard similarity of two (distinct-element) arrays, as the
-    * deterministic double inter/(|a|+|b|-inter).
+    * deterministic double inter/(|a|+|b|-inter). The intersection is
+    * computed once (it dominates candidate-verification cost).
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 }

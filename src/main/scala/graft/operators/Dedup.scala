@@ -50,11 +50,17 @@ object Dedup {
       .select("doc_id", "fp", "canonical_id", "group_size")
   }
 
-  /** Per-doc distinct shingle sets (docs with <3 tokens drop out). */
+  /** Per-doc distinct shingle sets (docs with <3 tokens drop out).
+    * Cached: the set feeds band/candidate generation AND both sides of
+    * pair verification — without materialization Catalyst's project
+    * collapsing would recompute the shingling per consumer (at 100 TB the
+    * equivalent is persisting the signature table, the standard LSH shape).
+    */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
 
   private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -69,46 +75,65 @@ object Dedup {
   /** Ground-truth near-duplicate pairs by word-3-gram Jaccard ≥ threshold.
     * Pairs come from an inverted shingle index (equi-join on shingle) —
     * never a cross join — and |A∩B| falls out of the pair group count.
+    *
+    * `maxShingleDf` caps document frequency in the CANDIDATE index: a
+    * shingle appearing in more than that many documents (a "stop shingle")
+    * is dropped before the pair join, bounding the worst posting-list
+    * blowup (hot-key skew) at the cost of missing pairs whose overlap is
+    * exclusively hot shingles — at meaningful thresholds such pairs share
+    * many shingles, so rare ones almost surely remain. None = exact.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs)
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairs = inv
+    val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv = maxShingleDf match {
+      case Some(cap) =>
+        val hot = inv0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select("shingle")
+        inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => inv0
+    }
+    val cand = inv
       .as("a")
       .join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification always uses the FULL shingle sets, so a DF cap only
+    // affects which pairs are considered, never their scores
+    jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash-LSH near-dup detection: k seeded min-hashes per doc (computed
-    * per-row), banded into `bands` signatures; docs colliding in any band
-    * are candidates; candidates are verified with exact Jaccard ≥ threshold
-    * so the output contains no false positives.
+  /** MinHash-LSH near-dup detection: one md5 base hash per shingle, k
+    * affine min-hashes derived arithmetically per-row, banded into `bands`
+    * signatures; docs colliding in any band are candidates; candidates are
+    * verified with exact Jaccard ≥ threshold so the output contains no
+    * false positives.
     *
-    * Default 24 hashes × 8 bands of 3 ⇒ ~50% collision probability at
-    * j≈0.5 — high recall at the 0.6 verification threshold.
+    * Default 24 hashes × 6 bands of 4 ⇒ near-total recall above j≈0.8
+    * (miss probability (1-j⁴)⁶ < 1e-6 at j=0.98) while background pairs
+    * (j≲0.2) collide with probability < 1%, which keeps the candidate set
+    * — the term that dominates cost on low-diversity corpora — near-linear.
     */
   def minHashLsh(
       docs: DataFrame,
       numHashes: Int = 24,
-      bands: Int = 8,
+      bands: Int = 6,
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
     val sets = shingleSets(docs)
+    // cache the banded table: the signature expression must evaluate once
+    // per document, not once per band per join side
     val banded = sets
-      .withColumn("mh", minHashSignature(col("sh"), numHashes))
+      .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
       .select(col("doc_id"), explode(bandSignatures(col("mh"), bands, r)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache()
     val cand = banded
       .as("a")
       .join(banded.as("b"),
@@ -130,10 +155,12 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 60, "maxDist must be in [0, 60)")
+    // cached: the signature feeds chunk explosion AND both join sides
     val sims = docs
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("simhash", simHashSql("toks"))
+      .withColumn("hs", tokenHashes(tokens(col("text"))))
+      .withColumn("simhash", simHashSql("hs"))
       .select(col("doc_id"), col("simhash"))
+      .cache()
     // chunk boundaries: maxDist+1 chunks covering all 60 bits (first
     // `60 % n` chunks get one extra bit)
     val n = maxDist + 1

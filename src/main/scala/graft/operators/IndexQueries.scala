@@ -32,6 +32,13 @@ final case class Cmp(op: String, value: String) extends FilterValue
   * and only the ≤(offset+limit)-row result gets a windowed row_number —
   * never a global sort of the full index.
   */
+object QueryService {
+  /** A4: process-wide count memo shared by all service instances, like the
+    * reference's LRU in front of Mongo CountDocuments (cache.go:47-119).
+    */
+  val countCache = new CountCache(100)
+}
+
 final case class QueryService(index: DataFrame) {
 
   /** Point lookup by unique_id — S7 (mongo.go:90-119). */
@@ -71,6 +78,14 @@ final case class QueryService(index: DataFrame) {
   /** Interval count — A1 (mongo.go:194-209). */
   def countInInterval(from: Timestamp, to: Timestamp, brokerId: String): DataFrame =
     intervalFilter(from, to, brokerId).agg(count(lit(1)).as("cnt"))
+
+  /** A4: memoized interval count through the process-wide [[CountCache]]
+    * (key layout mirrors indexer-api/lib/repo/cache.go "to_from_broker").
+    */
+  def countInIntervalCached(from: Timestamp, to: Timestamp, brokerId: String): Long =
+    QueryService.countCache.getOrCompute(s"${to}_${from}_$brokerId") {
+      countInInterval(from, to, brokerId).head().getLong(0)
+    }
 
   /** Generic OR-of-conjunctions query — S10 (mongo.go:212-239): each map is
     * ANDed internally, maps are ORed together, exactly Mongo's

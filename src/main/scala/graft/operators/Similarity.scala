@@ -136,7 +136,10 @@ object Similarity {
       threshold: Double,
       bands: Int = 6,
       rowsPerBand: Int = 4): DataFrame = {
-    val e = withNorm(embeddings)
+    // cached: norms feed candidate verification on both pair sides, and
+    // the SRP band table feeds both sides of the candidate self-join —
+    // materializing both keeps each hyperplane fold at once-per-vector
+    val e = withNorm(embeddings).cache()
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
@@ -145,6 +148,7 @@ object Similarity {
     val banded = e
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache()
     val cand = banded
       .as("a")
       .join(banded.as("b"),

@@ -326,7 +326,8 @@ object PersistPipeline {
       eventsPath: String,
       workDir: String,
       maxFilesPerTrigger: Int = 1,
-      prepare: DataFrame => DataFrame = identity): Unit = {
+      prepare: DataFrame => DataFrame = identity,
+      flowControl: Option[graft.operators.FlowControl] = None): Unit = {
     val schema = spark.read.parquet(eventsPath).schema
     val source = prepare(spark.readStream
       .schema(schema)
@@ -336,7 +337,19 @@ object PersistPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        persistBatch(batch, workDir, batchId)
+        try persistBatch(batch, workDir, batchId)
+        catch {
+          case e: Throwable =>
+            flowControl match {
+              // W4 (run.go:159-187): tolerate batch errors under the
+              // budget (continue-on-process-error — redelivery is the
+              // upstream broker's job); stop the query once exceeded
+              case Some(fc) =>
+                fc.record()
+                if (fc.shouldStop) throw e
+              case None => throw e
+            }
+        }
       }
       .start()
       .awaitTermination()

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** A4 count cache, A5 observed stage counters, W4 flow control. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CountCache computes a key once and serves hits from the memo (A4)") {
+    val cache = new CountCache(10)
+    val computes = new AtomicInteger(0)
+    def count(): Long = { computes.incrementAndGet(); 42L }
+    assert(cache.getOrCompute("k1")(count()) === 42L)
+    assert(cache.getOrCompute("k1")(count()) === 42L)
+    assert(computes.get() === 1)
+    assert(cache.contains("k1"))
+  }
+
+  test("CountCache evicts oldest entries beyond its size bound") {
+    val cache = new CountCache(3)
+    (1 to 5).foreach(i => cache.getOrCompute(s"k$i")(i.toLong))
+    assert(cache.size <= 3)
+    assert(cache.contains("k5"))
+    assert(!cache.contains("k1"))
+  }
+
+  test("countInIntervalCached memoizes through the shared cache") {
+    val idx = Seq(
+      ("a", "b1", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("b", "b1", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      ("c", "b2", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("unique_id", "broker_id", "publish_time")
+    val svc = QueryService(idx)
+    val n = svc.countInIntervalCached(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), "b1")
+    assert(n === 1L)
+    assert(QueryService.countCache.contains(
+      "2024-01-04 00:00:00.0_2024-01-01 00:00:00.0_b1"))
+  }
+
+  test("observeStage counts rows as a side effect of the terminal action (A5)") {
+    val (df, obs) = Metrics.observeStage((1 to 25).toDF("x"), "fetch")
+    df.filter(col("x") > 0).count()
+    assert(obs.get("n_rows") === 25L)
+  }
+
+  test("FlowControl tolerates errors under the budget and stops above it (W4)") {
+    var now = 0L
+    val fc = new FlowControl(maxErrors = 3, windowMillis = 1000L, clock = () => now)
+    fc.record(); fc.record()
+    assert(!fc.shouldStop)
+    fc.record()
+    assert(fc.shouldStop)
+  }
+
+  test("FlowControl expires errors outside the sliding window") {
+    var now = 0L
+    val fc = new FlowControl(maxErrors = 2, windowMillis = 1000L, clock = () => now)
+    fc.record(); fc.record()
+    assert(fc.shouldStop)
+    now = 5000L
+    assert(!fc.shouldStop)
+  }
+}

@@ -54,8 +54,8 @@ class TextOpsSpec extends SparkSpec {
   test("blocked simHashPairs equals the all-pairs scan (pigeonhole is lossless)") {
     val maxDist = 3
     val sims = docs
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("simhash", TextFunctions.simHashSql("toks"))
+      .withColumn("hs", TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))))
+      .withColumn("simhash", TextFunctions.simHashSql("hs"))
       .select(col("doc_id"), col("simhash"))
     val naive = sims.as("a")
       .join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
