@@ -78,18 +78,15 @@ object TextFunctions {
     transform(shingleSet, s => h60(s).bitwiseAND(lit(0xFFFFFFFFL)))
 
   /** MinHash signature over precomputed base hashes: for each of `k`
-    * affine hash functions, the minimum of (a_i·h + b_i) mod P. Per-row
-    * higher-order functions — no explode, no shuffle, linear in documents,
-    * and only arithmetic in the inner loop.
+    * affine hash functions, the minimum of (a_i·h + b_i) mod P. A native
+    * codegen'd expression (flat Java loop inside whole-stage codegen) —
+    * per-row, no explode, no shuffle, linear in documents. Callers must
+    * filter out empty hash arrays first (shingleSets does).
     */
-  def minHashSignature(baseHashes: Column, k: Int): Column = {
-    val (as, bs) = minHashCoeffs(k).unzip
-    val aLit = typedLit(as)
-    val bLit = typedLit(bs)
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(baseHashes, h =>
-        (element_at(aLit, i + 1) * h + element_at(bLit, i + 1)) % lit(MinHashP))))
-  }
+  def minHashSignature(baseHashes: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expression(baseHashes), k))
 
   /** LSH band signatures: split the k-length signature into bands of
     * `rowsPerBand` and hash each band; docs sharing any (band, signature)
@@ -107,19 +104,14 @@ object TextFunctions {
   /** SimHash over precomputed token hashes: bit b of the result is set
     * when the majority of token hashes have bit b set (ties → 0). 60 bits.
     * `hsCol` must name an array<bigint> column in scope (h60 of each
-    * distinct token, hashed ONCE — the 60 bit-folds are pure arithmetic).
-    *
-    * Built as a SQL expression string because variable shift amounts are
-    * only exposed through the SQL `shiftright`/`shiftleft` functions (the
-    * Scala DSL pins the shift to a literal Int).
+    * distinct token, hashed ONCE). A native codegen'd expression: the
+    * 60 × |tokens| bit-fold runs as a flat Java loop, vs one boxed lambda
+    * call per element under the equivalent `aggregate` HOF.
     */
-  def simHashSql(hsCol: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, 59), CAST(0 AS BIGINT),
-       |  (acc, b) -> acc + IF(
-       |    aggregate($hsCol, CAST(0 AS BIGINT),
-       |      (a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+  def simHashSql(hsCol: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.SimHash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(hsCol))))
 
   /** h60 of each distinct token — the simhash input, one md5 per token. */
   def tokenHashes(toks: Column): Column =
