@@ -204,9 +204,10 @@ object SparkEntry {
       val wd = graft.streaming.PersistPipeline.ensureRun(s, dir)
       val topic = s.read.parquet(s"$wd/indexer_topic")
       val (good, bad) = graft.streaming.PersistPipeline.validateTopic(topic)
+      // DL count joins in-plan (broadcast 1-row agg) — no separate
+      // driver-side action at query-construction time
       good.groupBy(col("broker_id")).agg(count(lit(1)).as("n_valid"))
-        .withColumn("n_dead_lettered",
-          lit(bad.count()).cast("long"))
+        .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_dead_lettered"))))
         .orderBy(col("broker_id"))
     },
     // W1/W2: the same pipeline through checkpointed foreachBatch micro-
@@ -292,6 +293,41 @@ object SparkEntry {
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // -- multimodal binary columns over documents ---------------------------
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.withMediaMeta(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
+        .select("doc_id", "mime", "n_bytes", "magic_hex", "checksum")
+        .orderBy(col("doc_id"))),
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(Tables(s, dir).documents),
+        frameBytes = 64, stride = 4)
+        .select("doc_id", "frame_no", "n_frames", "frame_md5")
+        .orderBy(col("doc_id"), col("frame_no"))),
+    // Stub codec (no image/audio libs here) → no SQL oracle; rows-only check.
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.Decode.features(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          size(col("features")).as("n_features"))
+        .orderBy(col("doc_id"))),
+    // S4/S5 location-key parsing, column-side (plan-resolved, no driver trips)
+    "q_location_parse" -> { (s, dir) =>
+      import graft.sources.Locations
+      idx(s, dir).select(col("location_key")).distinct()
+        .withColumn("abs_key",
+          regexp_replace(col("location_key"), "^gs://",
+            "https://acct.blob.core.windows.net/"))
+        .withColumn("g", Locations.parsed(col("location_key")))
+        .withColumn("a", Locations.parsed(col("abs_key")))
+        .select(col("location_key"),
+          col("g.scheme").as("g_scheme"), col("g.bucket").as("g_bucket"),
+          col("g.object_path").as("g_path"),
+          col("g.spark_path").as("g_spark_path"),
+          col("a.scheme").as("a_scheme"), col("a.bucket").as("a_bucket"),
+          col("a.object_path").as("a_path"),
+          col("a.spark_path").as("a_spark_path"))
+        .orderBy(col("location_key"))
+    },
     // -- text analysis over documents ---------------------------------------
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -740,6 +776,44 @@ object SparkEntry {
          |       WHEN de_hits >= fr_hits THEN 'de'
          |       ELSE 'fr' END AS guessed_lang
          |FROM h ORDER BY doc_id""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS magic_hex,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(ceil(octet_length(encode(text))::DOUBLE / 64) AS BIGINT)
+        |           AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id, text, n_frames,
+        |              unnest(range(0, n_frames)) AS fn FROM f)
+        |SELECT doc_id, fn AS frame_no, n_frames,
+        |       md5(substring(text, CAST(fn * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM fr
+        |WHERE fn % 4 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "q_location_parse" ->
+      s"""$IndexCte, locs AS (SELECT DISTINCT location_key FROM idx),
+         |p AS (
+         |  SELECT location_key,
+         |         regexp_extract(location_key, '^([a-z0-9+.-]+)://', 1) AS g_scheme,
+         |         regexp_extract(location_key, '^[a-z0-9+.-]+://([^/]+)/', 1) AS g_bucket,
+         |         regexp_extract(location_key, '^[a-z0-9+.-]+://[^/]+/(.+)$$', 1) AS g_path
+         |  FROM locs)
+         |SELECT location_key, g_scheme, g_bucket, g_path,
+         |       location_key AS g_spark_path,
+         |       'abs' AS a_scheme,
+         |       'acct/' || g_bucket AS a_bucket,
+         |       g_path AS a_path,
+         |       'wasbs://' || g_bucket || '@acct.blob.core.windows.net/' || g_path
+         |         AS a_spark_path
+         |FROM p ORDER BY location_key""".stripMargin,
     "q_text_fingerprints" ->
       s"""$ToksCte
          |SELECT doc_id,

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Multimodal columns: image/audio/video payloads ride through the engine
+  * as opaque `binary` columns with typed metadata, exactly like `Data` rides
+  * through the reference as Avro `bytes`
+  * (persistor/internal/common/persistor_record.go:23-32) — the engine never
+  * interprets payloads on the persist path, only measures and fingerprints
+  * them.
+  *
+  * Stage inventory (the LLM-training-data surface beyond the reference):
+  *   - [[mediaFromDocuments]] — typed media envelope (payload + mime + meta)
+  *   - [[withMediaMeta]]      — cheap per-blob measurements (size, magic
+  *                              bytes, checksum): narrow, codegen'd, no UDF
+  *   - [[frameSample]]        — every k-th fixed-size frame of each payload
+  *                              (video frame / audio window sampling shape)
+  *   - [[crop]]               — byte-range "resize" (prefix crop)
+  *   - [[Decode.features]]    — batched feature extraction; the codec itself
+  *                              is a deterministic STUB (no image/audio libs
+  *                              in this container) but the Spark plumbing —
+  *                              schema, partition parallelism, batch shape —
+  *                              is real and tested
+  *
+  * Scale: every op here is a narrow per-row transformation — no shuffle, no
+  * driver traffic; 100 TB of blobs stream through map tasks. Frames explode
+  * at most `payload_bytes / frameBytes / stride` rows per input row, all
+  * within the same task.
+  */
+object Multimodal {
+
+  /** The media envelope over the documents table — payload bytes are the
+    * UTF-8 encoding of the text (a deterministic stand-in: production data
+    * arrives with real binary columns in parquet; nothing downstream
+    * assumes the bytes are text). Mime assignment round-robins the three
+    * modalities so each gets coverage.
+    */
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("image/png"))
+        .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+        .otherwise(lit("video/mp4")).as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Per-blob measurements: byte size, leading magic bytes (hex), md5
+    * fingerprint. `length` on binary counts bytes; all three are codegen'd
+    * built-ins (SURVEY §4: no UDF in the hot path).
+    */
+  def withMediaMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("magic_hex", hex(substring(col("payload"), 1, 4)))
+      .withColumn("checksum", md5(col("payload")))
+
+  /** Sample every `stride`-th frame of `frameBytes` bytes from each payload
+    * (video frame-sampling / audio windowing shape). Emits one row per
+    * sampled frame: (…, frame_no, frame = binary slice, frame_md5).
+    * The slice set is built per-row with `sequence`+`transform` and
+    * exploded — no join, no shuffle, bounded fan-out.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("long")
+    media
+      .withColumn("n_frames", nFrames)
+      .withColumn("frame_no",
+        // guard: sequence(0, -1) would count DOWN for an empty payload
+        explode(when(col("n_frames") > 0,
+          filter(
+            sequence(lit(0L), col("n_frames") - 1),
+            i => i % stride === 0))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("frame",
+        substring_index_bytes(col("payload"), col("frame_no"), frameBytes))
+      .withColumn("frame_md5", md5(col("frame")))
+  }
+
+  /** Byte-range slice `payload[frameNo*frameBytes, frameBytes)` — `substr`
+    * with Column args counts 1-based bytes on BinaryType.
+    */
+  private def substring_index_bytes(payload: Column, frameNo: Column, frameBytes: Int): Column =
+    payload.substr(frameNo * frameBytes + 1, lit(frameBytes))
+
+  /** "Resize" for opaque payloads: crop to the leading `targetBytes` (the
+    * byte-level analog of a thumbnail; a real resize lives in [[Decode]]).
+    */
+  def crop(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload", substring(col("payload"), 1, targetBytes))
+
+  /** Decoded features per media row. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      mime: String,
+      width: Int,
+      height: Int,
+      features: Array[Float])
+
+  /** The decode / feature-extract stage. Real codecs (PNG/WAV/MP4 decode,
+    * model-based feature extractors) batch many blobs per call — on
+    * accelerators that is the unit of efficiency — so the plumbing here
+    * feeds the codec fixed-size batches per partition via
+    * `iterator.grouped(batchSize)`: the same batch shape `mapInPandas`/Arrow
+    * would deliver, with task-level parallelism across the cluster.
+    */
+  object Decode {
+
+    /** Batched decode entry point: real schema, real partition parallelism,
+      * real batch shape; stub codec.
+      */
+    def features(media: DataFrame, batchSize: Int = 64): DataFrame = {
+      val spark = media.sparkSession
+      import spark.implicits._
+      media.select(col("doc_id"), col("mime"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(batchSize).flatMap(decodeBatch)
+        }
+        .toDF()
+    }
+
+    /** STUB CODEC — deterministic fake standing in for the real batch
+      * decoder (image/audio libraries are not available in this container).
+      * Swap this function for the real codec call; everything around it
+      * (schema, batching, partitioning) stays.
+      */
+    private def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+      batch.map { case (id, mime, bytes) =>
+        val n = bytes.length
+        // fake dimensions: derived from payload size, modality-dependent
+        val width = if (mime.startsWith("image")) 16 + (n % 64) else 0
+        val height = if (mime.startsWith("image")) 16 + (n / 64 % 64) else 0
+        // fake features: mean byte value over 8 equal-width byte bands
+        val feats = Array.tabulate(8) { band =>
+          val lo = band * n / 8
+          val hi = math.max((band + 1) * n / 8, lo + 1)
+          var s = 0L
+          var i = lo
+          while (i < hi && i < n) { s += bytes(i) & 0xff; i += 1 }
+          (s.toDouble / math.max(hi - lo, 1) / 255.0).toFloat
+        }
+        MediaFeatures(id, mime, width, height, feats)
+      }
+  }
+}

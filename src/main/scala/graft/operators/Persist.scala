@@ -105,6 +105,26 @@ object Persist {
         lit(0L),
         (acc, e) => acc + length(e.getField("key")) + length(e.getField("value")))
 
+  /** T3 `ZeroToN` (persistor/internal/persistor/persistor.go:193-200):
+    * identity positions 0..n-1 within each blob when version batching is
+    * disabled. Positions are per-blob (`partitionBy(blobKey)`), never a
+    * global window — a global ordering would serialize the whole batch
+    * through one task at scale.
+    */
+  def zeroToN(df: DataFrame, blobKey: Column, orderBy: Column): DataFrame =
+    df.withColumn("position",
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(blobKey).orderBy(orderBy)) - 1).cast("long"))
+
+  /** T10 `onlyStrings` (sender.go:210-223): the reference drops attribute
+    * values that aren't strings. Spark maps are homogeneous
+    * (`MapType(String,String)`), so the analog is dropping entries whose
+    * value is null — i.e. values that failed an upstream cast to string.
+    */
+  def onlyStrings(attributes: Column): Column =
+    map_filter(attributes, (_, v) => v.isNotNull)
+
   /** A8 `MessagesGoodBad` *intent* (SURVEY §2.5 — the reference indexes with
     * the wrong variable at indexer.go:119-123; we implement the intended
     * split): good = batch minus failed ids, bad = batch ∩ failed ids.

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -87,4 +88,40 @@ object Replay {
     */
   def errorCounts(errors: DataFrame, message: Column): DataFrame =
     errors.groupBy(message.as("message")).agg(count(lit(1)).as("n"))
+
+  /** A7 error-set union (resubmitter-api/lib/resubmitter/util.go:93-117):
+    * the reference fans in N error channels; here error frames from
+    * different stages union by column name, tolerating stage-specific extra
+    * columns (missing ones null-fill).
+    */
+  def errorUnion(errors: Seq[DataFrame]): DataFrame =
+    errors.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** J3 singleton short-circuit (resubmitter-api/lib/resubmitter/
+    * resubmitter.go:166-201): a blob whose index slice has exactly one row
+    * with no position is treated as one whole record — the reference skips
+    * Avro deserialization; here the equivalent is joining that row to the
+    * blob's single record on `location_key` alone. Positioned rows take the
+    * normal positional join; both legs are one shuffle on location_key (or
+    * broadcast for selective replays).
+    */
+  def positionalJoinWithSingletons(
+      records: DataFrame,
+      index: DataFrame,
+      broadcastIndex: Boolean = false): DataFrame = {
+    val perBlob = Window.partitionBy(col("location_key"))
+    val tagged = index.withColumn("_blob_rows", count(lit(1)).over(perBlob))
+    val singletons = tagged
+      .filter(col("_blob_rows") === 1 && col("location_position").isNull)
+      .drop("_blob_rows", "location_position")
+    val positioned = tagged
+      .filter(!(col("_blob_rows") === 1 && col("location_position").isNull))
+      .drop("_blob_rows")
+    val sIdx = if (broadcastIndex) broadcast(singletons) else singletons
+    positionalJoin(records, positioned, broadcastIndex)
+      .unionByName(
+        records.drop("location_position")
+          .join(sIdx, Seq("location_key"), "inner"),
+        allowMissingColumns = true)
+  }
 }

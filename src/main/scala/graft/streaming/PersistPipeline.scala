@@ -355,6 +355,39 @@ object PersistPipeline {
       .awaitTermination()
   }
 
+  /** W7 graceful drain (persistor.go:202-205, run.go:66-72: the handler
+    * context outlives the run context so in-flight batches finish): start
+    * the same pipeline on a continuous trigger and return the handle; a
+    * shutdown calls [[drain]], which lets every buffered micro-batch
+    * complete before stopping — no in-flight batch is severed.
+    */
+  def runStreamAsync(
+      spark: SparkSession,
+      eventsPath: String,
+      workDir: String,
+      maxFilesPerTrigger: Int = 1,
+      prepare: DataFrame => DataFrame = identity): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val source = prepare(spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsPath))
+    source.writeStream
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistBatch(batch, workDir, batchId)
+      }
+      .start()
+  }
+
+  /** W7: process everything already ingested, then stop. */
+  def drain(query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination()
+  }
+
   // ------------------------------------------------------------- read-back
 
   /** D2: Avro OCF read-back of the written records, with blob identity

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal binary-column tests: metadata measurement, frame sampling
+  * (including the ragged last frame and the empty-payload guard), crop, and
+  * the batched decode plumbing (schema, determinism, batch shape).
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "a" * 100, "en", "s", 100L),
+    (1L, "hello world", "en", "s", 11L),
+    (2L, "xyz", "en", "s", 3L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media envelope carries mime + binary payload") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    assert(m.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
+    val mimes = m.select("doc_id", "mime").as[(Long, String)].collect().toMap
+    assert(mimes === Map(0L -> "image/png", 1L -> "audio/wav", 2L -> "video/mp4"))
+  }
+
+  test("withMediaMeta measures bytes, magic, checksum without UDFs") {
+    val out = Multimodal.withMediaMeta(Multimodal.mediaFromDocuments(docs))
+      .select("doc_id", "n_bytes", "magic_hex", "checksum")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(out(1) === ((1L, 11L, "68656C6C", // "hell"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello world".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+  }
+
+  test("frameSample emits every stride-th frame incl. ragged tail") {
+    // doc 0: 100 bytes / frame 16 → 7 frames (last is 4 bytes), stride 2 → 0,2,4,6
+    val frames = Multimodal.frameSample(
+      Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0)), 16, 2)
+      .select("frame_no", "n_frames", "frame")
+      .as[(Long, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(frames.map(_._1).toSeq === Seq(0L, 2L, 4L, 6L))
+    assert(frames.forall(_._2 == 7L))
+    assert(frames.take(3).forall(_._3.length == 16))
+    assert(frames.last._3.length === 4) // ragged tail frame
+  }
+
+  test("frameSample yields no rows for empty payloads (guard)") {
+    val empty = Seq((9L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.frameSample(
+      Multimodal.mediaFromDocuments(empty), 16, 1).count() === 0L)
+  }
+
+  test("crop truncates payloads to the target byte range") {
+    val out = Multimodal.crop(Multimodal.mediaFromDocuments(docs), 5)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    assert(new String(out(1L)) === "hello")
+    assert(new String(out(2L)) === "xyz") // shorter than target: unchanged
+  }
+
+  test("decode stub: real schema, deterministic output, batched per partition") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val out = Multimodal.Decode.features(m, batchSize = 2)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "mime", "width", "height", "features"))
+    val rows = out.as[(Long, String, Int, Int, Array[Float])].collect().sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.forall(_._5.length == 8))
+    // image mime gets fake dimensions; audio/video do not
+    assert(rows(0)._3 > 0 && rows(1)._3 === 0)
+    // deterministic: run twice, identical
+    val again = Multimodal.Decode.features(m, batchSize = 2)
+      .as[(Long, String, Int, Int, Array[Float])].collect().sortBy(_._1)
+    assert(rows.zip(again).forall { case (a, b) =>
+      a._1 == b._1 && a._5.toSeq == b._5.toSeq })
+  }
+}

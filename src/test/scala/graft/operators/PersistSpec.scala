@@ -83,4 +83,20 @@ class PersistSpec extends SparkSpec {
     val out = deadLetter(failed, col("id"), "validation_error", col("why"), "indexer").head()
     assert(out.toSeq === Seq("m1", "validation_error", "boom", "indexer"))
   }
+
+  test("zeroToN assigns 0..n-1 positions per blob (T3)") {
+    val df = Seq(("b0", 30L), ("b0", 10L), ("b0", 20L), ("b1", 5L))
+      .toDF("blob", "id")
+    val out = zeroToN(df, col("blob"), col("id"))
+      .select("blob", "id", "position").as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("b0", 10L, 0L), ("b0", 20L, 1L), ("b0", 30L, 2L), ("b1", 5L, 0L)))
+  }
+
+  test("onlyStrings drops null-valued attribute entries (T10)") {
+    val df = Seq(1).toDF("x").select(
+      onlyStrings(map(
+        lit("a"), lit("1"),
+        lit("b"), lit(null).cast("string"))).as("m"))
+    assert(df.as[Map[String, String]].head() === Map("a" -> "1"))
+  }
 }

@@ -99,6 +99,39 @@ class QueryServiceSpec extends SparkSpec {
     assert(viaMap === viaCol && viaMap.nonEmpty)
   }
 
+  test("plan audit: interval + meta_k predicates push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxstore").toString
+    index.write.partitionBy("broker_id").parquet(s"$dir/index")
+    val stored = QueryService(spark.read.parquet(s"$dir/index"))
+    val q = stored.getAllInInterval(
+      ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00"), "b1",
+      limit = 100, offset = 0, attrs = Seq("unique_id", "publish_time"))
+    val plan = q.queryExecution.executedPlan.toString
+    // data filter reaches the file source; partition column prunes dirs
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(publish_time"), plan)
+    assert(plan.contains("PartitionFilters:") && plan.contains("broker_id"), plan)
+    // the materialized-meta rewrite makes a former map probe pushable too
+    val metaPlan = stored.getQueried(
+      Seq(Map("additional_metadata.k" -> Cmp("gte", "50"))),
+      limit = 10, attrs = Seq("unique_id"))
+      .queryExecution.executedPlan.toString
+    assert(metaPlan.contains("GreaterThanOrEqual(meta_k,50)"), metaPlan)
+    // projection pruning: only referenced columns leave the scan
+    assert("ReadSchema: [^\\n]*unique_id".r.findFirstIn(plan).isDefined, plan)
+    assert(!"ReadSchema: [^\\n]*location_key".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("countInIntervalCached memoizes through the process-wide cache (A4)") {
+    val n1 = svc.countInIntervalCached(
+      ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00"), "b1")
+    assert(QueryService.countCache.contains(
+      "2024-01-10 00:00:00.0_2024-01-05 00:00:00.0_b1"))
+    val n2 = svc.countInIntervalCached(
+      ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00"), "b1")
+    assert(n1 === n2)
+  }
+
   test("timestamp string literals coerce on timestamp attributes (T11)") {
     val n = svc.countQueried(Seq(Map(
       "publish_time" -> Cmp("gte", "2024-01-10 00:00:00"),

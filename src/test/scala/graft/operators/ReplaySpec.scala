@@ -74,4 +74,28 @@ class ReplaySpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(out === Array(("x", 2L), ("y", 1L)))
   }
+
+  test("errorUnion fans in stage error frames, null-filling missing columns (A7)") {
+    val storage = Seq(("m1", "storage_error")).toDF("unique_id", "category")
+    val publish = Seq(("m2", "publish_error", "kafka"))
+      .toDF("unique_id", "category", "sink")
+    val out = Replay.errorUnion(Seq(storage, publish)).orderBy("unique_id")
+      .as[(String, String, Option[String])].collect()
+    assert(out === Array(("m1", "storage_error", None), ("m2", "publish_error", Some("kafka"))))
+  }
+
+  test("singleton blobs join on location alone; positioned blobs positionally (J3)") {
+    val idx = Seq(
+      ("s_1", "blob-s", None: Option[Long], "u1"),
+      ("b_1", "blob-0", Some(1L), "u1"),
+      ("b_2", "blob-0", Some(2L), ""))
+      .toDF("unique_id", "location_key", "location_position", "ordering_key")
+    val recs = Seq(
+      ("blob-s", 1L, "whole-blob"),
+      ("blob-0", 1L, "p1"), ("blob-0", 2L, "p2"))
+      .toDF("location_key", "location_position", "payload")
+    val out = Replay.positionalJoinWithSingletons(recs, idx, broadcastIndex = true)
+      .select("unique_id", "payload").as[(String, String)].collect().toMap
+    assert(out === Map("s_1" -> "whole-blob", "b_1" -> "p1", "b_2" -> "p2"))
+  }
 }

@@ -108,6 +108,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("plan audit: blocked pair enumeration never plans a cartesian product") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).cache()
+    val plans = Map(
+      "simHashPairs" -> Dedup.simHashPairs(docs, 2),
+      "minHashLsh" -> Dedup.minHashLsh(docs),
+      "ngramJaccard" -> Dedup.ngramJaccardPairs(docs, 0.6),
+      "nearDupPairs" -> Similarity.nearDupPairs(emb, 0.35),
+      "ivfTopK" -> Similarity.ivfTopK(emb, col("vec_id") % 10 === 0, 3))
+      .view.mapValues(_.queryExecution.executedPlan.toString)
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
   test("languageId falls back to und when no stopword list hits") {
     val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(d).orderBy("doc_id")

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Source/sink surface tests: batch-settings → reader-option mapping
+  * (S1-S3/W1/W8), location-key parsing both JVM- and Column-side (S4/S5/T6),
+  * and the sender factory (K9) + Kafka frame projection (K6).
+  */
+class SourcesSpec extends SparkSpec {
+  import Sources._
+  import spark.implicits._
+
+  test("Kafka source maps batch bounds to reader options with the 1024-byte floor (S3)") {
+    val src = KafkaSource("broker:9092", "events", "g1")
+    val opts = src.options(BatchSettings(batchSize = 500, batchMemoryBytes = 10, batchTimeoutSec = 7))
+    assert(opts("maxOffsetsPerTrigger") === "500")
+    assert(opts("kafka.max.partition.fetch.bytes") === "1024") // clamped up
+    assert(opts("kafka.fetch.max.wait.ms") === "7000")
+    assert(opts("subscribe") === "events")
+    assert(src.trigger(BatchSettings(batchTimeoutSec = 7)) ===
+      Trigger.ProcessingTime(7000L))
+  }
+
+  test("Kafka mTLS materializes as ssl options (S3)") {
+    val src = KafkaSource("b:9092", "t", "g",
+      tls = Some(KafkaTls("/ts.jks", "/ks.jks", "pw")))
+    val opts = src.options(BatchSettings())
+    assert(opts("kafka.security.protocol") === "SSL")
+    assert(opts("kafka.ssl.keystore.location") === "/ks.jks")
+  }
+
+  test("PubSub source raises outstanding caps to at least the batch bounds (S1)") {
+    val opts = PubSubSource("p", "sub").options(
+      BatchSettings(batchSize = 9999, batchMemoryBytes = 5))
+    assert(opts("maxOutstandingMessages") === "9999")
+    assert(opts("maxOutstandingBytes") === "1000000") // floor kept
+  }
+
+  test("file source streams with files/bytes-per-trigger backpressure (W8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    spark.range(10).toDF("n").write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    // the two valves are mutually exclusive in Spark's file source
+    val byBytes = FileSource(s"$dir/in", schema, maxFilesPerTrigger = None)
+    assert(byBytes.options(BatchSettings())("maxBytesPerTrigger") === "1000000")
+    assert(!byBytes.options(BatchSettings()).contains("maxFilesPerTrigger"))
+    val src = FileSource(s"$dir/in", schema, maxFilesPerTrigger = Some(1))
+    assert(!src.options(BatchSettings()).contains("maxBytesPerTrigger"))
+    val stream = Sources.readStream(spark, src)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("src_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM src_test").head().getLong(0) === 10L)
+  }
+
+  test("location keys parse for GCS and ABS, both JVM- and Column-side (S4/S5)") {
+    val g = Locations.parse("gs://bucket/a/b/c.avro")
+    assert(g === Locations.BlobLocation("gs", "bucket", "a/b/c.avro"))
+    assert(g.sparkPath === "gs://bucket/a/b/c.avro")
+    val a = Locations.parse("https://acct.blob.core.windows.net/cont/x/y.avro")
+    assert(a === Locations.BlobLocation("abs", "acct/cont", "x/y.avro"))
+    assert(a.sparkPath === "wasbs://cont@acct.blob.core.windows.net/x/y.avro")
+    intercept[IllegalArgumentException](Locations.parse("no-scheme/path"))
+
+    val parsed = Seq("gs://bucket/a/b.avro",
+      "https://acct.blob.core.windows.net/cont/x.avro")
+      .toDF("lk")
+      .select(Locations.parsed(org.apache.spark.sql.functions.col("lk")).as("p"))
+      .select("p.scheme", "p.bucket", "p.object_path", "p.spark_path")
+      .as[(String, String, String, String)].collect()
+    assert(parsed(0) === (("gs", "bucket", "a/b.avro", "gs://bucket/a/b.avro")))
+    assert(parsed(1) === (("abs", "acct/cont", "x.avro",
+      "wasbs://cont@acct.blob.core.windows.net/x.avro")))
+  }
+
+  test("completePath builds the reference's T6 shapes") {
+    assert(Locations.completePath("gcs", "b", "o/p") === "gs://b/o/p")
+    assert(Locations.completePath("abs", "acct/cont", "o") ===
+      "https://acct.blob.core.windows.net/cont/o")
+  }
+
+  test("sender factory: kafka dead-letter is non-tolerable (K9)") {
+    val dl = Sinks.senderFor("kafka",
+      Map("bootstrapServers" -> "b:9092", "topic" -> "dl"), deadLetter = true)
+    assert(!dl.tolerateErrors)
+    val main = Sinks.senderFor("kafka",
+      Map("bootstrapServers" -> "b:9092", "topic" -> "t"))
+    assert(main.tolerateErrors)
+    assert(Sinks.senderFor("pubsub",
+      Map("projectId" -> "p", "topic" -> "t")).options("enableMessageOrdering") === "true")
+    intercept[IllegalArgumentException](Sinks.senderFor("smoke-signal", Map.empty))
+  }
+
+  test("kafkaFrame projects key/value/headers; keyless records get null key (K6/W6)") {
+    val df = Seq(
+      ("u1", "v1", Map("a" -> "1")),
+      ("", "v2", Map("b" -> "2")))
+      .toDF("ordering_key", "value_str", "attributes")
+    val out = Sinks.kafkaFrame(df, org.apache.spark.sql.functions.col("value_str"))
+    assert(out.columns.toSeq === Seq("key", "value", "headers"))
+    val rows = out.as[(Array[Byte], Array[Byte], Seq[(String, Array[Byte])])]
+      .collect().sortBy(r => new String(r._2))
+    assert(new String(rows(0)._1) === "u1")
+    assert(rows(1)._1 === null)
+    assert(rows(0)._3.map { case (k, v) => (k, new String(v)) } === Seq("a" -> "1"))
+  }
+}

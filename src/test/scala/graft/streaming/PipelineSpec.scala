@@ -148,4 +148,16 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wd/index").count() === 180L)
     assert(readRecords(spark, wd).count() === 180L)
   }
+
+  test("graceful drain finishes every buffered micro-batch before stopping (W7)") {
+    val stage = tempDir("drain-stage")
+    val wd = tempDir("drain")
+    syntheticEvents(40, 4L).coalesce(1).write.parquet(s"$stage/f0")
+    syntheticEvents(40, 5L).withColumn("event_id", col("event_id") + 1000)
+      .coalesce(1).write.parquet(s"$stage/f1")
+    val q = runStreamAsync(spark, s"$stage/f*", wd, maxFilesPerTrigger = 1)
+    drain(q)
+    assert(!q.isActive)
+    assert(spark.read.parquet(s"$wd/index").count() === 80L)
+  }
 }
