@@ -58,17 +58,25 @@ object Dedup {
     */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      // sorted ONCE per document: candidate verification intersects with an
+      // allocation-free merge scan instead of a per-pair hash set
+      .select(col("doc_id"), array_sort(shingleSet(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
 
   private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_a")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_b"))))
     cand
       .join(a, "doc_a")
       .join(b, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -89,23 +97,53 @@ object Dedup {
       maxShingleDf: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs)
     val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inv = maxShingleDf match {
+    maxShingleDf match {
       case Some(cap) =>
+        // capped index: pair discovery misses hot shingles, so |A∩B| must
+        // come from the FULL sets — a DF cap affects which pairs are
+        // considered, never their scores
         val hot = inv0.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df")).filter(col("df") > cap)
           .select("shingle")
-        inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => inv0
+        val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cand = inv
+          .as("a")
+          .join(inv.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
+      case None =>
+        // exact path with PREFIX FILTERING (Bayardo et al. "Scaling Up All
+        // Pairs Similarity Search", WWW'07): in a global total order, a
+        // pair with J ≥ t MUST collide within each doc's first
+        // |A| − ⌈t·|A|⌉ + 1 shingles — if A∩B avoided that prefix, the
+        // ≥⌈t·|A|⌉ shared shingles would have to fit in the remaining
+        // ⌈t·|A|⌉ − 1 slots. The order is ascending document frequency
+        // (ties by shingle) so prefixes hold the RAREST shingles — the
+        // self-join's Σ df² term collapses because hot shingles never
+        // enter the index. Verification against FULL sets keeps the
+        // result exactly equal to the naive scan for any total order.
+        val dfs = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+        val rn = row_number().over(byDoc.orderBy(col("df"), col("shingle")))
+        // |A| rides the same per-doc window shuffle as the rank — no extra
+        // join against the set-size table
+        val sz = count(lit(1)).over(byDoc)
+        val pre = inv0
+          .join(dfs, "shingle")
+          .withColumn("rn", rn)
+          .withColumn("sz", sz)
+          .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .select("doc_id", "shingle")
+        val cand = pre
+          .as("a")
+          .join(pre.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
     }
-    val cand = inv
-      .as("a")
-      .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verification always uses the FULL shingle sets, so a DF cap only
-    // affects which pairs are considered, never their scores
-    jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash-LSH near-dup detection: one md5 base hash per shingle, k

@@ -32,12 +32,16 @@ object Similarity {
   /** Embedding dimensionality of the driver's embeddings table. */
   val Dim = 64
 
-  /** Left-fold double dot product of two float arrays. */
+  /** Left-fold double dot product of two float/double arrays — a native
+    * codegen'd expression (flat FMA loop in whole-stage codegen); see
+    * [[graft.functions.expressions.DotFold]] for the bit-identity argument
+    * vs the `aggregate`-over-`zip_with` HOF form it replaces.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.DotFold(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

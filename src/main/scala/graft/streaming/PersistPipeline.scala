@@ -178,12 +178,12 @@ object PersistPipeline {
 
   // ------------------------------------------------------------ indexer side
 
-  /** D4 strict JSON decode + T7 validation split
-    * (persistor/internal/indexer/transform.go:54-82): a doc is valid iff
-    * it parses, carries no unknown keys, and has every required key
-    * non-null. Returns (valid wire docs, dead-lettered rows).
+  /** D4 strict JSON decode with the per-row verdict attached: `doc` (the
+    * parsed wire doc) and `err` (null ⇔ valid). One scan — callers needing
+    * both valid counts and DL counts aggregate this directly instead of
+    * walking the topic twice through the JSON parse.
     */
-  def validateTopic(topic: DataFrame): (DataFrame, DataFrame) = {
+  def checkedTopic(topic: DataFrame): DataFrame = {
     val decoded = topic
       .withColumn("doc", from_json(col("value"), IndexDocWireSchema))
       .withColumn("keys", expr("json_object_keys(value)"))
@@ -193,7 +193,7 @@ object PersistPipeline {
       .map(k => when(col("doc").getField(k).isNull, lit(k)))
       .foldLeft(array().cast("array<string>"))((acc, c) =>
         concat(acc, array_compact(array(c))))
-    val checked = decoded
+    decoded
       .withColumn("err",
         when(col("doc").isNull || col("keys").isNull,
           lit("deserialization_error: malformed JSON"))
@@ -203,6 +203,15 @@ object PersistPipeline {
           .when(size(missing) > 0,
             concat(lit("validation_error: missing required "),
               concat_ws(",", missing))))
+  }
+
+  /** D4 strict JSON decode + T7 validation split
+    * (persistor/internal/indexer/transform.go:54-82): a doc is valid iff
+    * it parses, carries no unknown keys, and has every required key
+    * non-null. Returns (valid wire docs, dead-lettered rows).
+    */
+  def validateTopic(topic: DataFrame): (DataFrame, DataFrame) = {
+    val checked = checkedTopic(topic)
     val good = checked.filter(col("err").isNull).select(col("doc.*"))
     val bad = checked.filter(col("err").isNotNull).select(
       col("value"),

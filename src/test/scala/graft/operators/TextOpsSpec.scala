@@ -108,6 +108,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("prefix-filtered ngramJaccardPairs equals the naive all-pairs scan") {
+    val s = docs
+      .select(col("doc_id"), TextFunctions.shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val naive = s.as("a")
+      .join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        TextFunctions.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val filtered = Dedup.ngramJaccardPairs(docs, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(filtered === naive)
+    assert(naive.nonEmpty || filtered.isEmpty) // degenerate-corpus guard
+  }
+
   test("plan audit: blocked pair enumeration never plans a cartesian product") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50).cache()
