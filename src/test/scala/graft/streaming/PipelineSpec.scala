@@ -149,6 +149,36 @@ class PipelineSpec extends SparkSpec {
     assert(readRecords(spark, wd).count() === 180L)
   }
 
+  test("flow control tolerates a poisoned batch under budget and keeps consuming (W4)") {
+    val stage = tempDir("fc-stage")
+    val wd = tempDir("fc")
+    syntheticEvents(30, 6L).coalesce(1).write.parquet(s"$stage/f0")
+    syntheticEvents(30, 7L).withColumn("event_id", col("event_id") + 5000)
+      .coalesce(1).write.parquet(s"$stage/f1")
+    syntheticEvents(30, 8L).withColumn("event_id", col("event_id") + 9000)
+      .coalesce(1).write.parquet(s"$stage/f2")
+    // poison exactly the middle file's rows: the batch fails at execution
+    val poison = (df: DataFrame) => df.withColumn("event_id",
+      when(col("event_id").between(5000, 6000),
+        raise_error(lit("poisoned batch"))).otherwise(col("event_id")))
+    val fc = new graft.operators.FlowControl(maxErrors = 5)
+    runStream(spark, s"$stage/f*", wd, maxFilesPerTrigger = 1,
+      prepare = poison, flowControl = Some(fc))
+    // the two clean batches landed; the poisoned one did not; no crash
+    val ids = spark.read.parquet(s"$wd/index")
+      .select(col("broker_msg_id").cast("long")).as[Long].collect()
+    assert(ids.length === 60)
+    assert(!ids.exists(id => id >= 5000 && id <= 6000))
+    assert(!fc.shouldStop)
+
+    // over budget: the same failure is fatal (stop-on-error escalation)
+    val fcTight = new graft.operators.FlowControl(maxErrors = 1)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream(spark, s"$stage/f*", tempDir("fc2"), maxFilesPerTrigger = 1,
+        prepare = poison, flowControl = Some(fcTight))
+    }
+  }
+
   test("graceful drain finishes every buffered micro-batch before stopping (W7)") {
     val stage = tempDir("drain-stage")
     val wd = tempDir("drain")
