@@ -346,6 +346,28 @@ object SparkEntry {
           col("a.spark_path").as("a_spark_path"))
         .orderBy(col("location_key"))
     },
+    // -- corpus curation: chunk / sample / shuffle / curate -----------------
+    "q_chunk" -> ((s, dir) =>
+      Curate.chunk(Tables(s, dir).documents, windowTokens = 50, strideTokens = 30)
+        .withColumn("chunk_start", col("chunk_start").cast("long"))
+        .orderBy(col("doc_id"), col("chunk_no"))),
+    "q_sample_hash" -> ((s, dir) =>
+      Curate.sampleByHash(Tables(s, dir).documents, col("doc_id"), 0.2, "split1")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))),
+    "q_shuffle_order" -> ((s, dir) =>
+      Curate.withShuffleKey(Tables(s, dir).documents, col("doc_id"), "epoch0")
+        .select("doc_id", "shuffle_key")
+        .orderBy(col("shuffle_key"), col("doc_id"))),
+    "q_curated" -> ((s, dir) =>
+      Curate.curated(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // -- per-label embedding centroids (exploded to scalars for the oracle) --
+    "q_centroids" -> ((s, dir) =>
+      Similarity.centroids(Tables(s, dir).embeddings, col("label"))
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy(col("label"), col("dim"))),
     // -- text analysis over documents ---------------------------------------
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -794,6 +816,68 @@ object SparkEntry {
          |       WHEN de_hits >= fr_hits THEN 'de'
          |       ELSE 'fr' END AS guessed_lang
          |FROM h ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      s"""$ToksCte,
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |      FROM toks WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n_tokens,
+         |              unnest(range(0, n_tokens)) AS s FROM c)
+         |SELECT doc_id, s // 30 AS chunk_no, s AS chunk_start,
+         |       least(n_tokens - s, 50) AS chunk_tokens,
+         |       array_to_string(toks[CAST(s+1 AS INT):CAST(s+50 AS INT)], ' ')
+         |         AS chunk_text,
+         |       n_tokens
+         |FROM st WHERE s % 30 = 0
+         |ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1'), 1, 15)
+        |           AS BIGINT) % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|epoch0'), 1, 15)
+        |            AS BIGINT) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "q_curated" ->
+      s"""$ToksCte,
+         |q AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    len(list_filter(toks, t -> list_contains($StopEn, t)))::DOUBLE
+         |      / len(toks)::DOUBLE
+         |  ELSE 0.0 END AS stopword_ratio,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopEn, t))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopEs, t))) AS BIGINT) AS es_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopDe, t))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopFr, t))) AS BIGINT) AS fr_hits
+         |  FROM toks),
+         |g AS (SELECT doc_id, n_chars, n_tokens, stopword_ratio,
+         |  CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+         |       WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+         |       WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END AS guessed_lang
+         |  FROM q
+         |  WHERE n_tokens >= 10 AND stopword_ratio >= 0.02),
+         |d AS (SELECT g.*, min(g.doc_id) OVER (PARTITION BY md5(doc.text)) AS canonical_id
+         |      FROM g JOIN documents doc USING (doc_id)
+         |      WHERE guessed_lang = 'en')
+         |SELECT doc_id, n_chars, n_tokens, stopword_ratio, guessed_lang
+         |FROM d WHERE doc_id = canonical_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim, embedding
+        |  FROM embeddings),
+        |v AS (SELECT label, dim,
+        |             embedding[CAST(dim + 1 AS INT)]::DOUBLE AS val FROM ex),
+        |g AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |             list_sum(list_sort(list(val))) AS s
+        |      FROM v GROUP BY label, dim)
+        |SELECT label, n_vectors, dim, s / n_vectors AS m
+        |FROM g ORDER BY label, dim""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators — the composition layer of the training-data
+  * pipeline: chunk long documents into token windows, sample and order
+  * deterministically, and assemble the classic curate flow
+  * (language/quality gate → canonical dedup → clean corpus).
+  *
+  * Everything is engine-portable (h60-based randomness, no RNG state) so
+  * the DuckDB oracle replays each operator bit-for-bit, and every op is a
+  * narrow transformation or a single keyed shuffle — no driver loops, no
+  * cartesian work, nothing that degrades at 100 TB.
+  */
+object Curate {
+
+  /** Split each document into token windows of `windowTokens`, starting
+    * every `strideTokens` (overlapping when stride < window — the shape
+    * context-window packing consumes). Emits one row per chunk with its
+    * ordinal and text; a document shorter than one window yields exactly
+    * one chunk. Pure per-row explode: chunks never cross rows, so the
+    * fan-out is local to the task.
+    */
+  def chunk(docs: DataFrame, windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0, "window/stride must be positive")
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // start offsets 0, stride, 2·stride, … strictly below n (≥1 chunk for
+    // nonempty docs); empty docs yield no chunks
+    val starts = when(n > 0,
+      filter(sequence(lit(0), greatest(n - 1, lit(0))), s => s % strideTokens === 0))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_start", explode(starts))
+      .withColumn("chunk_no", (col("chunk_start") / strideTokens).cast("long"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("toks"), col("chunk_start") + 1, lit(windowTokens))))
+      .withColumn("chunk_tokens",
+        least(col("n_tokens") - col("chunk_start"), lit(windowTokens)).cast("long"))
+      .select("doc_id", "chunk_no", "chunk_start", "chunk_tokens", "chunk_text",
+        "n_tokens")
+  }
+
+  /** Deterministic hash sampling: keep a row iff
+    * h60(key ‖ "|" ‖ salt) mod 10000 < frac·10000. Same subset on every
+    * engine and every run — reproducible corpus splits without RNG state.
+    * A different salt draws an independent sample.
+    */
+  def sampleByHash(df: DataFrame, key: Column, frac: Double, salt: String): DataFrame = {
+    require(frac >= 0 && frac <= 1, "frac must be in [0,1]")
+    df.filter(
+      pmod(h60(concat(key.cast("string"), lit("|"), lit(salt))), lit(10000))
+        < lit((frac * 10000).toInt))
+  }
+
+  /** Deterministic global shuffle order for training: a pseudo-random but
+    * reproducible sort key per row. Materialized as a column — the
+    * consumer's `orderBy(shuffle_key)` is then an honest range-partitioned
+    * distributed sort (the true cost of a global shuffle at scale).
+    */
+  def withShuffleKey(df: DataFrame, key: Column, salt: String): DataFrame =
+    df.withColumn("shuffle_key",
+      h60(concat(key.cast("string"), lit("|"), lit(salt))))
+
+  /** The composed curation pipeline over a documents table:
+    * language gate (stopword-profile langID) → quality gate (token count,
+    * stopword ratio) → exact-dedup survivor gate (canonical doc per
+    * duplicate group). One narrow pass for the gates plus the dedup
+    * hash shuffle — the minimal plan for this flow.
+    */
+  def curated(
+      docs: DataFrame,
+      lang: String = "en",
+      minTokens: Long = 10,
+      minStopwordRatio: Double = 0.02): DataFrame = {
+    val gated = TextAnalysis.qualityScores(docs)
+      .join(TextAnalysis.languageId(docs).select("doc_id", "guessed_lang"), "doc_id")
+      .filter(
+        col("guessed_lang") === lang &&
+          col("n_tokens") >= minTokens &&
+          col("stopword_ratio") >= minStopwordRatio)
+    // canonical survivor per exact-duplicate group, among gated docs
+    val w = Window.partitionBy(col("fp"))
+    gated
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .withColumn("fp", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "n_chars", "n_tokens", "stopword_ratio", "guessed_lang")
+  }
+}

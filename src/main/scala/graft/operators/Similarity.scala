@@ -125,6 +125,34 @@ object Similarity {
       .select("query_id", "cell", "neighbor_id", "rank", "cosine")
   }
 
+  /** Per-label centroids of the embedding column — the building block for
+    * IVF training, cluster auditing, and per-class drift checks. Shape:
+    * `posexplode` each vector → one `(label, dim)` aggregation (a single
+    * keyed shuffle of labels×dims rows, never whole vectors) → reassemble
+    * the centroid array ordered by dimension.
+    *
+    * Determinism across engines/partitionings: per-(label,dim) values are
+    * collected, SORTED, and left-folded — floating-point addition is not
+    * associative, so a plain `avg` would hash differently run to run; the
+    * sorted fold is bit-stable and the DuckDB oracle replays it.
+    */
+  def centroids(embeddings: DataFrame, label: Column): DataFrame =
+    embeddings
+      .select(label.as("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        aggregate(
+          sort_array(collect_list(col("v").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      .withColumn("m", col("s") / col("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs via SRP-LSH banding: planes
     * [0, bands·rowsPerBand) are split into `bands` bands of `rowsPerBand`
     * sign bits; vector pairs colliding in any band become candidates and

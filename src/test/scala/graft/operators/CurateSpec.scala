@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Curation-operator tests: chunk coverage/overlap, deterministic hash
+  * sampling, shuffle-key reproducibility, the composed curate flow's
+  * invariants, and centroid math against a driver-side computation.
+  */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, ("tok " * 100).trim, "en", "s", 399L), // 100 tokens
+    (2L, "a b c", "en", "s", 5L),               // shorter than one window
+    (3L, "", "en", "s", 0L))                     // empty
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("chunk windows tile the document with stride overlap; short docs give one chunk") {
+    val out = Curate.chunk(docs, windowTokens = 50, strideTokens = 30)
+      .select("doc_id", "chunk_no", "chunk_start", "chunk_tokens")
+      .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,30,60,90 → sizes 50,50,40,10
+    assert(d1.map(_._3).toSeq === Seq(0, 30, 60, 90))
+    assert(d1.map(_._4).toSeq === Seq(50L, 50L, 40L, 10L))
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq === Seq(3L))
+    assert(!out.exists(_._1 == 3L)) // empty doc yields no chunks
+  }
+
+  test("chunk text is the exact token window") {
+    val d = Seq((1L, "w0 w1 w2 w3 w4", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = Curate.chunk(d, windowTokens = 3, strideTokens = 2)
+      .select("chunk_start", "chunk_text").as[(Int, String)].collect().toMap
+    assert(chunks === Map(0 -> "w0 w1 w2", 2 -> "w2 w3 w4", 4 -> "w4"))
+  }
+
+  test("hash sampling is deterministic, salt-dependent, and frac-bounded") {
+    val d = (1L to 1000L).toDF("doc_id")
+    val s1 = Curate.sampleByHash(d, col("doc_id"), 0.2, "a").as[Long].collect().toSet
+    val s2 = Curate.sampleByHash(d, col("doc_id"), 0.2, "a").as[Long].collect().toSet
+    val s3 = Curate.sampleByHash(d, col("doc_id"), 0.2, "b").as[Long].collect().toSet
+    assert(s1 === s2)                 // reproducible
+    assert(s1 !== s3)                 // independent draw per salt
+    assert(math.abs(s1.size - 200) < 80) // ~frac·n
+    assert(Curate.sampleByHash(d, col("doc_id"), 0.0, "a").count() === 0L)
+    assert(Curate.sampleByHash(d, col("doc_id"), 1.0, "a").count() === 1000L)
+  }
+
+  test("shuffle key reorders reproducibly and differs across salts") {
+    val d = (1L to 100L).toDF("doc_id")
+    def order(salt: String) = Curate.withShuffleKey(d, col("doc_id"), salt)
+      .orderBy("shuffle_key").select("doc_id").as[Long].collect().toSeq
+    assert(order("e0") === order("e0"))
+    assert(order("e0") !== order("e1"))
+    assert(order("e0") !== (1L to 100L).toSeq) // actually shuffled
+  }
+
+  test("curated keeps one canonical doc per duplicate group, gated by lang/quality") {
+    val base = "the cat is on the mat and the dog is in the house"
+    val d = Seq(
+      (1L, base), (2L, base),                  // exact dups → keep doc 1
+      (3L, base + " extra words here today"),  // distinct survivor
+      (4L, "el gato es bueno y la casa es grande que si"), // es → gated out
+      (5L, "x y z"))                           // too short → gated out
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Curate.curated(d, minTokens = 5, minStopwordRatio = 0.02)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
+  test("centroids equal the driver-side per-label mean") {
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroids(e, col("label"))
+      .select("label", "n_vectors", "centroid")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._1)
+    assert(out(0) === ((0, 2L, Seq(2.0, 3.0))))
+    assert(out(1) === ((1, 1L, Seq(10.0, 20.0))))
+  }
+}
