@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.QueryService
+
+/** Scale probe: replicate the sf0.1 events table 1×/4×/8× (event ids
+  * shifted so blobs, message ids, and unique ids stay distinct) into
+  * temp dirs, run the full persist pipeline + the index query surface at
+  * each scale, and write the measured scaling table to SCALE.md.
+  *
+  * The claim under test: every index-surface operation is one scan (with
+  * pushdown) or one keyed shuffle, so wall time should grow at most
+  * linearly in input size on fixed cores — the local[32] analog of "holds
+  * at 100×". Regenerate with `sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+  private val T1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+  private val T2 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("SCALE.md")
+    val spark = GraftSession.local(32)
+    // write ts back as BIGINT nanos so replicas read through Tables.events
+    // exactly like the driver testdata does
+    val base = Tables(spark, baseDir).events
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+
+    val factors = Seq(1, 4, 8)
+    val root = Files.createTempDirectory("graft-scale").toString
+    val dirs = factors.map { f =>
+      val dir = s"$root/x$f"
+      Files.createDirectories(Paths.get(dir))
+      val replicated = (0 until f)
+        .map(r => base.withColumn("event_id", col("event_id") + lit(r * 10000000L)))
+        .reduce(_.unionByName(_))
+      replicated.write.parquet(s"$dir/events.parquet")
+      (f, dir)
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "interval scan (S9)" -> ((s, d) =>
+        QueryService(graft.store.IndexStore.materialized(s, d))
+          .getAllInInterval(T1, T2, "t-click", limit = 20, offset = 40,
+            attrs = Seq("unique_id", "publish_time"))),
+      "interval count (A1)" -> ((s, d) =>
+        QueryService(graft.store.IndexStore.materialized(s, d))
+          .countInInterval(T1, T2, "t-click")),
+      "or-filter query (S10)" -> ((s, d) =>
+        QueryService(graft.store.IndexStore.materialized(s, d)).getQueried(
+          Seq(Map("business_source_key" -> operators.Eq("bsk1")),
+            Map("ordering_key" -> operators.Eq(""),
+              "additional_metadata.k" -> operators.Cmp("gte", "50"))),
+          limit = 50)),
+      "fetch jobs (J1)" -> ((s, d) =>
+        operators.Replay.fetchJobs(graft.store.IndexStore.materialized(s, d))),
+      "positional join (J2)" -> { (s, d) =>
+        val wd = streaming.PersistPipeline.ensureRun(s, d)
+        val records = streaming.PersistPipeline.readRecords(s, wd)
+        val slice = graft.store.IndexStore.materialized(s, d)
+          .filter(col("publish_time") >= lit(T1) &&
+            col("publish_time") < lit(T2) && col("broker_id") === "t-purchase")
+        operators.Replay.positionalJoin(records, slice, broadcastIndex = true)
+      })
+
+    val sb = new StringBuilder(
+      """# SCALE — measured scaling of the persist+index surface (local[32])
+        |
+        |Events table replicated with shifted ids; each scale runs the FULL
+        |persist pipeline (Avro records + indexer topic + strict decode +
+        |index store) and then the query surface against the materialized
+        |store. Times in seconds; the sub-linear steps are pushdown working
+        |as designed (scans touch pruned partitions/row groups, not the
+        |whole store).
+        |
+        |""".stripMargin)
+    sb.append("| op | " + factors.map(f => s"x$f").mkString(" | ") + " | x8/x1 |\n")
+    sb.append("|---|" + factors.map(_ => "---|").mkString + "---|\n")
+
+    // JIT/codegen warmup on the tiny scale so x1 isn't charged for it
+    streaming.PersistPipeline.ensureRun(spark, "/root/testdata/sf0.001")
+    val pipelineTimes = dirs.map { case (_, d) =>
+      time { streaming.PersistPipeline.ensureRun(spark, d); 0L }._1
+    }
+    val rowCounts = dirs.map { case (_, d) =>
+      graft.store.IndexStore.materialized(spark, d).count()
+    }
+    sb.append("| index rows | " + rowCounts.mkString(" | ") + " | " +
+      f"${rowCounts.last.toDouble / rowCounts.head}%.1f |\n")
+    sb.append("| persist pipeline (K1/K4/T7/K3) | " +
+      pipelineTimes.map(t => f"$t%.2f").mkString(" | ") + " | " +
+      f"${pipelineTimes.last / pipelineTimes.head}%.1f |\n")
+
+    ops.foreach { case (name, op) =>
+      val times = dirs.map { case (_, d) =>
+        op(spark, d).count() // warm
+        time(op(spark, d).count())._1
+      }
+      sb.append(s"| $name | " + times.map(t => f"$t%.2f").mkString(" | ") +
+        " | " + f"${times.last / times.head}%.1f |\n")
+    }
+
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
