@@ -87,8 +87,12 @@ object ScaleProbe {
     sb.append("| op | " + factors.map(f => s"x$f").mkString(" | ") + " | x8/x1 |\n")
     sb.append("|---|" + factors.map(_ => "---|").mkString + "---|\n")
 
-    // JIT/codegen warmup on the tiny scale so x1 isn't charged for it
-    streaming.PersistPipeline.ensureRun(spark, "/root/testdata/sf0.001")
+    // JIT/codegen warmup on a small slice of the SUPPLIED data so x1 isn't
+    // charged for it (and the probe doesn't depend on other datasets)
+    val warmupDir = s"$root/warmup"
+    Files.createDirectories(Paths.get(warmupDir))
+    base.limit(2000).write.parquet(s"$warmupDir/events.parquet")
+    streaming.PersistPipeline.ensureRun(spark, warmupDir)
     val pipelineTimes = dirs.map { case (_, d) =>
       time { streaming.PersistPipeline.ensureRun(spark, d); 0L }._1
     }

@@ -873,10 +873,11 @@ object SparkEntry {
         |  FROM embeddings),
         |v AS (SELECT label, dim,
         |             embedding[CAST(dim + 1 AS INT)]::DOUBLE AS val FROM ex),
-        |g AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |g AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
         |             list_sum(list_sort(list(val))) AS s
         |      FROM v GROUP BY label, dim)
-        |SELECT label, n_vectors, dim, s / n_vectors AS m
+        |SELECT label, max(n) OVER (PARTITION BY label) AS n_vectors,
+        |       dim, s / n AS m
         |FROM g ORDER BY label, dim""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,

@@ -37,12 +37,17 @@ case class DotFold(left: Expression, right: Expression) extends BinaryExpression
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // dimension mismatch → null, like the zip_with/aggregate form this
+    // replaces (a partial dot product would silently rank wrong)
+    if (n != b.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -62,12 +67,16 @@ case class DotFold(left: Expression, right: Expression) extends BinaryExpression
       def get(arr: String, e: Expression) =
         if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, left)} * ${get(b, right)};
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, left)} * ${get(b, right)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

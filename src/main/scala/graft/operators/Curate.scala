@@ -30,9 +30,10 @@ object Curate {
     val toks = tokens(col("text"))
     val n = size(toks)
     // start offsets 0, stride, 2·stride, … strictly below n (≥1 chunk for
-    // nonempty docs); empty docs yield no chunks
+    // nonempty docs); empty docs yield no chunks. Stride rides in the
+    // sequence step — no 0..n-1 scratch array per row.
     val starts = when(n > 0,
-      filter(sequence(lit(0), greatest(n - 1, lit(0))), s => s % strideTokens === 0))
+      sequence(lit(0), n - 1, lit(strideTokens)))
       .otherwise(array().cast("array<int>"))
     docs
       .withColumn("toks", toks)
@@ -54,9 +55,11 @@ object Curate {
     */
   def sampleByHash(df: DataFrame, key: Column, frac: Double, salt: String): DataFrame = {
     require(frac >= 0 && frac <= 1, "frac must be in [0,1]")
+    // round, don't truncate: (0.0003 * 10000).toInt == 2 would silently
+    // drop a bucket from the documented `< frac·10000` contract
     df.filter(
       pmod(h60(concat(key.cast("string"), lit("|"), lit(salt))), lit(10000))
-        < lit((frac * 10000).toInt))
+        < lit(math.round(frac * 10000).toInt))
   }
 
   /** Deterministic global shuffle order for training: a pseudo-random but
@@ -79,17 +82,36 @@ object Curate {
       lang: String = "en",
       minTokens: Long = 10,
       minStopwordRatio: Double = 0.02): DataFrame = {
-    val gated = TextAnalysis.qualityScores(docs)
-      .join(TextAnalysis.languageId(docs).select("doc_id", "guessed_lang"), "doc_id")
+    import TextAnalysis._
+    // all gate columns derive from one tokenization in one projection —
+    // no joins back onto docs, no repeated token scans
+    val toks = tokens(col("text"))
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words: _*))).cast("long")
+    val nTok = size(toks).cast("double")
+    val gated = docs.select(
+      col("doc_id"),
+      col("text"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      when(nTok > 0, hits(StopwordsEn).cast("double") / nTok)
+        .otherwise(lit(0.0)).as("stopword_ratio"),
+      hits(StopwordsEn).as("en_hits"), hits(StopwordsEs).as("es_hits"),
+      hits(StopwordsDe).as("de_hits"), hits(StopwordsFr).as("fr_hits"))
+      .withColumn("guessed_lang",
+        when(col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") === 0, lit("und"))
+          .when(col("en_hits") >= greatest(col("es_hits"), col("de_hits"), col("fr_hits")), lit("en"))
+          .when(col("es_hits") >= greatest(col("de_hits"), col("fr_hits")), lit("es"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
       .filter(
         col("guessed_lang") === lang &&
           col("n_tokens") >= minTokens &&
           col("stopword_ratio") >= minStopwordRatio)
-    // canonical survivor per exact-duplicate group, among gated docs
-    val w = Window.partitionBy(col("fp"))
+    // canonical survivor per exact-duplicate group, among gated docs —
+    // the flow's single shuffle
+    val w = Window.partitionBy(md5(col("text")))
     gated
-      .join(docs.select("doc_id", "text"), "doc_id")
-      .withColumn("fp", md5(col("text")))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("canonical_id"))
       .select("doc_id", "n_chars", "n_tokens", "stopword_ratio", "guessed_lang")

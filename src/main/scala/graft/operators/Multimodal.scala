@@ -65,11 +65,10 @@ object Multimodal {
     media
       .withColumn("n_frames", nFrames)
       .withColumn("frame_no",
+        // stride rides in the sequence step (no full 0..n-1 scratch array);
         // guard: sequence(0, -1) would count DOWN for an empty payload
         explode(when(col("n_frames") > 0,
-          filter(
-            sequence(lit(0L), col("n_frames") - 1),
-            i => i % stride === 0))
+          sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
           .otherwise(array().cast("array<bigint>"))))
       .withColumn("frame",
         substring_index_bytes(col("payload"), col("frame_no"), frameBytes))

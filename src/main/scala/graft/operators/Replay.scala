@@ -115,7 +115,7 @@ object Replay {
       .filter(col("_blob_rows") === 1 && col("location_position").isNull)
       .drop("_blob_rows", "location_position")
     val positioned = tagged
-      .filter(!(col("_blob_rows") === 1 && col("location_position").isNull))
+      .filter(col("location_position").isNotNull)
       .drop("_blob_rows")
     val sIdx = if (broadcastIndex) broadcast(singletons) else singletons
     positionalJoin(records, positioned, broadcastIndex)
@@ -123,5 +123,18 @@ object Replay {
         records.drop("location_position")
           .join(sIdx, Seq("location_key"), "inner"),
         allowMissingColumns = true)
+  }
+
+  /** The rows [[positionalJoinWithSingletons]] can NOT deliver: a null
+    * position in a multi-record blob is ambiguous (the reference's atoi
+    * would error the record, resubmitter.go:186-191). Route these to the
+    * dead-letter/error path — they never silently vanish.
+    */
+  def unjoinable(index: DataFrame): DataFrame = {
+    val perBlob = Window.partitionBy(col("location_key"))
+    index
+      .withColumn("_blob_rows", count(lit(1)).over(perBlob))
+      .filter(col("location_position").isNull && col("_blob_rows") > 1)
+      .drop("_blob_rows")
   }
 }

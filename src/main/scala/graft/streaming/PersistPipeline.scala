@@ -244,7 +244,16 @@ object PersistPipeline {
     */
   def persistBatch(batch: DataFrame, workDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // two sinks consume the envelope (records + indexer topic); persist it
+    // so the position window runs once per batch, not once per sink
     val messages = messagesFromEvents(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try persistSinks(spark, messages, workDir, batchId)
+    finally messages.unpersist()
+  }
+
+  private def persistSinks(
+      spark: SparkSession, messages: DataFrame, workDir: String, batchId: Long): Unit = {
 
     // K1/D1: records as Avro OCF, time-partitioned by the storage mask
     // (T1). Repartition onto the partition keys so each Hive partition is
@@ -330,29 +339,33 @@ object PersistPipeline {
     * analog of the reference's 30 s batch-timeout loop). Reprocessing a
     * batch after a crash overwrites its own `batch_id` partition (W2).
     */
-  def runStream(
+  /** Shared stream construction for [[runStream]]/[[runStreamAsync]]:
+    * file source with the given trigger, checkpointed `foreachBatch` over
+    * [[persistBatch]], batch errors policed by the optional W4 budget
+    * (run.go:159-187: tolerate under budget — redelivery is the upstream
+    * broker's job; stop the query once exceeded).
+    */
+  private def startQuery(
       spark: SparkSession,
       eventsPath: String,
       workDir: String,
-      maxFilesPerTrigger: Int = 1,
-      prepare: DataFrame => DataFrame = identity,
-      flowControl: Option[graft.operators.FlowControl] = None): Unit = {
+      maxFilesPerTrigger: Int,
+      prepare: DataFrame => DataFrame,
+      trigger: Trigger,
+      flowControl: Option[graft.operators.FlowControl]): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(eventsPath).schema
     val source = prepare(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(eventsPath))
     source.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         try persistBatch(batch, workDir, batchId)
         catch {
           case e: Throwable =>
             flowControl match {
-              // W4 (run.go:159-187): tolerate batch errors under the
-              // budget (continue-on-process-error — redelivery is the
-              // upstream broker's job); stop the query once exceeded
               case Some(fc) =>
                 fc.record()
                 if (fc.shouldStop) throw e
@@ -361,8 +374,18 @@ object PersistPipeline {
         }
       }
       .start()
-      .awaitTermination()
   }
+
+  def runStream(
+      spark: SparkSession,
+      eventsPath: String,
+      workDir: String,
+      maxFilesPerTrigger: Int = 1,
+      prepare: DataFrame => DataFrame = identity,
+      flowControl: Option[graft.operators.FlowControl] = None): Unit =
+    startQuery(spark, eventsPath, workDir, maxFilesPerTrigger, prepare,
+      Trigger.AvailableNow(), flowControl)
+      .awaitTermination()
 
   /** W7 graceful drain (persistor.go:202-205, run.go:66-72: the handler
     * context outlives the run context so in-flight batches finish): start
@@ -375,20 +398,9 @@ object PersistPipeline {
       eventsPath: String,
       workDir: String,
       maxFilesPerTrigger: Int = 1,
-      prepare: DataFrame => DataFrame = identity): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val source = prepare(spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventsPath))
-    source.writeStream
-      .trigger(Trigger.ProcessingTime(0L))
-      .option("checkpointLocation", s"$workDir/checkpoint")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        persistBatch(batch, workDir, batchId)
-      }
-      .start()
-  }
+      prepare: DataFrame => DataFrame = identity): org.apache.spark.sql.streaming.StreamingQuery =
+    startQuery(spark, eventsPath, workDir, maxFilesPerTrigger, prepare,
+      Trigger.ProcessingTime(0L), flowControl = None)
 
   /** W7: process everything already ingested, then stop. */
   def drain(query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {

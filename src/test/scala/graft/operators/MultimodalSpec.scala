@@ -53,6 +53,20 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaFromDocuments(empty), 16, 1).count() === 0L)
   }
 
+  test("frame boundaries are BYTE offsets, independent of codepoint width") {
+    // "é" is 2 UTF-8 bytes: 4 chars → 5 payload bytes → 2 frames of ≤4 bytes
+    val mb = Seq((9L, "éabc", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.frameSample(Multimodal.mediaFromDocuments(mb), 4, 1)
+      .select("frame_no", "n_frames", "frame")
+      .as[(Long, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(frames.map(_._2).toSeq === Seq(2L, 2L))
+    assert(frames(0)._3.length === 4) // é(2) + a + b — splits mid-text, by bytes
+    assert(frames(1)._3.length === 1)
+    // NOTE: the q_media_* DuckDB oracles slice by CHARS and are only
+    // equivalent on ASCII corpora (the driver testdata is; verified)
+  }
+
   test("crop truncates payloads to the target byte range") {
     val out = Multimodal.crop(Multimodal.mediaFromDocuments(docs), 5)
       .select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap

@@ -98,4 +98,18 @@ class ReplaySpec extends SparkSpec {
       .select("unique_id", "payload").as[(String, String)].collect().toMap
     assert(out === Map("s_1" -> "whole-blob", "b_1" -> "p1", "b_2" -> "p2"))
   }
+
+  test("null position in a multi-record blob is surfaced as unjoinable, not dropped (J3)") {
+    val idx = Seq(
+      ("amb", "blob-0", None: Option[Long], "u1"),
+      ("b_1", "blob-0", Some(1L), "u1"))
+      .toDF("unique_id", "location_key", "location_position", "ordering_key")
+    val recs = Seq(("blob-0", 1L, "p1"))
+      .toDF("location_key", "location_position", "payload")
+    val joined = Replay.positionalJoinWithSingletons(recs, idx)
+      .select("unique_id").as[String].collect().toSet
+    assert(joined === Set("b_1")) // ambiguous row excluded from delivery...
+    val dead = Replay.unjoinable(idx).select("unique_id").as[String].collect().toSet
+    assert(dead === Set("amb"))   // ...and routed to the error path
+  }
 }

@@ -140,6 +140,17 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dot product nulls out on dimension mismatch instead of partial results") {
+    val d = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 2.0f, 9.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect()
+    assert(d(0) === Some(11.0))
+    assert(d(1) === None)
+  }
+
   test("languageId falls back to und when no stopword list hits") {
     val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(d).orderBy("doc_id")
