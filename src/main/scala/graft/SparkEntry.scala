@@ -376,7 +376,10 @@ object SparkEntry {
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_text_fingerprints" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Tables(s, dir).documents).orderBy(col("doc_id")))
+      TextAnalysis.fingerprints(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables(s, dir).documents, topK = 100)
+        .orderBy(col("n_occurrences").desc, col("token")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -922,6 +925,14 @@ object SparkEntry {
          |SELECT doc_id,
          |       ${h60Sql("array_to_string(toks, ' ')")} AS content_h60,
          |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp
-         |FROM toks ORDER BY doc_id""".stripMargin
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_vocabulary" ->
+      s"""$ToksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |SELECT token, COUNT(*) AS n_occurrences,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM tok GROUP BY token
+         |ORDER BY n_occurrences DESC, token
+         |LIMIT 100""".stripMargin
   )
 }

@@ -75,6 +75,22 @@ object TextAnalysis {
           .otherwise(lit("fr")))
   }
 
+  /** Vocabulary extraction: the `topK` most frequent tokens with total
+    * occurrences and document frequency — the corpus-stats input for
+    * tokenizer training and stop-list induction. One explode + one
+    * aggregation shuffle on the token; the top-k is a distributed
+    * `TakeOrdered`, never a full global sort.
+    */
+  def vocabulary(docs: DataFrame, topK: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+
   /** Content fingerprints: h60 of the full normalized text (exact-content
     * identity) and md5 of the sorted distinct-token bag (order-insensitive
     * identity) — the lookup keys for dedup joins.

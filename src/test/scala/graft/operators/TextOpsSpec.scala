@@ -158,6 +158,13 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Array("und", "en"))
   }
 
+  test("vocabulary ranks tokens by occurrences with doc frequency") {
+    val d = Seq((1L, "a a b c"), (2L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(d, topK = 2)
+      .as[(String, Long, Long)].collect()
+    assert(out === Array(("a", 3L, 2L), ("b", 3L, 2L))) // tie → token order
+  }
+
   test("qualityScores guards zero-length and zero-token documents") {
     val d = Seq((1L, ""), (2L, "hi there.")).toDF("doc_id", "text")
     val out = TextAnalysis.qualityScores(d).orderBy("doc_id").collect()
