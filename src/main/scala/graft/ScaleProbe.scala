@@ -114,6 +114,53 @@ object ScaleProbe {
         " | " + f"${times.last / times.head}%.1f |\n")
     }
 
+    // ---- dedup/similarity scaling over honestly-scaled document corpora:
+    // each replica renames every token into its own namespace (suffix _r),
+    // so replicas are 4 structurally-identical but content-disjoint
+    // sub-corpora — duplicate structure scales exactly ×f (no cross-replica
+    // collisions, unlike pasted duplicates which explode quadratically).
+    val docsBase = Tables(spark, baseDir).documents
+    val docFactors = Seq(1, 4)
+    val docDirs = docFactors.map { f =>
+      val dir = s"$root/docs-x$f"
+      Files.createDirectories(Paths.get(dir))
+      (0 until f).map { r =>
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val renamed = concat_ws(" ",
+          transform(toks, t => concat(t, lit(s"_$r"))))
+        docsBase
+          .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+          .withColumn("text", if (r == 0) col("text") else renamed)
+      }.reduce(_.unionByName(_))
+        .write.parquet(s"$dir/documents.parquet")
+      (f, dir)
+    }
+    sb.append(
+      """
+        |Dedup/similarity over scaled corpora (each replica token-renamed
+        |into its own namespace: structurally identical, content-disjoint —
+        |pair counts scale exactly ×f):
+        |
+        |""".stripMargin)
+    sb.append("| op | " + docFactors.map(f => s"x$f sec (pairs)").mkString(" | ") + " | x4/x1 |\n")
+    sb.append("|---|" + docFactors.map(_ => "---|").mkString + "---|\n")
+    val dedupOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "fingerprint dedup" -> (d => operators.Dedup.fingerprint(d)),
+      "minhash-lsh near-dup" -> (d => operators.Dedup.minHashLsh(d)),
+      "simhash pairs (dist ≤2)" -> (d => operators.Dedup.simHashPairs(d, 2)),
+      "vocabulary top-100" -> (d => operators.TextAnalysis.vocabulary(d, 100)))
+    dedupOps.foreach { case (name, op) =>
+      val cells = docDirs.map { case (_, dir) =>
+        val docs = Tables(spark, dir).documents
+        op(docs).count() // warm
+        val (t, n) = time(op(docs).count())
+        (t, n)
+      }
+      sb.append(s"| $name | " +
+        cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
+        " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
+    }
+
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

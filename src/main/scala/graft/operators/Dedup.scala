@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.TextFunctions._
 
@@ -157,6 +157,12 @@ object Dedup {
     * (j≲0.2) collide with probability < 1%, which keeps the candidate set
     * — the term that dominates cost on low-diversity corpora — near-linear.
     */
+  /** All a<b pairs within one sorted id array, as structs. */
+  private def intraPairs(ms: Column): Column =
+    flatten(transform(ms, (a, i) =>
+      transform(slice(ms, i + 2, size(ms)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+
   def minHashLsh(
       docs: DataFrame,
       numHashes: Int = 24,
@@ -165,9 +171,33 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
     val sets = shingleSets(docs)
-    // cache the banded table: the signature expression must evaluate once
-    // per document, not once per band per join side
-    val banded = sets
+
+    // Canonicalize BEFORE banding: signatures depend only on the shingle
+    // set, so docs with identical sets (exact/bag duplicates — the bulk of
+    // a web-scale corpus) would collide in every band and blow the
+    // candidate join up by Σ group²·bands. One representative per distinct
+    // set goes through LSH; group members rejoin at the end. Output is
+    // provably identical to per-doc banding (same signatures ⇒ same
+    // collisions), cost becomes reps-level + true output size.
+    val groups = sets
+      // JSON-encode the sorted set for an unambiguous identity (the fp is
+      // internal grouping state — it never reaches an oracle comparison)
+      .withColumn("fp", md5(to_json(col("sh"))))
+      .groupBy(col("fp"))
+      .agg(
+        min(col("doc_id")).as("rep_id"),
+        array_sort(collect_list(col("doc_id"))).as("members"),
+        first(col("sh")).as("sh"))
+      .cache()
+
+    // duplicate-set pairs: identical sets ⇒ jaccard exactly 1 ≥ any t
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(intraPairs(col("members"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+
+    val repSets = groups.select(col("rep_id").as("doc_id"), col("sh"))
+    val banded = repSets
       .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
       .select(col("doc_id"), explode(bandSignatures(col("mh"), bands, r)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -179,7 +209,22 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
+    val repPairs = jaccardOf(cand, repSets).filter(col("jaccard") >= threshold)
+
+    // expand verified rep pairs to all member pairs (identical sets share
+    // the rep's jaccard); groups are disjoint so least/greatest orders ids
+    val mA = groups.select(col("rep_id").as("doc_a"), col("members").as("ms_a"))
+    val mB = groups.select(col("rep_id").as("doc_b"), col("members").as("ms_b"))
+    val expanded = repPairs
+      .join(mA, "doc_a")
+      .join(mB, "doc_b")
+      .select(col("jaccard"),
+        explode(flatten(transform(col("ms_a"), x =>
+          transform(col("ms_b"), y =>
+            struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("jaccard"))
+
+    expanded.unionByName(intra)
   }
 
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
