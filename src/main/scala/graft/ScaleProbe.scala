@@ -147,7 +147,11 @@ object ScaleProbe {
     val dedupOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "fingerprint dedup" -> (d => operators.Dedup.fingerprint(d)),
       "minhash-lsh near-dup" -> (d => operators.Dedup.minHashLsh(d)),
+      "minhash-lsh (canonicalized)" ->
+        (d => operators.Dedup.minHashLsh(d, canonicalize = true)),
       "simhash pairs (dist ≤2)" -> (d => operators.Dedup.simHashPairs(d, 2)),
+      "simhash (canonicalized)" ->
+        (d => operators.Dedup.simHashPairs(d, 2, canonicalize = true)),
       "vocabulary top-100" -> (d => operators.TextAnalysis.vocabulary(d, 100)))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>

@@ -13,12 +13,20 @@ import graft.functions.TextFunctions._
   *   - MinHash-LSH: per-row signatures (no explode until the tiny band
   *     table), candidates only where a band collides, then exact-Jaccard
   *     verification of candidates only — the classic near-linear path;
-  *   - n-gram Jaccard ground truth: inverted shingle index equi-join, for
-  *     oracle-checkable truth at test scale (inherently O(pairs) — the LSH
-  *     variant is the scale path);
+  *   - n-gram Jaccard ground truth: AllPairs prefix-filtered inverted
+  *     index (equi-join, never a cross join), exact output;
   *   - SimHash: per-row 60-bit signature; pigeonhole bit-chunk blocking
   *     (equi-join on signature chunks) makes pair enumeration near-linear
   *     while staying exactly equal to the all-pairs result.
+  *
+  * Every pair miner takes a `canonicalize` flag: signatures/scores depend
+  * only on the shingle set (or signature), so docs with identical keys can
+  * be collapsed to one representative before the pairwise work and
+  * expanded afterwards — identical output, and the candidate join no
+  * longer inflates by Σ group² on duplicate-heavy corpora (web crawls).
+  * Leave it off (default) when keys are mostly unique: the extra
+  * group/expand shuffles only pay for themselves when duplicate groups are
+  * material.
   *
   * All hashing is the engine-portable h60 (md5-derived) so the DuckDB
   * oracle can replay the identical pipeline bit-for-bit.
@@ -80,9 +88,73 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ------------------------------------------------- canonicalization layer
+
+  /** All a<b pairs within one sorted id array, as structs. */
+  private def intraPairs(ms: Column): Column =
+    flatten(transform(ms, (a, i) =>
+      transform(slice(ms, i + 2, size(ms)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+
+  /** One group per distinct key (set fingerprint or signature):
+    * representative id (min), sorted member list, carried columns.
+    */
+  private def canonicalGroups(keyed: DataFrame, key: String, carry: Seq[String]): DataFrame =
+    keyed
+      .groupBy(col(key))
+      .agg(
+        min(col("doc_id")).as("rep_id"),
+        array_sort(collect_list(col("doc_id"))).as("members")
+          +: carry.map(c => first(col(c)).as(c)): _*)
+      .cache()
+
+  /** Expand representative-level pairs to all member pairs, carrying the
+    * score columns (group members share the representative's score by
+    * construction); groups are disjoint so least/greatest orders the ids.
+    */
+  private def expandPairs(
+      repPairs: DataFrame, groups: DataFrame, scores: Seq[String]): DataFrame = {
+    val mA = groups.select(col("rep_id").as("doc_a"), col("members").as("ms_a"))
+    val mB = groups.select(col("rep_id").as("doc_b"), col("members").as("ms_b"))
+    repPairs
+      .join(mA, "doc_a")
+      .join(mB, "doc_b")
+      .select(explode(flatten(transform(col("ms_a"), x =>
+        transform(col("ms_b"), y =>
+          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p")
+        +: scores.map(col): _*)
+      .select(col("p.doc_a") +: col("p.doc_b") +: scores.map(col): _*)
+  }
+
+  /** Mine pairs per representative of each distinct `key` (duplicate-heavy
+    * corpora), expanding back to members; `identical` is the score a
+    * same-key pair gets, `score` the mined score column. Output is
+    * identical to running the miner directly (the score depends only on
+    * the key).
+    */
+  private def canonicalMined(
+      keyed: DataFrame,
+      key: String,
+      carry: Seq[String],
+      identical: Column,
+      score: String)(mine: DataFrame => DataFrame): DataFrame = {
+    // the miner consumes the carried columns, or the key itself when the
+    // key IS the mined value (simhash)
+    val mineCols = if (carry.isEmpty) Seq(key) else carry
+    val groups = canonicalGroups(keyed, key, carry)
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(intraPairs(col("members"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), identical.as(score))
+    val reps = groups.select(col("rep_id").as("doc_id") +: mineCols.map(col): _*)
+    expandPairs(mine(reps), groups, Seq(score)).unionByName(intra)
+  }
+
+  // ------------------------------------------------------------ pair miners
+
   /** Ground-truth near-duplicate pairs by word-3-gram Jaccard ≥ threshold.
     * Pairs come from an inverted shingle index (equi-join on shingle) —
-    * never a cross join — and |A∩B| falls out of the pair group count.
+    * never a cross join.
     *
     * `maxShingleDf` caps document frequency in the CANDIDATE index: a
     * shingle appearing in more than that many documents (a "stop shingle")
@@ -94,56 +166,67 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      canonicalize: Boolean = false): DataFrame = {
     val sets = shingleSets(docs)
-    val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    maxShingleDf match {
-      case Some(cap) =>
-        // capped index: pair discovery misses hot shingles, so |A∩B| must
-        // come from the FULL sets — a DF cap affects which pairs are
-        // considered, never their scores
-        val hot = inv0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-          .select("shingle")
-        val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
-        val cand = inv
-          .as("a")
-          .join(inv.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
-      case None =>
-        // exact path with PREFIX FILTERING (Bayardo et al. "Scaling Up All
-        // Pairs Similarity Search", WWW'07): in a global total order, a
-        // pair with J ≥ t MUST collide within each doc's first
-        // |A| − ⌈t·|A|⌉ + 1 shingles — if A∩B avoided that prefix, the
-        // ≥⌈t·|A|⌉ shared shingles would have to fit in the remaining
-        // ⌈t·|A|⌉ − 1 slots. The order is ascending document frequency
-        // (ties by shingle) so prefixes hold the RAREST shingles — the
-        // self-join's Σ df² term collapses because hot shingles never
-        // enter the index. Verification against FULL sets keeps the
-        // result exactly equal to the naive scan for any total order.
-        val dfs = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        val byDoc = Window.partitionBy(col("doc_id"))
-        val rn = row_number().over(byDoc.orderBy(col("df"), col("shingle")))
-        // |A| rides the same per-doc window shuffle as the rank — no extra
-        // join against the set-size table
-        val sz = count(lit(1)).over(byDoc)
-        val pre = inv0
-          .join(dfs, "shingle")
-          .withColumn("rn", rn)
-          .withColumn("sz", sz)
-          .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-          .select("doc_id", "shingle")
-        val cand = pre
-          .as("a")
-          .join(pre.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        jaccardOf(cand, sets).filter(col("jaccard") >= threshold)
+
+    def cappedPairs(input: DataFrame, cap: Int): DataFrame = {
+      val inv0 = input.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // capped index: pair discovery misses hot shingles, so |A∩B| must
+      // come from the FULL sets — a DF cap affects which pairs are
+      // considered, never their scores
+      val hot = inv0.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select("shingle")
+      val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val cand = inv
+        .as("a")
+        .join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardOf(cand, input).filter(col("jaccard") >= threshold)
     }
+
+    // exact path with PREFIX FILTERING (Bayardo et al. "Scaling Up All
+    // Pairs Similarity Search", WWW'07): in a global total order, a pair
+    // with J ≥ t MUST collide within each doc's first |A| − ⌈t·|A|⌉ + 1
+    // shingles — if A∩B avoided that prefix, the ≥⌈t·|A|⌉ shared shingles
+    // would have to fit in the remaining ⌈t·|A|⌉ − 1 slots. The order is
+    // ascending document frequency (ties by shingle) so prefixes hold the
+    // RAREST shingles — the self-join's Σ df² term collapses because hot
+    // shingles never enter the index. Verification against FULL sets keeps
+    // the result exactly equal to the naive scan for any total order.
+    def prefixPairs(input: DataFrame): DataFrame = {
+      val inv = input.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val dfs = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val rn = row_number().over(byDoc.orderBy(col("df"), col("shingle")))
+      // |A| rides the same per-doc window shuffle as the rank — no extra
+      // join against a set-size table
+      val sz = count(lit(1)).over(byDoc)
+      val pre = inv
+        .join(dfs, "shingle")
+        .withColumn("rn", rn)
+        .withColumn("sz", sz)
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select("doc_id", "shingle")
+      val cand = pre
+        .as("a")
+        .join(pre.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardOf(cand, input).filter(col("jaccard") >= threshold)
+    }
+
+    val mine: DataFrame => DataFrame = maxShingleDf match {
+      case Some(cap) => cappedPairs(_, cap)
+      case None => prefixPairs
+    }
+    if (!canonicalize) mine(sets)
+    else canonicalMined(sets.withColumn("fp", md5(to_json(col("sh")))),
+      key = "fp", carry = Seq("sh"), identical = lit(1.0), score = "jaccard")(mine)
   }
 
   /** MinHash-LSH near-dup detection: one md5 base hash per shingle, k
@@ -155,76 +238,42 @@ object Dedup {
     * Default 24 hashes × 6 bands of 4 ⇒ near-total recall above j≈0.8
     * (miss probability (1-j⁴)⁶ < 1e-6 at j=0.98) while background pairs
     * (j≲0.2) collide with probability < 1%, which keeps the candidate set
-    * — the term that dominates cost on low-diversity corpora — near-linear.
+    * near-linear. Signatures depend only on the shingle set, so
+    * `canonicalize` collapses identical sets before banding — identical
+    * output (same signatures ⇒ same collisions) with the candidate join
+    * bound to distinct sets.
     */
-  /** All a<b pairs within one sorted id array, as structs. */
-  private def intraPairs(ms: Column): Column =
-    flatten(transform(ms, (a, i) =>
-      transform(slice(ms, i + 2, size(ms)),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
-
   def minHashLsh(
       docs: DataFrame,
       numHashes: Int = 24,
       bands: Int = 6,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      canonicalize: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
+
+    def bandPairs(input: DataFrame): DataFrame = {
+      // cache the banded table: the signature expression must evaluate
+      // once per document, not once per band per join side
+      val banded = input
+        .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
+        .select(col("doc_id"), explode(bandSignatures(col("mh"), bands, r)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .cache()
+      val cand = banded
+        .as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardOf(cand, input).filter(col("jaccard") >= threshold)
+    }
+
     val sets = shingleSets(docs)
-
-    // Canonicalize BEFORE banding: signatures depend only on the shingle
-    // set, so docs with identical sets (exact/bag duplicates — the bulk of
-    // a web-scale corpus) would collide in every band and blow the
-    // candidate join up by Σ group²·bands. One representative per distinct
-    // set goes through LSH; group members rejoin at the end. Output is
-    // provably identical to per-doc banding (same signatures ⇒ same
-    // collisions), cost becomes reps-level + true output size.
-    val groups = sets
-      // JSON-encode the sorted set for an unambiguous identity (the fp is
-      // internal grouping state — it never reaches an oracle comparison)
-      .withColumn("fp", md5(to_json(col("sh"))))
-      .groupBy(col("fp"))
-      .agg(
-        min(col("doc_id")).as("rep_id"),
-        array_sort(collect_list(col("doc_id"))).as("members"),
-        first(col("sh")).as("sh"))
-      .cache()
-
-    // duplicate-set pairs: identical sets ⇒ jaccard exactly 1 ≥ any t
-    val intra = groups
-      .filter(size(col("members")) > 1)
-      .select(explode(intraPairs(col("members"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
-
-    val repSets = groups.select(col("rep_id").as("doc_id"), col("sh"))
-    val banded = repSets
-      .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
-      .select(col("doc_id"), explode(bandSignatures(col("mh"), bands, r)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .cache()
-    val cand = banded
-      .as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val repPairs = jaccardOf(cand, repSets).filter(col("jaccard") >= threshold)
-
-    // expand verified rep pairs to all member pairs (identical sets share
-    // the rep's jaccard); groups are disjoint so least/greatest orders ids
-    val mA = groups.select(col("rep_id").as("doc_a"), col("members").as("ms_a"))
-    val mB = groups.select(col("rep_id").as("doc_b"), col("members").as("ms_b"))
-    val expanded = repPairs
-      .join(mA, "doc_a")
-      .join(mB, "doc_b")
-      .select(col("jaccard"),
-        explode(flatten(transform(col("ms_a"), x =>
-          transform(col("ms_b"), y =>
-            struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("jaccard"))
-
-    expanded.unionByName(intra)
+    if (!canonicalize) bandPairs(sets)
+    else canonicalMined(sets.withColumn("fp", md5(to_json(col("sh")))),
+      key = "fp", carry = Seq("sh"), identical = lit(1.0), score = "jaccard")(bandPairs)
   }
 
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
@@ -235,39 +284,50 @@ object Dedup {
     * one chunk. Candidates come from an equi-join on (chunkIdx, chunkValue)
     * and are verified with the true Hamming distance, so the output is
     * identical to the all-pairs scan with no cartesian product in the plan.
+    * Hamming depends only on the signature, so `canonicalize` collapses
+    * equal signatures (distance-0 groups) before the chunk join.
     */
-  def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+  def simHashPairs(
+      docs: DataFrame,
+      maxDist: Int,
+      canonicalize: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist < 60, "maxDist must be in [0, 60)")
-    // cached: the signature feeds chunk explosion AND both join sides
     val sims = docs
       .withColumn("hs", tokenHashes(tokens(col("text"))))
       .withColumn("simhash", simHashSql("hs"))
       .select(col("doc_id"), col("simhash"))
       .cache()
-    // chunk boundaries: maxDist+1 chunks covering all 60 bits (first
-    // `60 % n` chunks get one extra bit)
-    val n = maxDist + 1
-    val widths = Seq.tabulate(n)(c => 60 / n + (if (c < 60 % n) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
-    val chunkStructs = (0 until n).map { c =>
-      val mask = (1L << widths(c)) - 1
-      struct(
-        lit(c).as("c"),
-        shiftright(col("simhash"), starts(c)).bitwiseAND(lit(mask)).as("v"))
+
+    def chunkPairs(input: DataFrame): DataFrame = {
+      // chunk boundaries: maxDist+1 chunks covering all 60 bits (first
+      // `60 % n` chunks get one extra bit)
+      val n = maxDist + 1
+      val widths = Seq.tabulate(n)(c => 60 / n + (if (c < 60 % n) 1 else 0))
+      val starts = widths.scanLeft(0)(_ + _)
+      val chunkStructs = (0 until n).map { c =>
+        val mask = (1L << widths(c)) - 1
+        struct(
+          lit(c).as("c"),
+          shiftright(col("simhash"), starts(c)).bitwiseAND(lit(mask)).as("v"))
+      }
+      val chunks = input
+        .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+      chunks
+        .as("a")
+        .join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDist)
     }
-    val chunks = sims
-      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
-    chunks
-      .as("a")
-      .join(chunks.as("b"),
-        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+
+    if (!canonicalize) chunkPairs(sims)
+    else canonicalMined(sims, key = "simhash", carry = Seq.empty,
+      identical = lit(0L), score = "hamming")(chunkPairs)
   }
 }

@@ -108,7 +108,7 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
-  test("prefix-filtered ngramJaccardPairs equals the naive all-pairs scan") {
+  test("prefix-filtered ngramJaccardPairs equals the naive all-pairs scan (both modes)") {
     val s = docs
       .select(col("doc_id"), TextFunctions.shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -118,10 +118,24 @@ class TextOpsSpec extends SparkSpec {
         TextFunctions.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .as[(Long, Long, Double)].collect().toSet
-    val filtered = Dedup.ngramJaccardPairs(docs, 0.3)
+    val direct = Dedup.ngramJaccardPairs(docs, 0.3)
       .as[(Long, Long, Double)].collect().toSet
-    assert(filtered === naive)
-    assert(naive.nonEmpty || filtered.isEmpty) // degenerate-corpus guard
+    val canonical = Dedup.ngramJaccardPairs(docs, 0.3, canonicalize = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct === naive)
+    assert(canonical === naive)
+    assert(naive.nonEmpty || direct.isEmpty) // degenerate-corpus guard
+  }
+
+  test("canonicalized miners equal their direct forms on a duplicate-heavy corpus") {
+    val dup = docs.limit(20).unionByName(
+      docs.limit(20).withColumn("doc_id", col("doc_id") + 100000))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairSet(Dedup.minHashLsh(dup, canonicalize = true)) ===
+      pairSet(Dedup.minHashLsh(dup)))
+    assert(pairSet(Dedup.simHashPairs(dup, 2, canonicalize = true)) ===
+      pairSet(Dedup.simHashPairs(dup, 2)))
   }
 
   test("plan audit: blocked pair enumeration never plans a cartesian product") {
