@@ -361,6 +361,18 @@ object SparkEntry {
         .orderBy(col("shuffle_key"), col("doc_id"))),
     "q_curated" -> ((s, dir) =>
       Curate.curated(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_split_assign" -> ((s, dir) =>
+      Curate.assignSplit(Tables(s, dir).documents, col("doc_id"), "v1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Curate.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .select("doc_id").orderBy(col("doc_id"))
+    },
     // -- per-label embedding centroids (exploded to scalars for the oracle) --
     "q_centroids" -> ((s, dir) =>
       Similarity.centroids(Tables(s, dir).embeddings, col("label"))
@@ -870,6 +882,27 @@ object SparkEntry {
          |SELECT doc_id, n_chars, n_tokens, stopword_ratio, guessed_lang
          |FROM d WHERE doc_id = canonical_id
          |ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      """SELECT CASE
+        |  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15)
+        |       AS BIGINT) % 10000 < 8000 THEN 'train'
+        |  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15)
+        |       AS BIGINT) % 10000 < 9000 THEN 'val'
+        |  ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decontaminate" ->
+      s"""$ToksCte,
+         |fps AS (SELECT doc_id, md5(text) AS fe,
+         |               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fb
+         |        FROM toks)
+         |SELECT t.doc_id FROM fps t
+         |WHERE t.doc_id % 2 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM fps e
+         |                  WHERE e.doc_id % 2 = 1 AND e.fe = t.fe)
+         |  AND NOT EXISTS (SELECT 1 FROM fps e
+         |                  WHERE e.doc_id % 2 = 1 AND e.fb = t.fb)
+         |ORDER BY t.doc_id""".stripMargin,
     "q_centroids" ->
       """WITH ex AS (
         |  SELECT label, unnest(range(0, len(embedding))) AS dim, embedding

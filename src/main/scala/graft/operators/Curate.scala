@@ -71,6 +71,50 @@ object Curate {
     df.withColumn("shuffle_key",
       h60(concat(key.cast("string"), lit("|"), lit(salt))))
 
+  /** Deterministic train/validation/test split assignment: buckets the
+    * h60 hash space by cumulative fraction. Same hash family as
+    * [[sampleByHash]], so splits are reproducible, disjoint, and
+    * engine-portable; rows beyond the last fraction get the last label
+    * (fractions should sum to 1).
+    */
+  def assignSplit(
+      df: DataFrame,
+      key: Column,
+      salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    val bucket = pmod(h60(concat(key.cast("string"), lit("|"), lit(salt))), lit(10000))
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val split = fractions.zip(bounds).init.foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), hi), rest) =>
+      when(bucket < lit(hi), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Decontamination: drop training documents whose content collides with
+    * the evaluation corpus — by exact text hash or by bag-of-words
+    * fingerprint (catches token reorderings). Two broadcast-able anti
+    * joins on the eval fingerprint sets; the training corpus streams
+    * through, never shuffles on itself.
+    */
+  def decontaminate(train: DataFrame, evalCorpus: DataFrame): DataFrame = {
+    def exactFp(c: Column) = md5(c)
+    def bagFp(c: Column) =
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+    val evalFps = evalCorpus
+      .select(exactFp(col("text")).as("fp_exact"), bagFp(col("text")).as("fp_bag"))
+      .distinct()
+    train
+      .withColumn("fp_exact", exactFp(col("text")))
+      .withColumn("fp_bag", bagFp(col("text")))
+      .join(broadcast(evalFps.select("fp_exact")), Seq("fp_exact"), "left_anti")
+      .join(broadcast(evalFps.select("fp_bag")), Seq("fp_bag"), "left_anti")
+      .drop("fp_exact", "fp_bag")
+  }
+
   /** The composed curation pipeline over a documents table:
     * language gate (stopword-profile langID) → quality gate (token count,
     * stopword ratio) → exact-dedup survivor gate (canonical doc per

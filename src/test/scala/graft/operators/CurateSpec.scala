@@ -73,6 +73,36 @@ class CurateSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 3L))
   }
 
+  test("split assignment is disjoint, exhaustive, and roughly proportional") {
+    val d = (1L to 2000L).toDF("doc_id")
+    val out = Curate.assignSplit(d, col("doc_id"), "s",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.keySet === Set("train", "val", "test"))
+    assert(out.values.sum === 2000L)
+    assert(math.abs(out("train") - 1600) < 120)
+    // reproducible
+    val again = Curate.assignSplit(d, col("doc_id"), "s",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out === again)
+  }
+
+  test("decontaminate drops exact and reordered eval collisions, keeps the rest") {
+    val train = Seq(
+      (1L, "unique training text here"),
+      (2L, "the exact same sentence"),
+      (3L, "beta alpha gamma"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the exact same sentence"), // exact collision with 2
+      (101L, "alpha beta gamma"))        // bag collision with 3
+      .toDF("doc_id", "text")
+    val kept = Curate.decontaminate(train, eval_)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("centroids equal the driver-side per-label mean") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
