@@ -66,6 +66,12 @@ object SparkEntry {
       })
   }
 
+  /** Memoized per sfDir for the JVM lifetime. Assumes the index for a dir
+    * is immutable within one process — true for the bench/verify harness
+    * (testdata is driver-generated, the store rebuilt per JVM). If
+    * in-process regeneration ever becomes possible, key this on
+    * (dir, index snapshot) instead or the cached ids go stale.
+    */
   private object FixtureIds {
     val point = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val multi = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
@@ -322,11 +328,16 @@ object SparkEntry {
         frameBytes = 64, stride = 4)
         .select("doc_id", "frame_no", "n_frames", "frame_md5")
         .orderBy(col("doc_id"), col("frame_no"))),
-    // Stub codec (no image/audio libs here) → no SQL oracle; rows-only check.
+    // The stub codec is deterministic arithmetic over the payload byte
+    // length (all-ASCII text ⇒ octet_length), so even the mapPartitions
+    // decode path gets a full SQL oracle — swap in a real codec and this
+    // reverts to a rows-only check.
     "q_media_decode" -> ((s, dir) =>
       Multimodal.Decode.features(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
-        .select(col("doc_id"), col("mime"), col("width"), col("height"),
-          size(col("features")).as("n_features"))
+        .select(col("doc_id"), col("mime"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          size(col("features")).cast("long").as("n_features"))
         .orderBy(col("doc_id"))),
     // S4/S5 location-key parsing, column-side (plan-resolved, no driver trips)
     "q_location_parse" -> { (s, dir) =>
@@ -923,6 +934,18 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  hex(encode(substring(text, 1, 4))) AS magic_hex,
         |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+        |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |       THEN 16 + (octet_length(encode(text)) % 64) ELSE 0 END
+        |    AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |       THEN 16 + ((octet_length(encode(text)) // 64) % 64) ELSE 0 END
+        |    AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_frames" ->
       """WITH f AS (

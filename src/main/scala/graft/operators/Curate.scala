@@ -27,16 +27,16 @@ object Curate {
     */
   def chunk(docs: DataFrame, windowTokens: Int, strideTokens: Int): DataFrame = {
     require(windowTokens > 0 && strideTokens > 0, "window/stride must be positive")
-    val toks = tokens(col("text"))
-    val n = size(toks)
+    val n = size(col("toks"))
     // start offsets 0, stride, 2·stride, … strictly below n (≥1 chunk for
     // nonempty docs); empty docs yield no chunks. Stride rides in the
-    // sequence step — no 0..n-1 scratch array per row.
+    // sequence step — no 0..n-1 scratch array per row. All references go
+    // through the materialized `toks` column: one tokenization per row.
     val starts = when(n > 0,
       sequence(lit(0), n - 1, lit(strideTokens)))
       .otherwise(array().cast("array<int>"))
     docs
-      .withColumn("toks", toks)
+      .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("chunk_start", explode(starts))
       .withColumn("chunk_no", (col("chunk_start") / strideTokens).cast("long"))
@@ -127,21 +127,24 @@ object Curate {
       minTokens: Long = 10,
       minStopwordRatio: Double = 0.02): DataFrame = {
     import TextAnalysis._
-    // all gate columns derive from one tokenization in one projection —
-    // no joins back onto docs, no repeated token scans
-    val toks = tokens(col("text"))
+    // all gate columns derive from ONE materialized tokenization — the
+    // gates reference the array ~8 times, and an inlined tokenizer would
+    // re-split the text per reference; no joins back onto docs
+    val toks = col("toks")
     def hits(words: Seq[String]) =
       size(filter(toks, t => t.isin(words: _*))).cast("long")
     val nTok = size(toks).cast("double")
-    val gated = docs.select(
-      col("doc_id"),
-      col("text"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      when(nTok > 0, hits(StopwordsEn).cast("double") / nTok)
-        .otherwise(lit(0.0)).as("stopword_ratio"),
-      hits(StopwordsEn).as("en_hits"), hits(StopwordsEs).as("es_hits"),
-      hits(StopwordsDe).as("de_hits"), hits(StopwordsFr).as("fr_hits"))
+    val gated = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        when(nTok > 0, hits(StopwordsEn).cast("double") / nTok)
+          .otherwise(lit(0.0)).as("stopword_ratio"),
+        hits(StopwordsEn).as("en_hits"), hits(StopwordsEs).as("es_hits"),
+        hits(StopwordsDe).as("de_hits"), hits(StopwordsFr).as("fr_hits"))
       .withColumn("guessed_lang",
         when(col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") === 0, lit("und"))
           .when(col("en_hits") >= greatest(col("es_hits"), col("de_hits"), col("fr_hits")), lit("en"))

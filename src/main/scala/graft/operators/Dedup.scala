@@ -66,10 +66,24 @@ object Dedup {
     */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs
+      // tokens materialize in their OWN projection: shingles3's lambda
+      // references the token array ~3·|shingles| times per row, and an
+      // inlined tokenizer expression would re-split the text on every
+      // reference (measured 144 tokenizations/row — a ~10× slowdown on the
+      // whole dedup family). Multi-referenced non-cheap expressions are
+      // exactly what CollapseProject refuses to merge, so the split stays
+      // a single per-row evaluation.
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // the <3-token drop runs on the TOKEN count (equivalent: shingles3
+      // yields n−2 ≥ 1 shingles iff n ≥ 3) and BEFORE the shingle
+      // projection — a `size(sh) > 0` filter on top would be pushed below
+      // the project by Catalyst with the whole shingle expression
+      // substituted in, evaluating the shingling twice per row
+      .filter(size(col("toks")) >= 3)
       // sorted ONCE per document: candidate verification intersects with an
       // allocation-free merge scan instead of a per-pair hash set
-      .select(col("doc_id"), array_sort(shingleSet(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingles3(col("toks")))).as("sh"))
       .cache()
 
   private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame = {
@@ -170,19 +184,44 @@ object Dedup {
       canonicalize: Boolean = false): DataFrame = {
     val sets = shingleSets(docs)
 
-    def cappedPairs(input: DataFrame, cap: Int): DataFrame = {
-      val inv0 = input.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Hot-shingle set for the DF cap, computed over the FULL corpus (all
+    // documents) regardless of canonicalization — under `canonicalize` the
+    // candidate index holds one representative per distinct shingle set,
+    // and a per-representative DF would undercount, capping fewer shingles
+    // than direct mining does. With the corpus-level DF the candidate
+    // discovery is identical either way; the one remaining difference is
+    // intra-group pairs (identical sets), which the canonical path always
+    // emits at jaccard 1.0 even when every shingle of the group is hot —
+    // a strict recall improvement over direct capped mining, documented
+    // here rather than reproduced.
+    def hotShingles(cap: Int): DataFrame =
+      sets.select(explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select("shingle")
+
+    // Length (set-size) filter on the candidate join — J(A,B) ≥ t forces
+    // t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so wildly different-sized
+    // docs can be rejected from the shingle collision itself, before the
+    // distinct and the verification join ever see the pair. The epsilon
+    // keeps the boundary (t·max exactly integral) on the inclusive side —
+    // extra candidates are fine, dropped true pairs are not.
+    def sizeCompatible: Column =
+      least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1e-9)
+
+    def cappedPairs(input: DataFrame, hot: DataFrame): DataFrame = {
+      val inv0 = input.select(
+        col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
       // capped index: pair discovery misses hot shingles, so |A∩B| must
       // come from the FULL sets — a DF cap affects which pairs are
       // considered, never their scores
-      val hot = inv0.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        .select("shingle")
       val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
       val cand = inv
         .as("a")
         .join(inv.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+            sizeCompatible)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       jaccardOf(cand, input).filter(col("jaccard") >= threshold)
@@ -209,19 +248,28 @@ object Dedup {
         .join(dfs, "shingle")
         .withColumn("rn", rn)
         .withColumn("sz", sz)
-        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .select("doc_id", "shingle")
+        // epsilon guard: when t·|A| is mathematically an integer k the
+        // double product can land just above k (0.07·100 → 7.0000000000000007)
+        // and ceil would overshoot to k+1, shortening the prefix below the
+        // Bayardo bound and silently dropping boundary pairs. Nudging down
+        // by 1e-9 can only LENGTHEN the prefix (more candidates, never
+        // fewer), so exactness is preserved.
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+        .select("doc_id", "shingle", "sz")
       val cand = pre
         .as("a")
         .join(pre.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+            sizeCompatible)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       jaccardOf(cand, input).filter(col("jaccard") >= threshold)
     }
 
     val mine: DataFrame => DataFrame = maxShingleDf match {
-      case Some(cap) => cappedPairs(_, cap)
+      case Some(cap) =>
+        val hot = hotShingles(cap)
+        cappedPairs(_, hot)
       case None => prefixPairs
     }
     if (!canonicalize) mine(sets)
@@ -257,14 +305,21 @@ object Dedup {
       // once per document, not once per band per join side
       val banded = input
         .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
-        .select(col("doc_id"), explode(bandSignatures(col("mh"), bands, r)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .select(col("doc_id"), size(col("sh")).as("sz"),
+          explode(bandSignatures(col("mh"), bands, r)).as("bs"))
+        .select(col("doc_id"), col("sz"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
         .cache()
       val cand = banded
         .as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            // J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|): size-incompatible
+            // band collisions can never verify, so dropping them here is
+            // exact and keeps the collision join output near-linear
+            least(col("a.sz"), col("b.sz")).cast("double") >=
+              lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1e-9))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       jaccardOf(cand, input).filter(col("jaccard") >= threshold)

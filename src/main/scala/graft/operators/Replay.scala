@@ -94,8 +94,10 @@ object Replay {
     * different stages union by column name, tolerating stage-specific extra
     * columns (missing ones null-fill).
     */
-  def errorUnion(errors: Seq[DataFrame]): DataFrame =
+  def errorUnion(errors: Seq[DataFrame]): DataFrame = {
+    require(errors.nonEmpty, "errorUnion needs at least one error frame")
     errors.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** J3 singleton short-circuit (resubmitter-api/lib/resubmitter/
     * resubmitter.go:166-201): a blob whose index slice has exactly one row

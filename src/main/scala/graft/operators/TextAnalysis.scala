@@ -34,20 +34,26 @@ object TextAnalysis {
     * counts — deterministic across engines.
     */
   def qualityScores(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokens materialize once in their own projection — the ratios
+    // reference the array ~5 times, and an inlined tokenizer would re-split
+    // the text per reference (CollapseProject keeps multi-referenced
+    // non-cheap expressions un-merged)
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
     val punct = (length(col("text")) - length(translate(col("text"), ".,!?;:", ""))).cast("double")
-    docs.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      when(length(col("text")) > 0, punct / length(col("text")).cast("double"))
-        .otherwise(lit(0.0)).as("punct_ratio"),
-      when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
-      when(nTok > 0,
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
-        .otherwise(lit(0.0)).as("mean_token_len"))
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        when(length(col("text")) > 0, punct / length(col("text")).cast("double"))
+          .otherwise(lit(0.0)).as("punct_ratio"),
+        when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
+        when(nTok > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+          .otherwise(lit(0.0)).as("mean_token_len"))
   }
 
   /** Heuristic language ID: count stopword hits per language over the
@@ -56,10 +62,11 @@ object TextAnalysis {
     * (undetermined) when no list hits at all.
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // one tokenization per row, shared by the four language scorers
     def hits(words: Seq[String]) =
-      size(filter(toks, t => t.isin(words: _*))).cast("long")
+      size(filter(col("toks"), t => t.isin(words: _*))).cast("long")
     docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         hits(StopwordsEn).as("en_hits"),

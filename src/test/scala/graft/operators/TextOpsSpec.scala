@@ -127,6 +127,57 @@ class TextOpsSpec extends SparkSpec {
     assert(naive.nonEmpty || direct.isEmpty) // degenerate-corpus guard
   }
 
+  test("prefix bound survives thresholds whose t·|A| is an exact integer") {
+    // t=0.5 with |A| ∈ {4,6,8,…}: t·|A| is mathematically integral, where
+    // an unguarded ceil of the double product can overshoot and shorten
+    // the prefix below the Bayardo bound. Construct pairs whose jaccard is
+    // exactly t so any dropped boundary candidate shows up as a miss.
+    val d = Seq(
+      (1L, "a b c d e f"), // shingles {abc,bcd,cde,def}
+      (2L, "a b c d x y"), // shares {abc,bcd} of 4 each → J = 2/6 = 1/3
+      (3L, "a b c d e z"), // with 1: shares {abc,bcd,cde} → J = 3/5
+      (4L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    def naive(t: Double) = {
+      val s = d.select(col("doc_id"), TextFunctions.shingleSet(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          TextFunctions.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for (t <- Seq(1.0 / 3.0, 0.5, 0.6)) {
+      val got = Dedup.ngramJaccardPairs(d, t).as[(Long, Long, Double)].collect().toSet
+      assert(got === naive(t), s"threshold $t")
+      assert(got.nonEmpty, s"threshold $t found nothing — fixture broken")
+    }
+  }
+
+  test("canonicalize + maxShingleDf caps by corpus-level document frequency") {
+    // duplicate-heavy corpus: every doc duplicated once. Corpus-level DF
+    // of each shingle is ≥2, so cap=3 with 2 copies of 2 docs sharing a
+    // shingle caps it; a per-representative DF (1 each) would not. The
+    // capped canonical path must equal the capped direct path.
+    val dup = docs.limit(20).unionByName(
+      docs.limit(20).withColumn("doc_id", col("doc_id") + 100000))
+    val direct = Dedup.ngramJaccardPairs(dup, 0.3, maxShingleDf = Some(3))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val canonical = Dedup.ngramJaccardPairs(
+      dup, 0.3, maxShingleDf = Some(3), canonicalize = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // canonical ⊇ direct: it additionally keeps identical-set pairs whose
+    // every shingle is hot (documented recall improvement); all other
+    // pairs agree because the hot set is computed over the full corpus
+    assert(direct.subsetOf(canonical))
+    val extras = canonical -- direct
+    // every extra must be an identical-content pair (jaccard 1 group)
+    val fps = dup.select(col("doc_id"),
+      md5(to_json(TextFunctions.shingleSet(col("text")))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(extras.forall { case (a, b) => fps(a) === fps(b) })
+  }
+
   test("canonicalized miners equal their direct forms on a duplicate-heavy corpus") {
     val dup = docs.limit(20).unionByName(
       docs.limit(20).withColumn("doc_id", col("doc_id") + 100000))
