@@ -293,6 +293,25 @@ object SparkEntry {
           percentile(col("latency_sec"), lit(0.9)).as("p90"),
           percentile(col("latency_sec"), lit(0.99)).as("p99"))
     },
+    // -- event-time operators: sessions / windows / as-of ------------------
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessions.sessionize(Tables(s, dir).events, "6 hours")
+        .orderBy(col("user_id"), col("session_start"))),
+    "q_window_agg" -> ((s, dir) =>
+      graft.streaming.WindowAgg.tumblingCounts(Tables(s, dir).events, "1 day")
+        .orderBy(col("window_start"), col("event_type"))),
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      AsOfJoin.asOf(purchases, clicks,
+        key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts")
+        .orderBy(col("purchase_id"))
+    },
     // -- LLM training-data pipeline: dedup over documents ------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -692,6 +711,39 @@ object SparkEntry {
         |                                     ORDER BY event_id) AS BIGINT) AS pos
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts >= lag(ts) OVER w + INTERVAL 6 HOUR
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM b)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL 6 HOUR AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_window_agg" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        |ORDER BY purchase_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

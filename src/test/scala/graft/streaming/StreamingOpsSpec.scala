@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+/** Event-time operator tests: declarative vs custom-state sessionization
+  * equivalence, genuine Structured Streaming runs of the windowed
+  * aggregation (Complete) and the flatMapGroupsWithState sessionizer
+  * (Append + event-time timeouts), and as-of join edge cases.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val GapMinutes = 360L // 6 hours, matching q_sessionize
+
+  private lazy val events = spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet")
+    .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    .cache()
+
+  private def sessionKey(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("user_id"),
+      r.getAs[Timestamp]("session_start").getTime,
+      r.getAs[Timestamp]("session_end").getTime,
+      r.getAs[Long]("n_events"))
+
+  test("custom-state sessionization equals the session_window form") {
+    val declarative = Sessions.sessionize(events, "6 hours")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(sessionKey).toSet
+    val stateful = Sessions.sessionizeState(events, GapMinutes)
+      .toDF().collect().map(sessionKey).toSet
+    assert(stateful === declarative)
+    assert(declarative.nonEmpty)
+  }
+
+  test("streaming window aggregation (Complete) equals the batch query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-winagg").toString
+    events.orderBy("ts").coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = WindowAgg.tumblingCounts(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), "1 day")
+      .writeStream
+      .format("memory")
+      .queryName("winagg")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("window_start").getTime, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+    val streamed = spark.table("winagg").collect().map(key).toSet
+    val batch = WindowAgg.tumblingCounts(events, "1 day").collect().map(key).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming sessionizer emits exactly the watermark-final sessions") {
+    // chronological thirds as separate files → the file stream delivers
+    // them as successive micro-batches and the event-time watermark
+    // actually advances between batches (a single file would pin it at 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val bounds = Seq("2024-01-11", "2024-01-21")
+    val parts = Seq(
+      events.filter(col("ts") < lit(bounds(0)).cast("timestamp")),
+      events.filter(col("ts") >= lit(bounds(0)).cast("timestamp") &&
+        col("ts") < lit(bounds(1)).cast("timestamp")),
+      events.filter(col("ts") >= lit(bounds(1)).cast("timestamp")))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.orderBy("ts").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5) // distinct mtimes → deterministic file order
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .withWatermark("ts", "0 seconds")
+    val q = Sessions.sessionizeStream(source, GapMinutes)
+      .writeStream
+      .format("memory")
+      .queryName("sess")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("sess").collect().map(sessionKey).toSet
+    val batch = Sessions.sessionizeState(events, GapMinutes).toDF().collect()
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // a session is watermark-final iff a successor event closed it (it is
+    // not its user's last session) or the final watermark (= global max
+    // event time with 0s delay) passed its end
+    val lastPerUser = batch.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(r => r.getAs[Timestamp]("session_end").getTime).max).toMap
+    val expected = batch.filter { r =>
+      val endMicros = r.getAs[Timestamp]("session_end").getTime * 1000L
+      val isLast =
+        r.getAs[Timestamp]("session_end").getTime == lastPerUser(r.getAs[Long]("user_id"))
+      !isLast || endMicros < maxTs
+    }.map(sessionKey).toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+    // nothing phantom: every emission is a true session
+    assert(streamed.subsetOf(batch.map(sessionKey).toSet))
+  }
+
+  test("asOf picks the newest earlier-or-equal right row per key") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")), // after two clicks → newest wins
+      (1L, 11L, t("2024-01-01 08:00:00")), // exactly at a click → matches it
+      (2L, 12L, t("2024-01-01 09:00:00")), // no click for key 2 → nulls
+      (3L, 13L, t("2024-01-01 05:00:00"))) // before key 3's click → nulls
+      .toDF("user_id", "purchase_id", "purchase_ts")
+    val right = Seq(
+      (1L, 100L, t("2024-01-01 07:00:00")),
+      (1L, 101L, t("2024-01-01 08:00:00")),
+      (3L, 102L, t("2024-01-01 06:00:00")))
+      .toDF("user_id", "click_id", "click_ts")
+    val out = AsOfJoin.asOf(left, right, "user_id", "purchase_ts", "click_ts")
+      .orderBy("purchase_id")
+      .select("purchase_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out === Array(
+      (10L, Some(101L)), (11L, Some(101L)), (12L, None), (13L, None)))
+  }
+
+  test("asOf plans one shuffle and no nested-loop join") {
+    val left = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val right = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
+    val plan = AsOfJoin.asOf(left, right, "user_id", "pts", "cts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin")) // union+window, not a join at all
+  }
+}
