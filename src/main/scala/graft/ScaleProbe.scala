@@ -35,8 +35,13 @@ object ScaleProbe {
     val dirs = factors.map { f =>
       val dir = s"$root/x$f"
       Files.createDirectories(Paths.get(dir))
+      // shift user_id per replica too: scaling adds MORE keys at the same
+      // per-key weight (the honest 100× model), so keyed ops (sessions,
+      // as-of, ordering groups) see constant skew, not 8×-heavier users
       val replicated = (0 until f)
-        .map(r => base.withColumn("event_id", col("event_id") + lit(r * 10000000L)))
+        .map(r => base
+          .withColumn("event_id", col("event_id") + lit(r * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 1000000L)))
         .reduce(_.unionByName(_))
       replicated.write.parquet(s"$dir/events.parquet")
       (f, dir)
@@ -71,6 +76,18 @@ object ScaleProbe {
           .filter(col("publish_time") >= lit(T1) &&
             col("publish_time") < lit(T2) && col("broker_id") === "t-purchase")
         operators.Replay.positionalJoin(records, slice, broadcastIndex = true)
+      },
+      // event-time operators: one keyed shuffle each, so ~linear
+      "sessionize (session_window)" -> ((s, d) =>
+        streaming.Sessions.sessionize(Tables(s, d).events, "6 hours")),
+      "as-of join (purchase←click)" -> { (s, d) =>
+        val ev = Tables(s, d).events
+        operators.AsOfJoin.asOf(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts")),
+          key = "user_id", leftTs = "pts", rightTs = "cts")
       })
 
     val sb = new StringBuilder(

@@ -312,6 +312,25 @@ object SparkEntry {
         key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts")
         .orderBy(col("purchase_id"))
     },
+    // Range join: lineitem ship dates probed into overlapping 45-day
+    // promo windows (one per order month) — bucketized, never a
+    // nested-loop range product.
+    "q_range_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val promos = t.orders
+        .select(trunc(to_date(col("o_orderdate")), "month").as("promo_start"))
+        .distinct()
+        .withColumn("promo_end", date_add(col("promo_start"), 45))
+      val ships = t.lineitem
+        .select(to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
+      RangeJoin.datesByBucket(ships, "ship_date", promos,
+        "promo_start", "promo_end", bucketDays = 32)
+        .groupBy(col("promo_start"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("promo_start"))
+    },
     // -- LLM training-data pipeline: dedup over documents ------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -744,6 +763,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      """WITH promos AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS promo_start FROM orders),
+        |p2 AS (SELECT promo_start, promo_start + INTERVAL 45 DAY AS promo_end
+        |       FROM promos)
+        |SELECT promo_start, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM p2 JOIN lineitem
+        |  ON l_shipdate >= promo_start AND l_shipdate < promo_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

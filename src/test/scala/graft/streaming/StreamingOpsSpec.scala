@@ -131,6 +131,24 @@ class StreamingOpsSpec extends SparkSpec {
       (10L, Some(101L)), (11L, Some(101L)), (12L, None), (13L, None)))
   }
 
+  test("range join matches the naive range predicate and plans no nested loop") {
+    import graft.operators.RangeJoin
+    val probe = Seq(0L, 5L, 10L, 31L, 32L, 63L, 64L, 99L).toDF("v")
+    val iv = Seq((0L, 10L, "a"), (5L, 40L, "b"), (32L, 33L, "c"), (90L, 200L, "d"))
+      .toDF("s", "e", "tag")
+    val got = RangeJoin.byBucket(probe, "v", iv, "s", "e", bucketWidth = 32L)
+      .select("v", "tag").as[(Long, String)].collect().toSet
+    val naive = probe.crossJoin(iv)
+      .filter(col("v") >= col("s") && col("v") < col("e"))
+      .select("v", "tag").as[(Long, String)].collect().toSet
+    assert(got === naive)
+    assert(naive.nonEmpty)
+    val plan = RangeJoin.byBucket(probe, "v", iv, "s", "e", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("asOf plans one shuffle and no nested-loop join") {
     val left = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
