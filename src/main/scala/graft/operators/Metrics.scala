@@ -37,6 +37,25 @@ object Metrics {
     val obs = Observation(stage)
     (df.observe(obs, count(lit(1)).as("n_rows"), aggs: _*), obs)
   }
+
+  /** A6 at scale: the reference publishes latency as Prometheus QUANTILE
+    * SUMMARIES with per-quantile rank tolerances — p50±0.05, p90±0.01,
+    * p99±0.001 (common/metrics.go:32,59-63) — not exact order statistics.
+    * The faithful 100-TB form is `approx_percentile` (one mergeable
+    * KLL-style sketch per partition, no global sort): `accuracy` = 10⁴
+    * bounds rank error at 1/accuracy = 10⁻⁴, inside every reference
+    * tolerance. The exact-percentile query (q_latency_metrics) remains
+    * the oracle-checkable contract; this is the operator a cluster runs.
+    */
+  def latencySummaryApprox(
+      lagSeconds: DataFrame,
+      col_ : Column,
+      accuracy: Int = 10000): DataFrame =
+    lagSeconds.agg(
+      count(lit(1)).as("n"),
+      approx_percentile(col_, lit(0.5), lit(accuracy)).as("p50"),
+      approx_percentile(col_, lit(0.9), lit(accuracy)).as("p90"),
+      approx_percentile(col_, lit(0.99), lit(accuracy)).as("p99"))
 }
 
 /** A4: bounded memo for count queries — driver-side, like the reference's

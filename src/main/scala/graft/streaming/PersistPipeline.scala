@@ -306,6 +306,25 @@ object PersistPipeline {
       .parquet(s"$workDir/dead_letter/batch_id=$batchId")
   }
 
+  /** W2's upstream half: an at-least-once broker REDELIVERS messages (the
+    * reference acks only after blob+index success, persistor.go:147-165, so
+    * a crashed instance's batch comes back). Batch-id overwrite makes
+    * same-batch reprocessing idempotent; redelivery into a LATER batch
+    * needs id-level dedup. Streaming: `dropDuplicatesWithinWatermark`
+    * keeps one state entry per id only inside the watermark horizon —
+    * bounded state at any rate, the exact broker-redelivery window
+    * semantics. Batch frames take the plain distinct-by-id.
+    * Compose as `runStream(..., prepare = dedupWithinWatermark(...))`.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String,
+      delay: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   // ---------------------------------------------------------- entry points
 
   private val ran = new ConcurrentHashMap[String, String]()

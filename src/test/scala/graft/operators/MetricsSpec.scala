@@ -10,6 +10,27 @@ import graft.SparkSpec
 class MetricsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx latency summary lands within the reference quantile tolerances (A6)") {
+    // same lag shape as q_latency_metrics, over sf0.001 events
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select((col("ts") / lit(1e9)).as("t")) // raw nanos → seconds scale
+    val mx = ev.agg(max(col("t"))).head().getDouble(0)
+    val lags = ev.select((lit(mx) - col("t")).as("lag")).cache()
+    val approx = Metrics.latencySummaryApprox(lags, col("lag")).head()
+    // reference tolerances are RANK errors (metrics.go:32): the approx
+    // value must sit between the exact quantiles at p∓ε
+    val eps = Map("p50" -> (0.5, 0.05), "p90" -> (0.9, 0.01), "p99" -> (0.99, 0.001))
+    eps.foreach { case (name, (p, e)) =>
+      val bounds = lags.agg(
+        percentile(col("lag"), lit(p - e)).as("lo"),
+        percentile(col("lag"), lit(math.min(p + e, 1.0))).as("hi")).head()
+      val got = approx.getAs[Double](name)
+      assert(got >= bounds.getDouble(0) && got <= bounds.getDouble(1),
+        s"$name=$got outside [${bounds.getDouble(0)}, ${bounds.getDouble(1)}]")
+    }
+    assert(approx.getAs[Long]("n") === 1000L)
+  }
+
   test("CountCache computes a key once and serves hits from the memo (A4)") {
     val cache = new CountCache(10)
     val computes = new AtomicInteger(0)
