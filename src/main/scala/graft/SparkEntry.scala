@@ -352,6 +352,13 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
         .orderBy(col("query_id"), col("rank"))),
+    // Learned-quantizer IVF at nprobe == numCells: an exact full scan by
+    // construction, so the brute-force oracle gates the entire k-means
+    // train + assign + multi-probe machinery (any drift → hash mismatch).
+    "q_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopKKmeans(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5,
+        numCells = 8, iters = 2, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))),
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -839,6 +846,21 @@ object SparkEntry {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // nprobe == numCells ⇒ exact full scan ⇒ identical to the brute-force
+    // top-k contract (same predicate, same k, same tie-break)
+    "q_ivf_kmeans" ->
+      s"""$EmbCte,
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM e JOIN q ON query_id <> e.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_topk_cosine" ->
       s"""$EmbCte,
          |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),

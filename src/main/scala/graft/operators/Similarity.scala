@@ -153,6 +153,115 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("centroid"))
 
+  // ------------------------------------------------- learned IVF (k-means)
+
+  /** Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer
+    * — the learned alternative to the data-independent SRP cells of
+    * [[ivfTopK]] (adapts cell boundaries to the corpus distribution, the
+    * standard FAISS-style IVF training step).
+    *
+    * Every source of nondeterminism is closed so training is reproducible
+    * run-to-run and cluster-to-cluster:
+    *   - init: the k vectors with the smallest h60(vec_id|salt) — a
+    *     deterministic hash sample, no RNG state;
+    *   - assignment: argmax dot(unit-centroid, v), ties to the larger cell
+    *     index — pure per-row arithmetic on plan-time literal centroids;
+    *   - update: per-(cell, dim) sums as DECIMAL(27,8) — exact, hence
+    *     order- and partitioning-independent — then normalized on the
+    *     driver. An emptied cell keeps its previous centroid.
+    *
+    * Per iteration: one narrow pass (k dot folds per row) + one
+    * (cell × dim)-key aggregation shuffle; the driver only ever holds
+    * k×dim doubles. Train on a hash-sample at 100 TB (quantizer quality
+    * needs thousands of vectors per cell, not the full corpus).
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      numCells: Int,
+      iters: Int,
+      salt: String = "ivf"): Array[Array[Double]] = {
+    require(numCells > 0 && iters >= 0, "numCells/iters must be positive")
+    import graft.functions.TextFunctions.h60
+    val init = embeddings
+      .orderBy(h60(concat(col("vec_id").cast("string"), lit(s"|$salt"))), col("vec_id"))
+      .limit(numCells)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = init.map(unit)
+    for (_ <- 0 until iters) {
+      val sums = embeddings
+        .withColumn("cell", nearestCell(col("embedding"), cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v").cast("decimal(27,8)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val c = new Array[Double](cents(cell).length)
+        rows.foreach(r => c(r.getAs[Int]("dim")) = r.getAs[Double]("s") / r.getAs[Long]("n"))
+        next(cell) = unit(c)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Scored (cosine ∝ dot against unit centroids) struct array — shared by
+    * assignment (argmax) and probing (top-nprobe).
+    */
+  private def cellScores(emb: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(typedLit(c.toSeq), emb).as("s"), lit(i).as("i"))
+    }: _*)
+
+  /** Argmax cell for one embedding (struct max: score, then index). */
+  private def nearestCell(emb: Column, cents: Array[Array[Double]]): Column =
+    array_max(cellScores(emb, cents)).getField("i")
+
+  /** IVF top-k with the learned quantizer: corpus rows live in their
+    * nearest-centroid cell; each query probes its `nprobe` best cells
+    * (multi-probe — the standard recall knob) via an equi-join on the cell
+    * id. `nprobe == numCells` degenerates to an exact full scan, which the
+    * spec exploits as a brute-force equality check.
+    */
+  def ivfTopKKmeans(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 16,
+      iters: Int = 2,
+      nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCells, "nprobe must be in [1, numCells]")
+    val cents = kmeansCentroids(embeddings, numCells, iters)
+    val e = withNorm(embeddings).cache()
+    val corpus = e
+      .withColumn("cell", nearestCell(col("embedding"), cents))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("emb_n"), col("nrm").as("nrm_n"))
+    val queries = e
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(reverse(array_sort(cellScores(col("embedding"), cents))), 1, nprobe),
+          s => s.getField("i"))).as("cell"),
+        col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs via SRP-LSH banding: planes
     * [0, bands·rowsPerBand) are split into `bands` bands of `rowsPerBand`
     * sign bits; vector pairs colliding in any band become candidates and

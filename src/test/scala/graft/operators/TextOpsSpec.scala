@@ -101,6 +101,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("k-means quantizer trains deterministically and full-probe IVF equals brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val c1 = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
+    val c2 = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq) // bit-identical runs
+    assert(c1.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val brute = keys(Similarity.bruteForceTopK(emb, col("vec_id") % 20 === 0, 5))
+    // probing every cell is an exact full scan → identical ranking
+    val full = keys(Similarity.ivfTopKKmeans(
+      emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 8))
+    assert(full === brute)
+    // partial probe: valid subset semantics and a sane recall floor
+    val probed = Similarity.ivfTopKKmeans(
+      emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3)
+    val recall = keys(probed).intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 $recall suspiciously low")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("nearDupPairs contains no false positives and no self/inverted pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.nearDupPairs(emb, 0.3).collect()
