@@ -29,6 +29,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet ships TIMESTAMP(NANOS); read as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // engine-level index-contract rewrites (see graft.plans.MetaKeyRewrite)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(shufflePartitions: Int = 32): SparkSession = {

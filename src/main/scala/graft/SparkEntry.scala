@@ -331,6 +331,14 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
         .orderBy(col("promo_start"))
     },
+    // Sequence packing: chunks laid out in global order, cut into
+    // 512-token training bins via the distributed prefix sum.
+    "q_pack" -> ((s, dir) =>
+      Curate.pack(Curate.chunk(Tables(s, dir).documents, 50, 30), 512)
+        .orderBy(col("doc_id"), col("chunk_no"))),
+    // Key-skew heavy hitters over the events stream (salting planner input).
+    "q_key_skew" -> ((s, dir) =>
+      Diagnostics.heavyHitters(Tables(s, dir).events, col("user_id"), 20)),
     // -- LLM training-data pipeline: dedup over documents ------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -959,6 +967,30 @@ object SparkEntry {
          |       n_tokens
          |FROM st WHERE s % 30 = 0
          |ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_pack" ->
+      s"""$ToksCte,
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |      FROM toks WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n_tokens,
+         |       unnest(range(0, n_tokens)) AS s FROM c),
+         |ch AS (SELECT doc_id, s // 30 AS chunk_no,
+         |              least(n_tokens - s, 50) AS chunk_tokens
+         |       FROM st WHERE s % 30 = 0),
+         |o AS (SELECT doc_id, chunk_no, chunk_tokens,
+         |             CAST(COALESCE(sum(chunk_tokens) OVER (
+         |               ORDER BY doc_id, chunk_no
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               AS BIGINT) AS token_start
+         |      FROM ch)
+         |SELECT doc_id, chunk_no, chunk_tokens, token_start,
+         |       CAST(token_start // 512 AS BIGINT) AS bin_id
+         |FROM o ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT key, n, n_total,
+        |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1'), 1, 15)

@@ -115,6 +115,54 @@ object Curate {
       .drop("fp_exact", "fp_bag")
   }
 
+  /** Sequence packing — the pretraining "concat-and-split" layout: lay all
+    * chunks out in the global (doc_id, chunk_no) order, accumulate token
+    * counts, and cut a training sequence (bin) every `windowTokens`. Each
+    * chunk reports its global token offset and the bin its first token
+    * lands in.
+    *
+    * The global running sum is the interesting part at scale: a bare
+    * `sum() OVER (ORDER BY …)` with no partition key collapses to ONE
+    * task. This is the classic distributed prefix sum instead:
+    * range-repartition + in-partition sort (a normal distributed sort),
+    * one tiny pass collecting per-partition token totals (numPartitions
+    * longs to the driver), then a per-partition scan that starts from the
+    * broadcast exclusive offset. Two linear passes, no global
+    * serialization point. (The genuine per-partition-imperative case —
+    * `mapPartitionsWithIndex` — per SURVEY §7.3's "last resort" clause.)
+    */
+  def pack(chunks: DataFrame, windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val ordered = chunks
+      .select(col("doc_id"), col("chunk_no"), col("chunk_tokens"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("doc_id"), col("chunk_no"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_no"))
+      // the offset pass and the emit pass MUST see identical partitioning
+      // (range boundaries come from sampling); the persist pins it for the
+      // returned frame's lifetime — do not unpersist before consumption
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = ordered.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator.single(pid -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    ordered.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var run = offsetsB.value(pid)
+        it.map { case (doc, cno, tok) =>
+          val start = run
+          run += tok
+          (doc, cno, tok, start, start / windowTokens)
+        }
+      }
+      .toDF("doc_id", "chunk_no", "chunk_tokens", "token_start", "bin_id")
+  }
+
   /** The composed curation pipeline over a documents table:
     * language gate (stopword-profile langID) → quality gate (token count,
     * stopword ratio) → exact-dedup survivor gate (canonical doc per

@@ -58,6 +58,42 @@ class CurateSpec extends SparkSpec {
     assert(order("e0") !== (1L to 100L).toSeq) // actually shuffled
   }
 
+  test("pack equals the single-task window prefix sum (distributed prefix sum is exact)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = Curate.chunk(real, 50, 30)
+    val packed = Curate.pack(chunks, 512)
+      .orderBy("doc_id", "chunk_no")
+      .select("doc_id", "chunk_no", "chunk_tokens", "token_start", "bin_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // ground truth: the keyless window form (fine at spec scale, the
+    // single-task bottleneck pack() exists to avoid)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id", "chunk_no")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val truth = chunks
+      .withColumn("token_start", coalesce(sum(col("chunk_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("token_start") / 512).cast("long"))
+      .orderBy("doc_id", "chunk_no")
+      .select("doc_id", "chunk_no", "chunk_tokens", "token_start", "bin_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed === truth)
+    assert(packed.nonEmpty)
+    // run-to-run determinism despite range-sampling partitioning
+    val again = Curate.pack(chunks, 512)
+      .orderBy("doc_id", "chunk_no")
+      .select("doc_id", "chunk_no", "chunk_tokens", "token_start", "bin_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again === packed)
+  }
+
+  test("heavyHitters ranks keys by count with exact shares") {
+    import graft.operators.Diagnostics
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Diagnostics.heavyHitters(df, col("k"), 2)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out === Array(("a", 6L, 10L, 0.6), ("b", 3L, 10L, 0.3)))
+  }
+
   test("curated keeps one canonical doc per duplicate group, gated by lang/quality") {
     val base = "the cat is on the mat and the dog is in the house"
     val d = Seq(

@@ -122,6 +122,30 @@ class QueryServiceSpec extends SparkSpec {
     assert(!"ReadSchema: [^\\n]*location_key".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("engine-level MetaKeyRewrite pushes a raw map probe into the scan") {
+    // no QueryService: a raw DataFrame predicate on the map column, the
+    // query a user who never read the materialization convention writes
+    val dir = java.nio.file.Files.createTempDirectory("graft-extrule").toString
+    index.write.parquet(s"$dir/index")
+    val raw = spark.read.parquet(s"$dir/index")
+      .filter(element_at(col("additional_metadata"), "k") >= "50")
+      .select("unique_id")
+    val optimized = raw.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("meta_k"), optimized)
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(meta_k,50)"), plan)
+    // semantics unchanged vs the unrewritable form (map probe post-scan)
+    val expected = index.filter(col("meta_k") >= "50")
+      .select("unique_id").collect().map(_.getString(0)).sorted
+    assert(raw.collect().map(_.getString(0)).sorted === expected)
+    // no meta_<key> sibling in scope → the rule must leave the probe alone
+    val unrewritable = spark.read.parquet(s"$dir/index")
+      .drop("meta_k")
+      .filter(element_at(col("additional_metadata"), "k") >= "50")
+      .select("unique_id")
+    assert(unrewritable.collect().map(_.getString(0)).sorted === expected)
+  }
+
   test("countInIntervalCached memoizes through the process-wide cache (A4)") {
     val n1 = svc.countInIntervalCached(
       ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00"), "b1")
