@@ -339,6 +339,11 @@ object SparkEntry {
     // Key-skew heavy hitters over the events stream (salting planner input).
     "q_key_skew" -> ((s, dir) =>
       Diagnostics.heavyHitters(Tables(s, dir).events, col("user_id"), 20)),
+    "q_token_bpe" -> ((s, dir) =>
+      TextAnalysis.tokenCountsBpe(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables(s, dir).documents)
+        .orderBy(col("doc_id"), col("fp"))),
     // -- LLM training-data pipeline: dedup over documents ------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -991,6 +996,29 @@ object SparkEntry {
         |SELECT key, n, n_total,
         |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin,
+    "q_token_bpe" ->
+      s"""$ToksCte
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_whitespace,
+         |       CAST(len(regexp_extract_all(lower(text),
+         |                                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |         AS BIGINT) AS n_bpeish
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, len(text) AS n, text,
+        |         unnest(range(1, len(text) - 5 + 2)) AS pos
+        |  FROM documents WHERE len(text) >= 8),
+        |h AS (SELECT doc_id, n, pos,
+        |             CAST('0x' || substr(md5(substr(text, CAST(pos AS INT), 5)), 1, 15)
+        |                  AS BIGINT) AS h
+        |      FROM g),
+        |m AS (SELECT doc_id, pos, n,
+        |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM h)
+        |SELECT DISTINCT doc_id, fp FROM m
+        |WHERE pos <= n - 5 + 1 - 3
+        |ORDER BY doc_id, fp""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1'), 1, 15)

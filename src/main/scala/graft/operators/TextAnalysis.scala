@@ -98,6 +98,50 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
 
+  /** BPE-ish token counting: a tokenizer-shaped regex (letter runs, digit
+    * runs, single punctuation marks — the class structure GPT-style BPE
+    * pre-tokenizers split on) counted per document, alongside the
+    * whitespace count. The engine-portable subset of regex (ASCII classes,
+    * alternation) evaluates identically under Java regex and RE2, so the
+    * oracle replays it with `regexp_extract_all`.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def tokenCountsBpe(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_whitespace"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish"))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * rolling-hash scheme): hash every char `k`-gram, slide a window of
+    * `w` consecutive hashes, keep each window's minimum, emit the distinct
+    * mins. Guarantees any shared substring of length ≥ k + w − 1 yields a
+    * shared fingerprint — the local-similarity detector that whole-text
+    * hashing cannot provide. One explode (n−k+1 rows per doc) + one
+    * per-doc window pass; fingerprint density ≈ 2/(w+1) of positions.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k/w must be positive")
+    // fully per-row: a document's fingerprint set never needs another
+    // row, so the k-gram hashes, the sliding window minima, and the
+    // per-doc dedup all run as array HOFs inside one narrow projection —
+    // ZERO shuffles (an explode + per-doc window + global distinct would
+    // pay two). The hash array materializes in its own projection (the
+    // window lambda references it per element — see the HOF-inlining note
+    // in CLAUDE.md).
+    docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text")) - k + 1),
+          i => h60(col("text").substr(i, lit(k)))).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - w + 1),
+            i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+  }
+
   /** Content fingerprints: h60 of the full normalized text (exact-content
     * identity) and md5 of the sorted distinct-token bag (order-insensitive
     * identity) — the lookup keys for dedup joins.

@@ -241,6 +241,32 @@ class TextOpsSpec extends SparkSpec {
     assert(d(1) === None)
   }
 
+  test("bpe-ish token counting splits letter runs, digit runs, and punctuation") {
+    // "It's 42 red-ish apples!" lower→ letters{it,s,red,ish,apples} digits{42}
+    // punct{' - !} → 5 + 1 + 3 = 9; whitespace tokens = 4
+    val d = Seq((1L, "It's 42 red-ish apples!")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCountsBpe(d).head()
+    assert(out.getAs[Long]("n_whitespace") === 4L)
+    assert(out.getAs[Long]("n_bpeish") === 9L)
+  }
+
+  test("winnowing guarantees a shared fingerprint for shared substrings >= k+w-1") {
+    // docs share the 20-char substring; winnowing with k=5,w=4 must give
+    // them at least one common fingerprint, while unrelated docs share none
+    val shared = "the quick brown fox!"
+    val d = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"XXXXXX $shared YYYY"),
+      (3L, "completely different content 123"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // density sanity: far fewer fingerprints than positions
+    assert(fps(1L).size < shared.length + 10)
+  }
+
   test("languageId falls back to und when no stopword list hits") {
     val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(d).orderBy("doc_id")
