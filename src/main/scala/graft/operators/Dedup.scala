@@ -255,12 +255,24 @@ object Dedup {
         // by 1e-9 can only LENGTHEN the prefix (more candidates, never
         // fewer), so exactness is preserved.
         .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-        .select("doc_id", "shingle", "sz")
+        .select("doc_id", "shingle", "sz", "rn")
+      // PPJoin positional filter (Xiao et al., WWW'08): at a collision on
+      // the same shingle at ranks (i, j) of the common global order, the
+      // shared shingles before it number ≤ min(i−1, j−1) and after it
+      // ≤ min(|A|−i, |B|−j), so overlap ≤ min(i,j) + min(|A|−i, |B|−j).
+      // J ≥ t needs overlap ≥ α = ⌈t·(|A|+|B|)/(1+t)⌉; the bound holds at
+      // EVERY collision, so every collision of a true pair passes —
+      // dropping failing collisions prunes only false candidates (exact).
+      val alpha = ceil(
+        lit(threshold) / (1.0 + threshold) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+      val positional =
+        least(col("a.rn"), col("b.rn")) +
+          least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >= alpha
       val cand = pre
         .as("a")
         .join(pre.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-            sizeCompatible)
+            sizeCompatible && positional)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       jaccardOf(cand, input).filter(col("jaccard") >= threshold)
