@@ -312,6 +312,21 @@ object SparkEntry {
         key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts")
         .orderBy(col("purchase_id"))
     },
+    // Interval join (batch mode of the stream-stream operator): every
+    // click within 1 day before each purchase by the same user.
+    "q_recent_context" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      graft.streaming.StreamJoin.withRecentContext(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts",
+        lookback = "1 day")
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
     // Range join: lineitem ship dates probed into overlapping 45-day
     // promo windows (one per order month) — bucketized, never a
     // nested-loop range product.
@@ -783,6 +798,16 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_recent_context" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 DAY
+        |  AND c.click_ts <= p.purchase_ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q_range_join" ->
       """WITH promos AS (
         |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)

@@ -109,6 +109,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch.map(sessionKey).toSet))
   }
 
+  test("stream-stream interval join equals the batch range join on drained input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    val bounds = Seq("2024-01-11", "2024-01-21")
+    def thirds(df: org.apache.spark.sql.DataFrame) = Seq(
+      df.filter(col("ts") < lit(bounds(0)).cast("timestamp")),
+      df.filter(col("ts") >= lit(bounds(0)).cast("timestamp") &&
+        col("ts") < lit(bounds(1)).cast("timestamp")),
+      df.filter(col("ts") >= lit(bounds(1)).cast("timestamp")))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    Seq("p" -> purchases, "c" -> clicks).foreach { case (tag, df) =>
+      thirds(df).zipWithIndex.foreach { case (part, i) =>
+        part.orderBy("ts").coalesce(1).write.parquet(s"$dir/$tag/f$i")
+        Thread.sleep(5)
+      }
+    }
+    def stream(tag: String, tsName: String) = {
+      val schema = spark.read.parquet(s"$dir/$tag/f0").schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/$tag/*").withColumnRenamed("ts", tsName)
+    }
+    val q = StreamJoin.withRecentContext(
+      stream("p", "purchase_ts"), stream("c", "click_ts"),
+      key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts",
+      lookback = "1 day")
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    val batch = StreamJoin.withRecentContext(
+      purchases.withColumnRenamed("ts", "purchase_ts"),
+      clicks.withColumnRenamed("ts", "click_ts"),
+      key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts",
+      lookback = "1 day")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming redelivery dedup suppresses duplicate ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val parts = Seq(
