@@ -88,6 +88,15 @@ object ScaleProbe {
           ev.filter(col("event_type") === "click")
             .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts")),
           key = "user_id", leftTs = "pts", rightTs = "cts")
+      },
+      "interval join (1-day lookback)" -> { (s, d) =>
+        val ev = Tables(s, d).events
+        streaming.StreamJoin.withRecentContext(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts")),
+          key = "user_id", leftTs = "pts", rightTs = "cts", lookback = "1 day")
       })
 
     val sb = new StringBuilder(
@@ -121,6 +130,11 @@ object ScaleProbe {
     sb.append("| persist pipeline (K1/K4/T7/K3) | " +
       pipelineTimes.map(t => f"$t%.2f").mkString(" | ") + " | " +
       f"${pipelineTimes.last / pipelineTimes.head}%.1f |\n")
+    val throughputs = rowCounts.zip(pipelineTimes).map { case (n, t) => n / t }
+    sb.append("| pipeline msg/s (reference envelope: ~167/s per instance, " +
+      "BASELINE.md §A) | " +
+      throughputs.map(t => f"$t%.0f").mkString(" | ") + " | " +
+      f"${throughputs.last / throughputs.head}%.1f |\n")
 
     ops.foreach { case (name, op) =>
       val times = dirs.map { case (_, d) =>
