@@ -187,6 +187,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batchDeduped.count() === original.size)
   }
 
+  test("compaction consolidates micro-batch small files, preserving content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate 10 micro-batches: each writes its own batch_id slice with
+    // per-broker files — 10 batches × 3 brokers of tiny files
+    val base = events
+      .select(col("event_id"), col("ts"),
+        concat(lit("b"), (col("user_id") % 3).cast("string")).as("broker_id"),
+        (col("event_id") % 10).as("batch_id"))
+    base.write.partitionBy("batch_id", "broker_id").parquet(s"$dir/store")
+    def parquetFiles(p: String) = {
+      val root = java.nio.file.Paths.get(p)
+      val files = java.nio.file.Files.walk(root).iterator()
+      Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val before = parquetFiles(s"$dir/store")
+    assert(before >= 30) // ≥ one file per (batch, broker)
+
+    Maintenance.compact(spark, s"$dir/store", s"$dir/compacted",
+      partitionCols = Seq("broker_id"), orderCol = "event_id",
+      targetRows = 200L, dropCols = Seq("batch_id"))
+    val after = parquetFiles(s"$dir/compacted")
+    val compacted = spark.read.parquet(s"$dir/compacted")
+    val nRows = compacted.count()
+    // ceil(n/target) files per broker, far fewer than before
+    val expectedFiles = compacted.groupBy("broker_id").count()
+      .collect().map(r => ((r.getLong(1) + 199) / 200).toInt).sum
+    assert(after === expectedFiles, s"files before=$before after=$after")
+    assert(after < before / 3)
+    // content preserved (batch_id deliberately dropped by selection)
+    val a = compacted.select("event_id", "broker_id")
+      .as[(Long, String)].collect().sorted
+    val b = base.select("event_id", "broker_id")
+      .as[(Long, String)].collect().sorted
+    assert(a === b && nRows === b.length)
+  }
+
   test("asOf picks the newest earlier-or-equal right row per key") {
     def t(s: String) = Timestamp.valueOf(s)
     val left = Seq(
