@@ -74,14 +74,14 @@ object Sessions {
     t
   }
 
-  private def close(userId: Long, s: OpenSession, gapMicros: Long): Session =
+  private[streaming] def close(userId: Long, s: OpenSession, gapMicros: Long): Session =
     Session(userId, ts(s.startMicros), ts(s.lastMicros + gapMicros), s.n)
 
   /** Fold a time-sorted run of event times into the open session,
     * emitting every session closed by a successor. Returns (closed
     * sessions in order, final open session).
     */
-  private def fold(
+  private[streaming] def fold(
       userId: Long,
       open: Option[OpenSession],
       sorted: Iterator[Long],

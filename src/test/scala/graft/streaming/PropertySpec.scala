@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Randomized (seeded) property checks of the pure cores the operators
+  * rest on: the incremental session fold against a naive specification
+  * under arbitrary split points, and the h60 portable hash's
+  * JVM/Catalyst agreement (every DuckDB oracle comparison in the suite
+  * rests on that equality).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session fold matches the naive gap-split spec on 200 random inputs") {
+    val rnd = new scala.util.Random(3L)
+    for (_ <- 1 to 200) {
+      val gap = rnd.nextLong(49L) + 1
+      val sorted = Seq.fill(rnd.nextInt(40))(rnd.nextLong(500L)).sorted
+      // naive spec: walk sorted times, split where the gap is reached
+      val naive = sorted.foldLeft(List.empty[List[Long]]) {
+        case (acc, t) =>
+          acc match {
+            case cur :: rest if t - cur.last < gap => (cur :+ t) :: rest
+            case _ => List(t) :: acc
+          }
+      }.reverse.map(run => (run.head, run.last + gap, run.length.toLong))
+      val (closed, open) = Sessions.fold(1L, None, sorted.iterator, gap)
+      val folded = (closed ++ open.map(Sessions.close(1L, _, gap)))
+        .map(s => (micros(s.session_start), micros(s.session_end), s.n_events))
+      assert(folded === naive, s"gap=$gap times=$sorted")
+    }
+  }
+
+  test("session fold is incremental: any split point gives the same sessions") {
+    val rnd = new scala.util.Random(5L)
+    for (_ <- 1 to 200) {
+      val gap = rnd.nextLong(49L) + 1
+      val sorted = Seq.fill(rnd.nextInt(40))(rnd.nextLong(500L)).sorted
+      val k = if (sorted.isEmpty) 0 else rnd.nextInt(sorted.length + 1)
+      val (a, b) = sorted.splitAt(k)
+      val (c1, o1) = Sessions.fold(1L, None, a.iterator, gap)
+      val (c2, o2) = Sessions.fold(1L, o1, b.iterator, gap)
+      val (cAll, oAll) = Sessions.fold(1L, None, sorted.iterator, gap)
+      assert(c1 ++ c2 === cAll, s"gap=$gap k=$k times=$sorted")
+      assert(o2 === oAll)
+    }
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+
+  test("h60 column expression equals the JVM-side hash on random ASCII strings") {
+    val rnd = new scala.util.Random(7L)
+    val strings = Seq.fill(200)(
+      rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString) :+ "" :+ "a b  c"
+    val fromSpark = strings.toDF("s")
+      .select(col("s"), TextFunctions.h60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strings.foreach { s =>
+      assert(fromSpark(s) === TextFunctions.h60Jvm(s), s"h60 mismatch for '$s'")
+    }
+  }
+
+  test("range join equals the naive scan across random interval sets and widths") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(11L)
+    val probes = Seq.fill(300)(rnd.nextLong(1000L)).toDF("v")
+    val ivs = Seq.fill(60) {
+      val s = rnd.nextLong(1000L)
+      (s, s + 1 + rnd.nextLong(200L), rnd.nextInt(1000000))
+    }.toDF("s", "e", "tag")
+    val naive = probes.crossJoin(ivs)
+      .filter(col("v") >= col("s") && col("v") < col("e"))
+      .select("v", "tag").as[(Long, Int)].collect().sorted.toSeq
+    for (width <- Seq(1L, 7L, 64L, 1024L)) {
+      val got = RangeJoin.byBucket(probes, "v", ivs, "s", "e", width)
+        .select("v", "tag").as[(Long, Int)].collect().sorted.toSeq
+      assert(got === naive, s"bucketWidth=$width")
+    }
+    assert(naive.nonEmpty)
+  }
+}
