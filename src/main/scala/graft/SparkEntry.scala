@@ -356,6 +356,12 @@ object SparkEntry {
       Diagnostics.heavyHitters(Tables(s, dir).events, col("user_id"), 20)),
     "q_token_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCountsBpe(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // Stratified training-mix sampling: per-language keep rates.
+    "q_sample_stratified" -> ((s, dir) =>
+      Curate.sampleStratified(Tables(s, dir).documents, col("doc_id"), col("lang"),
+        Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1), "mix1")
+        .select("doc_id", "lang")
+        .orderBy(col("doc_id"))),
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(Tables(s, dir).documents)
         .orderBy(col("doc_id"), col("fp"))),
@@ -1044,6 +1050,13 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= n - 5 + 1 - 3
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 15)
+        |           AS BIGINT) % 10000
+        |      < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
+        |                  WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1'), 1, 15)

@@ -62,6 +62,28 @@ object Curate {
         < lit(math.round(frac * 10000).toInt))
   }
 
+  /** Stratified deterministic sampling: each stratum (language, source,
+    * quality bucket …) keeps its own fraction — the training-mix
+    * balancing step. Same hash-gate as [[sampleByHash]] per stratum, so
+    * the sample is reproducible, engine-portable, and a stratum's sample
+    * is a SUPERSET of the same stratum at any lower fraction (nested
+    * samples for ablations). Strata absent from `fractions` drop out.
+    * Pure per-row filter — no shuffle, no per-stratum passes.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      salt: String): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
+    val bucket = pmod(h60(concat(key.cast("string"), lit("|"), lit(salt))), lit(10000))
+    val cut = fractions.foldLeft(lit(-1): Column) { case (acc, (name, f)) =>
+      when(stratum === name, lit(math.round(f * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(bucket < cut)
+  }
+
   /** Deterministic global shuffle order for training: a pseudo-random but
     * reproducible sort key per row. Materialized as a column — the
     * consumer's `orderBy(shuffle_key)` is then an honest range-partitioned

@@ -128,9 +128,9 @@ object TextAnalysis {
     // row, so the k-gram hashes, the sliding window minima, and the
     // per-doc dedup all run as array HOFs inside one narrow projection —
     // ZERO shuffles (an explode + per-doc window + global distinct would
-    // pay two). The hash array materializes in its own projection (the
-    // window lambda references it per element — see the HOF-inlining note
-    // in CLAUDE.md).
+    // pay two). The hash array materializes in its own projection: the
+    // window lambda references it once per element, and an inlined
+    // expression would re-hash every k-gram per reference.
     docs
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),

@@ -86,6 +86,23 @@ class CurateSpec extends SparkSpec {
     assert(again === packed)
   }
 
+  test("stratified sampling keeps per-stratum rates, nests, and drops unknown strata") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def ids(fr: Map[String, Double]) =
+      Curate.sampleStratified(real, col("doc_id"), col("lang"), fr, "mix1")
+        .select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("en" -> 0.5))
+    val fifth = ids(Map("en" -> 0.2))
+    assert(fifth.subsetOf(half)) // nested samples
+    val mixed = Curate.sampleStratified(real, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 1.0), "mix1")
+    val langs = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(langs.keySet === Set("en", "de")) // zh/es/fr dropped
+    assert(langs("de") === real.filter(col("lang") === "de").count()) // frac 1.0 keeps all
+    val enTotal = real.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(langs("en") / enTotal - 0.5) < 0.15) // rate ≈ frac
+  }
+
   test("heavyHitters ranks keys by count with exact shares") {
     import graft.operators.Diagnostics
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
