@@ -109,6 +109,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch.map(sessionKey).toSet))
   }
 
+  test("stateful sessionizer recovers from checkpoint across restart, no loss or dup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessrec").toString
+    val bounds = Seq("2024-01-11", "2024-01-21")
+    val parts = Seq(
+      events.filter(col("ts") < lit(bounds(0)).cast("timestamp")),
+      events.filter(col("ts") >= lit(bounds(0)).cast("timestamp") &&
+        col("ts") < lit(bounds(1)).cast("timestamp")),
+      events.filter(col("ts") >= lit(bounds(1)).cast("timestamp")))
+    def writePart(i: Int): Unit = {
+      parts(i).orderBy("ts").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = parts.head.schema
+    def runOnce(): Unit = {
+      val source = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/in/*")
+        .withWatermark("ts", "0 seconds")
+      val q = Sessions.sessionizeStream(source, GapMinutes)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/checkpoint")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    writePart(0)
+    runOnce() // first incarnation sees only f0, then "crashes" (stop)
+    writePart(1); writePart(2)
+    runOnce() // second incarnation resumes from the checkpointed state
+
+    val streamed = spark.read.parquet(s"$dir/out").collect().map(sessionKey).toSeq
+    assert(streamed.distinct.size === streamed.size, "duplicated session emissions")
+    // identical expected set as an uninterrupted run: watermark-final sessions
+    val batch = Sessions.sessionizeState(events, GapMinutes).toDF().collect()
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val lastPerUser = batch.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(r => r.getAs[Timestamp]("session_end").getTime).max).toMap
+    val expected = batch.filter { r =>
+      val endMicros = r.getAs[Timestamp]("session_end").getTime * 1000L
+      val isLast =
+        r.getAs[Timestamp]("session_end").getTime == lastPerUser(r.getAs[Long]("user_id"))
+      !isLast || endMicros < maxTs
+    }.map(sessionKey).toSet
+    assert(streamed.toSet === expected)
+  }
+
   test("stream-stream interval join equals the batch range join on drained input") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
     val bounds = Seq("2024-01-11", "2024-01-21")
