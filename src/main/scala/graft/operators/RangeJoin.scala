@@ -37,11 +37,17 @@ object RangeJoin {
     val overlap = probe.columns.intersect(intervals.columns)
     require(overlap.isEmpty, s"overlapping columns: ${overlap.mkString(",")}")
 
-    val iv = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        // end is exclusive: the last covered bucket holds end − 1
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    val iv = intervals
+      // empty intervals ([e, s] with e ≤ s) match nothing — and must be
+      // dropped BEFORE the bucket explode: sequence(a, b) with a > b
+      // generates a DESCENDING range, which would fabricate buckets for
+      // an interval that covers none
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bucket",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth).cast("long"),
+          // end is exclusive: the last covered bucket holds end − 1
+          floor((col(endCol) - 1) / bucketWidth).cast("long"))))
     probe
       .withColumn("_bucket", floor(col(valCol) / bucketWidth).cast("long"))
       .join(iv, "_bucket")

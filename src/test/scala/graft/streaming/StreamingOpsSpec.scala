@@ -300,6 +300,9 @@ class StreamingOpsSpec extends SparkSpec {
     val probe = Seq(0L, 5L, 10L, 31L, 32L, 63L, 64L, 99L).toDF("v")
     val iv = Seq((0L, 10L, "a"), (5L, 40L, "b"), (32L, 33L, "c"), (90L, 200L, "d"))
       .toDF("s", "e", "tag")
+    val empty = Seq((10L, 10L, "z"), (20L, 5L, "y")).toDF("s", "e", "tag")
+    assert(RangeJoin.byBucket(probe, "v", iv.unionByName(empty), "s", "e", 32L)
+      .filter(col("tag").isin("z", "y")).count() === 0L)
     val got = RangeJoin.byBucket(probe, "v", iv, "s", "e", bucketWidth = 32L)
       .select("v", "tag").as[(Long, String)].collect().toSet
     val naive = probe.crossJoin(iv)
