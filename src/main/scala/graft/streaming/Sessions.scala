@@ -86,22 +86,34 @@ object Sessions {
       open: Option[OpenSession],
       sorted: Iterator[Long],
       gapMicros: Long): (List[Session], Option[OpenSession]) = {
-    var cur = open
-    val out = List.newBuilder[Session]
+    // 1. fold the (sorted) batch into disjoint bursts ≥ gap apart
+    val bursts = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
     sorted.foreach { m =>
-      cur match {
-        case Some(s) if m - s.lastMicros < gapMicros =>
-          // out-of-order within the watermark: an event may land inside
-          // the open session but before lastMicros — extend, don't regress
-          cur = Some(s.copy(lastMicros = math.max(s.lastMicros, m), n = s.n + 1))
-        case Some(s) =>
-          out += close(userId, s, gapMicros)
-          cur = Some(OpenSession(m, m, 1))
-        case None =>
-          cur = Some(OpenSession(m, m, 1))
+      bursts.lastOption match {
+        case Some(b) if m - b.lastMicros < gapMicros =>
+          bursts(bursts.length - 1) =
+            OpenSession(b.startMicros, math.max(b.lastMicros, m), b.n + 1)
+        case _ => bursts += OpenSession(m, m, 1)
       }
     }
-    (out.result(), cur)
+    // 2. interval-merge the carried open session (it may regress earlier
+    // than this batch's first event, or bridge several bursts) — a
+    // general sorted merge, so cross-batch disorder inside the
+    // state+batch scope resolves exactly
+    val all = (bursts ++ open).sortBy(b => (b.startMicros, b.lastMicros))
+    val merged = all.foldLeft(List.empty[OpenSession]) { (acc, b) =>
+      acc match {
+        case h :: t if b.startMicros - h.lastMicros < gapMicros =>
+          OpenSession(h.startMicros, math.max(h.lastMicros, b.lastMicros), h.n + b.n) :: t
+        case _ => b :: acc
+      }
+    }.reverse
+    // every non-final burst has a successor ≥ gap later → final; the last
+    // stays open for the next batch / the timeout
+    merged match {
+      case Nil => (Nil, None)
+      case _ => (merged.init.map(close(userId, _, gapMicros)), Some(merged.last))
+    }
   }
 
   /** Batch form of the custom-state operator: one pass per user, state
@@ -123,10 +135,15 @@ object Sessions {
   }
 
   /** Streaming form: the same fold as incremental state transitions.
-    * Emits a session when its successor event arrives (the session is
-    * final for ordered-within-watermark input) or when the event-time
-    * watermark passes its end (timeout). Requires `withWatermark` on the
-    * input; Append output mode.
+    * Emits a session when a successor ≥ gap later arrives, or when the
+    * event-time watermark passes its end (timeout). Disorder WITHIN the
+    * state + current batch scope resolves exactly (the fold is a general
+    * interval merge — late events regress the open session's start or
+    * bridge bursts); the append-mode caveat is emission finality: once a
+    * session emits, an even-later-arriving event older than it starts a
+    * fresh session instead of amending — pick the watermark delay to
+    * cover the source's disorder, the standard Append-mode contract.
+    * Requires `withWatermark` on the input.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Long): Dataset[Session] = {
     val spark = events.sparkSession
@@ -150,8 +167,12 @@ object Sessions {
             open match {
               case Some(s) =>
                 state.update(s)
-                // fire when the watermark passes the session end
-                state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
+                // fire when the watermark passes the session end; ceil
+                // the micros→millis conversion so the timeout can never
+                // land BEFORE the true end (a floor could close up to
+                // 1 ms early, splitting an event landing in that sliver)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(s.lastMicros + gapMicros + 999L, 1000L))
               case None => state.remove()
             }
             closed.iterator

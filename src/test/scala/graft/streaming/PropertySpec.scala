@@ -49,6 +49,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cross-batch disorder: late events regress, bridge, or precede the open session") {
+    def micros2(t: java.sql.Timestamp) = micros(t)
+    // batch 1 leaves open session [100, 110] (gap 20)
+    val (c0, o0) = Sessions.fold(1L, None, Iterator(100L, 110L), 20L)
+    assert(c0.isEmpty && o0 === Some(Sessions.OpenSession(100L, 110L, 2)))
+    // (a) a late event within gap BEFORE start regresses the start
+    val (c1, o1) = Sessions.fold(1L, o0, Iterator(90L), 20L)
+    assert(c1.isEmpty && o1 === Some(Sessions.OpenSession(90L, 110L, 3)))
+    // (b) two late bursts: one separate (closed), one bridging into open
+    val (c2, o2) = Sessions.fold(1L, o0, Iterator(10L, 15L, 95L), 20L)
+    assert(c2.map(s => (micros2(s.session_start), micros2(s.session_end), s.n_events))
+      === List((10L, 35L, 2L)))
+    assert(o2 === Some(Sessions.OpenSession(95L, 110L, 3)))
+    // (c) a late interval bridging two new bursts and the open session
+    val (c3, o3) = Sessions.fold(1L, Some(Sessions.OpenSession(100L, 110L, 2)),
+      Iterator(50L, 65L, 82L), 20L)
+    assert(c3.isEmpty && o3 === Some(Sessions.OpenSession(50L, 110L, 5)))
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000
 
