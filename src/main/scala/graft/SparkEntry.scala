@@ -356,6 +356,13 @@ object SparkEntry {
       Diagnostics.heavyHitters(Tables(s, dir).events, col("user_id"), 20)),
     "q_token_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCountsBpe(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // BPE merge training, first rank (the iterative argmax is not
+    // SQL-expressible beyond one unrolled step; TextOpsSpec checks deep
+    // training against a JVM reference implementation).
+    "q_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.bpeTrain(Tables(s, dir).documents, 1).toDF()
+    },
     // Stratified training-mix sampling: per-language keep rates.
     "q_sample_stratified" -> ((s, dir) =>
       Curate.sampleStratified(Tables(s, dir).documents, col("doc_id"), col("lang"),
@@ -1050,6 +1057,19 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= n - 5 + 1 - 3
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_bpe_merges" ->
+      s"""$ToksCte,
+         |w AS (SELECT unnest(toks) AS w FROM toks),
+         |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+         |chars AS (SELECT regexp_extract_all(w, '.') AS cs, wc FROM wc),
+         |idx AS (SELECT cs, wc, unnest(range(1, len(cs))) AS i FROM chars),
+         |pairs AS (SELECT cs[CAST(i AS INT)] AS "left",
+         |                 cs[CAST(i + 1 AS INT)] AS "right", wc
+         |          FROM idx)
+         |SELECT CAST(1 AS INT) AS rank, "left", "right",
+         |       CAST(sum(wc) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY 2, 3
+         |ORDER BY pair_count DESC, "left", "right" LIMIT 1""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 15)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -141,6 +141,95 @@ object TextAnalysis {
           transform(sequence(lit(1), size(col("hs")) - w + 1),
             i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
+
+  /** One learned BPE merge: rank order, the two symbols joined, and the
+    * corpus-weighted count that won the rank.
+    */
+  final case class BpeMerge(rank: Int, left: String, right: String, pair_count: Long)
+
+  /** Distributed BPE merge training — the tokenizer-training primitive:
+    * greedily learn `numMerges` symbol merges, each the corpus-wide most
+    * frequent adjacent symbol pair (ties to the lexicographically smallest
+    * pair — deterministic run-to-run and cluster-to-cluster, since pair
+    * counts are exact longs).
+    *
+    * Trains on the DISTINCT-word table weighted by occurrence count (the
+    * standard reduction: pair statistics depend only on word shapes ×
+    * frequencies, collapsing 100 TB of text to millions of rows). Each
+    * iteration is one explode + one (pair)-key aggregation with a
+    * distributed argmax (TakeOrdered 1), then a per-row greedy
+    * left-to-right merge pass — re-materialized per round so the plan
+    * never stacks `numMerges` nested folds.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("syms"), col("wc"))
+      .cache()
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = words
+        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      top.headOption match {
+        case None => done = true // every word is a single symbol
+        case Some(row) =>
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += BpeMerge(rank, l, r, n)
+          val next = words
+            .select(mergePair(col("syms"), l, r).as("syms"), col("wc"))
+            .cache()
+          next.count() // materialize before dropping the parent
+          words.unpersist(blocking = false)
+          words = next
+          rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Segment each word of each document through the learned merges, in
+    * rank order — the apply side of [[bpeTrain]]. Adds `bpe_syms`
+    * (array of subword symbols per document, word boundaries preserved by
+    * construction: merges never cross words).
+    */
+  def bpeSegment(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val perWord = merges.foldLeft(split(col("w"), "")) { (syms, m) =>
+      mergePair(syms, m.left, m.right)
+    }
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), perWord.as("syms"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(collect_list(col("syms"))).as("bpe_syms"))
+  }
+
+  /** Adjacent (left, right) symbol pairs of one word; single-symbol words
+    * yield none (guarded: sequence(1, 0) would count DOWN).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** One greedy left-to-right merge pass: every non-overlapping adjacent
+    * (l, r) becomes the joined symbol ("aaa" under (a,a) → ["aa","a"]).
+    */
+  private def mergePair(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
 
   /** Content fingerprints: h60 of the full normalized text (exact-content
     * identity) and md5 of the sorted distinct-token bag (order-insensitive

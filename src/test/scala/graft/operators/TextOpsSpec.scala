@@ -267,6 +267,58 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).size < shared.length + 10)
   }
 
+  test("distributed BPE training equals a driver-side reference for 12 merges") {
+    // driver-side reference: same greedy argmax + left-to-right merge
+    def mergeRef(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    def trainRef(wc: Map[String, Long], k: Int): List[(String, String, Long)] = {
+      var words = wc.toList.map { case (w, c) => (w.split("").toVector, c) }
+      val out = List.newBuilder[(String, String, Long)]
+      var rank = 0
+      var done = false
+      while (rank < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), n) = counts.toList.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((l, r, n))
+          words = words.map { case (syms, c) => (mergeRef(syms, l, r), c) }
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    val wc = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val expected = trainRef(wc, 12)
+    val got = TextAnalysis.bpeTrain(docs, 12)
+      .map(m => (m.left, m.right, m.pair_count))
+    assert(got === expected)
+    assert(got.size === 12)
+
+    // segmentation through the learned merges is lossless per document
+    val merges = TextAnalysis.bpeTrain(docs, 12)
+    val seg = TextAnalysis.bpeSegment(docs, merges)
+      .select(col("doc_id"), concat_ws("", col("bpe_syms")).as("joined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws("", TextFunctions.tokens(col("text"))).as("joined"))
+    assert(seg.as[(Long, String)].collect().toMap ===
+      orig.as[(Long, String)].collect().toMap)
+    // and it actually merged something: fewer symbols than characters
+    val nSyms = TextAnalysis.bpeSegment(docs, merges)
+      .select(sum(size(col("bpe_syms")))).head().getLong(0)
+    val nChars = orig.select(sum(length(col("joined")))).head().getLong(0)
+    assert(nSyms < nChars)
+  }
+
   test("languageId falls back to und when no stopword list hits") {
     val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(d).orderBy("doc_id")
