@@ -470,6 +470,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1))
         .select("doc_id").orderBy(col("doc_id"))
     },
+    // N-gram-level eval decontamination (any shared 3-gram drops the doc).
+    "q_decontaminate_ngram" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Curate.decontaminateNgram(
+        docs.filter(col("doc_id") % 2 === 0),
+        // a realistic-sized eval set (~2% of docs) so the gate actually
+        // discriminates: the 50% split shares a 3-gram with everything
+        docs.filter(col("doc_id") % 50 === 1))
+        .select("doc_id").orderBy(col("doc_id"))
+    },
+    // Deterministic token-budget selection in reproducible shuffle order.
+    "q_token_budget" -> ((s, dir) =>
+      Curate.takeTokenBudget(Tables(s, dir).documents, 20000L, "budget1")
+        .select("doc_id").orderBy(col("doc_id"))),
     // -- per-label embedding centroids (exploded to scalars for the oracle) --
     "q_centroids" -> ((s, dir) =>
       Similarity.centroids(Tables(s, dir).embeddings, col("label"))
@@ -1057,6 +1071,27 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= n - 5 + 1 - 3
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_decontaminate_ngram" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |g AS (SELECT doc_id, unnest(sh) AS g FROM s2)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id % 2 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM g t JOIN g e ON t.g = e.g
+         |                  WHERE t.doc_id = d.doc_id AND e.doc_id % 50 = 1)
+         |ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      s"""$ToksCte,
+         |o AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|budget1'), 1, 15)
+         |                  AS BIGINT) AS sk
+         |      FROM toks),
+         |s AS (SELECT doc_id,
+         |             CAST(COALESCE(sum(n) OVER (ORDER BY sk, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               AS BIGINT) AS start
+         |      FROM o)
+         |SELECT doc_id FROM s WHERE start < 20000 ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" ->
       s"""$ToksCte,
          |w AS (SELECT unnest(toks) AS w FROM toks),

@@ -185,6 +185,71 @@ object Curate {
       .toDF("doc_id", "chunk_no", "chunk_tokens", "token_start", "bin_id")
   }
 
+  /** N-gram-level decontamination — the stricter eval-overlap gate: drop
+    * every training document sharing ANY word n-gram with the evaluation
+    * corpus (the method behind "remove train docs overlapping a dev-set
+    * 13-gram"; this engine's portable shingle machinery fixes n = 3).
+    * Catches partial-inclusion contamination that exact/bag fingerprints
+    * ([[decontaminate]]) cannot.
+    *
+    * Shape: the eval corpus's distinct n-grams are small (eval sets are)
+    * → broadcast semi-join against the exploded train n-grams, then one
+    * anti-join of doc ids; the training corpus streams through and never
+    * shuffles on itself.
+    */
+  def decontaminateNgram(train: DataFrame, evalCorpus: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("g"))
+    val evalGrams = grams(evalCorpus).select("g").distinct()
+    val contaminated = grams(train)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Token-budget selection: walk documents in the reproducible shuffle
+    * order ([[withShuffleKey]]) and keep them until the running token
+    * total reaches `budgetTokens` — the deterministic "first N tokens of
+    * the shuffled corpus" a sized training run consumes. The running
+    * total is the same distributed prefix sum as [[pack]] (range
+    * repartition + per-partition offsets), never a single-task global
+    * window. The document that crosses the budget is the last one kept.
+    */
+  def takeTokenBudget(docs: DataFrame, budgetTokens: Long, salt: String): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = withShuffleKey(
+      docs.withColumn("n_tokens", size(tokens(col("text"))).cast("long")),
+      col("doc_id"), salt)
+      .select(col("doc_id"), col("shuffle_key"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions(col("shuffle_key"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = keyed.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator.single(pid -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val kept = keyed.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var run = offsetsB.value(pid)
+        it.flatMap { case (doc, _, n) =>
+          val start = run
+          run += n
+          if (start < budgetTokens) Iterator.single(doc) else Iterator.empty
+        }
+      }
+      .toDF("doc_id")
+    docs.join(kept, Seq("doc_id"), "left_semi")
+  }
+
   /** The composed curation pipeline over a documents table:
     * language gate (stopword-profile langID) → quality gate (token count,
     * stopword ratio) → exact-dedup survivor gate (canonical doc per

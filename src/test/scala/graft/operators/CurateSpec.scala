@@ -111,6 +111,44 @@ class CurateSpec extends SparkSpec {
     assert(out === Array(("a", 6L, 10L, 0.6), ("b", 3L, 10L, 0.3)))
   }
 
+  test("ngram decontamination drops partial-overlap docs that fingerprints keep") {
+    val train = Seq(
+      (2L, "alpha beta gamma delta unrelated tail here"), // shares 'alpha beta gamma'
+      (4L, "totally distinct content with no overlap at all"),
+      (6L, "delta unrelated tail")) // 3-gram inside doc 2's text, NOT in eval
+      .toDF("doc_id", "text")
+    val eval_ = Seq((1L, "prefix words then alpha beta gamma suffix")).toDF("doc_id", "text")
+    val kept = Curate.decontaminateNgram(train, eval_)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(4L, 6L))
+    // the exact/bag gate would have kept doc 2 (not identical, different bag)
+    val byFp = Curate.decontaminate(train, eval_)
+      .select("doc_id").as[Long].collect().sorted
+    assert(byFp === Array(2L, 4L, 6L))
+  }
+
+  test("token-budget selection keeps the shuffled-order prefix, boundary doc included") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withN = real.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("sk", graft.functions.TextFunctions.h60(
+        concat(col("doc_id").cast("string"), lit("|budget1"))))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._1))
+    val budget = 5000L
+    var run = 0L
+    val expected = withN.flatMap { case (d, n, _) =>
+      val keep = run < budget; run += n
+      if (keep) Some(d) else None
+    }.toSet
+    val got = Curate.takeTokenBudget(real, budget, "budget1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < withN.length)
+    // degenerate budgets
+    assert(Curate.takeTokenBudget(real, 0L, "budget1").count() === 0L)
+    assert(Curate.takeTokenBudget(real, Long.MaxValue, "budget1").count() === real.count())
+  }
+
   test("curated keeps one canonical doc per duplicate group, gated by lang/quality") {
     val base = "the cat is on the mat and the dog is in the house"
     val d = Seq(
