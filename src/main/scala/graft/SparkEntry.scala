@@ -383,6 +383,11 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(Tables(s, dir).documents)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Transitive duplicate clusters over the LSH pair graph (the step a
+    // canonical-selection pass consumes); oracle = recursive closure.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minHashLsh(Tables(s, dir).documents))
+        .orderBy(col("doc_id"))),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables(s, dir).documents, 2)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -896,6 +901,39 @@ object SparkEntry {
          |FROM cand JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""${ToksCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |$ShinglesCte,
+         |mh AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 24), i ->
+         |      list_min(list_transform(hs, h -> ($MhA[i+1] * h + $MhB[i+1])
+         |                                        % ${graft.functions.TextFunctions.MinHashP}))) AS sig
+         |  FROM (SELECT doc_id, sh,
+         |               list_transform(sh, s -> ${h60Sql("s")} & 4294967295) AS hs
+         |        FROM s2)),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |         md5(array_to_string(list_transform(range(b*4+1, b*4+5),
+         |             j -> CAST(sig[j] AS VARCHAR)), ',')) AS bsig
+         |  FROM mh, range(0, 6) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |lshp AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |        >= 0.6),
+         |und AS (SELECT doc_a AS s, doc_b AS d FROM lshp
+         |        UNION ALL SELECT doc_b, doc_a FROM lshp),
+         |reach AS (
+         |  SELECT s AS doc_id, d AS r FROM und
+         |  UNION
+         |  SELECT re.doc_id, u.d FROM reach re JOIN und u ON re.r = u.s)
+         |SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""$ToksCte,
          |sims AS (

@@ -343,6 +343,56 @@ object Dedup {
       key = "fp", carry = Seq("sh"), identical = lit(1.0), score = "jaccard")(bandPairs)
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs — the step between pair
+    * mining and canonical selection: connected components over the pair
+    * graph, so transitively-linked duplicates (A≈B≈C with A,C never
+    * compared) collapse into one group keyed by the minimum member id.
+    *
+    * Iterative min-label propagation: each round every edge offers both
+    * endpoints the smaller of their labels, and each node keeps the
+    * minimum; converges in O(component diameter) rounds (LSH/near-dup
+    * components are near-cliques — typically 1-2). Each round is one
+    * edge-label join + one (node)-key min aggregation — all equi-joins
+    * on ids, no driver-side graph, deterministic (min is
+    * order-independent). Output: (doc_id, cluster_id = min id of the
+    * component), one row per node that appears in a pair.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b")).cache()
+    var labels = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    labels.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val la = labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+      val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+      val msgs = edges.join(la, "doc_a").join(lb, "doc_b")
+        .select(explode(array(
+          struct(col("doc_a").as("doc_id"), least(col("ca"), col("cb")).as("cluster_id")),
+          struct(col("doc_b").as("doc_id"), least(col("ca"), col("cb")).as("cluster_id"))))
+          .as("x"))
+        .select(col("x.doc_id"), col("x.cluster_id"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      next.count()
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

@@ -69,6 +69,36 @@ class TextOpsSpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("clusters computes transitive components (chain needs multi-round propagation)") {
+    // chain 1-2-3-4-5 (diameter 4) + an isolated pair; min-label must
+    // propagate across rounds, not just one hop
+    val pairs = Seq((2L, 3L), (4L, 5L), (1L, 2L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters over LSH pairs equals a driver-side union-find") {
+    val pairs = Dedup.minHashLsh(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.clusters(Dedup.minHashLsh(docs))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("minHashLsh emits only true near-duplicates (verified candidates)") {
     val truth = Dedup.ngramJaccardPairs(docs, 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
