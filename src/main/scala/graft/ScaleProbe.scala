@@ -183,7 +183,10 @@ object ScaleProbe {
       "simhash pairs (dist ≤2)" -> (d => operators.Dedup.simHashPairs(d, 2)),
       "simhash (canonicalized)" ->
         (d => operators.Dedup.simHashPairs(d, 2, canonicalize = true)),
-      "vocabulary top-100" -> (d => operators.TextAnalysis.vocabulary(d, 100)))
+      "vocabulary top-100" -> (d => operators.TextAnalysis.vocabulary(d, 100)),
+      "dup clusters (LSH pairs → CC)" ->
+        (d => operators.Dedup.clusters(operators.Dedup.minHashLsh(d))),
+      "winnow fingerprints" -> (d => operators.TextAnalysis.winnowFingerprints(d)))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents
