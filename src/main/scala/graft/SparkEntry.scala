@@ -266,17 +266,26 @@ object SparkEntry {
         .orderBy(col("unique_id"))
     },
     // K6-K9/W6: ordered publish to a file topic, then read the TOPIC back
-    // and prove per-key publish order survived the round trip.
+    // and prove per-key publish order survived the round trip. Keyless rows
+    // carry no publish_seq (reference: fully parallel, no mutual order), so
+    // their group asserts MEMBERSHIP via an order-independent checksum while
+    // keyed groups assert the exact replay order; the null routed into
+    // collect_list keeps the keyless group's aggregation buffer empty.
     "q_replay_publish" -> { (s, dir) =>
       val topic = PublishRuns.ensure(s, dir)
+      val keyless = col("ordering_key") === ""
       Publisher.readTopic(s, topic)
         .groupBy(col("ordering_key"))
         .agg(
           count(lit(1)).as("n"),
-          concat_ws(",",
-            transform(
-              array_sort(collect_list(struct(col("publish_seq"), col("unique_id")))),
-              e => e.getField("unique_id"))).as("publish_order"))
+          when(keyless, lit(null).cast("string"))
+            .otherwise(concat_ws(",",
+              transform(
+                array_sort(collect_list(when(keyless, lit(null))
+                  .otherwise(struct(col("publish_seq"), col("unique_id"))))),
+                e => e.getField("unique_id")))).as("publish_order"),
+          sum(pmod(graft.functions.TextFunctions.h60(col("unique_id")),
+            lit(1000003L))).as("ids_checksum"))
         .orderBy(col("ordering_key"))
     },
     // A6: pipeline latency summary — exact p50/p90/p99 of ingestion lag
@@ -660,7 +669,9 @@ object SparkEntry {
     "q_ordering_groups" ->
       s"""$IndexCte
          |SELECT ordering_key, COUNT(*) AS n,
-         |       string_agg(unique_id, ',' ORDER BY location_key, location_position, unique_id)
+         |       CASE WHEN ordering_key = '' THEN NULL
+         |            ELSE string_agg(unique_id, ','
+         |                   ORDER BY location_key, location_position, unique_id) END
          |         AS publish_order
          |FROM idx GROUP BY ordering_key ORDER BY ordering_key""".stripMargin,
     "q_repackage_metadata" ->
@@ -764,8 +775,12 @@ object SparkEntry {
     "q_replay_publish" ->
       s"""$IndexCte
          |SELECT ordering_key, COUNT(*) AS n,
-         |       string_agg(unique_id, ',' ORDER BY location_key, location_position, unique_id)
-         |         AS publish_order
+         |       CASE WHEN ordering_key = '' THEN NULL
+         |            ELSE string_agg(unique_id, ','
+         |                   ORDER BY location_key, location_position, unique_id) END
+         |         AS publish_order,
+         |       CAST(SUM(CAST('0x' || substr(md5(unique_id), 1, 15) AS BIGINT)
+         |                % 1000003) AS BIGINT) AS ids_checksum
          |FROM idx GROUP BY ordering_key ORDER BY ordering_key""".stripMargin,
     "q_latency_metrics" ->
       """SELECT COUNT(*) AS n,

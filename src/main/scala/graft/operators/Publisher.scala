@@ -17,20 +17,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (location_key, location_position) order — materialized as the
   *     explicit `publish_seq` so ANY order-preserving sink (Kafka partition,
   *     PubSub ordering key) can replay it;
-  *   - keyless records (ordering_key = "") have no mutual order;
-  *   - the physical layout is `repartition(ordering_key)` +
-  *     `sortWithinPartitions` (Replay.orderedForPublish), the shape a
+  *   - keyless records (ordering_key = "") have no mutual order and NO
+  *     publish_seq (null): the reference publishes them fully in parallel
+  *     (resubmitter_job.go:408-451). They are salted round-robin instead of
+  *     hash-partitioned — by construction a third of the corpus is keyless
+  *     (one null business key in three), and sequencing that group would be
+  *     a single-task sort of a third of 100 TB;
+  *   - the keyed physical layout is `repartition(ordering_key)` +
+  *     `sortWithinPartitions` (Replay.orderedKeyed), the shape a
   *     per-partition-ordered sink consumes directly — the window below
-  *     reuses that same hash partitioning, so no extra shuffle happens.
+  *     reuses that same hash partitioning, so no extra shuffle happens on
+  *     the keyed branch.
   */
 object Publisher {
 
-  /** The per-key publish sequence — explicit, deterministic replay order. */
+  /** The per-key publish sequence — explicit, deterministic replay order
+    * for keyed rows; null for keyless rows (fully parallel, no order).
+    */
   def withPublishSeq(index: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ordering_key"))
       .orderBy(col("location_key"), col("location_position"), col("unique_id"))
-    Replay.orderedForPublish(index)
+    Replay.orderedKeyed(index)
       .withColumn("publish_seq", row_number().over(w).cast("long"))
+      .unionByName(
+        Replay.saltedKeyless(index)
+          .withColumn("publish_seq", lit(null).cast("long")))
   }
 
   /** Publish the replay set to a file topic: key, sequence, and the

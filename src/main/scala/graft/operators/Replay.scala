@@ -61,27 +61,60 @@ object Replay {
     * ordered id list per group so the contract is testable; the real sink
     * path is `repartition(ordering_key).sortWithinPartitions(...)` feeding a
     * per-partition-ordered sink (Kafka).
+    *
+    * The keyless group (`ordering_key = ""`) is EXEMPT from the order
+    * list: the reference publishes keyless records fully in parallel with
+    * no mutual order (resubmitter_job.go:408-451), and by construction a
+    * third of the corpus is keyless — an unbounded `collect_list` over
+    * that group would funnel it into one task and one giant string at
+    * scale. Its `publish_order` is null; the count still reports. The
+    * null is produced INSIDE the aggregate input (collect_list skips
+    * nulls), so the keyless group's buffer never accumulates members.
     */
-  def orderingGroups(index: DataFrame): DataFrame =
+  def orderingGroups(index: DataFrame): DataFrame = {
+    val keyless = col("ordering_key") === ""
     index
       .groupBy(col("ordering_key"))
       .agg(
         count(lit(1)).as("n"),
-        concat_ws(",",
-          transform(
-            array_sort(collect_list(struct(
-              col("location_key"), col("location_position"), col("unique_id")))),
-            e => e.getField("unique_id"))).as("publish_order"))
+        when(keyless, lit(null).cast("string"))
+          .otherwise(concat_ws(",",
+            transform(
+              array_sort(collect_list(when(keyless, lit(null)).otherwise(struct(
+                col("location_key"), col("location_position"), col("unique_id"))))),
+              e => e.getField("unique_id")))).as("publish_order"))
+  }
 
-  /** The scale-path form of W6: a DataFrame physically partitioned by
-    * ordering key and sorted by publish position within partitions, ready
-    * for an order-preserving per-partition sink.
+  /** Keyed rows only (`ordering_key` nonempty), physically partitioned by
+    * ordering key and sorted by publish position within partitions — the
+    * shape an order-preserving per-partition sink consumes directly.
     */
-  def orderedForPublish(index: DataFrame): DataFrame =
+  private[operators] def orderedKeyed(index: DataFrame): DataFrame =
     index
+      .filter(col("ordering_key") =!= "")
       .repartition(col("ordering_key"))
       .sortWithinPartitions(
         col("ordering_key"), col("location_key"), col("location_position"))
+
+  /** Keyless rows (`ordering_key = ""`), salted round-robin across the
+    * session's shuffle-partition count. No sort: the reference gives
+    * keyless records no mutual order (resubmitter_job.go:408-451), so
+    * spreading them evenly is the whole contract — hash-partitioning them
+    * by key would put a third of the corpus in ONE task.
+    */
+  private[operators] def saltedKeyless(index: DataFrame): DataFrame =
+    index
+      .filter(col("ordering_key") === "")
+      .repartition(index.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** The scale-path form of W6: keyed rows partitioned by ordering key and
+    * sorted within partitions; keyless rows salted round-robin with no
+    * order (reference semantics — see [[saltedKeyless]]). The union keeps
+    * both branches' physical partitioning: an order-preserving sink reads
+    * the keyed partitions sequentially and the keyless ones in parallel.
+    */
+  def orderedForPublish(index: DataFrame): DataFrame =
+    orderedKeyed(index).unionByName(saltedKeyless(index))
 
   /** T9 `ObserveError` (persistor/internal/indexer/transform.go:32-42):
     * aggregate identical error messages with counts.

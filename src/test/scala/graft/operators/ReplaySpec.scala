@@ -48,24 +48,62 @@ class ReplaySpec extends SparkSpec {
     assert(out("b_2") === Map("k" -> "2", "business_object_key" -> "bok2"))
   }
 
-  test("orderedForPublish physically sorts each partition by key and position (W6)") {
+  test("orderedForPublish physically sorts each KEYED partition by key and position (W6)") {
     val big = (1 to 500).map { i =>
       (s"m_$i", if (i % 5 == 0) "" else s"u${i % 7}", s"blob-${i % 13}", (i % 37).toLong)
     }.toDF("unique_id", "ordering_key", "location_key", "location_position")
     val ordered = Replay.orderedForPublish(big)
       .select("ordering_key", "location_key", "location_position")
       .as[(String, String, Long)]
+    // keyed rows inside each partition are sorted — the property an
+    // order-preserving per-partition sink consumes; keyless rows carry no
+    // order contract (reference: fully parallel)
     val partitionsSorted = ordered.mapPartitions { it =>
-      val rows = it.toVector
+      val rows = it.toVector.filter(_._1.nonEmpty)
       Iterator.single(rows == rows.sortBy(identity))
     }.collect()
     assert(partitionsSorted.forall(identity))
-    // every key lands in exactly one partition
+    // every nonempty key lands in exactly one partition
     val keyPartitions = ordered.mapPartitions { it =>
-      it.map(_._1).toSet.iterator
+      it.collect { case (k, _, _) if k.nonEmpty => k }.toSet.iterator
     }.rdd.mapPartitionsWithIndex((i, it) => it.map(k => (k, i)))
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
     assert(keyPartitions.values.forall(_ == 1))
+  }
+
+  test("keyless third of the corpus spreads evenly, never one skewed partition (W6)") {
+    // 1/3 keyless — the production shape (one null business key in three);
+    // pre-skew the input so the keyless rows START in a single partition
+    // and only the salting can spread them
+    val big = (1 to 3000).map { i =>
+      (s"m_$i", if (i % 3 == 0) "" else s"u${i % 200}", s"blob-${i % 13}", (i % 37).toLong)
+    }.toDF("unique_id", "ordering_key", "location_key", "location_position")
+      .repartition(col("ordering_key"))
+    val perPartKeyless = Replay.orderedForPublish(big)
+      .select("ordering_key").as[String]
+      .mapPartitions(it => Iterator.single(it.count(_.isEmpty)))
+      .collect().filter(_ > 0)
+    val mean = 1000.0 / perPartKeyless.length
+    // salting spreads the keyless third over the full shuffle-partition
+    // fan-out (4 in the test session, 32+ in production)
+    assert(perPartKeyless.length >= spark.sessionState.conf.numShufflePartitions,
+      s"keyless rows concentrated in ${perPartKeyless.length} partitions")
+    assert(perPartKeyless.max <= 2 * mean,
+      s"keyless skew: max ${perPartKeyless.max} vs mean $mean")
+  }
+
+  test("withPublishSeq sequences keyed rows per key; keyless rows get none (W6)") {
+    val out = Publisher.withPublishSeq(index)
+      .select("unique_id", "ordering_key", "publish_seq")
+      .as[(String, String, Option[Long])].collect().toList
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // u1 owns b_1 (blob-0 pos 1) then b_3 (blob-1 pos 1); u2 owns b_4
+    assert(byId("b_1") === Some(1L) && byId("b_3") === Some(2L))
+    assert(byId("b_4") === Some(1L))
+    // the keyless record is published with NO sequence (fully parallel,
+    // resubmitter_job.go:408-451)
+    assert(byId("b_2") === None)
+    assert(out.size === 4)
   }
 
   test("errorCounts aggregates identical error messages (T9)") {
