@@ -359,12 +359,14 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b")).cache()
-    var labels = edges
+    val seed = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .cache()
-    labels.count()
+    seed.count()
+    var labels = seed
+    var backing = seed // the cached frame the current labels project from
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -376,16 +378,20 @@ object Dedup {
           struct(col("doc_b").as("doc_id"), least(col("ca"), col("cb")).as("cluster_id"))))
           .as("x"))
         .select(col("x.doc_id"), col("x.cluster_id"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // each node's previous label rides the SAME aggregation as the update
+      // (every doc_id has exactly one labels row, so max(prev) recovers it;
+      // message rows null-fill), folding the label update and the
+      // convergence check into one job per round instead of two
+      val next = labels
+        .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("prev"))
+        .unionByName(msgs, allowMissingColumns = true)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"), max(col("prev")).as("prev"))
         .cache()
-      next.count()
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      backing.unpersist(blocking = false)
+      backing = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       it += 1
     }
