@@ -158,8 +158,9 @@ object TextAnalysis {
     * frequencies, collapsing 100 TB of text to millions of rows). Each
     * iteration is one explode + one (pair)-key aggregation with a
     * distributed argmax (TakeOrdered 1), then a per-row greedy
-    * left-to-right merge pass — re-materialized per round so the plan
-    * never stacks `numMerges` nested folds.
+    * left-to-right merge pass — checkpointed per round (lineage truncated,
+    * not just cached) so the logical plan never stacks `numMerges` nested
+    * folds and round k never re-analyzes k rounds of history.
     */
   def bpeTrain(docs: DataFrame, numMerges: Int): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
@@ -167,7 +168,7 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(split(col("w"), "").as("syms"), col("wc"))
-      .cache()
+      .localCheckpoint()
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 1
     var done = false
@@ -184,16 +185,12 @@ object TextAnalysis {
         case Some(row) =>
           val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += BpeMerge(rank, l, r, n)
-          val next = words
+          words = words
             .select(mergePair(col("syms"), l, r).as("syms"), col("wc"))
-            .cache()
-          next.count() // materialize before dropping the parent
-          words.unpersist(blocking = false)
-          words = next
+            .localCheckpoint()
           rank += 1
       }
     }
-    words.unpersist(blocking = false)
     merges.result()
   }
 
@@ -201,15 +198,47 @@ object TextAnalysis {
     * rank order — the apply side of [[bpeTrain]]. Adds `bpe_syms`
     * (array of subword symbols per document, word boundaries preserved by
     * construction: merges never cross words).
+    *
+    * Scale shape: segmentation depends only on the word, so the merges run
+    * over the DISTINCT-word table (the same reduction [[bpeTrain]] uses —
+    * 100 TB of text collapses to a vocabulary-sized frame), applied in
+    * re-materialized chunks of `chunkSize` so the plan never nests more
+    * than `chunkSize` aggregate HOFs — a 30k-merge vocabulary is ~1000
+    * shallow cached passes, not one unanalyzable 30k-deep expression tree.
+    * The word→segments lookup then joins back to the exploded documents
+    * (broadcast by default: the lookup is vocabulary-sized); document
+    * order is restored explicitly from the token position, never from
+    * collect_list arrival order.
     */
-  def bpeSegment(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
-    val perWord = merges.foldLeft(split(col("w"), "")) { (syms, m) =>
-      mergePair(syms, m.left, m.right)
+  def bpeSegment(
+      docs: DataFrame,
+      merges: Seq[BpeMerge],
+      chunkSize: Int = 32,
+      broadcastLookup: Boolean = true): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    var seg = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("w"), split(col("w"), "").as("syms"))
+    merges.grouped(chunkSize).foreach { chunk =>
+      val folded = chunk.foldLeft(col("syms")) { (syms, m) =>
+        mergePair(syms, m.left, m.right)
+      }
+      // localCheckpoint truncates the LINEAGE, not just the execution: the
+      // next chunk starts from a LogicalRDD instead of stacking another
+      // `chunkSize` aggregates onto an ever-deeper logical plan (a cache
+      // alone keeps the full tree and the analyzer/optimizer still walk it
+      // every chunk — O(merges²) analysis and an eventual stack overflow)
+      seg = seg.select(col("w"), folded.as("syms")).localCheckpoint()
     }
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), perWord.as("syms"))
+    val lookup = if (broadcastLookup) broadcast(seg) else seg
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .join(lookup, "w")
       .groupBy(col("doc_id"))
-      .agg(flatten(collect_list(col("syms"))).as("bpe_syms"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        e => e.getField("syms"))).as("bpe_syms"))
   }
 
   /** Adjacent (left, right) symbol pairs of one word; single-symbol words

@@ -349,6 +349,38 @@ class TextOpsSpec extends SparkSpec {
     assert(nSyms < nChars)
   }
 
+  test("bpeSegment applies a 256-merge vocabulary without a deep expression tree") {
+    // fabricated vocabulary: all 256 single-char pairs over a-p, applied in
+    // rank order — 8 re-materialized chunks of 32, never one 256-deep plan
+    val letters = "abcdefghijklmnop"
+    val merges = (for { l <- letters; r <- letters } yield (l.toString, r.toString))
+      .zipWithIndex.map { case ((l, r), i) => TextAnalysis.BpeMerge(i + 1, l, r, 1L) }
+      .toSeq
+    val d = Seq(
+      (1L, "abcd efgh ijkl mnop zebra quartz"),
+      (2L, "the quick brown fox jumps over pale ponds"),
+      (3L, "aaaa abab cdcd")).toDF("doc_id", "text")
+    // driver-side reference: the same greedy left-to-right fold per word
+    def mergeRef(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    def segRef(text: String): Vector[String] =
+      text.split("\\s+").filter(_.nonEmpty).toVector.flatMap { w =>
+        merges.foldLeft(w.split("").toVector) { (syms, m) => mergeRef(syms, m.left, m.right) }
+      }
+    val got = TextAnalysis.bpeSegment(d, merges)
+      .select("doc_id", "bpe_syms").as[(Long, Seq[String])]
+      .collect().toMap
+    val texts = d.select("doc_id", "text").as[(Long, String)].collect().toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id).toVector === segRef(text.toLowerCase), s"doc $id")
+    }
+    // the vocabulary actually bit: adjacent a-p pairs merged
+    assert(got(3L).contains("ab") && got(3L).contains("cd"))
+  }
+
   test("languageId falls back to und when no stopword list hits") {
     val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(d).orderBy("doc_id")
