@@ -288,6 +288,24 @@ object SparkEntry {
             lit(1000003L))).as("ids_checksum"))
         .orderBy(col("ordering_key"))
     },
+    // A7 + J2/S6: end-to-end replay over the real written Avro blobs with
+    // deterministic fault injection — per-blob fetch and deserialize
+    // faults, per-record publish faults — counting outcomes by the
+    // reference's three-stage taxonomy plus the delivered remainder.
+    "q_replay_errors" -> { (s, dir) =>
+      val wd = graft.streaming.PersistPipeline.ensureRun(s, dir)
+      val records = graft.streaming.PersistPipeline.readRecords(s, wd)
+      import graft.functions.TextFunctions.h60
+      val out = Replay.replayWithFaults(idx(s, dir), records,
+        fetchFault = pmod(h60(col("location_key")), lit(11L)) === 0,
+        deserFault = pmod(h60(col("location_key")), lit(13L)) === 0,
+        publishFault = pmod(h60(col("unique_id")), lit(17L)) === 0)
+      out.errors.groupBy(col("reason")).agg(count(lit(1)).as("n"))
+        .unionByName(out.delivered
+          .agg(count(lit(1)).as("n"))
+          .select(lit("delivered").as("reason"), col("n")))
+        .orderBy(col("reason"))
+    },
     // A6: pipeline latency summary — exact p50/p90/p99 of ingestion lag
     // against the newest ingested message as the deterministic "now".
     "q_latency_metrics" -> { (s, dir) =>
@@ -782,6 +800,20 @@ object SparkEntry {
          |       CAST(SUM(CAST('0x' || substr(md5(unique_id), 1, 15) AS BIGINT)
          |                % 1000003) AS BIGINT) AS ids_checksum
          |FROM idx GROUP BY ordering_key ORDER BY ordering_key""".stripMargin,
+    "q_replay_errors" ->
+      s"""$IndexCte,
+         |tagged AS (
+         |  SELECT CASE
+         |    WHEN CAST('0x' || substr(md5(location_key), 1, 15) AS BIGINT) % 11 = 0
+         |      THEN 'storage_error'
+         |    WHEN CAST('0x' || substr(md5(location_key), 1, 15) AS BIGINT) % 13 = 0
+         |      THEN 'deserialization_error'
+         |    WHEN CAST('0x' || substr(md5(unique_id), 1, 15) AS BIGINT) % 17 = 0
+         |      THEN 'publish_error'
+         |    ELSE 'delivered' END AS reason
+         |  FROM idx)
+         |SELECT reason, COUNT(*) AS n FROM tagged
+         |GROUP BY reason ORDER BY reason""".stripMargin,
     "q_latency_metrics" ->
       """SELECT COUNT(*) AS n,
         |       quantile_cont(lat, 0.5) AS p50,

@@ -132,6 +132,44 @@ object Replay {
     errors.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Delivered records and per-stage tagged failures of one replay run. */
+  final case class ReplayOutcome(delivered: DataFrame, errors: DataFrame)
+
+  /** End-to-end replay with the reference's three-stage error taxonomy
+    * (resubmitter_job.go:303 `storage_error`, :345 `deserialization_error`,
+    * :401 `publish_error`): stages are strictly sequential — a blob that
+    * fails fetch never reaches deserialization, and a record of a failed
+    * blob never attempts publish. `fetchFault` and `deserFault` are
+    * per-BLOB predicates over index columns (the reference tags ALL of a
+    * fetch/packaging job's messages, tagAsFailures(job.messages));
+    * `publishFault` is per-record (each record publishes alone,
+    * resubmitter_job.go:391-415). Errors fan in through [[errorUnion]]
+    * exactly like the reference's error channels (util.go:93-117).
+    *
+    * All paths are filters over one index scan plus the positional join —
+    * no extra shuffle beyond the delivery join itself.
+    */
+  def replayWithFaults(
+      index: DataFrame,
+      records: DataFrame,
+      fetchFault: Column,
+      deserFault: Column,
+      publishFault: Column): ReplayOutcome = {
+    val storageFailed = index.filter(fetchFault)
+      .select(col("unique_id"), lit("storage_error").as("reason"))
+    val fetched = index.filter(!fetchFault)
+    val deserFailed = fetched.filter(deserFault)
+      .select(col("unique_id"), lit("deserialization_error").as("reason"))
+    val deserialized = fetched.filter(!deserFault)
+    val joined = positionalJoin(records, deserialized)
+    val publishFailed = joined.filter(publishFault)
+      .select(col("unique_id"), lit("publish_error").as("reason"))
+    val delivered = joined.filter(!publishFault)
+    ReplayOutcome(
+      delivered,
+      errorUnion(Seq(storageFailed, deserFailed, publishFailed)))
+  }
+
   /** J3 singleton short-circuit (resubmitter-api/lib/resubmitter/
     * resubmitter.go:166-201): a blob whose index slice has exactly one row
     * with no position is treated as one whole record — the reference skips

@@ -106,6 +106,29 @@ class ReplaySpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("replayWithFaults tags failures by stage, strictly sequential (A7 taxonomy)") {
+    // blob-f fails fetch AND would fail deserialize -> storage wins;
+    // blob-d fails deserialize; r_pub fails publish; rest deliver.
+    val idx = Seq(
+      ("f_1", "blob-f", 1L), ("f_2", "blob-f", 2L),
+      ("d_1", "blob-d", 1L),
+      ("r_pub", "blob-ok", 1L), ("r_ok", "blob-ok", 2L))
+      .toDF("unique_id", "location_key", "location_position")
+    val recs = Seq(
+      ("blob-f", 1L, "x"), ("blob-f", 2L, "x"), ("blob-d", 1L, "x"),
+      ("blob-ok", 1L, "x"), ("blob-ok", 2L, "x"))
+      .toDF("location_key", "location_position", "payload")
+    val out = Replay.replayWithFaults(idx, recs,
+      fetchFault = col("location_key") === "blob-f",
+      deserFault = col("location_key").isin("blob-f", "blob-d"),
+      publishFault = col("unique_id") === "r_pub")
+    val errs = out.errors.as[(String, String)].collect().toMap
+    assert(errs === Map(
+      "f_1" -> "storage_error", "f_2" -> "storage_error",
+      "d_1" -> "deserialization_error", "r_pub" -> "publish_error"))
+    assert(out.delivered.select("unique_id").as[String].collect().toSeq === Seq("r_ok"))
+  }
+
   test("errorCounts aggregates identical error messages (T9)") {
     val errs = Seq("x", "x", "y").toDF("m")
     val out = Replay.errorCounts(errs, col("m")).orderBy("message")
