@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Facade tests: the four reference endpoints (indexer-api/lib/
+  * server.go:139-163) as request dispatch — status mapping, pagination
+  * defaults (limit=20/offset=0, util.go:39-66), interval param parsing,
+  * key-whitelist 400s — plus the resubmitter's 200/206/400 rule
+  * (resubmitter-api/lib/resubmitter/handler.go:115-139).
+  */
+class ApiFacadeSpec extends SparkSpec {
+  import spark.implicits._
+  import ApiFacade._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val fixedNow = ts("2024-02-01 00:00:00")
+
+  private lazy val index = {
+    val rows = (1 to 30).map { i =>
+      (s"b${i % 3}", s"m$i", f"id_$i%03d", s"bsk${i % 2}", s"bok$i", "src",
+        if (i % 4 == 0) "" else s"u$i", s"${i * 7 % 100}",
+        Map("k" -> s"${i * 7 % 100}"), s"blob-${i / 10}", (i % 10 + 1).toLong,
+        ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+        ts(f"2024-01-${i % 28 + 1}%02d 00:00:01"), true)
+    }
+    rows.toDF(graft.model.IndexModel.Columns: _*)
+  }
+
+  private lazy val api =
+    ApiFacade(Map("meta" -> QueryService(index)), now = () => fixedNow)
+
+  test("GET /exact returns the projected row; not-found and bad collection are 400s") {
+    val hit = api.getUnique(GetUniqueRequest("meta", "id_007"))
+    assert(hit.status === 200)
+    assert(hit.data.get.columns.toSeq === UniqueAttrs)
+    assert(hit.data.get.select("unique_id").as[String].collect().toSeq === Seq("id_007"))
+    assert(api.getUnique(GetUniqueRequest("meta", "id_999")).status === 400)
+    assert(api.getUnique(GetUniqueRequest("nope", "id_007")).status === 400)
+  }
+
+  test("POST /all binds ids; malformed body 400, unknown collection 500") {
+    val hit = api.getAll(GetAllRequest("meta", Some(Seq("id_001", "id_010"))))
+    assert(hit.status === 200)
+    assert(hit.data.get.columns.toSeq === IntervalAttrs)
+    assert(hit.data.get.count() === 2)
+    assert(api.getAll(GetAllRequest("meta", None)).status === 400)
+    assert(api.getAll(GetAllRequest("nope", Some(Seq("id_001")))).status === 500)
+  }
+
+  test("GET /range applies limit=20/offset=0 defaults with Atoi fallback semantics") {
+    // all params absent: from = beginning of time, to = now, limit 20
+    val full = api.getRange(GetRangeRequest("meta", "b1"))
+    assert(full.status === 200)
+    val b1Total = index.filter($"broker_id" === "b1").count()
+    assert(b1Total === 10) // fixture: fewer than a page for one broker
+    assert(full.data.get.count() === b1Total)
+    // non-numeric limit and negative offset silently fall back (util.go:49-66)
+    val fallback = api.getRange(GetRangeRequest("meta", "b1",
+      limit = Some("abc"), offset = Some("-3")))
+    assert(fallback.status === 200 && fallback.data.get.count() === b1Total)
+    // explicit pagination slices deterministically
+    val page = api.getRange(GetRangeRequest("meta", "b1",
+      limit = Some("4"), offset = Some("4")))
+    assert(page.data.get.count() === 4)
+    // wire-format bounds narrow the scan
+    val narrowed = api.getRange(GetRangeRequest("meta", "b1",
+      from = Some("2024-01-05T00:00:00Z"), to = Some("2024-01-10T00:00:00Z")))
+    assert(narrowed.status === 200)
+    assert(narrowed.data.get.count() ===
+      index.filter($"broker_id" === "b1" &&
+        $"publish_time" >= ts("2024-01-05 00:00:00") &&
+        $"publish_time" < ts("2024-01-10 00:00:00")).count())
+  }
+
+  test("GET /range rejects malformed and future bounds with 400, bad collection 500") {
+    assert(api.getRange(GetRangeRequest("meta", "b1",
+      from = Some("01/05/2024"))).status === 400)
+    assert(api.getRange(GetRangeRequest("meta", "b1",
+      to = Some("2999-01-01T00:00:00Z"))).status === 400)
+    assert(api.getRange(GetRangeRequest("nope", "b1")).status === 500)
+  }
+
+  test("POST /query whitelists keys and coerces timestamps; every failure is 400") {
+    val hit = api.getQueried(GetQueriedRequest("meta",
+      Some(Seq(Map("broker_id" -> Eq("b1"), "meta_k" -> Cmp("gte", "50"))))))
+    assert(hit.status === 200)
+    assert(hit.data.get.columns.toSeq === IntervalAttrs)
+    assert(hit.data.get.count() ===
+      index.filter($"broker_id" === "b1" && $"meta_k" >= "50").count())
+    // default limit caps an otherwise-unbounded page at 20
+    val wide = api.getQueried(GetQueriedRequest("meta",
+      Some(Seq(Map("broker_id" -> Cmp("ne", "zzz"))))))
+    assert(wide.data.get.count() === 20)
+    // bad key, malformed timestamp literal, unbindable body, bad collection
+    assert(api.getQueried(GetQueriedRequest("meta",
+      Some(Seq(Map("no_such_attr" -> Eq("x")))))).status === 400)
+    assert(api.getQueried(GetQueriedRequest("meta",
+      Some(Seq(Map("publish_time" -> Cmp("gte", "not-a-time")))))).status === 400)
+    assert(api.getQueried(GetQueriedRequest("meta", None)).status === 400)
+    assert(api.getQueried(GetQueriedRequest("nope",
+      Some(Seq(Map("broker_id" -> Eq("b1")))))).status === 400)
+  }
+
+  test("resubmit status: clean 200, nothing published 400, partial 206") {
+    assert(api.resubmitStatus(0, 0, 42) === ((200, "resubmission successful")))
+    assert(api.resubmitStatus(3, 1, 0) === ((400, "resubmission failed due to bad request")))
+    assert(api.resubmitStatus(0, 2, 40) === ((206, "partial resubmission")))
+  }
+}
