@@ -399,6 +399,9 @@ object SparkEntry {
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(Tables(s, dir).documents)
         .orderBy(col("doc_id"), col("fp"))),
+    "q_winnow_fast" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables(s, dir).documents, portableHash = false)
+        .orderBy(col("doc_id"), col("fp"))),
     // -- LLM training-data pipeline: dedup over documents ------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -1156,6 +1159,24 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= n - 5 + 1 - 3
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_fast" -> {
+      // identical winnow structure, polynomial Horner hash replayed in SQL
+      val horner = (0 until 5).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"(($acc * 257 + ascii(substr(text, CAST(pos AS INT) + $j, 1))) % 2147483647)"
+      }
+      s"""WITH g AS (
+         |  SELECT doc_id, len(text) AS n, text,
+         |         unnest(range(1, len(text) - 5 + 2)) AS pos
+         |  FROM documents WHERE len(text) >= 8),
+         |h AS (SELECT doc_id, n, pos, $horner AS h FROM g),
+         |m AS (SELECT doc_id, pos, n,
+         |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |      FROM h)
+         |SELECT DISTINCT doc_id, fp FROM m
+         |WHERE pos <= n - 5 + 1 - 3
+         |ORDER BY doc_id, fp""".stripMargin
+    },
     "q_decontaminate_ngram" ->
       s"""$ToksCte,
          |$ShinglesCte,

@@ -122,7 +122,22 @@ object TextAnalysis {
     * hashing cannot provide. One explode (n−k+1 rows per doc) + one
     * per-doc window pass; fingerprint density ≈ 2/(w+1) of positions.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+  /** Modulus/base of the fast polynomial k-gram hash: Horner over ASCII
+    * codes mod the Mersenne prime 2^31−1, base 257 — pure codegen'd long
+    * arithmetic, ~10× cheaper than the md5-derived portable hash (one md5
+    * per character position is the price of cross-engine replay). Both
+    * modes give the winnowing guarantee; only h60 is oracle-replayable
+    * bit-for-bit AND collision-grade for global dedup, so portable stays
+    * the default and the fast mode is the single-engine throughput path.
+    */
+  val FastHashBase = 257L
+  val FastHashMod = 2147483647L
+
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      portableHash: Boolean = true): DataFrame = {
     require(k > 0 && w > 0, "k/w must be positive")
     // fully per-row: a document's fingerprint set never needs another
     // row, so the k-gram hashes, the sliding window minima, and the
@@ -131,15 +146,70 @@ object TextAnalysis {
     // pay two). The hash array materializes in its own projection: the
     // window lambda references it once per element, and an inlined
     // expression would re-hash every k-gram per reference.
-    docs
-      .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"),
+    val eligible = docs.filter(length(col("text")) >= k + w - 1)
+    if (!portableHash) return winnowFast(eligible, k, w)
+    val hashed =
+      eligible.select(col("doc_id"),
         transform(sequence(lit(1), length(col("text")) - k + 1),
           i => h60(col("text").substr(i, lit(k)))).as("hs"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), size(col("hs")) - w + 1),
-            i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+    // window minimum as a least() of w direct element_ats — no per-position
+    // w-element array allocation (array_min ∘ slice measured ~40% of the
+    // whole operator at sf0.1)
+    def windowMin(i: Column): Column =
+      if (w == 1) element_at(col("hs"), i)
+      else least((0 until w).map(j => element_at(col("hs"), i + lit(j))): _*)
+    hashed.select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - w + 1), windowMin(_)))).as("fp"))
+  }
+
+  /** The fast winnowing path: one tight per-partition char loop — the
+    * genuine imperative case SURVEY §7.3 reserves `mapPartitions` for.
+    * Zero shuffle and no per-element lambda dispatch (higher-order array
+    * functions evaluate interpreted, which dominates the declarative form:
+    * measured 1.8 s vs 0.9 s at sf0.1). Values are EXACTLY the Horner
+    * polynomial the q_winnow_fast DuckDB oracle replays (base 257 mod
+    * 2^31−1 over char codes), so the fast path stays oracle-checked.
+    * Requires a long-typed `doc_id` (the typed-iterator contract); the
+    * portable mode stays schema-generic.
+    */
+  private def winnowFast(eligible: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    eligible
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)](Encoders.product[(Long, String)])
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val m = text.length - k + 1
+          val hs = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            var h = 0L
+            var j = 0
+            while (j < k) {
+              h = (h * FastHashBase + text.charAt(i + j)) % FastHashMod
+              j += 1
+            }
+            hs(i) = h
+            i += 1
+          }
+          val fps = new java.util.HashSet[java.lang.Long]()
+          var s = 0
+          while (s <= m - w) {
+            var mn = hs(s)
+            var j = 1
+            while (j < w) { if (hs(s + j) < mn) mn = hs(s + j); j += 1 }
+            fps.add(mn)
+            s += 1
+          }
+          val out = new Array[(Long, Long)](fps.size)
+          val fit = fps.iterator()
+          var x = 0
+          while (fit.hasNext) { out(x) = (id, fit.next()); x += 1 }
+          out.iterator
+        }
+      }(Encoders.product[(Long, Long)])
+      .toDF("doc_id", "fp")
   }
 
   /** One learned BPE merge: rank order, the two symbols joined, and the

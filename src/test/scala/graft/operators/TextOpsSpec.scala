@@ -297,6 +297,24 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).size < shared.length + 10)
   }
 
+  test("fast winnowing mode keeps the shared-substring guarantee") {
+    // the polynomial-hash path must give the same structural guarantee as
+    // the portable mode: any k-gram hash works for winnowing, only the
+    // fingerprint VALUES differ
+    val shared = "the quick brown fox!"
+    val d = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"XXXXXX $shared YYYY"),
+      (3L, "completely different content 123"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, portableHash = false)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // every fingerprint stays under the Mersenne modulus (pure long path)
+    assert(fps.values.flatten.forall(h => h >= 0 && h < TextAnalysis.FastHashMod))
+  }
+
   test("distributed BPE training equals a driver-side reference for 12 merges") {
     // driver-side reference: same greedy argmax + left-to-right merge
     def mergeRef(syms: Vector[String], l: String, r: String): Vector[String] =
