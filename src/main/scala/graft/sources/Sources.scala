@@ -248,15 +248,90 @@ object Sinks {
       /** false ⇒ a publish failure stops the pipeline (non-tolerable). */
       tolerateErrors: Boolean)
 
-  /** K9: select the publish sink for a broker type. */
+  /** Publisher-side PLAIN SASL material (kafka.go:121-145: enabled ⇒ both
+    * SASL_USERNAME and SASL_PASSWORD must be present). Rides TLS by
+    * default (SASL_SSL); `tls = false` gives SASL_PLAINTEXT.
+    */
+  final case class KafkaSaslPlain(
+      username: String, password: String, tls: Boolean = true) {
+    def options: Map[String, String] = Map(
+      "kafka.security.protocol" -> (if (tls) "SASL_SSL" else "SASL_PLAINTEXT"),
+      "kafka.sasl.mechanism" -> "PLAIN",
+      "kafka.sasl.jaas.config" ->
+        ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+          s"""username="$username" password="$password";"""))
+  }
+
+  /** Publisher-side Kerberos material (kerberos.go:27-60: all five fields
+    * required). The producer options carry GSSAPI + the keytab login
+    * module; `configPath` (krb5.conf) is JVM-global in Kafka clients —
+    * surfaced as [[jvmProperties]] for the launcher
+    * (-Djava.security.krb5.conf), not a per-source option.
+    */
+  final case class KafkaKerberos(
+      configPath: String,
+      keyTabPath: String,
+      realm: String,
+      service: String,
+      username: String) {
+    def options: Map[String, String] = Map(
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.kerberos.service.name" -> service,
+      "kafka.sasl.jaas.config" ->
+        ("com.sun.security.auth.module.Krb5LoginModule required " +
+          "useKeyTab=true storeKey=true " +
+          s"""keyTab="$keyTabPath" principal="$username@$realm";"""))
+    def jvmProperties: Map[String, String] =
+      Map("java.security.krb5.conf" -> configPath)
+  }
+
+  /** K9: select the publish sink for a broker type. The kafka branch
+    * mirrors the reference producer's security surface (kafka.go:70-202):
+    * optional PLAIN SASL (`saslUsername`/`saslPassword` — one without the
+    * other is the reference's EnvVariableNotDefined error), optional
+    * Kerberos (all five `kerberos*` keys or error), `skipVerify` →
+    * disabled endpoint identification, `disableCompression` →
+    * compression.type=none.
+    */
   def senderFor(
       brokerType: String,
       conf: Map[String, String],
       deadLetter: Boolean = false): SinkSpec = brokerType match {
     case "kafka" =>
+      val sasl = (conf.get("saslUsername"), conf.get("saslPassword")) match {
+        case (Some(u), Some(p)) => KafkaSaslPlain(u, p).options
+        case (None, None)       => Map.empty[String, String]
+        case _ => throw new IllegalArgumentException(
+          "PLAIN SASL needs both saslUsername and saslPassword")
+      }
+      val krbKeys = Seq("kerberosConfigPath", "kerberosKeyTabPath",
+        "kerberosRealm", "kerberosService", "kerberosUsername")
+      val krbPresent = krbKeys.filter(conf.contains)
+      val kerberos =
+        if (krbPresent.isEmpty) Map.empty[String, String]
+        else if (krbPresent.size < krbKeys.size)
+          throw new IllegalArgumentException(
+            s"Kerberos needs ${krbKeys.mkString(", ")}; missing " +
+              krbKeys.diff(krbPresent).mkString(", "))
+        else KafkaKerberos(
+          conf("kerberosConfigPath"), conf("kerberosKeyTabPath"),
+          conf("kerberosRealm"), conf("kerberosService"),
+          conf("kerberosUsername")).options
+      val skipVerify =
+        if (conf.get("skipVerify").contains("true"))
+          // InsecureSkipVerify (kafka.go:93-102) — Kafka spells it as an
+          // empty endpoint-identification algorithm
+          Map("kafka.ssl.endpoint.identification.algorithm" -> "")
+        else Map.empty[String, String]
+      val compression =
+        if (conf.get("disableCompression").contains("true"))
+          Map("kafka.compression.type" -> "none")
+        else Map.empty[String, String]
       SinkSpec("kafka",
         Map("kafka.bootstrap.servers" -> conf("bootstrapServers"),
-          "topic" -> conf("topic")),
+          "topic" -> conf("topic"))
+          ++ sasl ++ kerberos ++ skipVerify ++ compression,
         // Kafka DL marked non-tolerable (initialization.go:56-76)
         tolerateErrors = !deadLetter)
     case "pubsub" =>

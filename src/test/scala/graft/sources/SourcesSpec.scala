@@ -94,6 +94,47 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sinks.senderFor("smoke-signal", Map.empty))
   }
 
+  test("kafka publisher PLAIN SASL maps to SASL_SSL producer options (K6)") {
+    val spec = Sinks.senderFor("kafka", Map(
+      "bootstrapServers" -> "b:9092", "topic" -> "t",
+      "saslUsername" -> "alice", "saslPassword" -> "s3cret",
+      "skipVerify" -> "true", "disableCompression" -> "true"))
+    assert(spec.options("kafka.security.protocol") === "SASL_SSL")
+    assert(spec.options("kafka.sasl.mechanism") === "PLAIN")
+    val jaas = spec.options("kafka.sasl.jaas.config")
+    assert(jaas.contains("PlainLoginModule") &&
+      jaas.contains("""username="alice"""") && jaas.contains("""password="s3cret""""))
+    assert(spec.options("kafka.ssl.endpoint.identification.algorithm") === "")
+    assert(spec.options("kafka.compression.type") === "none")
+    // username without password is the reference's EnvVariableNotDefined
+    intercept[IllegalArgumentException](Sinks.senderFor("kafka", Map(
+      "bootstrapServers" -> "b:9092", "topic" -> "t", "saslUsername" -> "alice")))
+  }
+
+  test("kafka publisher Kerberos maps to GSSAPI options; partial config errors (K6)") {
+    val full = Map(
+      "bootstrapServers" -> "b:9092", "topic" -> "t",
+      "kerberosConfigPath" -> "/etc/krb5.conf",
+      "kerberosKeyTabPath" -> "/keytabs/svc.keytab",
+      "kerberosRealm" -> "EXAMPLE.COM",
+      "kerberosService" -> "kafka",
+      "kerberosUsername" -> "svc-replay")
+    val spec = Sinks.senderFor("kafka", full)
+    assert(spec.options("kafka.security.protocol") === "SASL_SSL")
+    assert(spec.options("kafka.sasl.mechanism") === "GSSAPI")
+    assert(spec.options("kafka.sasl.kerberos.service.name") === "kafka")
+    val jaas = spec.options("kafka.sasl.jaas.config")
+    assert(jaas.contains("Krb5LoginModule") && jaas.contains("useKeyTab=true") &&
+      jaas.contains("""keyTab="/keytabs/svc.keytab"""") &&
+      jaas.contains("""principal="svc-replay@EXAMPLE.COM""""))
+    // krb5.conf is a JVM property, not a per-source option (kerberos.go:28-31)
+    assert(Sinks.KafkaKerberos("/etc/krb5.conf", "/k", "R", "s", "u")
+      .jvmProperties === Map("java.security.krb5.conf" -> "/etc/krb5.conf"))
+    // all five fields or error, like LoadKerberosConfigFromEnv
+    intercept[IllegalArgumentException](
+      Sinks.senderFor("kafka", full - "kerberosRealm"))
+  }
+
   test("kafkaFrame projects key/value/headers; keyless records get null key (K6/W6)") {
     val df = Seq(
       ("u1", "v1", Map("a" -> "1")),
