@@ -58,32 +58,96 @@ object Metrics {
       approx_percentile(col_, lit(0.99), lit(accuracy)).as("p99"))
 }
 
-/** A4: bounded memo for count queries — driver-side, like the reference's
-  * 2Q LRU in front of Mongo `CountDocuments`. Single-flight per key: a
-  * concurrent miss on the same key computes once (`computeIfAbsent` is
-  * atomic per key); distinct keys compute concurrently.
+/** A4: bounded memo for count queries — driver-side, with the reference's
+  * 2Q replacement policy (indexer-api/lib/repo/cache.go:35-37 wraps
+  * hashicorp `lru.New2Q`; ratios recent=0.25, ghost=0.5 of `maxSize`):
   *
-  * Eviction is size-bounded FIFO (insertion order): correctness-neutral
-  * (the cache only memoizes immutable-query results), and the store is
-  * append-only between driver runs, matching the reference's assumption
-  * that cached interval counts never go stale within a process lifetime.
+  *   - first-touch keys enter a FIFO "recent" queue; only a key accessed
+  *     AGAIN is promoted into the access-ordered "frequent" LRU — a
+  *     one-shot scan (a dashboard paging through unique intervals) churns
+  *     the recent queue but can never wash hot keys out of frequent;
+  *   - keys evicted from recent leave a valueless "ghost" entry; a re-miss
+  *     on a ghosted key recomputes but admits straight into frequent
+  *     (the key proved it recurs).
+  *
+  * Single-flight per key like the reference's KeyMutex (cache.go:81-97):
+  * a concurrent miss on the same key computes once; distinct keys compute
+  * concurrently. Values memoize immutable-query results (the store is
+  * append-only within a process lifetime), so eviction is
+  * correctness-neutral.
   */
 final class CountCache(maxSize: Int = 100) {
-  private val map = new ConcurrentHashMap[String, Long]()
-  private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  require(maxSize > 0, "maxSize must be positive")
+  private val recentCap = math.max(1, maxSize / 4)
+  private val ghostCap = math.max(1, maxSize / 2)
+
+  // recent is insertion-ordered (FIFO), frequent access-ordered (true LRU)
+  private val recent = new java.util.LinkedHashMap[String, Long]()
+  private val frequent = new java.util.LinkedHashMap[String, Long](16, 0.75f, true)
+  private val ghost = new java.util.LinkedHashSet[String]()
+  private val inflight = new ConcurrentHashMap[String, Long]()
 
   def getOrCompute(key: String)(compute: => Long): Long =
-    map.computeIfAbsent(key, { k =>
-      order.add(k)
-      while (map.size() > maxSize - 1 && order.size() > 1) {
-        val evict = order.poll()
-        if (evict != null && evict != k) map.remove(evict)
-      }
-      compute
-    })
+    synchronized(lookup(key)) match {
+      case Some(v) => v
+      case None =>
+        // single-flight: concurrent misses on one key share this compute
+        val v = inflight.computeIfAbsent(key, { k =>
+          val computed = compute
+          synchronized(insert(k, computed))
+          computed
+        })
+        inflight.remove(key)
+        v
+    }
 
-  def size: Int = map.size()
-  def contains(key: String): Boolean = map.containsKey(key)
+  def size: Int = synchronized(recent.size + frequent.size)
+  def contains(key: String): Boolean =
+    synchronized(frequent.containsKey(key) || recent.containsKey(key))
+
+  // ------------------------------------------------ 2Q internals (locked)
+
+  private def lookup(key: String): Option[Long] =
+    if (frequent.containsKey(key)) Some(frequent.get(key)) // touches recency
+    else if (recent.containsKey(key)) {
+      val v = recent.remove(key) // second touch promotes (2Q invariant)
+      admitFrequent(key, v)
+      Some(v)
+    } else None
+
+  private def insert(key: String, v: Long): Unit =
+    if (frequent.containsKey(key) || recent.containsKey(key)) ()
+    else if (ghost.contains(key)) { // recurred after eviction → frequent
+      ghost.remove(key)
+      admitFrequent(key, v)
+    } else {
+      ensureSpace()
+      recent.put(key, v)
+    }
+
+  private def admitFrequent(key: String, v: Long): Unit = {
+    ensureSpace()
+    frequent.put(key, v)
+  }
+
+  /** hashicorp 2Q eviction: over capacity, shed from recent (into ghost)
+    * while recent exceeds its ratio, else from the frequent LRU.
+    */
+  private def ensureSpace(): Unit =
+    while (recent.size + frequent.size >= maxSize) {
+      if (recent.size > recentCap || frequent.isEmpty) {
+        val oldest = recent.keySet.iterator.next()
+        recent.remove(oldest)
+        ghost.add(oldest)
+        while (ghost.size > ghostCap) {
+          val g = ghost.iterator.next()
+          ghost.remove(g)
+        }
+      } else {
+        val lru = frequent.keySet.iterator.next()
+        frequent.remove(lru)
+      }
+    }
 }
 
 /** W4 flow control (persistor/internal/persistor/run.go:159-187): stop the

@@ -49,6 +49,31 @@ class MetricsSpec extends SparkSpec {
     assert(!cache.contains("k1"))
   }
 
+  test("CountCache 2Q: re-accessed keys survive a one-shot scan flood (A4)") {
+    val cache = new CountCache(4)
+    cache.getOrCompute("hot")(7L)
+    assert(cache.getOrCompute("hot")(99L) === 7L) // second touch → frequent
+    // a scan of unique keys churns the recent queue only
+    (1 to 8).foreach(i => cache.getOrCompute(s"scan$i")(i.toLong))
+    assert(cache.contains("hot"), "frequent key washed out by one-shot scan")
+    assert(cache.size <= 4)
+  }
+
+  test("CountCache 2Q: a key recurring after eviction admits into frequent") {
+    val cache = new CountCache(4)
+    cache.getOrCompute("comeback")(1L)
+    // enough churn to evict it from recent, few enough that its ghost
+    // entry (capacity maxSize/2 = 2) is still alive
+    (1 to 5).foreach(i => cache.getOrCompute(s"fill$i")(i.toLong))
+    assert(!cache.contains("comeback"))
+    val computes = new AtomicInteger(0)
+    cache.getOrCompute("comeback") { computes.incrementAndGet(); 2L }
+    assert(computes.get() === 1) // ghost holds no value: recompute required
+    // ghosted re-admission goes straight to frequent → survives more churn
+    (1 to 6).foreach(i => cache.getOrCompute(s"more$i")(i.toLong))
+    assert(cache.contains("comeback"))
+  }
+
   test("countInIntervalCached memoizes through the shared cache") {
     val idx = Seq(
       ("a", "b1", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
