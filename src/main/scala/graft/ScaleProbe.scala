@@ -145,6 +145,51 @@ object ScaleProbe {
         " | " + f"${times.last / times.head}%.1f |\n")
     }
 
+    // ---- compaction: a micro-batched sink accretes one file set per
+    // trigger — stream the replica in (one micro-batch per source file),
+    // then compact the accreted index store and measure the listing/scan
+    // effect. Row counts must survive compaction exactly.
+    sb.append(
+      """
+        |Compaction of the post-stream index store (micro-batch accretion →
+        |few size-targeted files per broker, batch_id bookkeeping dropped,
+        |publish_time-sorted for row-group pruning):
+        |
+        |""".stripMargin)
+    sb.append("| scale | files before | files after | interval-scan s before | after |\n")
+    sb.append("|---|---|---|---|---|\n")
+    Seq((dirs.head, 8), (dirs.last, 64)).foreach { case ((f, d), srcFiles) =>
+      // stage the source as many small files: one micro-batch per file is
+      // the accretion rate a day of streaming produces, so the store ends
+      // with srcFiles × |brokers| parquet files before compaction
+      val srcDir = s"$root/stream-src-x$f"
+      spark.read.parquet(s"$d/events.parquet").repartition(srcFiles)
+        .write.parquet(s"$srcDir/events.parquet")
+      val wd = s"$root/stream-x$f"
+      streaming.PersistPipeline.runStream(spark, s"$srcDir/events.parquet", wd,
+        prepare = _.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+      val store = s"$wd/index"
+      val compacted = s"$wd/index_compacted"
+      streaming.Maintenance.compact(spark, store, compacted,
+        partitionCols = Seq("broker_id"), orderCol = "publish_time",
+        targetRows = 2000000L, dropCols = Seq("batch_id"))
+      def parquetFiles(p: String): Long = {
+        val s = Files.walk(Paths.get(p))
+        try s.filter(x => x.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+      def scan(p: String): Long =
+        spark.read.parquet(p).filter(col("broker_id") === "t-click" &&
+          col("publish_time") >= lit(T1) && col("publish_time") < lit(T2)).count()
+      val nb = scan(store) // warm
+      val na = scan(compacted)
+      require(nb == na, s"compaction changed the interval count: $nb vs $na")
+      val tb = time(scan(store))._1
+      val ta = time(scan(compacted))._1
+      sb.append(s"| x$f | ${parquetFiles(store)} | ${parquetFiles(compacted)} | " +
+        f"$tb%.2f | $ta%.2f |\n")
+    }
+
     // ---- dedup/similarity scaling over honestly-scaled document corpora:
     // each replica renames every token into its own namespace (suffix _r),
     // so replicas are 4 structurally-identical but content-disjoint
