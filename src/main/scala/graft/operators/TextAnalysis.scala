@@ -147,50 +147,57 @@ object TextAnalysis {
     // window lambda references it once per element, and an inlined
     // expression would re-hash every k-gram per reference.
     val eligible = docs.filter(length(col("text")) >= k + w - 1)
-    if (!portableHash) return winnowFast(eligible, k, w)
-    val hashed =
-      eligible.select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text")) - k + 1),
-          i => h60(col("text").substr(i, lit(k)))).as("hs"))
-    // window minimum as a least() of w direct element_ats — no per-position
-    // w-element array allocation (array_min ∘ slice measured ~40% of the
-    // whole operator at sf0.1)
-    def windowMin(i: Column): Column =
-      if (w == 1) element_at(col("hs"), i)
-      else least((0 until w).map(j => element_at(col("hs"), i + lit(j))): _*)
-    hashed.select(col("doc_id"),
-      explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - w + 1), windowMin(_)))).as("fp"))
+    winnowLoop(eligible, k, w, portableHash)
   }
 
-  /** The fast winnowing path: one tight per-partition char loop — the
+  /** Both winnowing modes as one tight per-partition char loop — the
     * genuine imperative case SURVEY §7.3 reserves `mapPartitions` for.
     * Zero shuffle and no per-element lambda dispatch (higher-order array
-    * functions evaluate interpreted, which dominates the declarative form:
-    * measured 1.8 s vs 0.9 s at sf0.1). Values are EXACTLY the Horner
-    * polynomial the q_winnow_fast DuckDB oracle replays (base 257 mod
-    * 2^31−1 over char codes), so the fast path stays oracle-checked.
-    * Requires a long-typed `doc_id` (the typed-iterator contract); the
-    * portable mode stays schema-generic.
+    * functions evaluate interpreted — the equivalent declarative HOF form
+    * measured 1.8 s fast / 3.2 s portable vs 0.33 s / ~1 s here at sf0.1).
+    * Values are bit-identical to what each mode's DuckDB oracle replays:
+    * portable = first 60 bits of md5 of the k-gram (the hex-prefix h60,
+    * extracted numerically from the digest — no hex formatting), fast =
+    * the base-257 mod 2^31−1 Horner polynomial over char codes. Requires
+    * a long-castable `doc_id` (the typed-iterator contract).
     */
-  private def winnowFast(eligible: DataFrame, k: Int, w: Int): DataFrame = {
+  private def winnowLoop(
+      eligible: DataFrame, k: Int, w: Int, portable: Boolean): DataFrame = {
     import org.apache.spark.sql.Encoders
     eligible
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)](Encoders.product[(Long, String)])
       .mapPartitions { it =>
+        // one digest instance per partition, reset per k-gram
+        val md =
+          if (portable) java.security.MessageDigest.getInstance("MD5") else null
+        def h60Of(text: String, i: Int): Long = {
+          md.reset()
+          val d = md.digest(
+            text.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex digits == top 60 bits of the first 8 digest bytes
+          val top =
+            ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          top >>> 4
+        }
         it.flatMap { case (id, text) =>
           val m = text.length - k + 1
           val hs = new Array[Long](m)
           var i = 0
           while (i < m) {
-            var h = 0L
-            var j = 0
-            while (j < k) {
-              h = (h * FastHashBase + text.charAt(i + j)) % FastHashMod
-              j += 1
+            if (portable) hs(i) = h60Of(text, i)
+            else {
+              var h = 0L
+              var j = 0
+              while (j < k) {
+                h = (h * FastHashBase + text.charAt(i + j)) % FastHashMod
+                j += 1
+              }
+              hs(i) = h
             }
-            hs(i) = h
             i += 1
           }
           val fps = new java.util.HashSet[java.lang.Long]()
