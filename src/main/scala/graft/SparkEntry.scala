@@ -396,6 +396,11 @@ object SparkEntry {
         Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1), "mix1")
         .select("doc_id", "lang")
         .orderBy(col("doc_id"))),
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(Tables(s, dir).documents)
+        .orderBy(col("doc_id"))),
+    "q_redact" -> ((s, dir) =>
+      Curate.redact(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(Tables(s, dir).documents)
         .orderBy(col("doc_id"), col("fp"))),
@@ -1143,6 +1148,45 @@ object SparkEntry {
          |                                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
          |         AS BIGINT) AS n_bpeish
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      s"""$ToksCte,
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+         |tok AS (SELECT doc_id, n_tokens,
+         |        CASE WHEN n_tokens > 0
+         |             THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |                        / CAST(n_tokens AS DOUBLE)
+         |             ELSE 0.0 END AS dup_token_ratio FROM base),
+         |bg AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] AS gram
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |             FROM base WHERE n_tokens >= 2)),
+         |bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |bi AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |         AS top_bigram_ratio FROM bc GROUP BY 1),
+         |tg AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+         |              || ' ' || toks[CAST(i+2 AS INT)] AS gram
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+         |             FROM base WHERE n_tokens >= 3)),
+         |tc AS (SELECT doc_id, gram, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+         |tri AS (SELECT doc_id,
+         |          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+         |          / CAST(SUM(c) AS DOUBLE) AS dup_trigram_ratio
+         |        FROM tc GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens, t.dup_token_ratio,
+         |       COALESCE(bi.top_bigram_ratio, 0.0) AS top_bigram_ratio,
+         |       COALESCE(tri.dup_trigram_ratio, 0.0) AS dup_trigram_ratio
+         |FROM tok t LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |       + len(regexp_extract_all(text,
+        |         '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_winnow" ->
       """WITH g AS (
         |  SELECT doc_id, len(text) AS n, text,

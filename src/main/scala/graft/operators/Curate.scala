@@ -298,4 +298,35 @@ object Curate {
       .filter(col("doc_id") === col("canonical_id"))
       .select("doc_id", "n_chars", "n_tokens", "stopword_ratio", "guessed_lang")
   }
+
+  /** PII patterns for [[redact]] — the engine-portable regex subset (ASCII
+    * classes, bounded repetition, alternation) that Java regex and RE2
+    * evaluate identically, so the DuckDB oracle replays the redaction
+    * byte-for-byte.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val DefaultRedactions: Seq[(String, String)] =
+    Seq(EmailPattern -> "<EMAIL>", PhonePattern -> "<PHONE>")
+
+  /** PII scrubbing — the pre-training hygiene pass: replace every match
+    * of each pattern (applied in order) and count the redactions. Pure
+    * per-row `regexp_replace`/`regexp_extract_all` — narrow, codegen'd,
+    * zero shuffle, linear at any corpus size.
+    */
+  def redact(
+      docs: DataFrame,
+      redactions: Seq[(String, String)] = DefaultRedactions): DataFrame = {
+    require(redactions.nonEmpty, "at least one (pattern, replacement) pair")
+    val redacted = redactions.foldLeft(col("text")) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val nPii = redactions
+      .map { case (pat, _) => size(regexp_extract_all(col("text"), lit(pat), lit(0))) }
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      redacted.as("text_redacted"),
+      nPii.cast("long").as("n_pii"))
+  }
 }

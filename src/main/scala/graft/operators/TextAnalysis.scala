@@ -337,6 +337,59 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(s))))
 
+  /** Repetition quality scores — the Gopher/RefinedWeb-style repetition
+    * rules a pretraining filter applies (Rae et al. 2021 §A1.1: fraction
+    * of duplicated content, top-n-gram fraction), token-level so the
+    * oracle replays them exactly:
+    *
+    *   - `dup_token_ratio`: 1 − distinct/total tokens (per-row HOF);
+    *   - `top_bigram_ratio`: occurrences of the most frequent bigram over
+    *     all bigram slots;
+    *   - `dup_trigram_ratio`: fraction of trigram slots whose trigram
+    *     occurs more than once.
+    *
+    * Gram stats are explode + two (doc_id[, gram])-keyed aggregations —
+    * linear and shuffle-partitioned by document, never a per-row O(n²)
+    * membership scan. Docs too short for a gram level score 0.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+    val tokenDup = base.select(col("doc_id"), col("n_tokens"),
+      when(col("n_tokens") > 0,
+        lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double"))
+        .otherwise(lit(0.0)).as("dup_token_ratio"))
+    def gramCounts(n: Int): DataFrame = base
+      .filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val bi = gramCounts(2)
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+      .select(col("doc_id"),
+        (col("top_c").cast("double") / col("total").cast("double"))
+          .as("top_bigram_ratio"))
+    val tri = gramCounts(3)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"),
+        sum(col("c")).as("total"))
+      .select(col("doc_id"),
+        (col("dup").cast("double") / col("total").cast("double"))
+          .as("dup_trigram_ratio"))
+    tokenDup
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"),
+        coalesce(col("dup_trigram_ratio"), lit(0.0)).as("dup_trigram_ratio"))
+  }
+
   /** Content fingerprints: h60 of the full normalized text (exact-content
     * identity) and md5 of the sorted distinct-token bag (order-insensitive
     * identity) — the lookup keys for dedup joins.

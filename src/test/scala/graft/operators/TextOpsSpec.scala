@@ -399,6 +399,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L).contains("ab") && got(3L).contains("cd"))
   }
 
+  test("repetitionScores computes Gopher-style token/bigram/trigram repetition") {
+    val d = Seq(
+      (1L, "a a b"),           // dup 1-2/3; bigrams {a a, a b} top 1/2; no dup trigram
+      (2L, "x y x y x y"),     // dup 1-2/6; top bigram 3/5; every trigram duplicated
+      (3L, "q"))               // too short for gram levels
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(d).orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val eps = 1e-12
+    val r1 = out(0); val r2 = out(1); val r3 = out(2)
+    assert(r1._2 === 3L && math.abs(r1._3 - (1.0 - 2.0 / 3.0)) < eps)
+    assert(math.abs(r1._4 - 0.5) < eps && r1._5 === 0.0)
+    assert(math.abs(r2._3 - (1.0 - 2.0 / 6.0)) < eps)
+    assert(math.abs(r2._4 - 3.0 / 5.0) < eps && r2._5 === 1.0)
+    assert(r3._2 === 1L && r3._3 === 0.0 && r3._4 === 0.0 && r3._5 === 0.0)
+  }
+
+  test("redact scrubs emails and phone numbers, counting the matches") {
+    val d = Seq(
+      (1L, "contact me at bob@example.com or 555-123-4567 ok"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.org"))
+      .toDF("doc_id", "text")
+    val out = Curate.redact(d).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out(0)._2 === "contact me at <EMAIL> or <PHONE> ok" && out(0)._3 === 2L)
+    assert(out(1)._2 === "no pii here" && out(1)._3 === 0L)
+    assert(out(2)._2 === "two mails <EMAIL> <EMAIL>" && out(2)._3 === 2L)
+  }
+
   test("languageId falls back to und when no stopword list hits") {
     val d = Seq((1L, "zzz qqq xxx"), (2L, "the cat is on the mat")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(d).orderBy("doc_id")
