@@ -327,6 +327,9 @@ object SparkEntry {
     "q_window_agg" -> ((s, dir) =>
       graft.streaming.WindowAgg.tumblingCounts(Tables(s, dir).events, "1 day")
         .orderBy(col("window_start"), col("event_type"))),
+    "q_window_hopping" -> ((s, dir) =>
+      graft.streaming.WindowAgg.hoppingCounts(Tables(s, dir).events, "1 day", "6 hours")
+        .orderBy(col("window_start"), col("event_type"))),
     "q_asof_join" -> { (s, dir) =>
       val ev = Tables(s, dir).events
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -876,6 +879,19 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hopping windows: every event belongs to exactly duration/slide = 4
+    // epoch-aligned candidate windows (floor to the 6h slide, back-shift
+    // k slides) — no containment filter needed, micros arithmetic matches
+    // Spark's epoch-aligned window() exactly
+    "q_window_hopping" ->
+      """WITH h AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
+        |                        - k * 21600000000) AS window_start,
+        |         event_type, value
+        |  FROM events, (SELECT unnest(range(0, 4)) AS k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
         |           FROM events WHERE event_type = 'purchase'),

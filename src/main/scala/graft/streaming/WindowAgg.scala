@@ -31,4 +31,28 @@ object WindowAgg {
         col("event_type"),
         col("n_events"),
         col("total_value"))
+
+  /** Hopping (sliding) windows: every `slide` a window of length
+    * `duration` closes, so each event lands in duration/slide overlapping
+    * windows — the moving-average / rolling-rate view. Same single-shuffle
+    * shape as tumbling: the ×(duration/slide) window fan-out happens
+    * map-side inside the `window()` generator, partial aggregation
+    * combines before the exchange, and a streaming run with a watermark
+    * drops window state as it finalizes (bounded by horizon/slide groups
+    * per key, not by input rate).
+    */
+  def hoppingCounts(
+      events: DataFrame,
+      duration: String = "1 day",
+      slide: String = "6 hours"): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"))
 }

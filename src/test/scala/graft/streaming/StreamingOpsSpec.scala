@@ -60,6 +60,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming hopping-window aggregation (Complete) equals the batch query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hopagg").toString
+    events.orderBy("ts").coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = WindowAgg.hoppingCounts(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), "1 day", "6 hours")
+      .writeStream
+      .format("memory")
+      .queryName("hopagg")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("window_start").getTime, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+    val streamed = spark.table("hopagg").collect().map(key).toSet
+    val batch = WindowAgg.hoppingCounts(events, "1 day", "6 hours")
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // every event fans out into duration/slide = 4 windows
+    assert(batch.toSeq.map(_._3).sum ===
+      4L * WindowAgg.tumblingCounts(events, "1 day").collect()
+        .map(_.getAs[Long]("n_events")).sum)
+  }
+
   test("streaming sessionizer emits exactly the watermark-final sessions") {
     // chronological thirds as separate files → the file stream delivers
     // them as successive micro-batches and the event-time watermark
