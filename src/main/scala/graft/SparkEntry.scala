@@ -330,6 +330,13 @@ object SparkEntry {
     "q_window_hopping" -> ((s, dir) =>
       graft.streaming.WindowAgg.hoppingCounts(Tables(s, dir).events, "1 day", "6 hours")
         .orderBy(col("window_start"), col("event_type"))),
+    // CDC-style latest row per user (map-side-combined max(struct), not a
+    // full-shuffle row_number window)
+    "q_latest_per_key" -> ((s, dir) =>
+      graft.streaming.Maintenance.latestSnapshot(
+        Tables(s, dir).events.select("user_id", "ts", "event_id", "event_type"),
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+        .orderBy(col("user_id"))),
     "q_asof_join" -> { (s, dir) =>
       val ev = Tables(s, dir).events
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -879,6 +886,11 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, ts, event_id, event_type FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     // hopping windows: every event belongs to exactly duration/slide = 4
     // epoch-aligned candidate windows (floor to the 6h slide, back-shift
     // k slides) — no containment filter needed, micros arithmetic matches

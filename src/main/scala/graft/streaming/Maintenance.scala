@@ -55,4 +55,31 @@ object Maintenance {
       .partitionBy(partitionCols: _*)
       .parquet(outPath)
   }
+
+  /** CDC-style latest-per-key snapshot of an append-only store: keep the
+    * row with the greatest `versionCols` value per `keyCols` group
+    * (`versionCols` must totally order rows within a key — add a unique
+    * tiebreaker like the record id).
+    *
+    * Implemented as ONE aggregation of `max(struct(version…, rest…))` —
+    * struct comparison is lexicographic, so the version columns lead —
+    * which gets a map-side partial max: only one candidate row per key
+    * per input partition reaches the shuffle. The textbook
+    * `row_number() OVER (PARTITION BY key ORDER BY version DESC) = 1`
+    * shuffles EVERY row to sort whole groups; at 100 TB of updates to a
+    * bounded key space that is the difference between shuffling the
+    * corpus and shuffling ~|keys|·|partitions| rows.
+    */
+  def latestSnapshot(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty, "keys and versions required")
+    val rest = df.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || versionCols.contains(c))
+    val ordered = versionCols ++ rest
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("_latest"))
+      .select(keyCols.map(col) ++ ordered.map(c => col(s"_latest.$c").as(c)): _*)
+  }
 }

@@ -60,6 +60,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("latestSnapshot keeps the max-version row per key with partial aggregation") {
+    val updates = Seq(
+      (1L, 10L, 100L, "a"), (1L, 30L, 101L, "c"), (1L, 20L, 102L, "b"),
+      (2L, 5L, 103L, "x"),
+      (3L, 7L, 104L, "y"), (3L, 7L, 105L, "z")) // same version → id breaks tie
+      .toDF("key", "version", "rec_id", "payload")
+    val out = Maintenance.latestSnapshot(updates,
+      keyCols = Seq("key"), versionCols = Seq("version", "rec_id"))
+      .orderBy("key")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Array((1L, 30L, 101L, "c"), (2L, 5L, 103L, "x"), (3L, 7L, 105L, "z")))
+    // scale audit: compiles to a hash aggregate with a partial (map-side)
+    // pass — NOT a full-shuffle row_number window
+    val plan = Maintenance.latestSnapshot(updates,
+      keyCols = Seq("key"), versionCols = Seq("version", "rec_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("streaming hopping-window aggregation (Complete) equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hopagg").toString
     events.orderBy("ts").coalesce(1).write.parquet(s"$dir/in")
