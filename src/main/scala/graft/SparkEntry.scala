@@ -541,6 +541,13 @@ object SparkEntry {
           posexplode(col("centroid")).as(Seq("dim", "m")))
         .withColumn("dim", col("dim").cast("long"))
         .orderBy(col("label"), col("dim"))),
+    // int8 quantization summarized to exact scalars (sum/max of codes)
+    "q_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir).embeddings)
+        .select(col("vec_id"), col("mn"), col("scale"),
+          aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
+          array_max(col("codes")).as("code_max"))
+        .orderBy(col("vec_id"))),
     // -- text analysis over documents ---------------------------------------
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -1361,6 +1368,25 @@ object SparkEntry {
         |SELECT label, max(n) OVER (PARTITION BY label) AS n_vectors,
         |       dim, s / n AS m
         |FROM g ORDER BY label, dim""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |         (CAST(list_max(embedding) AS DOUBLE)
+        |          - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mn, scale,
+        |         CASE WHEN scale = 0.0
+        |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(embedding, x ->
+        |                CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) AS BIGINT))
+        |         END AS codes
+        |  FROM s)
+        |SELECT vec_id, mn, scale,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       CAST(list_max(codes) AS BIGINT) AS code_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

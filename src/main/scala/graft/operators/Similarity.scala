@@ -153,6 +153,34 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("centroid"))
 
+  /** Int8 scalar quantization of the embedding column — the 4× storage
+    * compression a 100 TB embedding store runs on: per-vector affine code
+    * x ≈ mn + scale·q with q ∈ [0, 255] and scale = (mx − mn)/255.
+    * Pure per-row array HOFs, zero shuffle. Rounding is spelled
+    * `floor(r + 0.5)` so every engine agrees bit-for-bit (round() ties
+    * differ across engines); a constant vector (scale 0) codes to zeros.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        ((array_max(col("embedding")).cast("double") -
+          array_min(col("embedding")).cast("double")) / 255.0).as("scale"))
+      .select(col("vec_id"), col("mn"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"), x =>
+            floor((x.cast("double") - col("mn")) / col("scale") + 0.5).cast("long")))
+          .as("codes"))
+
+  /** Inverse of [[quantizeInt8]]: reconstruct float vectors with at most
+    * scale/2 absolute error per element.
+    */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      transform(col("codes"), c =>
+        (col("mn") + c.cast("double") * col("scale")).cast("float")).as("embedding"))
+
   // ------------------------------------------------- learned IVF (k-means)
 
   /** Deterministic spherical k-means (Lloyd) for the IVF coarse quantizer

@@ -399,6 +399,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L).contains("ab") && got(3L).contains("cd"))
   }
 
+  test("int8 quantization codes stay in [0,255]; round-trip error <= scale/2") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.25f, 3.75f, 0.0f)),
+      (2L, Seq(2.0f, 2.0f, 2.0f))) // constant vector → scale 0, all-zero codes
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs).cache()
+    val rows = q.orderBy("vec_id")
+      .as[(Long, Double, Double, Seq[Long])].collect()
+    assert(rows.forall(_._4.forall(c => c >= 0 && c <= 255)))
+    assert(rows(0)._2 === -1.25 && math.abs(rows(0)._3 - 5.0 / 255.0) < 1e-12)
+    assert(rows(1)._3 === 0.0 && rows(1)._4 === Seq(0L, 0L, 0L))
+    val recon = Similarity.dequantizeInt8(q)
+      .orderBy("vec_id").as[(Long, Seq[Float])].collect().map(r => r._1 -> r._2).toMap
+    val orig = vecs.as[(Long, Seq[Float])].collect().toMap
+    orig.foreach { case (id, v) =>
+      val scale = rows(id.toInt - 1)._3
+      v.zip(recon(id)).foreach { case (o, r) =>
+        assert(math.abs(o - r) <= scale / 2 + 1e-6, s"vec $id: $o vs $r")
+      }
+    }
+  }
+
   test("repetitionScores computes Gopher-style token/bigram/trigram repetition") {
     val d = Seq(
       (1L, "a a b"),           // dup 1-2/3; bigrams {a a, a b} top 1/2; no dup trigram
