@@ -56,6 +56,29 @@ object Maintenance {
       .parquet(outPath)
   }
 
+  /** Write a frame as a BUCKETED table: rows hash-partitioned into
+    * `numBuckets` files by `bucketCols` at write time, with the layout
+    * recorded in the catalog. Two tables bucketed the same way equi-join
+    * on the bucket columns with NO exchange on either side — the shuffle
+    * is paid once at write time and amortized over every subsequent join,
+    * the standard layout for a store that is repeatedly point/semi-joined
+    * on its key (e.g. the index joined to replay manifests). Sorted within
+    * buckets so merge joins need no sort either.
+    */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0, "bucket spec required")
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** CDC-style latest-per-key snapshot of an append-only store: keep the
     * row with the greatest `versionCols` value per `keyCols` group
     * (`versionCols` must totally order rows within a key — add a unique

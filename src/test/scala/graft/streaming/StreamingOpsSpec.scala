@@ -60,6 +60,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("co-bucketed tables join with no exchange on either side") {
+    val left = (1 to 1000).map(i => (s"id_$i", i.toLong)).toDF("unique_id", "a")
+    val right = (1 to 1000).map(i => (s"id_$i", s"p$i")).toDF("unique_id", "b")
+    Maintenance.writeBucketed(left, "e2e_bucket_left", Seq("unique_id"), 8)
+    Maintenance.writeBucketed(right, "e2e_bucket_right", Seq("unique_id"), 8)
+    val joined = spark.table("e2e_bucket_left")
+      .join(spark.table("e2e_bucket_right"), "unique_id")
+    // disable broadcast so the plan MUST choose a non-broadcast join, then
+    // prove the bucket layout removed the shuffle the join would pay
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rejoined = spark.table("e2e_bucket_left")
+        .join(spark.table("e2e_bucket_right"), "unique_id")
+      val plan = rejoined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(rejoined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(joined.count() === 1000)
+  }
+
   test("latestSnapshot keeps the max-version row per key with partial aggregation") {
     val updates = Seq(
       (1L, 10L, 100L, "a"), (1L, 30L, 101L, "c"), (1L, 20L, 102L, "b"),
