@@ -303,7 +303,10 @@ object SparkEntry {
       out.errors.groupBy(col("reason")).agg(count(lit(1)).as("n"))
         .unionByName(out.delivered
           .agg(count(lit(1)).as("n"))
-          .select(lit("delivered").as("reason"), col("n")))
+          .select(lit("delivered").as("reason"), col("n"))
+          // the oracle's GROUP BY emits no 'delivered' group when nothing
+          // survives; drop the 0-row so both sides stay row-identical
+          .filter(col("n") > 0))
         .orderBy(col("reason"))
     },
     // A6: pipeline latency summary — exact p50/p90/p99 of ingestion lag

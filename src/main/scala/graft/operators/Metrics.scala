@@ -91,11 +91,19 @@ final class CountCache(maxSize: Int = 100) {
     synchronized(lookup(key)) match {
       case Some(v) => v
       case None =>
-        // single-flight: concurrent misses on one key share this compute
+        // single-flight: concurrent misses on one key share this compute.
+        // The mapping function re-checks the cache first — a caller that
+        // missed, got descheduled, and arrived after the in-flight compute
+        // finished (and its inflight entry was removed) must not re-run
+        // the expensive count (check-then-act window).
         val v = inflight.computeIfAbsent(key, { k =>
-          val computed = compute
-          synchronized(insert(k, computed))
-          computed
+          synchronized(lookup(k)) match {
+            case Some(cached) => cached
+            case None =>
+              val computed = compute
+              synchronized(insert(k, computed))
+              computed
+          }
         })
         inflight.remove(key)
         v

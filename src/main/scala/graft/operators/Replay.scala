@@ -71,8 +71,18 @@ object Replay {
     * null is produced INSIDE the aggregate input (collect_list skips
     * nulls), so the keyless group's buffer never accumulates members.
     */
+  /** A record with no ordering key: the reference's zero value is the
+    * empty string (resubmitter_job.go:418 `groupedRecords[""]`), and a
+    * NULL key from un-normalized external data means the same thing —
+    * both publish fully parallel. Treating null as keyed would silently
+    * DROP it from the keyed/keyless split (`=!= ""` and `=== ""` are both
+    * null-valued on null input).
+    */
+  private def keylessKey: Column =
+    col("ordering_key").isNull || col("ordering_key") === ""
+
   def orderingGroups(index: DataFrame): DataFrame = {
-    val keyless = col("ordering_key") === ""
+    val keyless = keylessKey
     index
       .groupBy(col("ordering_key"))
       .agg(
@@ -91,7 +101,7 @@ object Replay {
     */
   private[operators] def orderedKeyed(index: DataFrame): DataFrame =
     index
-      .filter(col("ordering_key") =!= "")
+      .filter(!keylessKey)
       .repartition(col("ordering_key"))
       .sortWithinPartitions(
         col("ordering_key"), col("location_key"), col("location_position"))
@@ -104,7 +114,7 @@ object Replay {
     */
   private[operators] def saltedKeyless(index: DataFrame): DataFrame =
     index
-      .filter(col("ordering_key") === "")
+      .filter(keylessKey)
       .repartition(index.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** The scale-path form of W6: keyed rows partitioned by ordering key and

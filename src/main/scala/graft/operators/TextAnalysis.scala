@@ -158,16 +158,18 @@ object TextAnalysis {
     * Values are bit-identical to what each mode's DuckDB oracle replays:
     * portable = first 60 bits of md5 of the k-gram (the hex-prefix h60,
     * extracted numerically from the digest — no hex formatting), fast =
-    * the base-257 mod 2^31−1 Horner polynomial over char codes. Requires
-    * a long-castable `doc_id` (the typed-iterator contract).
+    * the base-257 mod 2^31−1 Horner polynomial over char codes. A Row
+    * encoder carries `doc_id` through at its ORIGINAL type — no silent
+    * long-narrowing of string/decimal ids.
     */
   private def winnowLoop(
       eligible: DataFrame, k: Int, w: Int, portable: Boolean): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    eligible
-      .select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)](Encoders.product[(Long, String)])
-      .mapPartitions { it =>
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = eligible.select(col("doc_id"), col("text"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0), StructField("fp", LongType, nullable = false)))
+    in.mapPartitions { it =>
         // one digest instance per partition, reset per k-gram
         val md =
           if (portable) java.security.MessageDigest.getInstance("MD5") else null
@@ -183,7 +185,9 @@ object TextAnalysis {
               ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
           top >>> 4
         }
-        it.flatMap { case (id, text) =>
+        it.flatMap { r =>
+          val id = r.get(0)
+          val text = r.getString(1)
           val m = text.length - k + 1
           val hs = new Array[Long](m)
           var i = 0
@@ -209,13 +213,13 @@ object TextAnalysis {
             fps.add(mn)
             s += 1
           }
-          val out = new Array[(Long, Long)](fps.size)
+          val out = new Array[Row](fps.size)
           val fit = fps.iterator()
           var x = 0
-          while (fit.hasNext) { out(x) = (id, fit.next()); x += 1 }
+          while (fit.hasNext) { out(x) = Row(id, fit.next().longValue()); x += 1 }
           out.iterator
         }
-      }(Encoders.product[(Long, Long)])
+      }(Encoders.row(outSchema))
       .toDF("doc_id", "fp")
   }
 
@@ -239,13 +243,30 @@ object TextAnalysis {
     * not just cached) so the logical plan never stacks `numMerges` nested
     * folds and round k never re-analyzes k rounds of history.
     */
+  /** Eagerly checkpoint `df` (lineage truncated to a LogicalRDD) and pair
+    * it with a release handle that drops the checkpoint's storage blocks.
+    * Iterative loops call the PREVIOUS generation's release once the next
+    * one is materialized, so at most two generations ever hold storage —
+    * ContextCleaner alone reclaims only on driver GC, which is unbounded
+    * in the meantime.
+    */
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint()
+    val release = () =>
+      cp.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+    (cp, release)
+  }
+
   def bpeTrain(docs: DataFrame, numMerges: Int): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
-    var words = docs
+    var (words, releaseWords) = checkpointed(docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(split(col("w"), "").as("syms"), col("wc"))
-      .localCheckpoint()
+      .select(split(col("w"), "").as("syms"), col("wc")))
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 1
     var done = false
@@ -262,12 +283,15 @@ object TextAnalysis {
         case Some(row) =>
           val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += BpeMerge(rank, l, r, n)
-          words = words
-            .select(mergePair(col("syms"), l, r).as("syms"), col("wc"))
-            .localCheckpoint()
+          val (next, releaseNext) = checkpointed(words
+            .select(mergePair(col("syms"), l, r).as("syms"), col("wc")))
+          releaseWords()
+          words = next
+          releaseWords = releaseNext
           rank += 1
       }
     }
+    releaseWords()
     merges.result()
   }
 
@@ -297,16 +321,22 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .distinct()
       .select(col("w"), split(col("w"), "").as("syms"))
+    // the LAST chunk's checkpoint stays persisted — the returned plan reads
+    // from it (vocabulary-sized); intermediate generations release eagerly
+    var releasePrev: () => Unit = () => ()
     merges.grouped(chunkSize).foreach { chunk =>
       val folded = chunk.foldLeft(col("syms")) { (syms, m) =>
         mergePair(syms, m.left, m.right)
       }
-      // localCheckpoint truncates the LINEAGE, not just the execution: the
+      // the checkpoint truncates the LINEAGE, not just the execution: the
       // next chunk starts from a LogicalRDD instead of stacking another
       // `chunkSize` aggregates onto an ever-deeper logical plan (a cache
       // alone keeps the full tree and the analyzer/optimizer still walk it
       // every chunk — O(merges²) analysis and an eventual stack overflow)
-      seg = seg.select(col("w"), folded.as("syms")).localCheckpoint()
+      val (next, releaseNext) = checkpointed(seg.select(col("w"), folded.as("syms")))
+      releasePrev()
+      releasePrev = releaseNext
+      seg = next
     }
     val lookup = if (broadcastLookup) broadcast(seg) else seg
     docs

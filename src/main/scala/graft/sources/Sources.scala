@@ -242,6 +242,13 @@ object Locations {
   */
 object Sinks {
 
+  /** Escape a value interpolated into a JAAS config line: backslashes and
+    * double quotes would otherwise break the quoting (or, crafted, inject
+    * extra login-module options — classic config injection).
+    */
+  private[sources] def jaasQuote(v: String): String =
+    "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   final case class SinkSpec(
       format: String,
       options: Map[String, String],
@@ -259,7 +266,8 @@ object Sinks {
       "kafka.sasl.mechanism" -> "PLAIN",
       "kafka.sasl.jaas.config" ->
         ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-          s"""username="$username" password="$password";"""))
+          s"username=${Sinks.jaasQuote(username)} " +
+          s"password=${Sinks.jaasQuote(password)};"))
   }
 
   /** Publisher-side Kerberos material (kerberos.go:27-60: all five fields
@@ -281,7 +289,8 @@ object Sinks {
       "kafka.sasl.jaas.config" ->
         ("com.sun.security.auth.module.Krb5LoginModule required " +
           "useKeyTab=true storeKey=true " +
-          s"""keyTab="$keyTabPath" principal="$username@$realm";"""))
+          s"keyTab=${Sinks.jaasQuote(keyTabPath)} " +
+          s"principal=${Sinks.jaasQuote(s"$username@$realm")};"))
     def jvmProperties: Map[String, String] =
       Map("java.security.krb5.conf" -> configPath)
   }
@@ -318,6 +327,10 @@ object Sinks {
           conf("kerberosConfigPath"), conf("kerberosKeyTabPath"),
           conf("kerberosRealm"), conf("kerberosService"),
           conf("kerberosUsername")).options
+      if (sasl.nonEmpty && kerberos.nonEmpty)
+        throw new IllegalArgumentException(
+          "PLAIN SASL and Kerberos are mutually exclusive — both set " +
+            "kafka.sasl.mechanism and kafka.sasl.jaas.config")
       val skipVerify =
         if (conf.get("skipVerify").contains("true"))
           // InsecureSkipVerify (kafka.go:93-102) — Kafka spells it as an

@@ -45,7 +45,7 @@ class EndToEndSpec extends SparkSpec {
 
     // 3. repackage + ordered publish to a file topic, then read it back
     val topicDir = java.nio.file.Files.createTempDirectory("graft-e2e-topic").toString
-    Publisher.publishOrdered(Replay.repackagedMetadata(joined), topicDir)
+    Publisher.publishOrdered(joined, topicDir) // publishOrdered repackages internally
     val topic = Publisher.readTopic(spark, topicDir)
     assert(topic.count() === nSlice)
 

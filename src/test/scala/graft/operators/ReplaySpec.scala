@@ -92,6 +92,21 @@ class ReplaySpec extends SparkSpec {
       s"keyless skew: max ${perPartKeyless.max} vs mean $mean")
   }
 
+  test("NULL ordering keys publish as keyless — never silently dropped (W6)") {
+    val idx = Seq(
+      ("k_1", Some("u1"), "blob-0", 1L),
+      ("n_1", None: Option[String], "blob-0", 2L),
+      ("e_1", Some(""), "blob-1", 1L))
+      .toDF("unique_id", "ordering_key", "location_key", "location_position")
+    val out = Publisher.withPublishSeq(idx)
+      .select("unique_id", "publish_seq")
+      .as[(String, Option[Long])].collect().toMap
+    assert(out.keySet === Set("k_1", "n_1", "e_1")) // nothing vanished
+    assert(out("k_1") === Some(1L))
+    assert(out("n_1") === None && out("e_1") === None) // both keyless forms
+    assert(Replay.orderedForPublish(idx).count() === 3)
+  }
+
   test("withPublishSeq sequences keyed rows per key; keyless rows get none (W6)") {
     val out = Publisher.withPublishSeq(index)
       .select("unique_id", "ordering_key", "publish_seq")

@@ -111,6 +111,23 @@ class SourcesSpec extends SparkSpec {
       "bootstrapServers" -> "b:9092", "topic" -> "t", "saslUsername" -> "alice")))
   }
 
+  test("JAAS values are escaped; SASL+Kerberos together is rejected (K6)") {
+    val spec = Sinks.senderFor("kafka", Map(
+      "bootstrapServers" -> "b:9092", "topic" -> "t",
+      "saslUsername" -> "ali\"ce", "saslPassword" -> """pa\ss""""))
+    val jaas = spec.options("kafka.sasl.jaas.config")
+    // quotes and backslashes in credentials can't break out of the quoting
+    assert(jaas.contains("""username="ali\"ce""""), jaas)
+    assert(jaas.contains("""password="pa\\ss\""""), jaas)
+    // both auth mechanisms write kafka.sasl.* — ambiguous, must throw
+    intercept[IllegalArgumentException](Sinks.senderFor("kafka", Map(
+      "bootstrapServers" -> "b:9092", "topic" -> "t",
+      "saslUsername" -> "u", "saslPassword" -> "p",
+      "kerberosConfigPath" -> "/etc/krb5.conf",
+      "kerberosKeyTabPath" -> "/k", "kerberosRealm" -> "R",
+      "kerberosService" -> "kafka", "kerberosUsername" -> "svc")))
+  }
+
   test("kafka publisher Kerberos maps to GSSAPI options; partial config errors (K6)") {
     val full = Map(
       "bootstrapServers" -> "b:9092", "topic" -> "t",
