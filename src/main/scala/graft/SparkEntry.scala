@@ -562,7 +562,45 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables(s, dir).documents, topK = 100)
-        .orderBy(col("n_occurrences").desc, col("token")))
+        .orderBy(col("n_occurrences").desc, col("token"))),
+    // Unigram-LM quality scoring; the hash-checked projection is the
+    // integer-exact core + pure ratios (avg_logprob is ln-based — engine
+    // libm variance — and deliberately not oracle-compared).
+    "q_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramScores(Tables(s, dir).documents, rareMax = 2L)
+        .select("doc_id", "n_tokens", "c_sum", "n_rare",
+          "mean_token_prob", "rare_ratio")
+        .orderBy(col("doc_id"))),
+    // TF-IDF keywords; integer-exact rank (tf DESC, df ASC, token) so row
+    // selection replays bit-for-bit; the float tfidf column stays engine-side.
+    "q_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(Tables(s, dir).documents, topK = 5)
+        .select(col("doc_id"), col("rank").as("rnk"), col("token"),
+          col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rnk"))),
+    // Skew-safe per-key top-k — identical output to the single-window form.
+    "q_topk_per_key" -> ((s, dir) =>
+      Diagnostics.saltedTopKPerKey(Tables(s, dir).events,
+        col("event_type"), col("value"), col("event_id"), k = 5, salts = 8)
+        .select(col("key").as("etype"), col("rank").as("rnk"),
+          col("value"), col("tiebreak"))
+        .orderBy(col("etype"), col("rnk"))),
+    // Z-order layout buckets with per-dimension min/max (the parquet-footer
+    // stats a 2-D range scan prunes on).
+    "q_zorder" -> ((s, dir) =>
+      Layout.zorderStats(Tables(s, dir).lineitem,
+        col("l_partkey"), col("l_suppkey"), bucketShift = 16)
+        .orderBy(col("bucket"))),
+    // Bloom-prefiltered exact decontamination — result is bit-identical to
+    // the plain exact anti-join (the filter only routes rows), so the
+    // oracle is the plain NOT EXISTS query.
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Curate.decontaminateBloom(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 97 === 1))
+        .select("doc_id").orderBy(col("doc_id"))
+    }
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -1453,6 +1491,76 @@ object SparkEntry {
          |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
          |FROM tok GROUP BY token
          |ORDER BY n_occurrences DESC, token
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+    "q_unigram_lm" ->
+      s"""$ToksCte,
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM ex GROUP BY doc_id, token),
+         |vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c
+         |          FROM tf GROUP BY token),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM vocab)
+         |SELECT doc_id,
+         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * c) AS BIGINT) AS c_sum,
+         |  CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(SUM(tf * c) AS DOUBLE) /
+         |    CAST(SUM(tf) * (SELECT n_corpus FROM tot) AS DOUBLE)
+         |    AS mean_token_prob,
+         |  CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS DOUBLE) /
+         |    CAST(SUM(tf) AS DOUBLE) AS rare_ratio
+         |FROM tf JOIN vocab USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_keywords" ->
+      s"""$ToksCte,
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM ex GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY token),
+         |r AS (SELECT doc_id, token, tf, df,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                           ORDER BY tf DESC, df ASC, token ASC) AS rnk
+         |      FROM tf JOIN dfreq USING (token))
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df FROM r
+         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "q_topk_per_key" ->
+      """WITH r AS (
+        |  SELECT event_type AS etype, value, event_id AS tiebreak,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events)
+        |SELECT etype, CAST(rnk AS BIGINT) AS rnk, value, tiebreak
+        |FROM r WHERE rnk <= 5 ORDER BY etype, rnk""".stripMargin,
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT (l_partkey & 65535) AS x, (l_suppkey & 65535) AS y,
+        |         l_partkey AS xr, l_suppkey AS yr
+        |  FROM lineitem),
+        |s1 AS (SELECT xr, yr,
+        |         (x | (x << 8)) & 16711935 AS xa,
+        |         (y | (y << 8)) & 16711935 AS ya FROM b),
+        |s2 AS (SELECT xr, yr,
+        |         (xa | (xa << 4)) & 252645135 AS xb,
+        |         (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        |s3 AS (SELECT xr, yr,
+        |         (xb | (xb << 2)) & 858993459 AS xc,
+        |         (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        |s4 AS (SELECT xr, yr,
+        |         (xc | (xc << 1)) & 1431655765 AS xd,
+        |         (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+        |z AS (SELECT xr, yr, xd | (yd << 1) AS zkey FROM s4)
+        |SELECT zkey >> 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(xr) AS x_min, MAX(xr) AS x_max,
+        |       MIN(yr) AS y_min, MAX(yr) AS y_max
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_decontaminate_bloom" ->
+      """WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |ev AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |       WHERE doc_id % 97 = 1)
+        |SELECT t.doc_id FROM fps t
+        |WHERE t.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM ev e WHERE e.fp = t.fp)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -210,6 +210,59 @@ object Curate {
     train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact-text decontamination behind a Bloom pre-filter — the shape for
+    * when the eval/benchmark set is too large to broadcast as an exact
+    * hash table but its BITSET still fits on every executor (1B
+    * fingerprints ≈ 1.5 GiB at 12 bits/item vs ≥ 30 GiB as a hash table
+    * of md5 strings). The result is bit-identical to [[decontaminate]]'s
+    * exact branch: the Bloom filter only routes rows, it never decides
+    * membership.
+    *
+    * Build: eval fingerprints explode to k probe positions, word masks
+    * bit-OR per 64-bit word (one keyed aggregation), and only the m/64
+    * words come to the driver — members are never collected. Scan: each
+    * train row computes ONE h60 and tests k bits in codegen.
+    *   - definite misses (the overwhelming majority — fp rate ≈ 2^-k)
+    *     pass through with ZERO shuffle and zero join probes;
+    *   - possible members (tiny) verify against the exact eval
+    *     fingerprint set in a shuffle anti-join whose left side is only
+    *     the candidates.
+    * Net at 100 TB: two linear scans of train and a candidates-only
+    * shuffle, versus a full train-side shuffle (eval unbroadcastable) for
+    * the plain exact join. This is the same trade Spark's runtime
+    * row-level bloom filters make — expressed portably so replays are
+    * deterministic.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      evalCorpus: DataFrame,
+      bitsPerItem: Int = 12,
+      numHashes: Int = 6): DataFrame = {
+    import graft.functions.PortableBloom
+    val evalH = evalCorpus.select(h60(col("text")).as("h")).distinct()
+    // one bounded action: the member COUNT (a single long) sizes the filter
+    val m = PortableBloom.sizeBits(evalH.count(), bitsPerItem)
+    val words = evalH
+      .select(explode(PortableBloom.positionsCol(col("h"), m, numHashes)).as("pos"))
+      .select(
+        call_function("shiftright", col("pos"), lit(6)).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .groupBy(col("w"))
+      .agg(call_function("bit_or", col("mask")).as("bits"))
+      .collect()
+    val bits = PortableBloom.assemble(
+      m, words.iterator.map(r => (r.getInt(0), r.getLong(1))))
+    val hit = PortableBloom.mightContain(bits, m, numHashes, h60(col("text")))
+    val evalExact = evalCorpus.select(md5(col("text")).as("fp_exact")).distinct()
+    val survivors = train
+      .withColumn("fp_exact", md5(col("text")))
+      .filter(hit)
+      .join(evalExact, Seq("fp_exact"), "left_anti")
+      .drop("fp_exact")
+    train.filter(!hit).unionByName(survivors)
+  }
+
   /** Token-budget selection: walk documents in the reproducible shuffle
     * order ([[withShuffleKey]]) and keep them until the running token
     * total reaches `budgetTokens` — the deterministic "first N tokens of

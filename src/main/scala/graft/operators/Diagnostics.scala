@@ -26,4 +26,48 @@ object Diagnostics {
       .orderBy(col("n").desc, col("key"))
       .limit(topN)
   }
+
+  /** Skew-safe per-key top-k: the per-group analogue of `TakeOrdered`.
+    * A plain `row_number() OVER (PARTITION BY key ORDER BY …)` funnels
+    * every row of a hot key through ONE window task — the same failure
+    * mode as the keyless ordering-group hazard. Top-k is mergeable, so
+    * this runs it in two stages instead:
+    *
+    *   1. partial: rank within (key, salt) — `salts` deterministic
+    *      sub-groups per key (h60 of the tiebreaker, so replays are
+    *      stable) — and keep each sub-group's top k;
+    *   2. final: rank the ≤ k·salts survivors per key and keep k.
+    *
+    * The hot key's rows spread over `salts` tasks in stage 1; stage 2
+    * sees a bounded input regardless of skew. Results are identical to
+    * the single-window form whenever the order (`value` DESC,
+    * `tiebreak` ASC) is a total order per key — `tiebreak` must be
+    * unique within its key, which also makes the output deterministic
+    * and oracle-replayable.
+    */
+  def saltedTopKPerKey(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      tiebreak: Column,
+      k: Int,
+      salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    import graft.functions.TextFunctions.h60
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(
+      key.as("key"), value.as("value"), tiebreak.as("tiebreak"),
+      pmod(h60(tiebreak.cast("string")), lit(salts.toLong)).as("salt"))
+    val partial = Window.partitionBy(col("key"), col("salt"))
+      .orderBy(col("value").desc, col("tiebreak").asc)
+    val fin = Window.partitionBy(col("key"))
+      .orderBy(col("value").desc, col("tiebreak").asc)
+    keyed
+      .withColumn("pr", row_number().over(partial))
+      .filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("rank").cast("long").as("rank"),
+        col("value"), col("tiebreak"))
+  }
 }

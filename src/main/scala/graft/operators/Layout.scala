@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: Z-order (Morton) interleaving for
+  * multi-dimensional data skipping. Sorting/bucketing files by a Z-order
+  * key clusters rows that are close in BOTH dimensions into the same
+  * files, so parquet min/max footer stats prune a 2-D range query to a
+  * handful of files — where a single-column sort order prunes only its
+  * leading dimension. This is the layout step a 100 TB table runs once at
+  * write time to make every later range scan cheap; the companion
+  * bucketed-table writer ([[graft.store]]) handles the key-equality case.
+  *
+  * The interleave is the classic magic-number bit spread — five
+  * mask-and-shift steps per dimension, pure codegen'd long arithmetic,
+  * identical on any engine that has `<<` and `&` (the oracle replays it
+  * in SQL verbatim). 16 bits per dimension: callers quantize wider
+  * domains down (range/65536 buckets) first — layout needs locality, not
+  * full key fidelity.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of nonnegative `x` to even bit positions
+    * (…b2·4, b1·2, b0·1) — Morton "Part1By1" via magic masks.
+    */
+  def part1By1(x: Column): Column = {
+    val m0 = x.bitwiseAND(lit(0xFFFFL))
+    val m1 = (m0.bitwiseOR(shiftleft(m0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = (m1.bitwiseOR(shiftleft(m1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = (m2.bitwiseOR(shiftleft(m2, 2))).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Z-order key interleaving the low 16 bits of two nonnegative
+    * dimensions: bit i of `x` lands at position 2i, of `y` at 2i+1.
+    */
+  def zorderKey(x: Column, y: Column): Column =
+    part1By1(x.cast("long"))
+      .bitwiseOR(shiftleft(part1By1(y.cast("long")), 1))
+
+  /** Assign each row to a layout bucket by dropping the low `bucketShift`
+    * bits of its Z-order key (`bucket = zkey >> bucketShift` — each
+    * bucket is a contiguous Z-range of 2^bucketShift keys, exactly what a
+    * writer turns into files). Each bucket's min/max stays tight in BOTH
+    * dimensions, which is the whole point: emit the per-bucket stats a
+    * parquet footer would carry so the pruning win is measurable, not
+    * asserted. Callers pick `bucketShift` from the occupied key range
+    * (≈ log2(zkey_max) − log2(want_buckets)).
+    */
+  def zorderStats(
+      df: DataFrame, x: Column, y: Column, bucketShift: Int): DataFrame = {
+    require(bucketShift >= 0 && bucketShift <= 31, "bucketShift in [0,31]")
+    val keyed = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .withColumn("zkey", zorderKey(col("x"), col("y")))
+    keyed
+      .groupBy(call_function("shiftright", col("zkey"), lit(bucketShift))
+        .as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+}

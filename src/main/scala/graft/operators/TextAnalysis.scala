@@ -429,4 +429,91 @@ object TextAnalysis {
       col("doc_id"),
       h60(concat_ws(" ", tokens(col("text")))).as("content_h60"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("bag_fp"))
+
+  /** Corpus unigram language-model scoring — the classic cheap
+    * perplexity proxy for quality filtering: fit a unigram LM on the
+    * corpus itself (token frequencies), then score each document by how
+    * probable its tokens are under that model. Emits per document:
+    * `n_tokens`, `c_sum` (Σ corpus-count of each token occurrence),
+    * `n_rare` (occurrences of tokens seen ≤ `rareMax` times corpus-wide),
+    * `mean_token_prob` = c_sum / (n_tokens · N), `rare_ratio`, and
+    * `avg_logprob` = (Σ ln c(w) − n·ln N) / n — low avg_logprob or high
+    * rare_ratio flags gibberish / OCR noise; *suspiciously high*
+    * mean_token_prob flags boilerplate.
+    *
+    * Shape at 100 TB: one (doc_id, token) partial-aggregated shuffle for
+    * per-doc term frequencies, one token-keyed shuffle for the vocabulary,
+    * one tf⋈vocab equi-join (AQE skew-split handles hot tokens — the tf
+    * table carries ≤ one row per (doc, token), never one per occurrence),
+    * one doc-keyed fold. The corpus total N rides along as a broadcast
+    * 1-row aggregate — no driver action in the plan.
+    *
+    * Determinism note: `avg_logprob` sums `ln` terms in partition order —
+    * fine for filtering, but only the integer-exact columns and the pure
+    * ratios (single IEEE division of exact longs) are oracle-hashable;
+    * the oracle query projects those.
+    */
+  def unigramScores(docs: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_corpus"))
+    tf.join(vocab, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("c")).as("c_sum"),
+        sum(when(col("c") <= rareMax, col("tf")).otherwise(lit(0L))).as("n_rare"),
+        sum(col("tf").cast("double") * log(col("c").cast("double"))).as("sum_log_c"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("c_sum"),
+        col("n_rare"),
+        (col("c_sum").cast("double") /
+          (col("n_tokens") * col("n_corpus")).cast("double")).as("mean_token_prob"),
+        (col("n_rare").cast("double") / col("n_tokens").cast("double")).as("rare_ratio"),
+        ((col("sum_log_c") - col("n_tokens").cast("double") *
+          log(col("n_corpus").cast("double"))) /
+          col("n_tokens").cast("double")).as("avg_logprob"))
+  }
+
+  /** TF-IDF keyword extraction: the `topK` most characteristic tokens per
+    * document. Rank is computed in EXACT integer arithmetic — (tf DESC,
+    * df ASC, token ASC): highest in-document frequency first, corpus-rarer
+    * token on ties — so the selected rows replay bit-for-bit on any
+    * engine; the conventional float score tf·ln(N/df) rides along for
+    * consumers (monotone in tf then 1/df, the same signal the rank orders
+    * by lexicographically).
+    *
+    * Shape: per-doc term frequencies (one partial-aggregated shuffle),
+    * document frequencies over the tf table (one token shuffle), a
+    * token-keyed equi-join, then a doc_id-partitioned top-k window —
+    * every stage keyed, nothing global, N broadcast as a 1-row aggregate.
+    */
+  def keywords(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"), col("rank").cast("long").as("rank"), col("token"),
+        col("tf"), col("df"), col("n_docs"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+  }
 }

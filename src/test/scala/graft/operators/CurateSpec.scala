@@ -194,6 +194,68 @@ class CurateSpec extends SparkSpec {
     assert(kept === Seq(1L))
   }
 
+  test("bloom decontamination equals the exact anti-join; the filter routes, never decides") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 7 === 1)
+    val expected = train
+      .join(eval_.select(md5(col("text")).as("fp")).distinct(),
+        md5(col("text")) === col("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = Curate.decontaminateBloom(train, eval_)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === expected)
+    assert(got.size < train.count()) // something was actually dropped
+  }
+
+  test("portable bloom: JVM and Catalyst positions agree; members never miss") {
+    import graft.functions.{PortableBloom, TextFunctions}
+    val hashes = (0 until 500).map(i => TextFunctions.h60Jvm(s"member|$i"))
+    val m = PortableBloom.sizeBits(hashes.size, 12)
+    val k = 6
+    // Catalyst positionsCol replays the JVM positions bit-for-bit
+    val gotPos = hashes.take(50).toDF("h")
+      .select(PortableBloom.positionsCol(col("h"), m, k)).as[Seq[Long]].collect()
+    assert(gotPos.toSeq === hashes.take(50).map(PortableBloom.positions(_, m, k)))
+    // build driver-side from JVM positions, test via the Catalyst column
+    val bits = new Array[Long](m / 64)
+    hashes.foreach(h => PortableBloom.positions(h, m, k).foreach(p =>
+      bits((p >> 6).toInt) |= 1L << (p & 63)))
+    val members = hashes.toDF("h")
+    assert(members.filter(!PortableBloom.mightContain(bits, m, k, col("h")))
+      .count() === 0) // zero false negatives, by construction
+    // non-members: false-positive rate ≈ 2^-6 — far below 20%
+    val others = (0 until 1000).map(i => TextFunctions.h60Jvm(s"other|$i")).toDF("h")
+    val fp = others.filter(PortableBloom.mightContain(bits, m, k, col("h"))).count()
+    assert(fp < 200, s"false-positive count $fp out of 1000")
+  }
+
+  test("salted per-key top-k equals the single-window form under heavy skew") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot key (80% of rows) + two normal keys; unique tiebreaks
+    val rows = (0 until 2000).map { i =>
+      val key = if (i % 5 != 0) "hot" else if (i % 2 == 0) "a" else "b"
+      (key, (i * 37 % 997).toDouble, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val got = Diagnostics.saltedTopKPerKey(
+      df, col("k"), col("v"), col("id"), k = 7, salts = 8)
+      .select("key", "rank", "value", "tiebreak")
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("k"), col("rank").cast("long"), col("v"), col("id"))
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === expected)
+    // k larger than a group: the whole group comes back, ranked
+    val tiny = Seq(("x", 1.0, 1L), ("x", 2.0, 2L)).toDF("k", "v", "id")
+    val all = Diagnostics.saltedTopKPerKey(
+      tiny, col("k"), col("v"), col("id"), k = 10, salts = 4)
+      .select("rank", "tiebreak").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(all === Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("centroids equal the driver-side per-label mean") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order layout tests: the bit interleave against a JVM reference, and
+  * the actual locality win — a 2-D rectangle query touches far fewer
+  * Z-order buckets than row-order buckets of the same granularity.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton encode: bit i of x → 2i, bit i of y → 2i+1. */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zorderKey matches the bit-by-bit Morton reference") {
+    assert(mortonRef(3, 5) === 39L) // x bits 0,2 → 5; y bits 0,2 → 34
+    val pairs = (0 until 200).map { i =>
+      (graft.functions.TextFunctions.h60Jvm(s"zx|$i") & 0xFFFF,
+        graft.functions.TextFunctions.h60Jvm(s"zy|$i") & 0xFFFF)
+    }
+    val got = pairs.toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"))).as[Long].collect()
+    assert(got.toSeq === pairs.map { case (x, y) => mortonRef(x, y) })
+  }
+
+  test("zorder buckets prune a 2-D rectangle far better than row order") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    // rectangle over both dimensions (sf0.001: partkey ≤ ~200, suppkey ≤ ~10)
+    val hit = col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 5)
+    // same bucket count (64) under both layouts; row order ≈ insertion order
+    val zBucket = call_function("shiftright",
+      Layout.zorderKey(col("l_partkey"), col("l_suppkey")), lit(8))
+    val rowBucket = pmod(col("l_orderkey"), lit(64))
+    val zTouched = li.filter(hit).select(zBucket.as("b")).distinct().count()
+    val rowTouched = li.filter(hit).select(rowBucket.as("b")).distinct().count()
+    assert(zTouched > 0)
+    // row order scatters matches across ~all 64 buckets; Z-order confines
+    // them to the rectangle's Z-ranges
+    assert(zTouched * 2 <= rowTouched,
+      s"zorder touched $zTouched buckets vs row-order $rowTouched")
+    // bucket stats stay tight in BOTH dims: every bucket's x-range is a
+    // sliver of the global domain (a 1-D sort would leave y unconstrained)
+    val stats = Layout.zorderStats(li, col("l_partkey"), col("l_suppkey"), 8)
+    val dom = li.agg(max("l_partkey"), max("l_suppkey")).head()
+    val (xDom, yDom) = (dom.getLong(0), dom.getLong(1))
+    val loose = stats
+      .filter(col("n_rows") > 1)
+      .filter((col("x_max") - col("x_min")) * 2 > xDom &&
+        (col("y_max") - col("y_min")) * 2 > yDom)
+      .count()
+    assert(loose === 0, "a bucket spans more than half of BOTH dimensions")
+  }
+}

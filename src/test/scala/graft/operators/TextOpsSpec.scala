@@ -473,4 +473,42 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("mean_token_len") === 0.0)
     assert(out(1).getAs[Double]("punct_ratio") > 0.0)
   }
+
+  test("unigram LM scores match a hand-computed corpus model") {
+    // corpus: a×3, b×2, c×1 → N=6
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScores(d, rareMax = 1L)
+      .orderBy("doc_id").collect()
+    // doc 1: tokens a,a,b → c_sum = 3+3+2 = 8; no rare (c≤1) tokens
+    assert(out(0).getAs[Long]("n_tokens") === 3L)
+    assert(out(0).getAs[Long]("c_sum") === 8L)
+    assert(out(0).getAs[Long]("n_rare") === 0L)
+    assert(out(0).getAs[Double]("mean_token_prob") === 8.0 / 18.0)
+    // doc 2: a,b,c → c_sum = 3+2+1 = 6; c is rare
+    assert(out(1).getAs[Long]("c_sum") === 6L)
+    assert(out(1).getAs[Long]("n_rare") === 1L)
+    assert(out(1).getAs[Double]("rare_ratio") === 1.0 / 3.0)
+    // avg_logprob = (Σ ln c − n ln N)/n, here for doc 2
+    val want = (math.log(3) + math.log(2) + math.log(1) - 3 * math.log(6)) / 3
+    assert(math.abs(out(1).getAs[Double]("avg_logprob") - want) < 1e-12)
+  }
+
+  test("keywords ranks by tf then rarity with the float score riding along") {
+    val d = Seq(
+      (1L, "apple apple apple common rare"),
+      (2L, "common banana banana"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(d, topK = 2)
+      .select("doc_id", "rank", "token", "tf", "df")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: apple tf=3 first; tie at tf=1 between common (df=3) and rare
+    // (df=1) → rarer token wins
+    assert(out.toSeq === Seq(
+      (1L, 1L, "apple", 3L, 1L), (1L, 2L, "rare", 1L, 1L),
+      (2L, 1L, "banana", 2L, 1L), (2L, 2L, "common", 1L, 3L),
+      (3L, 1L, "cherry", 1L, 1L), (3L, 2L, "common", 1L, 3L)))
+    val tfidf = TextAnalysis.keywords(d, topK = 1)
+      .filter(col("doc_id") === 1L).select("tfidf").as[Double].head()
+    assert(math.abs(tfidf - 3 * math.log(3.0 / 1.0)) < 1e-12)
+  }
 }
