@@ -600,7 +600,29 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 97 === 1))
         .select("doc_id").orderBy(col("doc_id"))
-    }
+    },
+    // Count-min sketch: the portable hash family makes the SKETCH itself
+    // oracle-replayable — estimates compare exactly, est ≥ exact by theorem.
+    "q_countmin" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val sketch = Sketches.countMin(ev, col("user_id"), w = 256, d = 4)
+      val probes = ev.filter(col("user_id") % 10 === 7)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      Sketches.countMinEstimate(sketch, probes, col("user_id"), w = 256, d = 4)
+        .join(probes, col("key") === col("user_id"))
+        .select(col("user_id"), col("exact"), col("est"))
+        .orderBy(col("user_id"))
+    },
+    // Importance sampling with a per-row quality weight (length-based here).
+    "q_sample_weighted" -> ((s, dir) =>
+      Curate.sampleByWeight(Tables(s, dir).documents, col("doc_id"),
+        least(col("n_chars").cast("double") / 400.0, lit(1.0)), "w1")
+        .select("doc_id", "n_chars").orderBy(col("doc_id"))),
+    // IVF-PQ: learned codebooks aren't SQL-expressible → rows-only check;
+    // the spec proves recall vs brute force and ADC-vs-exact agreement.
+    "q_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, k = 5)
+        .orderBy(col("query_id"), col("rank")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -1561,6 +1583,30 @@ object SparkEntry {
         |SELECT t.doc_id FROM fps t
         |WHERE t.doc_id % 3 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM ev e WHERE e.fp = t.fp)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+    "q_countmin" -> {
+      val cf = graft.functions.TextFunctions.minHashCoeffs(4).zipWithIndex
+        .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+      s"""WITH cf(r, a, bc) AS (VALUES $cf),
+         |base AS (SELECT ${h60Sql("CAST(user_id AS VARCHAR)")} & 4294967295 AS h
+         |         FROM events),
+         |cells AS (SELECT r, ((a * h + bc) % 4294967311) % 256 AS b
+         |          FROM base CROSS JOIN cf),
+         |sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM cells GROUP BY r, b),
+         |probes AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact,
+         |             ${h60Sql("CAST(user_id AS VARCHAR)")} & 4294967295 AS h
+         |           FROM events WHERE user_id % 10 = 7 GROUP BY user_id),
+         |pc AS (SELECT user_id, exact, r, ((a * h + bc) % 4294967311) % 256 AS b
+         |       FROM probes CROSS JOIN cf)
+         |SELECT user_id, exact, MIN(cnt) AS est
+         |FROM pc JOIN sketch USING (r, b)
+         |GROUP BY user_id, exact ORDER BY user_id""".stripMargin
+    },
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${h60Sql("CAST(doc_id AS VARCHAR) || '|w1'")} % 1048576
+         |      < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 1048576.0
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -84,6 +84,23 @@ object Curate {
     df.filter(bucket < cut)
   }
 
+  /** Deterministic importance sampling (the DSIR-shaped re-weighting
+    * step): keep each row with ITS OWN probability `weight` ∈ [0,1] —
+    * typically a quality or domain-match score — by comparing the same
+    * h60 uniform the other samplers draw against weight·2^20. A uniform
+    * weight column degenerates to [[sampleByHash]]; a row's inclusion is
+    * monotone in its weight (raising a doc's weight never drops it from
+    * the sample — nested samples across re-weightings). Pure per-row
+    * filter, zero shuffle; the weight expression must itself be
+    * engine-deterministic for oracle replays.
+    */
+  def sampleByWeight(
+      df: DataFrame, key: Column, weight: Column, salt: String): DataFrame =
+    df.filter(
+      pmod(h60(concat(key.cast("string"), lit("|"), lit(salt))), lit(1048576L))
+        .cast("double") <
+        least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1048576.0)
+
   /** Deterministic global shuffle order for training: a pseudo-random but
     * reproducible sort key per row. Materialized as a column — the
     * consumer's `orderBy(shuffle_key)` is then an honest range-partitioned

@@ -290,6 +290,145 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (the FAISS-style PQ training step):
+    * split the `Dim` dims into `m` contiguous subspaces of Dim/m dims and
+    * k-means `ksub` centroids per subspace — ALL subspaces in one joint
+    * Lloyd loop. The cell key is (subspace, code), so each iteration is
+    * one narrow pass + ONE (s, code, dim)-keyed aggregation regardless of
+    * m, and the driver only ever holds ksub·Dim doubles.
+    *
+    * Deterministic exactly like [[kmeansCentroids]]: hash-sample init
+    * (every subspace seeds from the same ksub sampled vectors), exact
+    * DECIMAL sums, assignment ties to the larger code, emptied codes keep
+    * their previous centroid. Train on a hash-sample at 100 TB.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      salt: String = "pq"): Array[Array[Array[Double]]] = {
+    require(m > 0 && Dim % m == 0, s"m must divide $Dim")
+    require(ksub > 0 && iters >= 0, "ksub/iters must be positive")
+    import graft.functions.TextFunctions.h60
+    val sub = Dim / m
+    val seed = embeddings
+      .orderBy(h60(concat(col("vec_id").cast("string"), lit(s"|$salt"))), col("vec_id"))
+      .limit(ksub)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books = Array.tabulate(m)(s => seed.map(v => v.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 0 until iters) {
+      val sv = embeddings.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+        .select(col("sv.s").as("s"), col("sv.v").as("v"))
+      // per-subspace assignment: one `when` branch per subspace, codebooks
+      // as plan-time literals (m·ksub·sub doubles — small by construction)
+      val code = (1 until m).foldLeft(
+        when(col("s") === 0, nearestCode(books(0), col("v")))) {
+        case (acc, s) => acc.when(col("s") === s, nearestCode(books(s), col("v")))
+      }
+      val sums = sv
+        .withColumn("code", code)
+        .select(col("s"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("code"), col("dim"))
+        .agg(sum(col("x").cast("decimal(27,8)")).cast("double").as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("code"))).foreach {
+        case ((s, c), rows) =>
+          val cent = new Array[Double](sub)
+          rows.foreach(r =>
+            cent(r.getAs[Int]("dim")) = r.getAs[Double]("sm") / r.getAs[Long]("n"))
+          next(s)(c) = cent
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Nearest codebook entry by L2 over the subvector:
+    * argmin ‖v−c‖² = argmax(dot(c,v) − ‖c‖²/2); ties to the larger code.
+    */
+  private def nearestCode(book: Array[Array[Double]], v: Column): Column =
+    array_max(array(book.zipWithIndex.map { case (c, i) =>
+      struct((dot(typedLit(c.toSeq), v) - lit(0.5 * c.map(x => x * x).sum)).as("s"),
+        lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** PQ encode: the m codes per vector — m bytes of payload per row
+    * against 4·Dim for float32 (32× at m=8, Dim=64). This is the table a
+    * 100 TB ANN deployment materializes once and scans instead of the
+    * embeddings.
+    */
+  def pqEncode(
+      embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = Dim / m
+    embeddings.select(col("vec_id"),
+      array((0 until m).map(s =>
+        nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
+        .as("codes"))
+  }
+
+  /** IVF-PQ top-k: SRP coarse cells block the candidates (as [[ivfTopK]]),
+    * but the candidate side carries ONLY (cell, vec_id, codes) — the
+    * 32×-smaller PQ representation, which is the actual scan/IO win at
+    * 100 TB — and is scored by asymmetric distance (ADC):
+    * adc = Σ_s dot(q_s, books(s)(code_s)). The `rerank` best candidates
+    * per query then join back to the full vectors for exact cosine — the
+    * standard two-stage recall repair, a k-bounded join.
+    *
+    * (A real deployment materializes [[pqEncode]] once; here the codes
+    * are computed inline so the operator is self-contained.)
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      cellBits: Int = 4,
+      rerank: Int = 32): DataFrame = {
+    require(rerank >= k, "rerank must be at least k")
+    val books = pqCodebooks(embeddings, m, ksub, iters)
+    val sub = Dim / m
+    val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
+      srpCode(col("embedding"), 0, cellBits).as("cell"),
+      array((0 until m).map(s =>
+        nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
+        .as("codes"))
+    val queries = withNorm(embeddings)
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        srpCode(col("embedding"), 0, cellBits).as("cell"),
+        col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
+    val adc = (0 until m).map { s =>
+      dot(slice(col("emb_q"), s * sub + 1, sub),
+        element_at(typedLit(books(s).map(_.toSeq).toSeq), col("codes")(s) + 1))
+    }.reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .join(withNorm(embeddings).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n"), col("nrm").as("nrm_n")), Seq("neighbor_id"))
+      .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs via SRP-LSH banding: planes
     * [0, bands·rowsPerBand) are split into `bands` bands of `rowsPerBand`
     * sign bits; vector pairs colliding in any band become candidates and

@@ -256,6 +256,52 @@ class CurateSpec extends SparkSpec {
     assert(all === Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("count-min sketch: lower-bound property, mass conservation, mergeability") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    val n = ev.count()
+    val sketch = Sketches.countMin(ev, col("user_id"), w = 64, d = 4).cache()
+    // every row lands in exactly d cells
+    assert(sketch.agg(sum("cnt")).head().getLong(0) === n * 4)
+    // est >= exact for EVERY key (the count-min theorem)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(sketch, exact, col("user_id"), w = 64, d = 4)
+    val violations = est.join(exact, col("key") === col("user_id"))
+      .filter(col("est") < col("exact")).count()
+    assert(violations === 0)
+    // never-seen keys estimate to... >= 0; a key colliding nowhere gives 0
+    val ghost = Seq(-999999L).toDF("user_id")
+    val g = Sketches.countMinEstimate(sketch, ghost, col("user_id"), w = 64, d = 4)
+      .select("est").as[Long].head()
+    assert(g >= 0L)
+    // merge = cell-wise addition: sketches of disjoint halves sum to the whole
+    val h1 = Sketches.countMin(ev.filter(col("event_id") % 2 === 0), col("user_id"), 64, 4)
+    val h2 = Sketches.countMin(ev.filter(col("event_id") % 2 === 1), col("user_id"), 64, 4)
+    val merged = h1.unionByName(h2).groupBy("r", "b")
+      .agg(sum("cnt").as("cnt"))
+    assert(merged.join(sketch, Seq("r", "b"))
+      .filter(merged("cnt") =!= sketch("cnt")).count() === 0)
+    assert(merged.count() === sketch.count())
+  }
+
+  test("weighted sampling tracks per-row weights and is monotone in weight") {
+    val df = (1 to 4000).map(i => (i.toLong, (i % 101).toDouble / 100.0))
+      .toDF("id", "w")
+    val kept = Curate.sampleByWeight(df, col("id"), col("w"), "s1")
+    val nKept = kept.count().toDouble
+    val expected = df.agg(sum(least(col("w"), lit(1.0)))).head().getDouble(0)
+    assert(math.abs(nKept - expected) / expected < 0.15,
+      s"kept $nKept, expected ≈ $expected")
+    // weight 0 never kept; weight ≥ 1 always kept
+    assert(kept.filter(col("w") === 0.0).count() === 0)
+    assert(kept.filter(col("w") >= 1.0).count() ===
+      df.filter(col("w") >= 1.0).count())
+    // monotone: raising every weight never drops a previously-kept row
+    val raised = Curate.sampleByWeight(
+      df, col("id"), least(col("w") * 2.0, lit(1.0)), "s1")
+    assert(kept.select("id").exceptAll(raised.select("id")).count() === 0)
+  }
+
   test("centroids equal the driver-side per-label mean") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),

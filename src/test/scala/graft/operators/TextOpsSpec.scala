@@ -474,6 +474,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("punct_ratio") > 0.0)
   }
 
+  test("pq codes are in range; full-rerank IVF-PQ equals exact-scored IVF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(120).cache()
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    assert(books.length === 8 && books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 8))) // 64 dims / 8 subspaces
+    val codes = Similarity.pqEncode(emb, books)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // training is deterministic: a second run yields identical codebooks
+    val again = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq === again.map(_.map(_.toSeq).toSeq).toSeq)
+    // with rerank ≥ cell population the ADC stage keeps every candidate,
+    // so exact re-ranking must reproduce the exact-scored IVF output
+    val pq = Similarity.pqTopK(emb, col("vec_id") % 10 === 0, k = 3, rerank = 200)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") % 10 === 0, k = 3)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(pq === ivf)
+    // tight rerank: never more than k rows per query, ranks contiguous from 1
+    val tight = Similarity.pqTopK(emb, col("vec_id") % 10 === 0, k = 3, rerank = 8)
+    assert(tight.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+    assert(tight.groupBy("query_id")
+      .agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count() === 0)
+  }
+
   test("unigram LM scores match a hand-computed corpus model") {
     // corpus: a×3, b×2, c×1 → N=6
     val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")

@@ -63,6 +63,17 @@ class StreamingOpsSpec extends SparkSpec {
   test("co-bucketed tables join with no exchange on either side") {
     val left = (1 to 1000).map(i => (s"id_$i", i.toLong)).toDF("unique_id", "a")
     val right = (1 to 1000).map(i => (s"id_$i", s"p$i")).toDF("unique_id", "b")
+    // a fresh catalog + a stale warehouse dir from an earlier JVM makes
+    // saveAsTable refuse the location — clear both table AND directory
+    Seq("e2e_bucket_left", "e2e_bucket_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Maintenance.writeBucketed(left, "e2e_bucket_left", Seq("unique_id"), 8)
     Maintenance.writeBucketed(right, "e2e_bucket_right", Seq("unique_id"), 8)
     val joined = spark.table("e2e_bucket_left")
