@@ -622,7 +622,19 @@ object SparkEntry {
     // the spec proves recall vs brute force and ADC-vs-exact agreement.
     "q_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, k = 5)
-        .orderBy(col("query_id"), col("rank")))
+        .orderBy(col("query_id"), col("rank"))),
+    // HyperLogLog register table — pure integer arithmetic, replayed
+    // bit-for-bit; the float estimate stays engine-side (spec-bounded).
+    "q_hll" -> ((s, dir) =>
+      Sketches.hllRegisters(Tables(s, dir).events, col("user_id"), p = 9)
+        .orderBy(col("bucket"))),
+    // Per-key z-score outliers over events.value (deterministic moments).
+    "q_outliers" -> ((s, dir) =>
+      Diagnostics.outliers(Tables(s, dir).events,
+        col("event_type"), col("value"), z = 2.5)
+        .select(col("event_id"), col("key").as("etype"), col("value"),
+          col("mu"), col("sigma"))
+        .orderBy(col("event_id")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -1607,6 +1619,29 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${h60Sql("CAST(doc_id AS VARCHAR) || '|w1'")} % 1048576
          |      < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 1048576.0
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q_hll" ->
+      s"""WITH h AS (SELECT ${h60Sql("CAST(user_id AS VARCHAR)")} & 4294967295 AS h32
+         |           FROM events),
+         |s AS (SELECT h32 >> 23 AS bucket, h32 & 8388607 AS suffix FROM h),
+         |r AS (SELECT bucket,
+         |        CAST(CASE WHEN suffix = 0 THEN 24
+         |             ELSE 23 - (length(bin(suffix)) - 1) END AS BIGINT) AS rho
+         |      FROM s)
+         |SELECT bucket, MAX(rho) AS rho_max FROM r
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type AS etype, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |mm AS (SELECT etype, s1 / n AS mu,
+        |              sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+        |       FROM m)
+        |SELECT e.event_id, e.event_type AS etype, e.value, mm.mu, mm.sigma
+        |FROM events e JOIN mm ON e.event_type = mm.etype
+        |WHERE abs(e.value - mm.mu) > 2.5 * mm.sigma
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -70,4 +70,30 @@ object Diagnostics {
       .select(col("key"), col("rank").cast("long").as("rank"),
         col("value"), col("tiebreak"))
   }
+
+  /** Per-key z-score outliers — the data-quality monitor a pipeline runs
+    * over every numeric column: rows whose |value − μ_key| > z·σ_key.
+    * Moments come from EXACT DECIMAL sums (order- and partitioning-
+    * independent, so σ is deterministic and oracle-replayable), computed
+    * in one partially-aggregated keyed pass; the tiny per-key moment
+    * table broadcast-joins back onto the stream. Two linear scans, one
+    * small shuffle, no window.
+    */
+  def outliers(df: DataFrame, key: Column, value: Column, z: Double): DataFrame = {
+    require(z > 0, "z must be positive")
+    val moments = df
+      .groupBy(key.as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(value.cast("decimal(27,6)")).cast("double").as("s1"),
+        sum((value * value).cast("decimal(27,6)")).cast("double").as("s2"))
+      .select(col("key"), col("n"),
+        (col("s1") / col("n")).as("mu"),
+        sqrt(greatest(
+          col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+          lit(0.0))).as("sigma"))
+    df.withColumn("key", key)
+      .join(broadcast(moments.drop("n")), Seq("key"))
+      .filter(abs(value - col("mu")) > lit(z) * col("sigma"))
+  }
 }

@@ -57,4 +57,51 @@ object Sketches {
         (((lit(a) * h + lit(b)) % lit(MinHashP)) % lit(w.toLong)).as("b"))
     }: _*)
   }
+
+  /** HyperLogLog register table of `key`: bucket = top `p` bits of the
+    * 32-bit portable hash, rho = 1 + leading zeros of the (32−p)-bit
+    * suffix (bit width via `bin()`, identical in Spark and DuckDB — no
+    * float log anywhere). One (bucket → max rho) aggregation summarizes
+    * ANY number of rows into ≤ 2^p integers; two register tables merge by
+    * per-bucket MAX — the distinct-count summary you keep per
+    * partition/window at 100 TB where exact countDistinct means a global
+    * shuffle. The register table is pure integer arithmetic and
+    * oracle-replayable; the float estimate ([[hllEstimate]]) stays
+    * engine-side.
+    */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val bits = 32 - p
+    val h = h60(key.cast("string")).bitwiseAND(lit(0xFFFFFFFFL))
+    df.select(
+      call_function("shiftright", h, lit(bits)).as("bucket"),
+      h.bitwiseAND(lit((1L << bits) - 1)).as("suffix"))
+      .select(col("bucket"),
+        when(col("suffix") === 0, lit(bits + 1))
+          .otherwise(lit(bits) - (length(call_function("bin", col("suffix"))) - 1))
+          .cast("long").as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Flajolet HLL cardinality estimate from a register table — raw
+    * harmonic-mean estimate with the standard small-range linear-counting
+    * correction (empty buckets counted against 2^p).
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 9): Double = {
+    val m = 1 << p
+    val regs = registers.select(col("bucket"), col("rho_max"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zeros = m - regs.size
+    val sum = regs.values.map(r => math.pow(2.0, -r.toDouble)).sum + zeros.toDouble
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m.toDouble * m.toDouble / sum
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
 }

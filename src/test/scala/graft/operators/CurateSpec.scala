@@ -284,6 +284,42 @@ class CurateSpec extends SparkSpec {
     assert(merged.count() === sketch.count())
   }
 
+  test("hll registers merge by max and the estimate lands within 10%") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    val regs = Sketches.hllRegisters(ev, col("user_id"), p = 9).cache()
+    // rho bounds: 1..(32-p)+1
+    assert(regs.filter(col("rho_max") < 1 || col("rho_max") > 24).count() === 0)
+    val truth = ev.select("user_id").distinct().count().toDouble
+    val est = Sketches.hllEstimate(regs, p = 9)
+    assert(math.abs(est - truth) / truth < 0.10, s"est $est vs true $truth")
+    // merge = per-bucket max over disjoint halves reproduces the whole
+    val h1 = Sketches.hllRegisters(ev.filter(col("event_id") % 2 === 0), col("user_id"), 9)
+    val h2 = Sketches.hllRegisters(ev.filter(col("event_id") % 2 === 1), col("user_id"), 9)
+    val merged = h1.unionByName(h2).groupBy("bucket")
+      .agg(max("rho_max").as("rho_max"))
+    assert(merged.exceptAll(regs).count() === 0)
+    assert(regs.exceptAll(merged).count() === 0)
+  }
+
+  test("z-score outliers match a driver-side computation of the moments") {
+    val df = Seq(
+      ("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 1.0), ("a", 50.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("k", "v")
+    // group a: μ=10.8, σ≈19.6 — the 50.0 sits at 1.9998σ (a single extreme
+    // point can't exceed √(n−1)·σ/√n ≈ 2σ at n=5), so gate at z=1.9
+    val out = Diagnostics.outliers(df, col("k"), col("v"), z = 1.9)
+      .select("key", "v").as[(String, Double)].collect().toSeq
+    // group b has σ=0 → nothing can exceed it
+    assert(out === Seq(("a", 50.0)))
+    // sanity on real data: flagged rows are extreme within their key
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val flagged = Diagnostics.outliers(ev, col("event_type"), col("value"), 3.0)
+    assert(flagged.filter(abs(col("value") - col("mu")) <= lit(3.0) * col("sigma"))
+      .count() === 0)
+  }
+
   test("weighted sampling tracks per-row weights and is monotone in weight") {
     val df = (1 to 4000).map(i => (i.toLong, (i % 101).toDouble / 100.0))
       .toDF("id", "w")
