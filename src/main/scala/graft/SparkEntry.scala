@@ -621,7 +621,8 @@ object SparkEntry {
     // IVF-PQ: learned codebooks aren't SQL-expressible → rows-only check;
     // the spec proves recall vs brute force and ADC-vs-exact agreement.
     "q_pq_topk" -> ((s, dir) =>
-      Similarity.pqTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, k = 5)
+      Similarity.pqTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0,
+        k = 5, trainFrac = 0.3)
         .orderBy(col("query_id"), col("rank"))),
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).

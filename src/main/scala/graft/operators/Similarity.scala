@@ -395,9 +395,22 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
       cellBits: Int = 4,
-      rerank: Int = 32): DataFrame = {
+      rerank: Int = 32,
+      trainFrac: Double = 1.0): DataFrame = {
     require(rerank >= k, "rerank must be at least k")
-    val books = pqCodebooks(embeddings, m, ksub, iters)
+    require(trainFrac > 0 && trainFrac <= 1, "trainFrac in (0,1]")
+    // codebook quality needs a sample, not the corpus — the deterministic
+    // hash gate keeps training reproducible while the Lloyd passes scan
+    // trainFrac of the data (the 100 TB path trains on ~1e5 vectors)
+    val trainSet =
+      if (trainFrac >= 1.0) embeddings
+      else {
+        import graft.functions.TextFunctions.h60
+        embeddings.filter(
+          pmod(h60(concat(col("vec_id").cast("string"), lit("|pqtrain"))), lit(100))
+            < lit(math.round(trainFrac * 100).toInt))
+      }
+    val books = pqCodebooks(trainSet, m, ksub, iters)
     val sub = Dim / m
     val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
       srpCode(col("embedding"), 0, cellBits).as("cell"),
