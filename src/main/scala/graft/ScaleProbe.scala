@@ -97,7 +97,22 @@ object ScaleProbe {
           ev.filter(col("event_type") === "click")
             .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts")),
           key = "user_id", leftTs = "pts", rightTs = "cts", lookback = "1 day")
-      })
+      },
+      // sketches/monitors: one keyed aggregation each, output size is
+      // FIXED (d·w cells / 2^p registers) regardless of input scale
+      "count-min sketch (d=4, w=1024)" -> ((s, d) =>
+        operators.Sketches.countMin(Tables(s, d).events, col("user_id"), 1024, 4)),
+      "hll registers (p=12)" -> ((s, d) =>
+        operators.Sketches.hllRegisters(Tables(s, d).events, col("user_id"), 12)),
+      "z-score outliers (per type)" -> ((s, d) =>
+        operators.Diagnostics.outliers(
+          Tables(s, d).events, col("event_type"), col("value"), 3.0)),
+      "salted top-5 per type (16 salts)" -> ((s, d) =>
+        operators.Diagnostics.saltedTopKPerKey(Tables(s, d).events,
+          col("event_type"), col("value"), col("event_id"), 5, 16)),
+      "zorder layout stats" -> ((s, d) =>
+        operators.Layout.zorderStats(Tables(s, d).events,
+          col("user_id"), pmod(col("event_id"), lit(65536)), 16)))
 
     val sb = new StringBuilder(
       """# SCALE — measured scaling of the persist+index surface (local[32])
@@ -231,7 +246,11 @@ object ScaleProbe {
       "vocabulary top-100" -> (d => operators.TextAnalysis.vocabulary(d, 100)),
       "dup clusters (LSH pairs → CC)" ->
         (d => operators.Dedup.clusters(operators.Dedup.minHashLsh(d))),
-      "winnow fingerprints" -> (d => operators.TextAnalysis.winnowFingerprints(d)))
+      "winnow fingerprints" -> (d => operators.TextAnalysis.winnowFingerprints(d)),
+      "unigram-LM scoring" -> (d => operators.TextAnalysis.unigramScores(d)),
+      "tf-idf keywords top-5" -> (d => operators.TextAnalysis.keywords(d, 5)),
+      "bloom decontamination" -> (d => operators.Curate.decontaminateBloom(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 97 === 1))))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents

@@ -635,7 +635,17 @@ object SparkEntry {
         col("event_type"), col("value"), z = 2.5)
         .select(col("event_id"), col("key").as("etype"), col("value"),
           col("mu"), col("sigma"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+    // Per-source cap: ≤ 15 docs per source, hash-uniform and deterministic.
+    "q_cap_per_source" -> ((s, dir) =>
+      Curate.capPerKey(Tables(s, dir).documents,
+        col("source"), col("doc_id"), k = 15, salt = "cap1")
+        .select("doc_id", "source").orderBy(col("doc_id"))),
+    // Daily distinct-user HLL sketches: event-time × sketch composition.
+    "q_hll_windowed" -> ((s, dir) =>
+      Sketches.hllRegistersBy(Tables(s, dir).events, col("user_id"), p = 7,
+        date_trunc("day", col("ts")).as("window_start"))
+        .orderBy(col("window_start"), col("bucket")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -1643,6 +1653,26 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type AS etype, e.value, mm.mu, mm.sigma
         |FROM events e JOIN mm ON e.event_type = mm.etype
         |WHERE abs(e.value - mm.mu) > 2.5 * mm.sigma
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    "q_cap_per_source" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |      ${h60Sql("CAST(doc_id AS VARCHAR) || '|cap1'")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 15
+         |ORDER BY doc_id""".stripMargin,
+    "q_hll_windowed" ->
+      s"""WITH h AS (SELECT date_trunc('day', ts) AS window_start,
+         |             ${h60Sql("CAST(user_id AS VARCHAR)")} & 4294967295 AS h32
+         |           FROM events),
+         |s AS (SELECT window_start, h32 >> 25 AS bucket,
+         |             h32 & 33554431 AS suffix FROM h),
+         |r AS (SELECT window_start, bucket,
+         |        CAST(CASE WHEN suffix = 0 THEN 26
+         |             ELSE 25 - (length(bin(suffix)) - 1) END AS BIGINT) AS rho
+         |      FROM s)
+         |SELECT window_start, bucket, MAX(rho) AS rho_max FROM r
+         |GROUP BY window_start, bucket ORDER BY window_start, bucket""".stripMargin
   )
 }

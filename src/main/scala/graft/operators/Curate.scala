@@ -101,6 +101,35 @@ object Curate {
         .cast("double") <
         least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1048576.0)
 
+  /** Cap each key's contribution to `k` rows — the per-domain/source
+    * balancing gate (keep ≤ k docs per domain so one crawl host can't
+    * dominate the mix): keeps the k hash-smallest rows of every group, a
+    * deterministic uniform k-sample per key. Ranks in two stages (within
+    * (key, salt-bucket), then over the ≤ k·salts survivors) like
+    * [[Diagnostics.saltedTopKPerKey]], so a mega-domain never funnels
+    * through one window task; `id` must be unique so the order is total
+    * and the output engine-replayable.
+    */
+  def capPerKey(
+      df: DataFrame, key: Column, id: Column, k: Int,
+      salt: String, salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("cap_u", h60(concat(id.cast("string"), lit("|"), lit(salt))))
+      .withColumn("cap_key", key)
+      .withColumn("cap_salt", pmod(col("cap_u"), lit(salts.toLong)))
+    val partial = Window.partitionBy(col("cap_key"), col("cap_salt"))
+      .orderBy(col("cap_u"), id)
+    val fin = Window.partitionBy(col("cap_key")).orderBy(col("cap_u"), id)
+    keyed
+      .withColumn("cap_pr", row_number().over(partial))
+      .filter(col("cap_pr") <= k)
+      .withColumn("cap_r", row_number().over(fin))
+      .filter(col("cap_r") <= k)
+      .drop("cap_u", "cap_key", "cap_salt", "cap_pr", "cap_r")
+  }
+
   /** Deterministic global shuffle order for training: a pseudo-random but
     * reproducible sort key per row. Materialized as a column — the
     * consumer's `orderBy(shuffle_key)` is then an honest range-partitioned

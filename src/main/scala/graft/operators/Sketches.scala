@@ -69,18 +69,32 @@ object Sketches {
     * oracle-replayable; the float estimate ([[hllEstimate]]) stays
     * engine-side.
     */
-  def hllRegisters(df: DataFrame, key: Column, p: Int = 9): DataFrame = {
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 9): DataFrame =
+    hllRegistersBy(df, key, p)
+
+  /** [[hllRegisters]] with extra grouping columns — one register set per
+    * group: e.g. `hllRegistersBy(events, col("user_id"), 9,
+    * date_trunc("day", col("ts")).as("window_start"))` keeps a daily
+    * distinct-user sketch of ≤ 2^p integers per day. Sketches for any
+    * set of groups (days, streams, partitions) merge by per-bucket max —
+    * the rollup a 100 TB/day pipeline stores instead of re-scanning
+    * history for every distinct-count window.
+    */
+  def hllRegistersBy(
+      df: DataFrame, key: Column, p: Int, groups: Column*): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]")
     val bits = 32 - p
     val h = h60(key.cast("string")).bitwiseAND(lit(0xFFFFFFFFL))
-    df.select(
-      call_function("shiftright", h, lit(bits)).as("bucket"),
-      h.bitwiseAND(lit((1L << bits) - 1)).as("suffix"))
-      .select(col("bucket"),
+    val grouped = df.select(groups :+
+      call_function("shiftright", h, lit(bits)).as("bucket") :+
+      h.bitwiseAND(lit((1L << bits) - 1)).as("suffix"): _*)
+    val groupNames = grouped.columns.dropRight(2)
+    grouped
+      .select(groupNames.map(col) :+ col("bucket") :+
         when(col("suffix") === 0, lit(bits + 1))
           .otherwise(lit(bits) - (length(call_function("bin", col("suffix"))) - 1))
-          .cast("long").as("rho"))
-      .groupBy(col("bucket"))
+          .cast("long").as("rho"): _*)
+      .groupBy((groupNames.map(col) :+ col("bucket")): _*)
       .agg(max(col("rho")).as("rho_max"))
   }
 

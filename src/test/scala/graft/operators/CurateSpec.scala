@@ -284,6 +284,27 @@ class CurateSpec extends SparkSpec {
     assert(merged.count() === sketch.count())
   }
 
+  test("capPerKey keeps the k hash-smallest per key, equals the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.h60
+    val df = (1 to 900).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
+    val got = Curate.capPerKey(df, col("src"), col("id"), k = 25, salt = "t", salts = 8)
+      .select("id", "src").as[(Long, String)].collect().sorted.toSeq
+    val u = h60(concat(col("id").cast("string"), lit("|t")))
+    val w = Window.partitionBy(col("src")).orderBy(u, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 25)
+      .select("id", "src").as[(Long, String)].collect().sorted.toSeq
+    assert(got === expected)
+    // exactly k per key (every group is larger than k here)
+    val sizes = Curate.capPerKey(df, col("src"), col("id"), 25, "t")
+      .groupBy("src").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ === 25L))
+    // groups smaller than k pass through whole
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "src")
+    assert(Curate.capPerKey(tiny, col("src"), col("id"), 10, "t").count() === 2)
+  }
+
   test("hll registers merge by max and the estimate lands within 10%") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("user_id"))
@@ -300,6 +321,19 @@ class CurateSpec extends SparkSpec {
       .agg(max("rho_max").as("rho_max"))
     assert(merged.exceptAll(regs).count() === 0)
     assert(regs.exceptAll(merged).count() === 0)
+    // windowed: one register set per day, each estimating that day's
+    // distinct users within sketch tolerance
+    val evTs = graft.Tables(spark, "/root/testdata/sf0.001").events
+    val daily = Sketches.hllRegistersBy(evTs, col("user_id"), 7,
+      date_trunc("day", col("ts")).as("d")).cache()
+    val exactDaily = evTs.groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    exactDaily.foreach { case (day, n) =>
+      val est = Sketches.hllEstimate(
+        daily.filter(col("d") === day).select("bucket", "rho_max"), p = 7)
+      assert(math.abs(est - n) / n < 0.25, s"day $day: est $est vs exact $n")
+    }
   }
 
   test("z-score outliers match a driver-side computation of the moments") {
