@@ -122,7 +122,9 @@ object ScaleProbe {
         |index store) and then the query surface against the materialized
         |store. Times in seconds; the sub-linear steps are pushdown working
         |as designed (scans touch pruned partitions/row groups, not the
-        |whole store).
+        |whole store). Wall times carry hypervisor-contention noise (single
+        |samples can swing 2-3×); the load-shape claims rest on the row
+        |counts and the x8/x1 ratios, not any one cell.
         |
         |""".stripMargin)
     sb.append("| op | " + factors.map(f => s"x$f").mkString(" | ") + " | x8/x1 |\n")
