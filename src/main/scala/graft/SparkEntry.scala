@@ -1549,9 +1549,8 @@ object SparkEntry {
          |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
          |  CAST(SUM(tf * c) AS BIGINT) AS c_sum,
          |  CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
-         |  CAST(SUM(tf * c) AS DOUBLE) /
-         |    CAST(SUM(tf) * (SELECT n_corpus FROM tot) AS DOUBLE)
-         |    AS mean_token_prob,
+         |  CAST(SUM(tf * c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+         |    / CAST((SELECT n_corpus FROM tot) AS DOUBLE) AS mean_token_prob,
          |  CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS DOUBLE) /
          |    CAST(SUM(tf) AS DOUBLE) AS rare_ratio
          |FROM tf JOIN vocab USING (token)

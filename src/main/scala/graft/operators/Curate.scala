@@ -113,21 +113,13 @@ object Curate {
   def capPerKey(
       df: DataFrame, key: Column, id: Column, k: Int,
       salt: String, salts: Int = 16): DataFrame = {
-    require(k > 0 && salts > 0, "k and salts must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val keyed = df
-      .withColumn("cap_u", h60(concat(id.cast("string"), lit("|"), lit(salt))))
-      .withColumn("cap_key", key)
-      .withColumn("cap_salt", pmod(col("cap_u"), lit(salts.toLong)))
-    val partial = Window.partitionBy(col("cap_key"), col("cap_salt"))
-      .orderBy(col("cap_u"), id)
-    val fin = Window.partitionBy(col("cap_key")).orderBy(col("cap_u"), id)
-    keyed
-      .withColumn("cap_pr", row_number().over(partial))
-      .filter(col("cap_pr") <= k)
-      .withColumn("cap_r", row_number().over(fin))
-      .filter(col("cap_r") <= k)
-      .drop("cap_u", "cap_key", "cap_salt", "cap_pr", "cap_r")
+    require(salts > 0, "salts must be positive")
+    val withU = df.withColumn("cap_u",
+      h60(concat(id.cast("string"), lit("|"), lit(salt))))
+    Diagnostics.twoStageTopK(withU, key,
+      pmod(col("cap_u"), lit(salts.toLong)),
+      Seq(col("cap_u").asc, id.asc), k)
+      .drop("cap_u", "ts_rank")
   }
 
   /** Deterministic global shuffle order for training: a pseudo-random but
@@ -285,28 +277,40 @@ object Curate {
       bitsPerItem: Int = 12,
       numHashes: Int = 6): DataFrame = {
     import graft.functions.PortableBloom
-    val evalH = evalCorpus.select(h60(col("text")).as("h")).distinct()
-    // one bounded action: the member COUNT (a single long) sizes the filter
-    val m = PortableBloom.sizeBits(evalH.count(), bitsPerItem)
-    val words = evalH
-      .select(explode(PortableBloom.positionsCol(col("h"), m, numHashes)).as("pos"))
-      .select(
-        call_function("shiftright", col("pos"), lit(6)).cast("int").as("w"),
-        call_function("shiftleft", lit(1L),
-          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
-      .groupBy(col("w"))
-      .agg(call_function("bit_or", col("mask")).as("bits"))
-      .collect()
-    val bits = PortableBloom.assemble(
-      m, words.iterator.map(r => (r.getInt(0), r.getLong(1))))
-    val hit = PortableBloom.mightContain(bits, m, numHashes, h60(col("text")))
-    val evalExact = evalCorpus.select(md5(col("text")).as("fp_exact")).distinct()
-    val survivors = train
-      .withColumn("fp_exact", md5(col("text")))
-      .filter(hit)
-      .join(evalExact, Seq("fp_exact"), "left_anti")
-      .drop("fp_exact")
-    train.filter(!hit).unionByName(survivors)
+    // NULL eval texts can't be contaminants (NULL never equals a join
+    // key in the exact form) — drop them before hashing, or h60(NULL)
+    // poisons the build. The distinct fingerprint column is persisted
+    // across the two driver actions (count sizes the filter, collect
+    // fetches the words) so the eval corpus is scanned once, not twice.
+    val evalH = evalCorpus.filter(col("text").isNotNull)
+      .select(h60(col("text")).as("h")).distinct().persist()
+    try {
+      val m = PortableBloom.sizeBits(evalH.count(), bitsPerItem)
+      val words = evalH
+        .select(explode(PortableBloom.positionsCol(col("h"), m, numHashes)).as("pos"))
+        .select(
+          call_function("shiftright", col("pos"), lit(6)).cast("int").as("w"),
+          call_function("shiftleft", lit(1L),
+            col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+        .groupBy(col("w"))
+        .agg(call_function("bit_or", col("mask")).as("bits"))
+        .collect()
+      val bits = PortableBloom.assemble(
+        m, words.iterator.map(r => (r.getInt(0), r.getLong(1))))
+      // NULL train text → hit is NULL → coalesce to false: the row is a
+      // definite keep, exactly as the exact anti-join would keep it
+      val hit = coalesce(
+        PortableBloom.mightContain(bits, m, numHashes, h60(col("text"))),
+        lit(false))
+      val evalExact = evalCorpus.filter(col("text").isNotNull)
+        .select(md5(col("text")).as("fp_exact")).distinct()
+      val survivors = train
+        .withColumn("fp_exact", md5(col("text")))
+        .filter(hit)
+        .join(evalExact, Seq("fp_exact"), "left_anti")
+        .drop("fp_exact")
+      train.filter(!hit).unionByName(survivors)
+    } finally evalH.unpersist(blocking = false)
   }
 
   /** Token-budget selection: walk documents in the reproducible shuffle

@@ -52,23 +52,43 @@ object Diagnostics {
       tiebreak: Column,
       k: Int,
       salts: Int = 16): DataFrame = {
-    require(k > 0 && salts > 0, "k and salts must be positive")
     import graft.functions.TextFunctions.h60
-    import org.apache.spark.sql.expressions.Window
     val keyed = df.select(
-      key.as("key"), value.as("value"), tiebreak.as("tiebreak"),
-      pmod(h60(tiebreak.cast("string")), lit(salts.toLong)).as("salt"))
-    val partial = Window.partitionBy(col("key"), col("salt"))
-      .orderBy(col("value").desc, col("tiebreak").asc)
-    val fin = Window.partitionBy(col("key"))
-      .orderBy(col("value").desc, col("tiebreak").asc)
-    keyed
-      .withColumn("pr", row_number().over(partial))
-      .filter(col("pr") <= k)
-      .withColumn("rank", row_number().over(fin))
-      .filter(col("rank") <= k)
-      .select(col("key"), col("rank").cast("long").as("rank"),
+      key.as("key"), value.as("value"), tiebreak.as("tiebreak"))
+    twoStageTopK(keyed, col("key"),
+      pmod(h60(col("tiebreak").cast("string")), lit(salts.toLong)),
+      Seq(col("value").desc, col("tiebreak").asc), k)
+      .select(col("key"), col("ts_rank").cast("long").as("rank"),
         col("value"), col("tiebreak"))
+  }
+
+  /** The shared two-stage skew-safe per-key top-k kernel (used by
+    * [[saltedTopKPerKey]] and [[Curate.capPerKey]]): rank within
+    * (key, salt) and keep k, then rank the ≤ k·salts survivors per key
+    * and keep k. Correct whenever `order` is a total order per key — any
+    * row in the true per-key top k is also in its salt sub-group's top k,
+    * so stage 1 never discards a winner and stage 2's ranks equal the
+    * single-window ranks. Returns the input columns plus `ts_rank`
+    * (the final 1..k rank); scratch columns are internal.
+    */
+  private[operators] def twoStageTopK(
+      df: DataFrame,
+      key: Column,
+      saltCol: Column,
+      order: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("ts_key", key).withColumn("ts_salt", saltCol)
+    val partial = Window.partitionBy(col("ts_key"), col("ts_salt"))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy(col("ts_key")).orderBy(order: _*)
+    keyed
+      .withColumn("ts_pr", row_number().over(partial))
+      .filter(col("ts_pr") <= k)
+      .withColumn("ts_rank", row_number().over(fin))
+      .filter(col("ts_rank") <= k)
+      .drop("ts_key", "ts_salt", "ts_pr")
   }
 
   /** Per-key z-score outliers — the data-quality monitor a pipeline runs
@@ -92,8 +112,14 @@ object Diagnostics {
         sqrt(greatest(
           col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
           lit(0.0))).as("sigma"))
-    df.withColumn("key", key)
-      .join(broadcast(moments.drop("n")), Seq("key"))
+    // join on an improbable scratch name so a pre-existing "key" column
+    // in the input survives untouched; expose the grouping value as "key"
+    // only if the caller didn't already have one
+    val renamed = moments.drop("n").withColumnRenamed("key", "zs_key")
+    val joined = df.withColumn("zs_key", key)
+      .join(broadcast(renamed), Seq("zs_key"))
       .filter(abs(value - col("mu")) > lit(z) * col("sigma"))
+    if (df.columns.contains("key")) joined.drop("zs_key")
+    else joined.withColumnRenamed("zs_key", "key")
   }
 }

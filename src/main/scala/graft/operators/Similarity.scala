@@ -320,6 +320,8 @@ object Similarity {
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seed.nonEmpty,
+      "PQ training set is empty — widen trainFrac or check the input")
     var books = Array.tabulate(m)(s => seed.map(v => v.slice(s * sub, (s + 1) * sub)))
     for (_ <- 0 until iters) {
       val sv = embeddings.select(explode(array((0 until m).map(s =>
@@ -401,14 +403,17 @@ object Similarity {
     require(trainFrac > 0 && trainFrac <= 1, "trainFrac in (0,1]")
     // codebook quality needs a sample, not the corpus — the deterministic
     // hash gate keeps training reproducible while the Lloyd passes scan
-    // trainFrac of the data (the 100 TB path trains on ~1e5 vectors)
+    // trainFrac of the data. The gate is 2^20 buckets so fractions down
+    // to ~1e-6 (the honest 100 TB setting: ~1e5 of 1e11 vectors) stay
+    // expressible instead of rounding to an empty training set.
     val trainSet =
       if (trainFrac >= 1.0) embeddings
       else {
         import graft.functions.TextFunctions.h60
+        val cut = math.max(1L, math.round(trainFrac * 1048576.0))
         embeddings.filter(
-          pmod(h60(concat(col("vec_id").cast("string"), lit("|pqtrain"))), lit(100))
-            < lit(math.round(trainFrac * 100).toInt))
+          pmod(h60(concat(col("vec_id").cast("string"), lit("|pqtrain"))),
+            lit(1048576L)) < lit(cut))
       }
     val books = pqCodebooks(trainSet, m, ksub, iters)
     val sub = Dim / m

@@ -104,8 +104,15 @@ object Sketches {
     */
   def hllEstimate(registers: DataFrame, p: Int = 9): Double = {
     val m = 1 << p
-    val regs = registers.select(col("bucket"), col("rho_max"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = registers.select(col("bucket"), col("rho_max"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // a grouped table (hllRegistersBy output not filtered to ONE group)
+    // repeats buckets — toMap would keep an arbitrary row and the zero
+    // count would lie; fail loudly instead of estimating garbage
+    require(rows.map(_._1).distinct.length == rows.length,
+      "duplicate buckets: filter a grouped register table to one group " +
+        "(or merge by per-bucket max) before estimating")
+    val regs = rows.toMap
     val zeros = m - regs.size
     val sum = regs.values.map(r => math.pow(2.0, -r.toDouble)).sum + zeros.toDouble
     val alpha = m match {

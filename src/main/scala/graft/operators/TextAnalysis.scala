@@ -475,8 +475,11 @@ object TextAnalysis {
         col("n_tokens"),
         col("c_sum"),
         col("n_rare"),
-        (col("c_sum").cast("double") /
-          (col("n_tokens") * col("n_corpus")).cast("double")).as("mean_token_prob"),
+        // divide twice in double rather than multiplying the Long factors:
+        // n_tokens·n_corpus overflows 2^63 at real corpus scale (2e13
+        // corpus tokens × a 5e5-token document)
+        (col("c_sum").cast("double") / col("n_tokens").cast("double") /
+          col("n_corpus").cast("double")).as("mean_token_prob"),
         (col("n_rare").cast("double") / col("n_tokens").cast("double")).as("rare_ratio"),
         ((col("sum_log_c") - col("n_tokens").cast("double") *
           log(col("n_corpus").cast("double"))) /

@@ -206,6 +206,13 @@ class CurateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got === expected)
     assert(got.size < train.count()) // something was actually dropped
+    // NULL text: never a contaminant, never poisons the build, and the
+    // null train row is a definite keep (as in the exact anti-join)
+    val withNull = Seq((9001L, null.asInstanceOf[String]),
+      (9002L, "regular text here")).toDF("doc_id", "text")
+    val keptNull = Curate.decontaminateBloom(withNull, withNull)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(keptNull === Seq(9001L)) // 9002 is in eval → dropped; null kept
   }
 
   test("portable bloom: JVM and Catalyst positions agree; members never miss") {
@@ -334,6 +341,9 @@ class CurateSpec extends SparkSpec {
         daily.filter(col("d") === day).select("bucket", "rho_max"), p = 7)
       assert(math.abs(est - n) / n < 0.25, s"day $day: est $est vs exact $n")
     }
+    // a grouped register table NOT filtered to one group is rejected, not
+    // silently mis-estimated
+    intercept[IllegalArgumentException] { Sketches.hllEstimate(daily, p = 7) }
   }
 
   test("z-score outliers match a driver-side computation of the moments") {

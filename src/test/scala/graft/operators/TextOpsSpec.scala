@@ -512,7 +512,7 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") === 3L)
     assert(out(0).getAs[Long]("c_sum") === 8L)
     assert(out(0).getAs[Long]("n_rare") === 0L)
-    assert(out(0).getAs[Double]("mean_token_prob") === 8.0 / 18.0)
+    assert(out(0).getAs[Double]("mean_token_prob") === 8.0 / 3.0 / 6.0)
     // doc 2: a,b,c → c_sum = 3+2+1 = 6; c is rare
     assert(out(1).getAs[Long]("c_sum") === 6L)
     assert(out(1).getAs[Long]("n_rare") === 1L)
