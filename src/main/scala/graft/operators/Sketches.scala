@@ -98,6 +98,23 @@ object Sketches {
       .agg(max(col("rho")).as("rho_max"))
   }
 
+  /** Merge two count-min sketches over the same (w, d): cell-wise
+    * addition. The merged sketch is EXACTLY the sketch of the
+    * concatenated inputs — the property that lets a streaming ingest
+    * maintain one sketch per window with a metadata-sized merge per
+    * micro-batch instead of re-scanning history.
+    */
+  def mergeCountMin(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Merge two HLL register tables over the same p: per-bucket max —
+    * exactly the registers of the concatenated inputs.
+    */
+  def mergeHll(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket"))
+      .agg(max(col("rho_max")).as("rho_max"))
+
   /** Flajolet HLL cardinality estimate from a register table — raw
     * harmonic-mean estimate with the standard small-range linear-counting
     * correction (empty buckets counted against 2^p).

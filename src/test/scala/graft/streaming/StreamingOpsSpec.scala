@@ -315,6 +315,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batchDeduped.count() === original.size)
   }
 
+  test("streaming HLL maintenance: per-batch register merge equals the batch sketch") {
+    import graft.operators.Sketches
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-hllstream").toString
+    (0 until 3).foreach { i =>
+      events.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeDir = s"$dir/store"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val regs = Sketches.hllRegisters(batch, col("user_id"), p = 9)
+        val merged =
+          if (Files.exists(Paths.get(storeDir)))
+            Sketches.mergeHll(spark.read.parquet(storeDir), regs)
+          else regs
+        // registers are ≤ 2^p rows — materialize, then overwrite the store
+        val rows = merged.as[(Long, Long)].collect().toSeq
+        rows.toDF("bucket", "rho_max").coalesce(1)
+          .write.mode("overwrite").parquet(storeDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the maintained store IS the batch sketch of everything ingested
+    val streamed = spark.read.parquet(storeDir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batchRegs = Sketches.hllRegisters(events, col("user_id"), p = 9)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed === batchRegs)
+    // and count-min merges the same way: halves sum to the whole
+    val cm = Sketches.mergeCountMin(
+      Sketches.countMin(events.filter(col("event_id") % 2 === 0), col("user_id"), 64, 4),
+      Sketches.countMin(events.filter(col("event_id") % 2 === 1), col("user_id"), 64, 4))
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val cmAll = Sketches.countMin(events, col("user_id"), 64, 4)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(cm === cmAll)
+  }
+
   test("compaction consolidates micro-batch small files, preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate 10 micro-batches: each writes its own batch_id slice with
