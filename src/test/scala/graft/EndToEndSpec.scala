@@ -65,6 +65,57 @@ class EndToEndSpec extends SparkSpec {
     assert(attrs.filter(!col("m").getItem("business_object_key").isNotNull).isEmpty)
   }
 
+  test("curation journey: quality gate → dedup → decontaminate → cap → budget → chunk → pack") {
+    // the training-data twin of the replay journey: every hop consumes the
+    // previous hop's actual output, with the hop's contract asserted on it
+    val docs = Tables(spark, dir).documents
+
+    // 1. quality + language gate (pure row filters — only ever removes)
+    val quality = TextAnalysis.qualityScores(docs)
+      .filter(col("n_tokens") >= 5).select("doc_id")
+    val lang = TextAnalysis.languageId(docs)
+      .filter(col("guessed_lang") =!= "und").select("doc_id")
+    val gated = docs.join(quality, "doc_id").join(lang, "doc_id")
+    assert(gated.count() > 0 && gated.count() <= docs.count())
+
+    // 2. exact dedup → one representative per distinct text
+    val reps = gated.join(
+      Dedup.exact(gated).filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id"), "doc_id")
+    assert(reps.groupBy("text").count().filter(col("count") > 1).isEmpty)
+
+    // 3. bloom decontamination against a held-out eval slice
+    val eval_ = docs.filter(col("doc_id") % 23 === 1)
+    val clean = Curate.decontaminateBloom(reps, eval_)
+    val evalTexts = eval_.select(col("text").as("et")).distinct()
+    assert(clean.join(evalTexts, col("text") === col("et"), "left_semi").isEmpty)
+
+    // 4. per-source cap — no source contributes more than 10 docs
+    val capped = Curate.capPerKey(clean, col("source"), col("doc_id"), 10, "e2e")
+    assert(capped.groupBy("source").count().filter(col("count") > 10).isEmpty)
+
+    // 5. token budget in reproducible shuffle order — the doc that crosses
+    // the budget is the last one kept
+    val budget = 5000L
+    val kept = Curate.takeTokenBudget(capped, budget, "e2e")
+    val keptTokens = TextAnalysis.tokenCounts(kept.select("doc_id", "text"))
+      .agg(sum("n_tokens")).head().getLong(0)
+    val maxDoc = TextAnalysis.tokenCounts(kept.select("doc_id", "text"))
+      .agg(max("n_tokens")).head().getLong(0)
+    assert(keptTokens - maxDoc <= budget,
+      s"all but the crossing doc must fit: $keptTokens tokens, max doc $maxDoc")
+
+    // 6. chunk + pack — chunks tile every kept doc and bins respect the window
+    val chunks = Curate.chunk(kept, windowTokens = 64, strideTokens = 64)
+    assert(chunks.select("doc_id").distinct().count() ===
+      kept.filter(length(col("text")) > 0).count())
+    val packed = Curate.pack(chunks, windowTokens = 256L)
+    val binOver = packed.groupBy("bin_id").agg(sum("chunk_tokens").as("t"))
+      .filter(col("t") > 256 + 64) // a bin holds whole chunks; one may straddle
+    assert(binOver.isEmpty)
+    assert(packed.count() === chunks.count()) // packing loses nothing
+  }
+
   test("facade point lookup agrees with the replayed record payload") {
     val wd = streaming.PersistPipeline.ensureRun(spark, dir)
     val index = store.IndexStore.materialized(spark, dir)
