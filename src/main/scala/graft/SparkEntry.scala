@@ -645,7 +645,12 @@ object SparkEntry {
     "q_hll_windowed" -> ((s, dir) =>
       Sketches.hllRegistersBy(Tables(s, dir).events, col("user_id"), p = 7,
         date_trunc("day", col("ts")).as("window_start"))
-        .orderBy(col("window_start"), col("bucket")))
+        .orderBy(col("window_start"), col("bucket"))),
+    // Write-planner split bounds from the deterministic hash sample.
+    "q_range_bounds" -> ((s, dir) =>
+      Layout.rangeBounds(Tables(s, dir).lineitem, col("l_orderkey"),
+        numSplits = 8, sampleFrac = 0.1)
+        .orderBy(col("split_no")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -1672,6 +1677,17 @@ object SparkEntry {
          |             ELSE 25 - (length(bin(suffix)) - 1) END AS BIGINT) AS rho
          |      FROM s)
          |SELECT window_start, bucket, MAX(rho) AS rho_max FROM r
-         |GROUP BY window_start, bucket ORDER BY window_start, bucket""".stripMargin
+         |GROUP BY window_start, bucket ORDER BY window_start, bucket""".stripMargin,
+    "q_range_bounds" ->
+      s"""WITH s AS (
+         |  SELECT l_orderkey AS k FROM lineitem
+         |  WHERE ${h60Sql("CAST(l_orderkey AS VARCHAR) || '|bounds'")} % 10000 < 1000),
+         |r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM s),
+         |m AS (SELECT COUNT(*) AS m FROM s),
+         |i AS (SELECT unnest(range(1, 8)) AS split_no)
+         |SELECT CAST(i.split_no AS BIGINT) AS split_no, r.k AS upper_bound
+         |FROM i, r, m
+         |WHERE r.rn = CAST(ceil(i.split_no * m.m / 8.0) AS BIGINT)
+         |ORDER BY split_no""".stripMargin
   )
 }

@@ -48,6 +48,47 @@ object Layout {
     * asserted. Callers pick `bucketShift` from the occupied key range
     * (≈ log2(zkey_max) − log2(want_buckets)).
     */
+  /** Range-partition split bounds — the write planner's other half: pick
+    * `numSplits − 1` upper bounds so a range-partitioned write lands
+    * near-equal row counts per file. Spark's own RangePartitioner does
+    * exactly this with an RNG sample; this is the deterministic twin —
+    * the sample is the h60 hash gate (reproducible, engine-replayable) —
+    * so planned layouts are stable across runs and replays.
+    *
+    * bound_i = the sample's value at rank ⌈i·m/numSplits⌉ (the i-th
+    * sample quantile by rank, duplicates handled by value: the r-th
+    * smallest value is well-defined however ties order). The rank window
+    * runs over the SAMPLE only — bounded by construction, the same
+    * driver-side cost RangePartitioner pays, expressed as one tiny
+    * single-task sort instead of a collect.
+    */
+  def rangeBounds(
+      df: DataFrame,
+      key: Column,
+      numSplits: Int,
+      sampleFrac: Double = 0.1,
+      salt: String = "bounds"): DataFrame = {
+    require(numSplits >= 2, "numSplits must be at least 2")
+    require(sampleFrac > 0 && sampleFrac <= 1, "sampleFrac in (0,1]")
+    import graft.functions.TextFunctions.h60
+    import org.apache.spark.sql.expressions.Window
+    val cut = math.max(1L, math.round(sampleFrac * 10000))
+    val sample = df
+      .select(key.cast("long").as("k"))
+      .filter(pmod(h60(concat(col("k").cast("string"), lit("|"), lit(salt))),
+        lit(10000L)) < lit(cut))
+    val ranked = sample
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("m"))))
+    // one row per split even when two split ranks coincide (tiny samples)
+    val splits = df.sparkSession.range(1, numSplits)
+      .select(col("id").as("split_no"))
+    splits
+      .join(ranked, col("rn") ===
+        ceil(col("split_no") * col("m") / lit(numSplits.toDouble)).cast("long"))
+      .select(col("split_no"), col("k").as("upper_bound"))
+  }
+
   def zorderStats(
       df: DataFrame, x: Column, y: Column, bucketShift: Int): DataFrame = {
     require(bucketShift >= 0 && bucketShift <= 31, "bucketShift in [0,31]")

@@ -34,6 +34,32 @@ class LayoutSpec extends SparkSpec {
     assert(got.toSeq === pairs.map { case (x, y) => mortonRef(x, y) })
   }
 
+  test("range bounds are ordered sample quantiles that balance a real write") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val n = 8
+    val bounds = Layout.rangeBounds(li, col("l_orderkey"), n, sampleFrac = 0.3)
+      .orderBy("split_no").as[(Long, Long)].collect()
+    assert(bounds.length === n - 1)
+    assert(bounds.map(_._2).toSeq === bounds.map(_._2).sorted.toSeq)
+    // partition the FULL table by the planned bounds: split sizes land
+    // within 2.5× of the ideal share (sample-quantile planning tolerance)
+    val bs = bounds.map(_._2)
+    val total = li.count().toDouble
+    val sizes = (0 until n).map { i =>
+      val lo = if (i == 0) Long.MinValue else bs(i - 1)
+      val hi = if (i == n - 1) Long.MaxValue else bs(i)
+      li.filter(col("l_orderkey") > lo && col("l_orderkey") <= hi).count()
+    }
+    assert(sizes.sum === total.toLong) // splits tile the table exactly
+    val ideal = total / n
+    assert(sizes.forall(s => s <= ideal * 2.5),
+      s"unbalanced splits: ${sizes.mkString(",")} vs ideal $ideal")
+    // determinism: planning twice yields identical bounds
+    val again = Layout.rangeBounds(li, col("l_orderkey"), n, sampleFrac = 0.3)
+      .orderBy("split_no").as[(Long, Long)].collect()
+    assert(bounds.toSeq === again.toSeq)
+  }
+
   test("zorder buckets prune a 2-D rectangle far better than row order") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
