@@ -650,7 +650,13 @@ object SparkEntry {
     "q_range_bounds" -> ((s, dir) =>
       Layout.rangeBounds(Tables(s, dir).lineitem, col("l_orderkey"),
         numSplits = 8, sampleFrac = 0.1)
-        .orderBy(col("split_no")))
+        .orderBy(col("split_no"))),
+    // PMI collocations; the ln-based pmi stays engine-side (the integer
+    // ratio surrogate is the checked rank key).
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables(s, dir).documents, topK = 20, minCount = 5L)
+        .select("a", "b", "c_ab", "c_a", "c_b", "ratio_ppm")
+        .orderBy(col("ratio_ppm").desc, col("a"), col("b")))
   )
 
   /** DuckDB CTE building the identical index table from `events` — keep in
@@ -1688,6 +1694,24 @@ object SparkEntry {
          |SELECT CAST(i.split_no AS BIGINT) AS split_no, r.k AS upper_bound
          |FROM i, r, m
          |WHERE r.rn = CAST(ceil(i.split_no * m.m / 8.0) AS BIGINT)
-         |ORDER BY split_no""".stripMargin
+         |ORDER BY split_no""".stripMargin,
+    "q_collocations" ->
+      s"""$ToksCte,
+         |t2 AS (SELECT toks FROM toks WHERE len(toks) >= 2),
+         |ix AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM t2),
+         |p0 AS (SELECT toks[CAST(i AS INT)] AS a,
+         |              toks[CAST(i AS INT) + 1] AS b FROM ix),
+         |pairs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |          FROM p0 GROUP BY a, b HAVING COUNT(*) >= 5),
+         |uni AS (SELECT unnest(toks) AS t FROM toks),
+         |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM uc)
+         |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  CAST(floor(CAST(c_ab AS DOUBLE) * CAST(n.n_corpus AS DOUBLE) * 1e6
+         |    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) AS BIGINT)
+         |    AS ratio_ppm
+         |FROM pairs JOIN uc ua ON pairs.a = ua.t
+         |           JOIN uc ub ON pairs.b = ub.t, n
+         |ORDER BY ratio_ppm DESC, a, b LIMIT 20""".stripMargin
   )
 }

@@ -486,6 +486,50 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("avg_logprob"))
   }
 
+  /** PMI collocations: the corpus's top adjacent-token pairs by pointwise
+    * mutual information — the phrase-mining step (tokenizer vocab
+    * candidates, stopword-phrase lists) over corpus-wide statistics.
+    * PMI = ln(c(ab)·N / (c(a)·c(b))); pairs below `minCount` are noise
+    * and dropped (the classic PMI low-frequency pathology). Ranking and
+    * row selection are EXACT integer arithmetic — the score's argument
+    * c(ab)·N·10^6 / (c(a)·c(b)) as a truncated integer ratio — so the
+    * selected rows replay bit-for-bit; the float pmi rides along.
+    *
+    * Shape: one explode for bigram counts, one for unigram counts (both
+    * partially aggregated), two token-keyed broadcast-or-shuffle joins of
+    * the pair table against the unigram table, a TakeOrdered top-k.
+    */
+  def collocations(docs: DataFrame, topK: Int = 20, minCount: Long = 5L): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toksDf
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_corpus"))
+    pairs
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      // integer rank surrogate: floor(c_ab·N·10^6 / (c_a·c_b)) — monotone
+      // in the PMI argument, exact on both engines (c_ab·N·1e6 stays well
+      // under 2^63 for any corpus this operator's minCount admits)
+      .withColumn("ratio_ppm",
+        floor(col("c_ab").cast("double") * col("n_corpus").cast("double") * 1e6 /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).cast("long"))
+      .withColumn("pmi",
+        log(col("c_ab").cast("double") * col("n_corpus").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))))
+      .orderBy(col("ratio_ppm").desc, col("a"), col("b"))
+      .limit(topK)
+      .select("a", "b", "c_ab", "c_a", "c_b", "ratio_ppm", "pmi")
+  }
+
   /** TF-IDF keyword extraction: the `topK` most characteristic tokens per
     * document. Rank is computed in EXACT integer arithmetic — (tf DESC,
     * df ASC, token ASC): highest in-document frequency first, corpus-rarer

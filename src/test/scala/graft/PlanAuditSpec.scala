@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
     * a bounded single-row build side, not a pair enumeration.
     */
   private val BnljExempt = Set(
-    "q_topk_cosine", "q_unigram_lm", "q_keywords", "q_range_bounds")
+    "q_topk_cosine", "q_unigram_lm", "q_keywords", "q_range_bounds",
+    "q_collocations")
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"

@@ -522,6 +522,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("avg_logprob") - want) < 1e-12)
   }
 
+  test("collocations rank adjacent pairs by PMI with exact-integer ranks") {
+    // "red apple" ×5: c_ab=5, c_red=c_apple=5; "the the" ×6: c_ab=6,
+    // c_the=12; N=22 → ratios 5·22/25=4.4 and 6·22/144=0.91666…
+    val d = ((0 until 5).map(i => (i.toLong, "red apple")) ++
+      (5 until 11).map(i => (i.toLong, "the the"))).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(d, topK = 5, minCount = 5L).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("a") === "red" && out(0).getAs[String]("b") === "apple")
+    assert(out(0).getAs[Long]("c_ab") === 5L)
+    assert(out(0).getAs[Long]("ratio_ppm") === 4400000L)
+    assert(math.abs(out(0).getAs[Double]("pmi") - math.log(4.4)) < 1e-9)
+    assert(out(1).getAs[Long]("ratio_ppm") === 916666L) // floor of 916666.6
+    // minCount prunes the low-frequency PMI pathology
+    assert(TextAnalysis.collocations(d, topK = 5, minCount = 6L).count() === 1)
+  }
+
   test("keywords ranks by tf then rarity with the float score riding along") {
     val d = Seq(
       (1L, "apple apple apple common rare"),
