@@ -48,19 +48,36 @@ object Layout {
     * asserted. Callers pick `bucketShift` from the occupied key range
     * (≈ log2(zkey_max) − log2(want_buckets)).
     */
+  def zorderStats(
+      df: DataFrame, x: Column, y: Column, bucketShift: Int): DataFrame = {
+    require(bucketShift >= 0 && bucketShift <= 31, "bucketShift in [0,31]")
+    val keyed = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .withColumn("zkey", zorderKey(col("x"), col("y")))
+    keyed
+      .groupBy(call_function("shiftright", col("zkey"), lit(bucketShift))
+        .as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   /** Range-partition split bounds — the write planner's other half: pick
     * `numSplits − 1` upper bounds so a range-partitioned write lands
     * near-equal row counts per file. Spark's own RangePartitioner does
     * exactly this with an RNG sample; this is the deterministic twin —
     * the sample is the h60 hash gate (reproducible, engine-replayable) —
-    * so planned layouts are stable across runs and replays.
+    * so planned layouts are stable across runs and replays. Works for any
+    * orderable key type (the hash gate draws on the key's string form;
+    * the bound keeps the original type); NULL keys are unorderable and
+    * excluded.
     *
     * bound_i = the sample's value at rank ⌈i·m/numSplits⌉ (the i-th
     * sample quantile by rank, duplicates handled by value: the r-th
-    * smallest value is well-defined however ties order). The rank window
-    * runs over the SAMPLE only — bounded by construction, the same
-    * driver-side cost RangePartitioner pays, expressed as one tiny
-    * single-task sort instead of a collect.
+    * smallest value is well-defined however ties order). Rank AND total
+    * ride the same single-task window over the SAMPLE only — bounded by
+    * construction, the same driver-side cost RangePartitioner pays, in
+    * one pass (no second scan for the count).
     */
   def rangeBounds(
       df: DataFrame,
@@ -74,12 +91,15 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val cut = math.max(1L, math.round(sampleFrac * 10000))
     val sample = df
-      .select(key.cast("long").as("k"))
+      .select(key.as("k"))
+      .filter(col("k").isNotNull)
       .filter(pmod(h60(concat(col("k").cast("string"), lit("|"), lit(salt))),
         lit(10000L)) < lit(cut))
+    val w = Window.orderBy(col("k"))
     val ranked = sample
-      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
-      .crossJoin(broadcast(sample.agg(count(lit(1)).as("m"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // one row per split even when two split ranks coincide (tiny samples)
     val splits = df.sparkSession.range(1, numSplits)
       .select(col("id").as("split_no"))
@@ -87,19 +107,5 @@ object Layout {
       .join(ranked, col("rn") ===
         ceil(col("split_no") * col("m") / lit(numSplits.toDouble)).cast("long"))
       .select(col("split_no"), col("k").as("upper_bound"))
-  }
-
-  def zorderStats(
-      df: DataFrame, x: Column, y: Column, bucketShift: Int): DataFrame = {
-    require(bucketShift >= 0 && bucketShift <= 31, "bucketShift in [0,31]")
-    val keyed = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
-      .withColumn("zkey", zorderKey(col("x"), col("y")))
-    keyed
-      .groupBy(call_function("shiftright", col("zkey"), lit(bucketShift))
-        .as("bucket"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
-        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 }

@@ -102,18 +102,24 @@ object Sketches {
     * addition. The merged sketch is EXACTLY the sketch of the
     * concatenated inputs — the property that lets a streaming ingest
     * maintain one sketch per window with a metadata-sized merge per
-    * micro-batch instead of re-scanning history.
+    * micro-batch instead of re-scanning history. Grouped tables (extra
+    * columns alongside r/b) merge per group — every non-value column is
+    * part of the merge key, so day sketches never collapse across days.
     */
-  def mergeCountMin(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("r"), col("b"))
-      .agg(sum(col("cnt")).as("cnt"))
+  def mergeCountMin(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filterNot(_ == "cnt").map(col)
+    a.unionByName(b).groupBy(keys: _*).agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Merge two HLL register tables over the same p: per-bucket max —
-    * exactly the registers of the concatenated inputs.
+    * exactly the registers of the concatenated inputs. As with
+    * [[mergeCountMin]], any extra grouping columns (e.g. the window of a
+    * [[hllRegistersBy]] table) stay part of the merge key.
     */
-  def mergeHll(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("bucket"))
-      .agg(max(col("rho_max")).as("rho_max"))
+  def mergeHll(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filterNot(_ == "rho_max").map(col)
+    a.unionByName(b).groupBy(keys: _*).agg(max(col("rho_max")).as("rho_max"))
+  }
 
   /** Flajolet HLL cardinality estimate from a register table — raw
     * harmonic-mean estimate with the standard small-range linear-counting

@@ -491,9 +491,14 @@ object TextAnalysis {
     * candidates, stopword-phrase lists) over corpus-wide statistics.
     * PMI = ln(c(ab)·N / (c(a)·c(b))); pairs below `minCount` are noise
     * and dropped (the classic PMI low-frequency pathology). Ranking and
-    * row selection are EXACT integer arithmetic — the score's argument
-    * c(ab)·N·10^6 / (c(a)·c(b)) as a truncated integer ratio — so the
-    * selected rows replay bit-for-bit; the float pmi rides along.
+    * row selection use the score's ln-free argument as a truncated ratio
+    * — ⌊c(ab)·N·10^6 / (c(a)·c(b))⌋ in IEEE doubles, so the selected rows
+    * replay bit-for-bit on any engine (identical operations in identical
+    * order), and the rank is exactly monotone in true PMI while
+    * c(ab)·N·10^6 stays inside the double mantissa (2^53 ≈ 9·10^15 —
+    * corpora to ~10^9 tokens at c(ab) ≤ 10^3 · 10^6 ppm); beyond that the
+    * order still replays but may diverge from exact-rational PMI order in
+    * the last ulp. The float pmi rides along.
     *
     * Shape: one explode for bigram counts, one for unigram counts (both
     * partially aggregated), two token-keyed broadcast-or-shuffle joins of

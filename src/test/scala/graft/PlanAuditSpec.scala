@@ -8,10 +8,17 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  /** Queries allowed a BroadcastNestedLoopJoin: the intentional
-    * brute-force cosine baseline (broadcast QUERY side), and the 1-row
-    * scalar broadcasts (`crossJoin(broadcast(agg))` for a corpus total) —
-    * a bounded single-row build side, not a pair enumeration.
+  /** Queries allowed a BroadcastNestedLoopJoin — each has a BOUNDED
+    * build side by construction, not a pair enumeration:
+    *   - q_topk_cosine: the intentional brute-force baseline (broadcast
+    *     QUERY side);
+    *   - q_unigram_lm / q_keywords / q_collocations: 1-row scalar
+    *     broadcasts (`crossJoin(broadcast(agg))` for a corpus total N);
+    *   - q_range_bounds: the (numSplits−1)-row split table joined to the
+    *     ranked sample on a computed-rank condition.
+    * The exemption is per-query, so a NEW unbounded join sneaking into
+    * one of these would pass — keep their join structure in view when
+    * touching them.
     */
   private val BnljExempt = Set(
     "q_topk_cosine", "q_unigram_lm", "q_keywords", "q_range_bounds",

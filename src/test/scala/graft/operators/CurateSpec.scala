@@ -344,6 +344,10 @@ class CurateSpec extends SparkSpec {
     // a grouped register table NOT filtered to one group is rejected, not
     // silently mis-estimated
     intercept[IllegalArgumentException] { Sketches.hllEstimate(daily, p = 7) }
+    // grouped tables merge per group — days never collapse together
+    val dailyMerged = Sketches.mergeHll(daily, daily)
+    assert(dailyMerged.count() === daily.count())
+    assert(dailyMerged.exceptAll(daily.select("d", "bucket", "rho_max")).count() === 0)
   }
 
   test("z-score outliers match a driver-side computation of the moments") {

@@ -58,6 +58,13 @@ class LayoutSpec extends SparkSpec {
     val again = Layout.rangeBounds(li, col("l_orderkey"), n, sampleFrac = 0.3)
       .orderBy("split_no").as[(Long, Long)].collect()
     assert(bounds.toSeq === again.toSeq)
+    // any orderable key type: string keys plan too, bounds in the key's type
+    val sBounds = Layout.rangeBounds(
+      li.select(concat(lit("k"), lpad(col("l_orderkey").cast("string"), 8, "0")).as("sk")),
+      col("sk"), 4, sampleFrac = 0.3)
+      .orderBy("split_no").as[(Long, String)].collect()
+    assert(sBounds.length === 3)
+    assert(sBounds.map(_._2).toSeq === sBounds.map(_._2).sorted.toSeq)
   }
 
   test("zorder buckets prune a 2-D rectangle far better than row order") {
