@@ -1687,7 +1687,7 @@ object SparkEntry {
     "q_range_bounds" ->
       s"""WITH s AS (
          |  SELECT l_orderkey AS k FROM lineitem
-         |  WHERE ${h60Sql("CAST(l_orderkey AS VARCHAR) || '|bounds'")} % 10000 < 1000),
+         |  WHERE ${h60Sql("CAST(l_orderkey AS VARCHAR) || '|bounds'")} % 1048576 < 104858),
          |r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM s),
          |m AS (SELECT COUNT(*) AS m FROM s),
          |i AS (SELECT unnest(range(1, 8)) AS split_no)

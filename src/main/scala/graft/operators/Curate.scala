@@ -114,6 +114,10 @@ object Curate {
       df: DataFrame, key: Column, id: Column, k: Int,
       salt: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn would silently replace a same-named caller column, and
+    // the final drop would then delete caller data
+    require(!df.columns.contains("cap_u"),
+      "input must not contain scratch column 'cap_u'")
     val withU = df.withColumn("cap_u",
       h60(concat(id.cast("string"), lit("|"), lit(salt))))
     Diagnostics.twoStageTopK(withU, key,
@@ -277,6 +281,11 @@ object Curate {
       bitsPerItem: Int = 12,
       numHashes: Int = 6): DataFrame = {
     import graft.functions.PortableBloom
+    // the survivors branch adds-then-drops this scratch column; a
+    // same-named train column would survive on one union branch only and
+    // unionByName would throw on mismatched schemas — refuse up front
+    require(!train.columns.contains("fp_exact"),
+      "train must not contain scratch column 'fp_exact'")
     // NULL eval texts can't be contaminants (NULL never equals a join
     // key in the exact form) — drop them before hashing, or h60(NULL)
     // poisons the build. The distinct fingerprint column is persisted

@@ -358,15 +358,16 @@ object Dedup {
     * component), one row per node that appears in a pair.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b")).cache()
-    val seed = edges
+    // the checkpoint both materializes the (possibly expensive — the LSH
+    // mining tree for q_dedup_clusters) pair plan ONCE and truncates it to
+    // a LogicalRDD, so each round's join re-analyzes a two-leaf plan, not
+    // the whole upstream miner
+    val (edges, releaseEdges) =
+      Iterate.checkpointed(pairs.select(col("doc_a"), col("doc_b")))
+    var (labels, releaseLabels) = Iterate.checkpointed(edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .cache()
-    seed.count()
-    var labels = seed
-    var backing = seed // the cached frame the current labels project from
+      .withColumn("cluster_id", col("doc_id")))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -381,21 +382,27 @@ object Dedup {
       // each node's previous label rides the SAME aggregation as the update
       // (every doc_id has exactly one labels row, so max(prev) recovers it;
       // message rows null-fill), folding the label update and the
-      // convergence check into one job per round instead of two
-      val next = labels
+      // convergence check into one job per round instead of two. The round
+      // result is CHECKPOINTED, not cached: a cache keeps the full k-deep
+      // join tree alive and round k re-analyzes k rounds of history
+      // (quadratic in rounds — the CLAUDE.md iterative-loop convention);
+      // the checkpoint truncates to a LogicalRDD so plan depth is O(1)
+      // per round. Storage: previous generation released once the next is
+      // materialized, so at most two label generations are ever persisted.
+      val (next, releaseNext) = Iterate.checkpointed(labels
         .select(col("doc_id"), col("cluster_id"), col("cluster_id").as("prev"))
         .unionByName(msgs, allowMissingColumns = true)
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"), max(col("prev")).as("prev"))
-        .cache()
+        .agg(min(col("cluster_id")).as("cluster_id"), max(col("prev")).as("prev")))
       val changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      backing.unpersist(blocking = false)
-      backing = next
+      releaseLabels()
       labels = next.select("doc_id", "cluster_id")
+      releaseLabels = releaseNext
       converged = changed == 0
       it += 1
     }
-    edges.unpersist(blocking = false)
+    releaseEdges()
+    // the LAST generation stays persisted — the returned plan reads from it
     labels
   }
 

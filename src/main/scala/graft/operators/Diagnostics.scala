@@ -78,6 +78,11 @@ object Diagnostics {
       order: Seq[Column],
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // withColumn would silently REPLACE same-named input columns (and the
+    // final drop would then remove caller data) — refuse instead
+    val scratch = Set("ts_key", "ts_salt", "ts_pr", "ts_rank")
+    require(!df.columns.exists(scratch.contains),
+      s"input must not contain scratch columns ${scratch.mkString("/")}")
     import org.apache.spark.sql.expressions.Window
     val keyed = df.withColumn("ts_key", key).withColumn("ts_salt", saltCol)
     val partial = Window.partitionBy(col("ts_key"), col("ts_salt"))
@@ -101,6 +106,11 @@ object Diagnostics {
     */
   def outliers(df: DataFrame, key: Column, value: Column, z: Double): DataFrame = {
     require(z > 0, "z must be positive")
+    // the join below exposes the moment columns under these names; an
+    // input that already carries them would make every reference after
+    // the join ambiguous — fail loudly instead of silently miscomputing
+    require(!df.columns.contains("mu") && !df.columns.contains("sigma"),
+      "input must not already contain 'mu'/'sigma' columns")
     val moments = df
       .groupBy(key.as("key"))
       .agg(
@@ -114,10 +124,15 @@ object Diagnostics {
           lit(0.0))).as("sigma"))
     // join on an improbable scratch name so a pre-existing "key" column
     // in the input survives untouched; expose the grouping value as "key"
-    // only if the caller didn't already have one
+    // only if the caller didn't already have one. The join is NULL-SAFE
+    // (<=>): groupBy already computes moments for the NULL-key group, and
+    // a plain equi-join would silently drop every NULL-keyed row from the
+    // monitored output — still a hash join (EqualNullSafe is an equi-key).
     val renamed = moments.drop("n").withColumnRenamed("key", "zs_key")
-    val joined = df.withColumn("zs_key", key)
-      .join(broadcast(renamed), Seq("zs_key"))
+    val keyed = df.withColumn("zs_key", key)
+    val joined = keyed
+      .join(broadcast(renamed), keyed("zs_key") <=> renamed("zs_key"))
+      .drop(renamed("zs_key"))
       .filter(abs(value - col("mu")) > lit(z) * col("sigma"))
     if (df.columns.contains("key")) joined.drop("zs_key")
     else joined.withColumnRenamed("zs_key", "key")

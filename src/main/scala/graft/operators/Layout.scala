@@ -75,9 +75,13 @@ object Layout {
     * bound_i = the sample's value at rank ⌈i·m/numSplits⌉ (the i-th
     * sample quantile by rank, duplicates handled by value: the r-th
     * smallest value is well-defined however ties order). Rank AND total
-    * ride the same single-task window over the SAMPLE only — bounded by
-    * construction, the same driver-side cost RangePartitioner pays, in
-    * one pass (no second scan for the count).
+    * ride the same single-task window over the SAMPLE only, in one pass
+    * (no second scan for the count). The sample is PROPORTIONAL —
+    * expected size sampleFrac·N, unlike RangePartitioner's fixed-size
+    * reservoir — so the single task is bounded only by the caller's
+    * choice of sampleFrac: at large N pick sampleFrac so the sample stays
+    * task-sized (the 2^20-bucket hash gate keeps fractions down to
+    * ~1e-6 expressible — ~1e5 sampled keys from 1e11 rows).
     */
   def rangeBounds(
       df: DataFrame,
@@ -89,12 +93,12 @@ object Layout {
     require(sampleFrac > 0 && sampleFrac <= 1, "sampleFrac in (0,1]")
     import graft.functions.TextFunctions.h60
     import org.apache.spark.sql.expressions.Window
-    val cut = math.max(1L, math.round(sampleFrac * 10000))
+    val cut = math.max(1L, math.round(sampleFrac * 1048576.0))
     val sample = df
       .select(key.as("k"))
       .filter(col("k").isNotNull)
       .filter(pmod(h60(concat(col("k").cast("string"), lit("|"), lit(salt))),
-        lit(10000L)) < lit(cut))
+        lit(1048576L)) < lit(cut))
     val w = Window.orderBy(col("k"))
     val ranked = sample
       .withColumn("rn", row_number().over(w))

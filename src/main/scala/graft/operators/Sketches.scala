@@ -89,6 +89,11 @@ object Sketches {
       call_function("shiftright", h, lit(bits)).as("bucket") :+
       h.bitwiseAND(lit((1L << bits) - 1)).as("suffix"): _*)
     val groupNames = grouped.columns.dropRight(2)
+    // group columns are recovered positionally (everything before the two
+    // scratch columns); a caller group aliased to a scratch/output name
+    // would silently miscompute the grouping — refuse instead
+    require(!groupNames.exists(Set("bucket", "suffix", "rho_max").contains),
+      "group columns must not be named 'bucket'/'suffix'/'rho_max'")
     grouped
       .select(groupNames.map(col) :+ col("bucket") :+
         when(col("suffix") === 0, lit(bits + 1))

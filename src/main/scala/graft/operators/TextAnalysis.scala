@@ -243,23 +243,11 @@ object TextAnalysis {
     * not just cached) so the logical plan never stacks `numMerges` nested
     * folds and round k never re-analyzes k rounds of history.
     */
-  /** Eagerly checkpoint `df` (lineage truncated to a LogicalRDD) and pair
-    * it with a release handle that drops the checkpoint's storage blocks.
-    * Iterative loops call the PREVIOUS generation's release once the next
-    * one is materialized, so at most two generations ever hold storage —
-    * ContextCleaner alone reclaims only on driver GC, which is unbounded
-    * in the meantime.
+  /** Per-round lineage truncation + storage release — shared with the
+    * cluster-propagation loop; see [[Iterate.checkpointed]].
     */
-  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
-    val cp = df.localCheckpoint()
-    val release = () =>
-      cp.queryExecution.logical match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false); ()
-        case _ => ()
-      }
-    (cp, release)
-  }
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) =
+    Iterate.checkpointed(df)
 
   def bpeTrain(docs: DataFrame, numMerges: Int): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")

@@ -299,7 +299,11 @@ object PersistPipeline {
       .parquet(s"$workDir/index")
     // explicit batch_id=<id> path (not partitionBy): an all-valid batch
     // still writes one empty schema-bearing file, so the DL topic is
-    // always readable; overwriting the subdir keeps reprocessing idempotent
+    // always readable; overwriting the subdir keeps reprocessing idempotent.
+    // repartition(1) single-tasks the write, which is bounded by the batch
+    // size (≤ settings.batchSize msgs, 5 000 by default — a poison batch is
+    // at worst one batch of rows); if batch size is ever raised 100-1000×,
+    // key this off the DL row count instead of shipping a one-task write
     bad
       .repartition(1)
       .write.mode("overwrite")

@@ -79,6 +79,17 @@ class TextOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters survives a high-diameter path graph (>=12 propagation rounds)") {
+    // path 0-1-2-...-14 (diameter 14): min-label 0 moves ONE hop per round,
+    // so this exercises >=14 checkpointed rounds — the lineage-truncation
+    // regression case (a per-round cache makes round k re-analyze a k-deep
+    // join tree; the checkpoint keeps plan depth O(1) per round)
+    val n = 14
+    val pairs = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs, maxIters = 30).as[(Long, Long)].collect().toMap
+    assert(out === (0 to n).map(i => i.toLong -> 0L).toMap)
+  }
+
   test("clusters over LSH pairs equals a driver-side union-find") {
     val pairs = Dedup.minHashLsh(docs)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
