@@ -618,12 +618,19 @@ object SparkEntry {
       Curate.sampleByWeight(Tables(s, dir).documents, col("doc_id"),
         least(col("n_chars").cast("double") / 400.0, lit(1.0)), "w1")
         .select("doc_id", "n_chars").orderBy(col("doc_id"))),
-    // IVF-PQ: learned codebooks aren't SQL-expressible → rows-only check;
-    // the spec proves recall vs brute force and ADC-vs-exact agreement.
-    "q_pq_topk" -> ((s, dir) =>
-      Similarity.pqTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0,
-        k = 5, trainFrac = 0.3)
-        .orderBy(col("query_id"), col("rank"))),
+    // IVF-PQ with a FULL DuckDB oracle: the run stashes the learned
+    // codebooks and oracleSql (evaluated by Verify AFTER the queries run)
+    // replays them as literal DOUBLE[][][] tables — code assignment, ADC
+    // ranking, and exact re-rank all re-derived cross-engine.
+    "q_pq_topk" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val books = Similarity.pqCodebooks(
+        Similarity.pqTrainSet(emb, 0.3), m = 8, ksub = 16, iters = 2)
+      pqBooksStash = Some(books)
+      Similarity.pqTopKWithBooks(emb, col("vec_id") % 50 === 0, k = 5,
+        books, cellBits = 4, rerank = 32)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).
     "q_hll" -> ((s, dir) =>
@@ -744,9 +751,84 @@ object SparkEntry {
   private val StopDe = "['der','die','das','und','ist','von','ein','zu']"
   private val StopFr = "['le','la','de','et','est','un','une','dans']"
 
+  /** Learned-PQ codebooks stashed by the q_pq_topk run: Verify executes
+    * every query BEFORE dumping [[oracleSql]], so the oracle can replay
+    * the learned artifacts as literal tables — the same plan-time-literal
+    * status they have in the engine's own query. Empty (entry omitted →
+    * the driver's rows-only fallback) only if q_pq_topk never ran.
+    */
+  @volatile private var pqBooksStash: Option[Array[Array[Array[Double]]]] = None
+
+  /** Shortest round-trip double literal — DuckDB parses Java's toString
+    * form (incl. scientific notation) back to the identical IEEE bits.
+    */
+  private def dbl(x: Double): String = java.lang.Double.toString(x)
+
+  /** DuckDB replay of [[graft.operators.Similarity.pqTopKWithBooks]] with
+    * the learned codebooks as literals: re-derives the per-subspace code
+    * assignment (argmax dot − ‖c‖²/2, ties to the larger code), the ADC
+    * ranking (left-assoc float sum, the engine's `reduce(_ + _)` order),
+    * the rerank-32 cut, and the exact-cosine top-k. The half-norms are
+    * the ENGINE's Scala-computed literals (not recomputed in SQL) so both
+    * engines subtract bit-identical constants.
+    */
+  private def pqOracleSql(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val sub = graft.operators.Similarity.Dim / m
+    val ksub = books(0).length
+    val cb3 = books.map(_.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val half = books.map(_.map(c => dbl(0.5 * c.map(x => x * x).sum))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val adc = (0 until m).map(s =>
+      s"list_dot_product(dq[${s * sub + 1}:${(s + 1) * sub}], " +
+        s"cb.cb3[${s + 1}][cd.codes[${s + 1}]+1])")
+      .reduce((a, b) => s"($a + $b)")
+    s"""$EmbCte,
+       |cb AS (SELECT $cb3::DOUBLE[][][] AS cb3, $half::DOUBLE[][] AS half),
+       |c AS (SELECT vec_id, d, nrm,
+       |             CAST(list_sum(list_transform(range(0, 4),
+       |                 p -> bits[p+1] << p)) AS BIGINT) AS cell
+       |      FROM e),
+       |sv AS (SELECT vec_id, s, d[CAST(s*$sub+1 AS INT):CAST(s*$sub+$sub AS INT)] AS v
+       |       FROM e, range(0, $m) t(s)),
+       |asg AS (SELECT vec_id, s, code,
+       |               list_dot_product(cb.cb3[CAST(s+1 AS INT)][CAST(code+1 AS INT)], v)
+       |                 - cb.half[CAST(s+1 AS INT)][CAST(code+1 AS INT)] AS sc
+       |        FROM sv, range(0, $ksub) u(code), cb),
+       |codes AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+       |            SELECT vec_id, s, code,
+       |                   row_number() OVER (PARTITION BY vec_id, s
+       |                                      ORDER BY sc DESC, code DESC) AS rn
+       |            FROM asg) WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, cell, d AS dq, nrm AS nq
+       |      FROM c WHERE vec_id % 50 = 0),
+       |cand AS (SELECT query_id, dq, nq, n.vec_id AS neighbor_id, $adc AS adc
+       |         FROM cb, c n JOIN codes cd ON cd.vec_id = n.vec_id
+       |              JOIN q ON q.cell = n.cell AND query_id <> n.vec_id),
+       |topa AS (SELECT * FROM (
+       |           SELECT query_id, dq, nq, neighbor_id, adc,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY adc DESC, neighbor_id) AS arank
+       |           FROM cand) WHERE arank <= 32),
+       |res AS (SELECT query_id, neighbor_id,
+       |               list_dot_product(dq, e.d) / (nq * e.nrm) AS cosine
+       |        FROM topa JOIN e ON e.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+       |         cosine
+       |  FROM res) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops. The
+    * q_pq_topk entry is appended from the stashed learned codebooks. */
+  def oracleSql: Map[String, String] =
+    pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++ staticOracleSql
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q_persist_partition" ->
       """SELECT 'gs://graft/events/' || strftime(ts, '%Y') || '/' || strftime(ts, '%m')
         |       || '/' || strftime(ts, '%d') || '/' || strftime(ts, '%H') || '/'

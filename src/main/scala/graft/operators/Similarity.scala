@@ -389,6 +389,25 @@ object Similarity {
     * (A real deployment materializes [[pqEncode]] once; here the codes
     * are computed inline so the operator is self-contained.)
     */
+  /** Deterministic hash-gate training sample for PQ/IVF codebook training:
+    * codebook quality needs a sample, not the corpus — the gate keeps
+    * training reproducible while the Lloyd passes scan trainFrac of the
+    * data. 2^20 buckets so fractions down to ~1e-6 (the honest 100 TB
+    * setting: ~1e5 of 1e11 vectors) stay expressible instead of rounding
+    * to an empty training set.
+    */
+  def pqTrainSet(embeddings: DataFrame, trainFrac: Double): DataFrame = {
+    require(trainFrac > 0 && trainFrac <= 1, "trainFrac in (0,1]")
+    if (trainFrac >= 1.0) embeddings
+    else {
+      import graft.functions.TextFunctions.h60
+      val cut = math.max(1L, math.round(trainFrac * 1048576.0))
+      embeddings.filter(
+        pmod(h60(concat(col("vec_id").cast("string"), lit("|pqtrain"))),
+          lit(1048576L)) < lit(cut))
+    }
+  }
+
   def pqTopK(
       embeddings: DataFrame,
       queryPred: Column,
@@ -399,23 +418,24 @@ object Similarity {
       cellBits: Int = 4,
       rerank: Int = 32,
       trainFrac: Double = 1.0): DataFrame = {
+    val books = pqCodebooks(pqTrainSet(embeddings, trainFrac), m, ksub, iters)
+    pqTopKWithBooks(embeddings, queryPred, k, books, cellBits, rerank)
+  }
+
+  /** [[pqTopK]] with caller-supplied codebooks — the deployment shape (a
+    * real 100 TB ANN store trains once and reuses the artifacts), and the
+    * hook that lets the correctness gate replay the LEARNED books in the
+    * DuckDB oracle as plan-time literals.
+    */
+  def pqTopKWithBooks(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int = 4,
+      rerank: Int = 32): DataFrame = {
     require(rerank >= k, "rerank must be at least k")
-    require(trainFrac > 0 && trainFrac <= 1, "trainFrac in (0,1]")
-    // codebook quality needs a sample, not the corpus — the deterministic
-    // hash gate keeps training reproducible while the Lloyd passes scan
-    // trainFrac of the data. The gate is 2^20 buckets so fractions down
-    // to ~1e-6 (the honest 100 TB setting: ~1e5 of 1e11 vectors) stay
-    // expressible instead of rounding to an empty training set.
-    val trainSet =
-      if (trainFrac >= 1.0) embeddings
-      else {
-        import graft.functions.TextFunctions.h60
-        val cut = math.max(1L, math.round(trainFrac * 1048576.0))
-        embeddings.filter(
-          pmod(h60(concat(col("vec_id").cast("string"), lit("|pqtrain"))),
-            lit(1048576L)) < lit(cut))
-      }
-    val books = pqCodebooks(trainSet, m, ksub, iters)
+    val m = books.length
     val sub = Dim / m
     val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
       srpCode(col("embedding"), 0, cellBits).as("cell"),
