@@ -439,6 +439,11 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables(s, dir).documents, 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Paragraph-level exact dedup (content-defined boundaries, keep-first
+    // corpus-wide); avgTokens=4 so the tiny-vocab corpus has real repeats.
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(Tables(s, dir).documents, avgTokens = 4)
+        .orderBy(col("doc_id"))),
     // -- similarity search over embeddings ---------------------------------
     "q_topk_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
@@ -1203,6 +1208,28 @@ object SparkEntry {
          |  SELECT re.doc_id, u.d FROM reach re JOIN und u ON re.r = u.s)
          |SELECT doc_id, least(doc_id, min(r)) AS cluster_id
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_paragraph" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM toks),
+         |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok FROM tk),
+         |fl AS (SELECT doc_id, i, tok,
+         |              CASE WHEN ${h60Sql("tok")} % 4 = 0 THEN 1 ELSE 0 END AS b
+         |       FROM tok),
+         |pn AS (SELECT doc_id, i, tok,
+         |              COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_no
+         |       FROM fl),
+         |paras AS (SELECT doc_id, para_no, string_agg(tok, ' ' ORDER BY i) AS ptext
+         |          FROM pn GROUP BY doc_id, para_no),
+         |mk AS (SELECT doc_id, para_no, ptext,
+         |              row_number() OVER (PARTITION BY md5(ptext)
+         |                                 ORDER BY doc_id, para_no) AS rn
+         |       FROM paras)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       COALESCE(string_agg(CASE WHEN rn = 1 THEN ptext END,
+         |                           ' ' ORDER BY para_no), '') AS text_dedup
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""$ToksCte,
          |sims AS (

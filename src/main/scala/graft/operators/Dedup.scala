@@ -406,6 +406,64 @@ object Dedup {
     labels
   }
 
+  /** Paragraph-level exact dedup — the C4/RefinedWeb granularity missing
+    * from whole-document dedup: repeated boilerplate (headers, license
+    * blocks, navigation text) recurs across documents that are NOT
+    * near-duplicates as wholes, so it survives doc-level matching. This
+    * splits each document into paragraphs, keeps exactly the FIRST
+    * occurrence of each distinct paragraph corpus-wide (first = smallest
+    * (doc_id, para_no) — deterministic), and rewrites each document from
+    * its surviving paragraphs.
+    *
+    * The corpus carries no newline/sentence markers, so boundaries are
+    * CONTENT-DEFINED (the rsync/LBFS chunking trick): a new paragraph
+    * starts after any token whose h60 ≡ 0 (mod avgTokens) — expected
+    * paragraph length avgTokens, and boundaries depend only on local
+    * content, so the same boilerplate block splits identically wherever
+    * it appears (exactly the property positional/fixed-size chunking
+    * lacks). With real newline-delimited text, substitute the newline
+    * split for the hash split; everything downstream is unchanged.
+    *
+    * Scale shape: one per-doc window (a document's own tokens — never a
+    * hot key), one (doc_id, para_no) aggregation, one hash shuffle on the
+    * paragraph fingerprint for the keep-first window, one doc_id rebuild
+    * aggregation. No pairwise work anywhere — exact dedup cost, at
+    * paragraph granularity.
+    */
+  def paragraphDedup(docs: DataFrame, avgTokens: Int = 16): DataFrame = {
+    require(avgTokens > 0, "avgTokens must be positive")
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+    // paragraph index = boundaries strictly BEFORE this token (the marker
+    // token closes its own paragraph; the next token opens a new one)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = tok
+      .withColumn("b",
+        when(pmod(h60(col("tok")), lit(avgTokens.toLong)) === 0, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("para_no", coalesce(sum(col("b")).over(byDoc), lit(0L)))
+    val paras = flagged
+      .groupBy(col("doc_id"), col("para_no"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          e => e.getField("tok"))).as("ptext"))
+      .withColumn("fp", md5(col("ptext")))
+    // keep-first: row 1 of the fingerprint group in (doc_id, para_no)
+    // order — a total order, so replays are deterministic cross-engine
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("para_no"))
+    paras
+      .withColumn("keep", row_number().over(wFp) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("para_no"), col("ptext"))))),
+          e => e.getField("ptext"))).as("text_dedup"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

@@ -58,6 +58,110 @@ object Metrics {
       approx_percentile(col_, lit(0.99), lit(accuracy)).as("p99"))
 }
 
+/** Prometheus-parity metrics registry — the metrics surface the reference
+  * serves at :2112/metrics (common/metrics.go:148-169), as a snapshot
+  * DataFrame instead of a socket (the same no-socket pattern as
+  * [[ApiFacade]]). Exactly the reference's six families
+  * (initMetrics, metrics.go:58-103):
+  *
+  *   - `{ns}_processed_messages_total`, `{ns}_processed_bytes_total`
+  *     counters and the `{ns}_processing_times_milliseconds` summary
+  *     (quantile objectives 0.5±0.05 / 0.9±0.01 / 0.99±0.001 over a
+  *     5-minute MaxAge window, plus cumulative `_sum`/`_count`);
+  *   - the three `failed_*` twins (UpdateFailureMetrics).
+  *
+  * Prometheus summary semantics are kept: `_total`/`_sum`/`_count` are
+  * CUMULATIVE since process start; quantiles cover only observations
+  * inside the sliding MaxAge window. Quantiles here are exact order
+  * statistics (value at rank ⌈φ·n⌉) — inside every reference objective's
+  * tolerance by construction; an empty window serves no quantile rows
+  * (Prometheus serves NaN). State is driver-side per instance, exactly as
+  * the reference's in-process registry — feed it from [[Metrics.observeStage]]
+  * observations so the counts ride actions that run anyway. The clock is
+  * injectable so window expiry is unit-testable (the [[FlowControl]]
+  * pattern).
+  */
+final class MetricsRegistry(
+    namespace: String,
+    maxAgeMillis: Long = 300000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  require(namespace.nonEmpty, "namespace must be non-empty")
+  require(maxAgeMillis > 0, "maxAgeMillis must be positive")
+
+  private var processedCount, failedCount = 0L
+  private var processedBytes, failedBytes = 0L
+  private var timeSum, failedTimeSum = 0.0
+  private var timeCount, failedTimeCount = 0L
+  private val times = scala.collection.mutable.ArrayDeque[(Long, Double)]()
+  private val failedTimes = scala.collection.mutable.ArrayDeque[(Long, Double)]()
+
+  def updateSuccess(
+      messages: Long, bytes: Long, processingMillis: Seq[Double] = Nil): Unit =
+    synchronized {
+      val now = clock()
+      processedCount += messages
+      processedBytes += bytes
+      timeSum += processingMillis.sum
+      timeCount += processingMillis.size
+      processingMillis.foreach(t => times.append((now, t)))
+      expire(now)
+    }
+
+  def updateFailure(
+      messages: Long, bytes: Long, processingMillis: Seq[Double] = Nil): Unit =
+    synchronized {
+      val now = clock()
+      failedCount += messages
+      failedBytes += bytes
+      failedTimeSum += processingMillis.sum
+      failedTimeCount += processingMillis.size
+      processingMillis.foreach(t => failedTimes.append((now, t)))
+      expire(now)
+    }
+
+  private def expire(now: Long): Unit = {
+    while (times.nonEmpty && times.head._1 <= now - maxAgeMillis)
+      times.removeHead()
+    while (failedTimes.nonEmpty && failedTimes.head._1 <= now - maxAgeMillis)
+      failedTimes.removeHead()
+  }
+
+  /** Exact φ-quantile (rank ⌈φ·n⌉, 1-based) of the in-window values. */
+  private def quantile(vs: Seq[Double], phi: Double): Double =
+    vs.sorted.apply(math.max(1, math.ceil(phi * vs.size).toInt) - 1)
+
+  /** The table :2112/metrics would render — one row per sample:
+    * (metric, quantile, value); counter/_sum/_count rows carry a null
+    * quantile, exactly Prometheus exposition structure.
+    */
+  def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val rows = synchronized {
+      expire(clock())
+      def summary(
+          family: String, sum: Double, n: Long, window: Seq[Double]) =
+        Seq(0.5, 0.9, 0.99).flatMap(phi =>
+          if (window.isEmpty) Nil
+          else Seq((family, Option(phi), quantile(window, phi)))) ++
+          Seq((s"${family}_sum", Option.empty[Double], sum),
+            (s"${family}_count", None, n.toDouble))
+      Seq(
+        (s"${namespace}_processed_messages_total", Option.empty[Double],
+          processedCount.toDouble),
+        (s"${namespace}_processed_bytes_total", None, processedBytes.toDouble)) ++
+        summary(s"${namespace}_processing_times_milliseconds",
+          timeSum, timeCount, times.map(_._2).toSeq) ++
+        Seq(
+          (s"${namespace}_failed_messages_total", None, failedCount.toDouble),
+          (s"${namespace}_failed_processed_bytes_total", None,
+            failedBytes.toDouble)) ++
+        summary(s"${namespace}_failed_processing_times_milliseconds",
+          failedTimeSum, failedTimeCount, failedTimes.map(_._2).toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("metric", "quantile", "value")
+  }
+}
+
 /** A4: bounded memo for count queries — driver-side, with the reference's
   * 2Q replacement policy (indexer-api/lib/repo/cache.go:35-37 wraps
   * hashicorp `lru.New2Q`; ratios recent=0.25, ghost=0.5 of `maxSize`):

@@ -258,6 +258,20 @@ object Similarity {
     * (multi-probe — the standard recall knob) via an equi-join on the cell
     * id. `nprobe == numCells` degenerates to an exact full scan, which the
     * spec exploits as a brute-force equality check.
+    *
+    * `broadcastQueries` picks the join strategy for the two shapes this
+    * operator serves — identical results either way (same equi-join):
+    *   - true (default), the QUERY-SERVING shape: the probe set is small
+    *     (≪ the ~10 MB broadcast threshold after the nprobe explode) and
+    *     ships to every corpus partition — the corpus never shuffles;
+    *   - false, the KNN-JOIN shape (the all-corpus semantic-dedup sweep a
+    *     training pipeline runs, where "queries" IS the corpus and a
+    *     broadcast would ship the whole corpus to every task): both sides
+    *     hash-shuffle on the cell id. Shuffle parallelism is bounded by
+    *     the number of distinct cells, so size `numCells` to the corpus
+    *     (the standard IVF ~√N rule) — at 100 TB that is thousands of
+    *     cells, far above any executor count; the 16-cell default is a
+    *     test-scale setting, not the sweep setting.
     */
   def ivfTopKKmeans(
       embeddings: DataFrame,
@@ -265,7 +279,8 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       iters: Int = 2,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "nprobe must be in [1, numCells]")
     val cents = kmeansCentroids(embeddings, numCells, iters)
     val e = withNorm(embeddings).cache()
@@ -282,7 +297,7 @@ object Similarity {
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     corpus
-      .join(broadcast(queries), Seq("cell"))
+      .join(if (broadcastQueries) broadcast(queries) else queries, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -425,7 +440,11 @@ object Similarity {
   /** [[pqTopK]] with caller-supplied codebooks — the deployment shape (a
     * real 100 TB ANN store trains once and reuses the artifacts), and the
     * hook that lets the correctness gate replay the LEARNED books in the
-    * DuckDB oracle as plan-time literals.
+    * DuckDB oracle as plan-time literals. `broadcastQueries` as in
+    * [[ivfTopKKmeans]]: default = small-probe query serving (broadcast
+    * bounded by the probe set); false = the kNN-join sweep shape, both
+    * sides shuffled on the SRP cell (size `cellBits` so 2^cellBits keeps
+    * the shuffle parallel — the 100 TB setting is tens of bits).
     */
   def pqTopKWithBooks(
       embeddings: DataFrame,
@@ -433,7 +452,8 @@ object Similarity {
       k: Int,
       books: Array[Array[Array[Double]]],
       cellBits: Int = 4,
-      rerank: Int = 32): DataFrame = {
+      rerank: Int = 32,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(rerank >= k, "rerank must be at least k")
     val m = books.length
     val sub = Dim / m
@@ -454,7 +474,7 @@ object Similarity {
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     corpus
-      .join(broadcast(queries), Seq("cell"))
+      .join(if (broadcastQueries) broadcast(queries) else queries, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(wA))

@@ -31,6 +31,52 @@ class MetricsSpec extends SparkSpec {
     assert(approx.getAs[Long]("n") === 1000L)
   }
 
+  test("MetricsRegistry snapshot serves the reference's six families from an observed run") {
+    var now = 1000L
+    val reg = new MetricsRegistry("persistor", clock = () => now)
+    // feed the registry from a real observed action, the A5 path: counts
+    // and byte sums ride the job that runs anyway
+    val batch = Seq(("m1", "x" * 10), ("m2", "y" * 30), ("m3", "z" * 20))
+      .toDF("id", "payload")
+    val (obs, ob) = Metrics.observeStage(batch, "persist_ok",
+      Seq(sum(length(col("payload"))).as("n_bytes")))
+    obs.count()
+    reg.updateSuccess(
+      ob.get("n_rows").asInstanceOf[Long],
+      ob.get("n_bytes").asInstanceOf[Long],
+      processingMillis = Seq(10.0, 20.0, 30.0))
+    reg.updateFailure(1L, 5L, processingMillis = Seq(100.0))
+    val snap = reg.snapshot(spark).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getDouble(2)))
+    def one(metric: String, q: Option[Double]): Double =
+      snap.filter(s => s._1 == metric && s._2 == q) match {
+        case Array(only) => only._3
+        case other => fail(s"$metric/$q matched ${other.length} rows")
+      }
+    assert(one("persistor_processed_messages_total", None) === 3.0)
+    assert(one("persistor_processed_bytes_total", None) === 60.0)
+    assert(one("persistor_processing_times_milliseconds", Some(0.5)) === 20.0)
+    assert(one("persistor_processing_times_milliseconds", Some(0.9)) === 30.0)
+    assert(one("persistor_processing_times_milliseconds", Some(0.99)) === 30.0)
+    assert(one("persistor_processing_times_milliseconds_sum", None) === 60.0)
+    assert(one("persistor_processing_times_milliseconds_count", None) === 3.0)
+    assert(one("persistor_failed_messages_total", None) === 1.0)
+    assert(one("persistor_failed_processed_bytes_total", None) === 5.0)
+    assert(one("persistor_failed_processing_times_milliseconds", Some(0.5)) === 100.0)
+    // Prometheus summary semantics: advancing past MaxAge expires the
+    // QUANTILE window but the cumulative _total/_sum/_count never reset
+    now += 300001L
+    reg.updateSuccess(2L, 8L)
+    val later = reg.snapshot(spark).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getDouble(2)))
+    assert(!later.exists(s =>
+      s._1 == "persistor_processing_times_milliseconds" && s._2.isDefined))
+    assert(later.count(s => s._1 == "persistor_processed_messages_total") === 1)
+    assert(later.find(_._1 == "persistor_processed_messages_total").get._3 === 5.0)
+    assert(later.find(_._1 == "persistor_processing_times_milliseconds_sum").get._3 === 60.0)
+    assert(later.find(_._1 == "persistor_processing_times_milliseconds_count").get._3 === 3.0)
+  }
+
   test("CountCache computes a key once and serves hits from the memo (A4)") {
     val cache = new CountCache(10)
     val computes = new AtomicInteger(0)

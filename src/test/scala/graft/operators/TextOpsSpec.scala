@@ -79,6 +79,29 @@ class TextOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("paragraphDedup keeps first occurrence corpus-wide (token paragraphs)") {
+    // avgTokens=1: every token is a boundary marker, so paragraphs are
+    // single tokens — hand-checkable keep-first semantics
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, avgTokens = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2L, "a b"), (2L, 2L, 1L, "c")))
+  }
+
+  test("paragraphDedup empties an exact-duplicate document at any granularity") {
+    // identical text splits identically (content-defined boundaries), so
+    // every paragraph of the later doc is a repeat of the earlier one's
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq((5L, t), (9L, t)).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, avgTokens = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.size === 2)
+    val (first, second) = (out(0), out(1))
+    assert(first._1 === 5L && first._2 === first._3 && first._4 === t)
+    assert(second._1 === 9L && second._3 === 0L && second._4 === "")
+    assert(second._2 === first._2)
+  }
+
   test("clusters survives a high-diameter path graph (>=12 propagation rounds)") {
     // path 0-1-2-...-14 (diameter 14): min-label 0 moves ONE hop per round,
     // so this exercises >=14 checkpointed rounds — the lineage-truncation
@@ -165,6 +188,47 @@ class TextOpsSpec extends SparkSpec {
     val plan = probed.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("kNN-join mode (no broadcast) matches the query-serving mode exactly") {
+    // broadcastQueries=false is the all-corpus sweep shape: same equi-join
+    // on the cell, so results must be identical; the initial physical plan
+    // must not FORCE a broadcast of the query side (AQE may still choose
+    // one at runtime on tiny data — that is its call, not ours)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val served = Similarity.ivfTopKKmeans(
+      emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3)
+    val swept = Similarity.ivfTopKKmeans(
+      emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3,
+      broadcastQueries = false)
+    assert(keys(swept) === keys(served))
+    // same contract for the PQ path, via caller-supplied books
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    def pqKeys(bc: Boolean) = keys(Similarity.pqTopKWithBooks(
+      emb, col("vec_id") % 10 === 0, k = 3, books, rerank = 200,
+      broadcastQueries = bc))
+    assert(pqKeys(false) === pqKeys(true))
+    // plan audit under autoBroadcast OFF (the 100 TB stats situation, where
+    // the corpus-sized query side is over every threshold): the hinted mode
+    // must STILL broadcast (explicit hint), the sweep mode must not
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def plan(bc: Boolean) = Similarity.ivfTopKKmeans(
+        emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3,
+        broadcastQueries = bc).queryExecution.executedPlan.toString
+      assert(plan(true).contains("BroadcastHashJoin"))
+      assert(!plan(false).contains("BroadcastHashJoin"),
+        "kNN-join mode must not force a broadcast of a corpus-sized query side")
+      def pqPlan(bc: Boolean) = Similarity.pqTopKWithBooks(
+        emb, col("vec_id") % 10 === 0, k = 3, books, rerank = 200,
+        broadcastQueries = bc).queryExecution.executedPlan.toString
+      assert(pqPlan(true).contains("BroadcastHashJoin"))
+      assert(!pqPlan(false).contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("nearDupPairs contains no false positives and no self/inverted pairs") {
