@@ -5,16 +5,22 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Bench harness: one warmup pass (JIT, file listing, and the one-time
-  * persist/stream/publish materializations), then one timed pass per
-  * query. Failures are NOT swallowed into fake timings: a failed query
-  * reports `-1` AND an `errors` entry AND a nonzero exit code. The JSON
-  * line goes to stdout (driver contract) and to `bench_out.json` (immune
-  * to sbt log noise).
+  * persist/stream/publish materializations), then N timed passes per
+  * query (default 3, `SPARK_GRAFT_BENCH_RUNS`). The headline per-query
+  * number and the total are the per-query MINIMUM across passes — the
+  * run least polluted by hypervisor contention (CLAUDE.md: whole-run
+  * totals can inflate 2-3× under load; the best of a few runs is the
+  * trustworthy one). The raw per-pass totals and per-query medians ride
+  * along so the noise is visible, not hidden. Failures are NOT swallowed
+  * into fake timings: a failed query reports `-1` AND an `errors` entry
+  * AND a nonzero exit code. The JSON line goes to stdout (driver
+  * contract) and to `bench_out.json` (immune to sbt log noise).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,16 +42,31 @@ object Bench {
       }
     }
 
-    val timings = names.map { name =>
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors.getOrElseUpdate(name, e.getMessage)
-          name -> -1.0
+    // pass-major order (all queries, then repeat) so one contention burst
+    // degrades one PASS, not every sample of one query
+    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.getMessage)
+            name -> -1.0
+        }
       }
+    }
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val byName = names.map(n => n -> samples.map(_.toMap.apply(n)))
+    val timings = byName.map { case (n, vs) =>
+      n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }
+    val medians = byName.map { case (n, vs) =>
+      n -> (if (vs.exists(_ < 0)) -1.0 else median(vs))
     }
 
     def q(s: String): String = "\"" + s.flatMap {
@@ -54,11 +75,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.collect { case (_, v) if v >= 0 => v }.sum
+    val passTotals = samples
+      .map(_.collect { case (_, v) if v >= 0 => v }.sum)
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(timings)},""" +
+        s""""runs":$runs,"pass_totals":$passTotals,"queries_median":${obj(medians)},""" +
         s""""errors":$errJson,"n_failed":${errors.size},"sf":${q(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)

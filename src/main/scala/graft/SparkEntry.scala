@@ -436,6 +436,15 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minHashLsh(Tables(s, dir).documents))
         .orderBy(col("doc_id"))),
+    // Incremental maintenance replay: cluster HALF the mined pairs, then
+    // merge the other half as a "new batch" — the final labels must equal
+    // one-shot clustering of everything (same oracle as q_dedup_clusters).
+    "q_dedup_clusters_inc" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(Tables(s, dir).documents)
+      val first = Dedup.clusters(pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0))
+      Dedup.mergeClusters(first, pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables(s, dir).documents, 2)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -750,6 +759,44 @@ object SparkEntry {
   }
   private val MhA = mhCoeffLists._1
   private val MhB = mhCoeffLists._2
+
+  /** Recursive-closure clustering oracle over the full LSH pair set —
+    * shared by q_dedup_clusters (one-shot) and q_dedup_clusters_inc
+    * (incremental merge replay): both must produce identical labels.
+    */
+  private lazy val ClustersOracleSql =
+    s"""${ToksCte.replace("WITH toks", "WITH RECURSIVE toks")},
+       |$ShinglesCte,
+       |mh AS (
+       |  SELECT doc_id, sh, list_transform(range(0, 24), i ->
+       |      list_min(list_transform(hs, h -> ($MhA[i+1] * h + $MhB[i+1])
+       |                                        % ${graft.functions.TextFunctions.MinHashP}))) AS sig
+       |  FROM (SELECT doc_id, sh,
+       |               list_transform(sh, s -> ${h60Sql("s")} & 4294967295) AS hs
+       |        FROM s2)),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |         md5(array_to_string(list_transform(range(b*4+1, b*4+5),
+       |             j -> CAST(sig[j] AS VARCHAR)), ',')) AS bsig
+       |  FROM mh, range(0, 6) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |lshp AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+       |        >= 0.6),
+       |und AS (SELECT doc_a AS s, doc_b AS d FROM lshp
+       |        UNION ALL SELECT doc_b, doc_a FROM lshp),
+       |reach AS (
+       |  SELECT s AS doc_id, d AS r FROM und
+       |  UNION
+       |  SELECT re.doc_id, u.d FROM reach re JOIN und u ON re.r = u.s)
+       |SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val StopEn = "['the','a','of','and','to','in','is','it']"
   private val StopEs = "['el','la','de','que','y','en','un','es']"
@@ -1175,39 +1222,10 @@ object SparkEntry {
          |FROM cand JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_clusters" ->
-      s"""${ToksCte.replace("WITH toks", "WITH RECURSIVE toks")},
-         |$ShinglesCte,
-         |mh AS (
-         |  SELECT doc_id, sh, list_transform(range(0, 24), i ->
-         |      list_min(list_transform(hs, h -> ($MhA[i+1] * h + $MhB[i+1])
-         |                                        % ${graft.functions.TextFunctions.MinHashP}))) AS sig
-         |  FROM (SELECT doc_id, sh,
-         |               list_transform(sh, s -> ${h60Sql("s")} & 4294967295) AS hs
-         |        FROM s2)),
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |         md5(array_to_string(list_transform(range(b*4+1, b*4+5),
-         |             j -> CAST(sig[j] AS VARCHAR)), ',')) AS bsig
-         |  FROM mh, range(0, 6) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |lshp AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
-         |        >= 0.6),
-         |und AS (SELECT doc_a AS s, doc_b AS d FROM lshp
-         |        UNION ALL SELECT doc_b, doc_a FROM lshp),
-         |reach AS (
-         |  SELECT s AS doc_id, d AS r FROM und
-         |  UNION
-         |  SELECT re.doc_id, u.d FROM reach re JOIN und u ON re.r = u.s)
-         |SELECT doc_id, least(doc_id, min(r)) AS cluster_id
-         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> ClustersOracleSql,
+    // incremental merge must reproduce the one-shot clustering exactly,
+    // so the oracle is the SAME recursive closure over the full pair set
+    "q_dedup_clusters_inc" -> ClustersOracleSql,
     "q_dedup_paragraph" ->
       s"""$ToksCte,
          |tk AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM toks),

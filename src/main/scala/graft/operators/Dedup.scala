@@ -406,6 +406,31 @@ object Dedup {
     labels
   }
 
+  /** Incremental cluster maintenance — merge a micro-batch of newly mined
+    * near-dup pairs into an existing label store instead of re-clustering
+    * the whole history (the streaming twin of [[clusters]], same
+    * maintenance pattern as the per-batch sketch merges in
+    * [[Sketches.mergeHll]]).
+    *
+    * Existing labels are replayed as STAR edges (doc_id — cluster_id):
+    * each old component collapses to depth 1 around its root, so its
+    * connectivity is preserved while propagation inside it converges in
+    * one round; only chains created by the NEW pairs (bridges between old
+    * components) need more. Correctness: cluster_id is the min member of
+    * the old component and itself a member node, so min-label propagation
+    * over (stars ∪ new pairs) yields exactly the min node id of each
+    * merged component — the same labels a batch [[clusters]] over the
+    * full pair history would produce, which is what the streaming spec
+    * asserts. Cost per batch: O(affected-component diameter) rounds over
+    * |store| + |batch| edges — no growing pair history is kept anywhere.
+    */
+  def mergeClusters(
+      labels: DataFrame, newPairs: DataFrame, maxIters: Int = 20): DataFrame =
+    clusters(
+      labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .unionByName(newPairs.select(col("doc_a"), col("doc_b"))),
+      maxIters)
+
   /** Paragraph-level exact dedup — the C4/RefinedWeb granularity missing
     * from whole-document dedup: repeated boilerplate (headers, license
     * blocks, navigation text) recurs across documents that are NOT

@@ -315,6 +315,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batchDeduped.count() === original.size)
   }
 
+  test("streaming cluster maintenance: per-batch label merge equals batch clusters") {
+    import graft.operators.Dedup
+    import java.nio.file.{Files, Paths}
+    // pair stream with cross-batch structure: batch 2's (3,4) bridges the
+    // {1,2,3} and {4,5} components formed by batches 0-1, and 8 joins 6-7
+    val batches = Seq(
+      Seq((1L, 2L), (4L, 5L)),
+      Seq((2L, 3L), (6L, 7L)),
+      Seq((3L, 4L), (7L, 8L)))
+    val dir = Files.createTempDirectory("graft-clstream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_a", "doc_b").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeRoot = s"$dir/store"
+    // versioned store: labels are corpus-sized, so each batch WRITES the
+    // merged generation and the next batch reads the latest — no driver
+    // collect (unlike the ≤2^p-row HLL store below)
+    def latest: Option[String] = {
+      val d = Paths.get(storeRoot)
+      if (!Files.exists(d)) None
+      else Files.list(d).map[String](_.toString).sorted(Ordering[String].reverse)
+        .findFirst().map[Option[String]](Some(_)).orElse(None)
+    }
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val merged = latest match {
+          case Some(p) => Dedup.mergeClusters(spark.read.parquet(p), batch)
+          case None => Dedup.clusters(batch)
+        }
+        merged.write.parquet(f"$storeRoot/v$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.read.parquet(latest.get)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val allPairs = batches.flatten.toDF("doc_a", "doc_b")
+    val batchLabels = Dedup.clusters(allPairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed === batchLabels)
+    // and the bridge actually merged: 1..5 share one root, 6..8 another
+    assert(streamed.filter(_._1 <= 5).map(_._2).distinct === Seq(1L))
+    assert(streamed.filter(_._1 >= 6).map(_._2).distinct === Seq(6L))
+  }
+
   test("streaming HLL maintenance: per-batch register merge equals the batch sketch") {
     import graft.operators.Sketches
     import java.nio.file.{Files, Paths}
