@@ -409,6 +409,13 @@ object SparkEntry {
         Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1), "mix1")
         .select("doc_id", "lang")
         .orderBy(col("doc_id"))),
+    // Target-proportion source mixing (weights are exact binary fractions
+    // so the normalize/rate arithmetic replays bit-for-bit in DuckDB).
+    "q_mix_sources" -> ((s, dir) =>
+      Curate.mixToTarget(Tables(s, dir).documents, col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")
+        .select("doc_id", "source")
+        .orderBy(col("doc_id"))),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(Tables(s, dir).documents)
         .orderBy(col("doc_id"))),
@@ -585,6 +592,27 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "c_sum", "n_rare",
           "mean_token_prob", "rare_ratio")
         .orderBy(col("doc_id"))),
+    // In-engine trained logistic quality classifier: deterministic batch
+    // GD (exact DECIMAL gradient sums), learned weights stashed for the
+    // oracle; hashed surrogate is the bit-replayable margin, the sigmoid
+    // stays engine-side (exp() is not correctly-rounded across libms).
+    "q_quality_classifier" -> { (s, dir) =>
+      val lf = Classify.labeledFeatures(Tables(s, dir).documents)
+        .localCheckpoint() // 8 training passes re-read this, not the join
+      val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"),
+        lr = 8.0, iters = 40)
+      clsWeightsStash = Some(w)
+      Classify.scoreLogistic(lf, Classify.featureVector, w)
+        .select("doc_id", "label", "margin", "pred")
+        .orderBy(col("doc_id"))
+    },
+    // Bigram-LM perplexity scoring; integer-exact surrogates hashed, the
+    // float avg_logprob/ppl stay engine-side (the unigram_lm convention).
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramScores(Tables(s, dir).documents)
+        .select("doc_id", "n_pairs", "sum_c2", "min_c2", "n_hapax",
+          "mean_pair_prob")
+        .orderBy(col("doc_id"))),
     // TF-IDF keywords; integer-exact rank (tf DESC, df ASC, token) so row
     // selection replays bit-for-bit; the float tfidf column stays engine-side.
     "q_keywords" -> ((s, dir) =>
@@ -644,6 +672,15 @@ object SparkEntry {
       Similarity.pqTopKWithBooks(emb, col("vec_id") % 50 === 0, k = 5,
         books, cellBits = 4, rerank = 32)
         .orderBy(col("query_id"), col("rank"))
+    },
+    // SemDeDup: embedding near-dup drop within learned k-means cells. The
+    // run stashes the trained centroids; the oracle replays them as
+    // literal DOUBLE[][] and re-derives assignment + the keep-min rule.
+    "q_semdedup" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      semCentStash = Some(cents)
+      Similarity.semDedup(emb, cents, tau = 0.4).orderBy(col("vec_id"))
     },
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).
@@ -811,6 +848,16 @@ object SparkEntry {
     */
   @volatile private var pqBooksStash: Option[Array[Array[Array[Double]]]] = None
 
+  /** Learned k-means centroids stashed by the q_semdedup run — same
+    * replay contract as [[pqBooksStash]].
+    */
+  @volatile private var semCentStash: Option[Array[Array[Double]]] = None
+
+  /** Learned logistic weights stashed by the q_quality_classifier run —
+    * same replay contract as [[pqBooksStash]].
+    */
+  @volatile private var clsWeightsStash: Option[Array[Double]] = None
+
   /** Shortest round-trip double literal — DuckDB parses Java's toString
     * form (incl. scientific notation) back to the identical IEEE bits.
     */
@@ -878,7 +925,81 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. The
     * q_pq_topk entry is appended from the stashed learned codebooks. */
   def oracleSql: Map[String, String] =
-    pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++ staticOracleSql
+    pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++
+      semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
+      clsWeightsStash.map(w => "q_quality_classifier" -> classifierOracleSql(w)).toMap ++
+      staticOracleSql
+
+  /** DuckDB replay of [[graft.operators.Classify.scoreLogistic]] with
+    * the learned weights as literals: features re-derived exactly as
+    * [[graft.operators.Classify.featureVector]] (same q_text_quality
+    * arithmetic), margin accumulated left-to-right in the engine's
+    * reduce order — bit-identical IEEE doubles cross-engine.
+    */
+  private def classifierOracleSql(w: Array[Double]): String = {
+    val terms = Seq(
+      "1.0", "LEAST(sr * 10.0, 1.0)", "pr", "(mtl / 10.0)", "nt")
+    val margin = terms.zip(w.map(dbl)).map { case (f, wi) => s"$f * $wi" }
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH tk AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |hits AS (SELECT doc_id,
+       |  CAST(len(list_filter(toks, t -> list_contains($StopEn, t))) AS BIGINT) AS en_hits,
+       |  CAST(len(list_filter(toks, t -> list_contains($StopEs, t))) AS BIGINT) AS es_hits,
+       |  CAST(len(list_filter(toks, t -> list_contains($StopDe, t))) AS BIGINT) AS de_hits,
+       |  CAST(len(list_filter(toks, t -> list_contains($StopFr, t))) AS BIGINT) AS fr_hits
+       |  FROM tk),
+       |lab AS (SELECT doc_id,
+       |  CAST(CASE WHEN en_hits + es_hits + de_hits + fr_hits > 0
+       |             AND en_hits >= greatest(es_hits, de_hits, fr_hits)
+       |            THEN 1 ELSE 0 END AS INT) AS label
+       |  FROM hits),
+       |ft AS (SELECT doc_id, label,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    len(list_filter(toks, t -> list_contains($StopEn, t)))::DOUBLE
+       |      / len(toks)::DOUBLE
+       |  ELSE 0.0 END AS sr,
+       |  CASE WHEN length(text) > 0 THEN
+       |    (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+       |      / length(text)::DOUBLE
+       |  ELSE 0.0 END AS pr,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |      / len(toks)::DOUBLE
+       |  ELSE 0.0 END AS mtl,
+       |  LEAST(len(toks)::DOUBLE / 200.0, 1.0) AS nt
+       |  FROM tk JOIN lab USING (doc_id))
+       |SELECT doc_id, label, $margin AS margin, ($margin) > 0.0 AS pred
+       |FROM ft ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.semDedup]] with the
+    * learned centroids as a literal DOUBLE[][]: cell = argmax dot (ties
+    * to the LARGER cell index, the engine's struct-max order), dropped =
+    * ∃ smaller same-cell vec_id with cosine ≥ tau.
+    */
+  private def semDedupOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, d, nrm, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, d, nrm, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1),
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.d, b.d) / (a.nrm * b.nrm) >= 0.4)
+       |SELECT asg.vec_id, cell, drp.vec_id IS NULL AS kept
+       |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+  }
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_persist_partition" ->
@@ -1521,6 +1642,20 @@ object SparkEntry {
         |      < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
         |                  WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "q_mix_sources" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |           WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5::DOUBLE),
+        |                            ('src1', 0.25::DOUBLE),
+        |                            ('src2', 0.25::DOUBLE)) t(source, wt)),
+        |f AS (SELECT source,
+        |             LEAST(1.0, wt * (SELECT MIN(n / wt) FROM c JOIN w USING (source))
+        |                          / n) AS frac
+        |      FROM c JOIN w USING (source))
+        |SELECT doc_id, source FROM documents JOIN f USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dommix'), 1, 15)
+        |           AS BIGINT) % 10000 < ROUND(frac * 10000)
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1'), 1, 15)
@@ -1692,6 +1827,26 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN c <= 2 THEN tf ELSE 0 END) AS DOUBLE) /
          |    CAST(SUM(tf) AS DOUBLE) AS rare_ratio
          |FROM tf JOIN vocab USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+         |tf2 AS (
+         |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i+1 AS INT)] AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tk, unnest(range(1, len(toks))) t(i)
+         |  GROUP BY doc_id, w1, w2),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
+         |       FROM tf2 GROUP BY w1, w2),
+         |tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n_bigrams FROM c2)
+         |SELECT doc_id,
+         |  CAST(SUM(tf) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(tf * c2) AS BIGINT) AS sum_c2,
+         |  CAST(MIN(c2) AS BIGINT) AS min_c2,
+         |  CAST(SUM(CASE WHEN c2 = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(SUM(tf * c2) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+         |    / CAST((SELECT n_bigrams FROM tot) AS DOUBLE) AS mean_pair_prob
+         |FROM tf2 JOIN c2 USING (w1, w2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_keywords" ->
       s"""$ToksCte,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fastText-classifier step of real
+  * curation stacks (GPT-3/LLaMA filter CommonCrawl with a linear
+  * classifier trained to distinguish reference text from crawl text;
+  * here the same shape trains IN the engine): logistic regression by
+  * full-batch gradient descent, every pass a single Spark aggregation.
+  *
+  * Determinism is the point (the [[Similarity.kmeansCentroids]]
+  * playbook): per-row gradient terms are cast to DECIMAL(27,8) before
+  * summing, so the reduction is exact and partitioning/order-independent
+  * — two runs (or two cluster layouts) produce bit-identical weights,
+  * and the learned model replays in the DuckDB oracle as plan-time
+  * literals. Scoring's hashed surrogate is the raw MARGIN w·x (plain
+  * IEEE multiply/add in fixed order, bit-replayable cross-engine); the
+  * sigmoid probability rides engine-side only, since exp() is not
+  * correctly-rounded across libm implementations.
+  *
+  * Scale shape: training is `iters` narrow passes, each one partial-agg
+  * reduction to d+1 driver doubles — no per-row driver traffic, no
+  * shuffle of the data itself; at 100 TB train on a hash-sample gate
+  * exactly like the k-means/PQ quantizers. Scoring is a pure per-row
+  * projection, zero shuffle.
+  */
+object Classify {
+
+  /** Documents with the classifier's feature columns (reusing the
+    * oracle-backed [[TextAnalysis.qualityScores]] surface features) and
+    * the weak label: [[TextAnalysis.languageId]]'s guess == 'en'. That
+    * is the distillation setup real curation filters use (fastText
+    * language/quality models are trained on weakly-labeled reference
+    * corpora, then applied at crawl scale) — the linear model learns to
+    * mimic the heavier labeler from cheap surface statistics. The
+    * corpus's `lang` COLUMN is deliberately not the label: the synthetic
+    * text carries no signal for it, and an unlearnable label would make
+    * the training loop demonstrate nothing.
+    */
+  def labeledFeatures(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityScores(docs)
+      .join(TextAnalysis.languageId(docs).select(col("doc_id"),
+        (col("guessed_lang") === "en").cast("int").as("label")), Seq("doc_id"))
+
+  /** The fixed feature vector (bias first) over a [[labeledFeatures]]
+    * row — shared by training and scoring so the two can never drift.
+    * stopword_ratio is stretched ×10 (typical prose sits near 0.05-0.3)
+    * so gradient steps act on an O(1) feature like the others.
+    */
+  def featureVector: Seq[Column] = Seq(
+    lit(1.0),
+    least(col("stopword_ratio") * lit(10.0), lit(1.0)),
+    col("punct_ratio"),
+    col("mean_token_len") / lit(10.0),
+    least(col("n_tokens").cast("double") / lit(200.0), lit(1.0)))
+
+  /** Full-batch logistic-regression training: w ← w + lr·mean((y−σ(w·x))·x).
+    * Weights enter each pass as plan-time literals; the gradient comes
+    * back as d exact DECIMAL sums — deterministic end to end.
+    */
+  def trainLogistic(
+      df: DataFrame,
+      feats: Seq[Column],
+      label: Column,
+      lr: Double = 1.0,
+      iters: Int = 10): Array[Double] = {
+    require(feats.nonEmpty && iters >= 0, "need features and iters >= 0")
+    val n = df.count().toDouble
+    require(n > 0, "cannot train on an empty frame")
+    var w = Array.fill(feats.size)(0.0)
+    for (_ <- 0 until iters) {
+      val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }
+        .reduce(_ + _)
+      val err = label.cast("double") - lit(1.0) / (lit(1.0) + exp(-margin))
+      val aggs = feats.zipWithIndex.map { case (f, i) =>
+        sum((err * f).cast("decimal(27,8)")).cast("double").as(s"g$i")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) => wi + lr * row.getDouble(i) / n }
+    }
+    w
+  }
+
+  /** Score with learned weights: the bit-replayable `margin` (w·x,
+    * left-to-right), the engine-side probability, and the keep decision
+    * `pred` = margin > 0.
+    */
+  def scoreLogistic(df: DataFrame, feats: Seq[Column], w: Array[Double]): DataFrame = {
+    require(feats.size == w.length, "weights must match features")
+    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    df.withColumn("margin", margin)
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+      .withColumn("pred", col("margin") > lit(0.0))
+  }
+}

@@ -101,6 +101,50 @@ object Curate {
         .cast("double") <
         least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1048576.0)
 
+  /** Mix sources to TARGET proportions (the DoReMi/Pile-style domain-
+    * weighting step): given desired output shares per source, downsample
+    * each source so the realized mix matches the target as closely as a
+    * keep-only sampler can. Upsampling is refused by construction: the
+    * output total T is the largest achievable under every source's
+    * availability, T = min_s(n_s / w_s) — the binding source keeps ALL
+    * its rows (rate 1), every other source keeps w_s·T/n_s. Sources not
+    * in `weights` drop out (they have target share 0).
+    *
+    * Per-source rates are computed from one counts aggregation (driver
+    * holds |weights| longs — the API takes an explicit target map, so
+    * this is tens of domains, never corpus-sized) and applied through the
+    * same deterministic h60 % 10000 gate as [[sampleStratified]] — a pure
+    * per-row filter, zero shuffle on the data path, engine-replayable,
+    * and nested under re-runs with the same salt.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      weights: Map[String, Double],
+      salt: String): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "target weights must be positive")
+    val wNorm = {
+      val tot = weights.values.sum
+      weights.map { case (s, w) => s -> w / tot }
+    }
+    val counts = df
+      .filter(source.isin(wNorm.keys.toSeq.map(lit): _*))
+      .groupBy(source.as("mix_src"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // a targeted source with zero rows forces T = 0 (nothing can satisfy
+    // the mix) — surface that loudly instead of silently emptying others
+    wNorm.keys.foreach(s => require(counts.getOrElse(s, 0L) > 0,
+      s"target source '$s' has no rows"))
+    val t = wNorm.map { case (s, w) => counts(s) / w }.min
+    val fracs = wNorm.map { case (s, w) => s -> math.min(1.0, w * t / counts(s)) }
+    sampleStratified(df, key, source, fracs, salt)
+  }
+
   /** Cap each key's contribution to `k` rows — the per-domain/source
     * balancing gate (keep ≤ k docs per domain so one crawl host can't
     * dominate the mix): keeps the k hash-smallest rows of every group, a

@@ -531,4 +531,52 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents whose
+    * embeddings are near-duplicates of a LOWER-id document in the same
+    * k-means cell — the "semantic" complement to the lexical MinHash/
+    * SimHash passes (catches paraphrases and re-encodings that share no
+    * n-grams). Within-cell-only comparison is the paper's cost model:
+    * clustering first makes the sweep O(Σ|cell|²) instead of O(N²), and
+    * cross-cell near-dups are rare by construction (they'd sit on a cell
+    * boundary).
+    *
+    * Keep rule: a vector is dropped iff some SMALLER vec_id in its cell
+    * has cosine ≥ tau with it — deterministic (no dependence on join or
+    * iteration order), single-pass, and exactly replayable in SQL, unlike
+    * the paper's "keep the one farthest from the centroid" which needs a
+    * float argmin tie-break per cluster.
+    *
+    * Scale shape: one narrow assignment pass over plan-time literal
+    * centroids, one hash shuffle on `cell`, per-cell pair enumeration
+    * bounded by the cell histogram — size `numCells` ~ √N (same knob as
+    * [[ivfTopKKmeans]]) and train on a hash-sample so no cell is
+    * corpus-sized. Output: every vector with its cell and a `kept` flag
+    * (callers filter `kept` to materialize the surviving corpus).
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      tau: Double): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val e = withNorm(embeddings)
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= tau)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("drop", lit(true))
+    e.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("drop"), lit(true)).as("kept"))
+  }
 }

@@ -474,6 +474,62 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("avg_logprob"))
   }
 
+  /** Bigram language-model scoring — the CCNet-style perplexity quality
+    * signal (documents whose word transitions are improbable under a
+    * corpus LM are boilerplate, gibberish, or mis-identified language;
+    * CCNet buckets a crawl into head/middle/tail by exactly this score).
+    * The LM is trained ON the corpus in the same pass: bigram counts
+    * c2(w1,w2), left-context marginals c1(w1) = Σ_w c2(w1,w), right-vocab
+    * size V, and add-one smoothing p(w2|w1) = (c2+1)/(c1+V) — every
+    * quantity an exact integer, so the model itself replays bit-for-bit.
+    *
+    * Per document: n_pairs, the exact surrogates the oracle hashes
+    * (sum_c2 = Σ tf·c2, min_c2 = the rarest transition, n_hapax =
+    * transitions seen nowhere else, mean_pair_prob = integer-ratio mean)
+    * and the float avg_logprob / ppl ride-alongs (Σ tf·(ln(c2+1) −
+    * ln(c1+V)) / n, ppl = e^−avg) for actual threshold filtering.
+    *
+    * Shape: one (doc, w1, w2) partial-agg shuffle, a (w1, w2)-keyed corpus
+    * count over it, a (w1)-keyed marginal over THAT (no second corpus
+    * pass), two keyed equi-joins back, one doc_id aggregation; V and the
+    * bigram total broadcast as a 1-row aggregate. No global windows, no
+    * driver data paths — the same scale shape as [[unigramScores]].
+    */
+  def bigramScores(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val tf2 = toksDf
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val consts = c2.agg(
+      countDistinct(col("w2")).as("v_right"),
+      sum(col("c2")).as("n_bigrams"))
+    tf2
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_pairs"),
+        sum(col("tf") * col("c2")).as("sum_c2"),
+        min(col("c2")).as("min_c2"),
+        sum(when(col("c2") === 1, col("tf")).otherwise(lit(0L))).as("n_hapax"),
+        // exact-int ratio, divided twice (overflow-safe, unigramScores rule)
+        (sum(col("tf") * col("c2")).cast("double") / sum(col("tf")).cast("double") /
+          max(col("n_bigrams")).cast("double")).as("mean_pair_prob"),
+        (sum(col("tf").cast("double") *
+          (log(col("c2").cast("double") + 1.0) -
+            log(col("c1").cast("double") + col("v_right").cast("double")))) /
+          sum(col("tf")).cast("double")).as("avg_logprob"))
+      .withColumn("ppl", exp(-col("avg_logprob")))
+  }
+
   /** PMI collocations: the corpus's top adjacent-token pairs by pointwise
     * mutual information — the phrase-mining step (tokenizer vocab
     * candidates, stopword-phrase lists) over corpus-wide statistics.

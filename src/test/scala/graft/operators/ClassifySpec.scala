@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("logistic training is bit-deterministic and separates a separable toy set") {
+    // stopword-dense English vs stopword-free German: linearly separable
+    // on the stopword_ratio feature alone
+    val toy = ((1L to 20L).map(i => (i, "the a of and to in is it the a", "en")) ++
+      (21L to 40L).map(i => (i, "zzz qqq rrr sss ttt uuu vvv www xxx yyy", "de")))
+      .toDF("doc_id", "text", "lang")
+    val lf = Classify.labeledFeatures(toy).cache()
+    val w1 = Classify.trainLogistic(lf, Classify.featureVector, col("label"), iters = 20)
+    val w2 = Classify.trainLogistic(lf, Classify.featureVector, col("label"), iters = 20)
+    assert(w1.toSeq === w2.toSeq) // exact DECIMAL gradient sums → bit-identical
+    val scored = Classify.scoreLogistic(lf, Classify.featureVector, w1)
+    val acc = scored.filter(col("pred") === (col("label") === 1)).count().toDouble /
+      scored.count()
+    assert(acc === 1.0, s"separable set not separated: $acc")
+    // score is the sigmoid of margin, pred thresholds at margin 0
+    val r = scored.filter(col("doc_id") === 1L).head()
+    val m = r.getAs[Double]("margin")
+    assert(math.abs(r.getAs[Double]("score") - 1.0 / (1.0 + math.exp(-m))) < 1e-15)
+  }
+
+  test("training on real docs beats the majority baseline for the en label") {
+    val lf = Classify.labeledFeatures(docs).localCheckpoint()
+    val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"), lr = 8.0, iters = 40)
+    val scored = Classify.scoreLogistic(lf, Classify.featureVector, w)
+    val n = scored.count().toDouble
+    val acc = scored.filter(col("pred") === (col("label") === 1)).count() / n
+    val majority = math.max(
+      scored.filter(col("label") === 1).count() / n,
+      scored.filter(col("label") === 0).count() / n)
+    assert(acc > majority, s"classifier ($acc) no better than majority ($majority)")
+  }
+}

@@ -103,6 +103,26 @@ class CurateSpec extends SparkSpec {
     assert(math.abs(langs("en") / enTotal - 0.5) < 0.15) // rate ≈ frac
   }
 
+  test("mixToTarget realizes the target mix without upsampling the binding source") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Curate.mixToTarget(real, col("source"), col("doc_id"),
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")
+    val got = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got.keySet === Set("src0", "src1", "src2")) // untargeted sources drop
+    // src0 wants 2× its uniform share, so it binds: ALL its rows kept
+    assert(got("src0") === real.filter(col("source") === "src0").count())
+    // realized shares track the target (hash gate gives ±sampling noise)
+    val total = got.values.sum.toDouble
+    assert(math.abs(got("src0") / total - 0.5) < 0.1)
+    assert(math.abs(got("src1") / total - 0.25) < 0.1)
+    // a target naming an absent source must refuse, not empty the output
+    val ex = intercept[IllegalArgumentException] {
+      Curate.mixToTarget(real, col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "nosuch" -> 0.5), "dommix")
+    }
+    assert(ex.getMessage.contains("nosuch"))
+  }
+
   test("heavyHitters ranks keys by count with exact shares") {
     import graft.operators.Diagnostics
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")

@@ -231,6 +231,36 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("semDedup drops exactly the vectors with a smaller same-cell near-duplicate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val out = Similarity.semDedup(emb, cents, tau = 0.4)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(out.size === emb.count()) // every vector accounted for, once
+    assert(out.map(_._1).distinct.size === out.size)
+    // naive replay on the collected rows: same keep rule, no cells trusted
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    def cell(v: Seq[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).foldLeft(0.0) { case (s, (p, q)) => s + p * q }, i)
+      }.max._2
+    val byCell = vecs.groupBy(v => cell(v._2))
+    val expectDropped = byCell.values.flatMap { vs =>
+      vs.flatMap { case (id, v) =>
+        if (vs.exists { case (id2, v2) => id2 < id && cos(v2, v) >= 0.4 }) Some(id) else None
+      }
+    }.toSet
+    assert(out.filter(!_._3).map(_._1).toSet === expectDropped)
+    assert(expectDropped.nonEmpty, "threshold too high: test exercises nothing")
+    assert(out.count(_._3) > out.size / 2, "threshold too low: dropped most of corpus")
+  }
+
   test("nearDupPairs contains no false positives and no self/inverted pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.nearDupPairs(emb, 0.3).collect()
@@ -576,6 +606,33 @@ class TextOpsSpec extends SparkSpec {
     assert(tight.groupBy("query_id")
       .agg(max("rank").as("mx"), count(lit(1)).as("n"))
       .filter(col("mx") =!= col("n")).count() === 0)
+  }
+
+  test("bigram LM scores match a hand-computed corpus model") {
+    // bigrams: doc1 = (a,a),(a,b); doc2 = (a,b),(b,c); doc3 = "x" (dropped)
+    // c2: (a,a)=1 (a,b)=2 (b,c)=1 → c1: a=3, b=1; V = |{a,b,c}| = 3; N2 = 4
+    val d = Seq((1L, "a a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScores(d).orderBy("doc_id").collect()
+    assert(out.length === 2) // the 1-token doc has no bigrams
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_pairs") === 2L)
+    assert(d1.getAs[Long]("sum_c2") === 3L) // 1·1 + 1·2
+    assert(d1.getAs[Long]("min_c2") === 1L)
+    assert(d1.getAs[Long]("n_hapax") === 1L) // (a,a) occurs only here
+    assert(d1.getAs[Double]("mean_pair_prob") === 3.0 / 2.0 / 4.0)
+    // avg_logprob doc1 = [ln(2/6) + ln(3/6)] / 2  (p(a|a)=(1+1)/(3+3), p(b|a)=(2+1)/(3+3))
+    val exp1 = (math.log(2.0 / 6.0) + math.log(3.0 / 6.0)) / 2.0
+    assert(math.abs(d1.getAs[Double]("avg_logprob") - exp1) < 1e-12)
+    assert(math.abs(d1.getAs[Double]("ppl") - math.exp(-exp1)) < 1e-9)
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_pairs") === 2L)
+    assert(d2.getAs[Long]("sum_c2") === 3L) // 1·2 + 1·1
+    assert(d2.getAs[Long]("n_hapax") === 1L) // (b,c) occurs only here
+    // p(b|a)=(2+1)/(3+3), p(c|b)=(1+1)/(1+3)
+    val exp2 = (math.log(3.0 / 6.0) + math.log(2.0 / 4.0)) / 2.0
+    assert(math.abs(d2.getAs[Double]("avg_logprob") - exp2) < 1e-12)
+    // the doc with the rarer transitions scores the higher perplexity
+    assert(d2.getAs[Double]("ppl") > 0 && d1.getAs[Double]("ppl") > 0)
   }
 
   test("unigram LM scores match a hand-computed corpus model") {
