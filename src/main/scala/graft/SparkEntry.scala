@@ -460,6 +460,11 @@ object SparkEntry {
     "q_dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(Tables(s, dir).documents, avgTokens = 4)
         .orderBy(col("doc_id"))),
+    // Exact-substring span dedup: remove every repeated ≥8-token run
+    // corpus-wide, keep-first (the ExactSubstr pass at window granularity).
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.substringDedup(Tables(s, dir).documents, k = 8)
+        .orderBy(col("doc_id"))),
     // -- similarity search over embeddings ---------------------------------
     "q_topk_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
@@ -1347,6 +1352,30 @@ object SparkEntry {
     // incremental merge must reproduce the one-shot clustering exactly,
     // so the oracle is the SAME recursive closure over the full pair set
     "q_dedup_clusters_inc" -> ClustersOracleSql,
+    "q_dedup_substring" ->
+      s"""$ToksCte,
+         |w AS (
+         |  SELECT doc_id, i AS start,
+         |         md5(array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')) AS fp
+         |  FROM toks, unnest(range(0, len(toks) - 7)) t(i)
+         |  WHERE len(toks) >= 8),
+         |dup AS (
+         |  SELECT doc_id, start FROM (
+         |    SELECT doc_id, start,
+         |           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+         |    FROM w) WHERE rn > 1),
+         |cutpos AS (
+         |  SELECT DISTINCT doc_id, start + j AS pos
+         |  FROM dup, unnest(range(0, 8)) t(j)),
+         |tok AS (SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok
+         |        FROM toks, unnest(range(1, len(toks)+1)) t(i))
+         |SELECT t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+         |                      ' ' ORDER BY t.pos), '') AS text_dedup
+         |FROM tok t LEFT JOIN cutpos c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_dedup_paragraph" ->
       s"""$ToksCte,
          |tk AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM toks),

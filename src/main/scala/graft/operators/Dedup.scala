@@ -489,6 +489,61 @@ object Dedup {
           e => e.getField("ptext"))).as("text_dedup"))
   }
 
+  /** Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    * pass): remove every repeated run of ≥ k tokens corpus-wide, keeping
+    * only its FIRST occurrence. This is the granularity between
+    * [[paragraphDedup]] (fixed chunks) and doc-level dedup: a license
+    * block pasted mid-paragraph repeats as a SPAN, aligned to no boundary.
+    *
+    * Mechanism — the scalable stand-in for the paper's suffix array,
+    * which is inherently sequential: every k-token sliding window is
+    * fingerprinted; a window is a duplicate iff an earlier occurrence of
+    * its fingerprint exists (earlier = smaller (doc_id, start) — a total
+    * order, so replays are deterministic); a token is removed iff some
+    * duplicate window covers it. A repeated run of length L ≥ k yields
+    * L−k+1 duplicate windows whose union covers exactly the run, so
+    * repeated spans vanish wholly (their first occurrence keeps all its
+    * windows) — the paper's semantics, modulo the k−1 boundary tokens of
+    * partially-overlapping repeats.
+    *
+    * Scale shape: window fingerprints are a per-row explode (no shuffle);
+    * keep-first is one hash shuffle on the fingerprint; covered positions
+    * are a bounded k-fan-out explode; the rebuild is one (doc_id, pos)
+    * join + one doc_id aggregation. Never pairwise, never a suffix array.
+    */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val wins = toksDf
+      .filter(size(col("toks")) >= k) // guard: descending-sequence trap
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - k), i =>
+          struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))).as("fp"))))
+          .as("w"))
+      .select(col("doc_id"), col("w.start"), col("w.fp"))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("start"))
+    val dupPos = wins
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + k - 1)).as("pos"))
+      .distinct()
+      .withColumn("cut", lit(true))
+    toksDf
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(dupPos, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("cut").isNull, struct(col("pos"), col("tok"))))),
+          e => e.getField("tok"))).as("text_dedup"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

@@ -102,6 +102,27 @@ class TextOpsSpec extends SparkSpec {
     assert(second._2 === first._2)
   }
 
+  test("substringDedup removes a repeated k-run wholly, keeps its first occurrence") {
+    // doc 1 ends with the 4-token run "p q r s"; doc 2 embeds the same run
+    // mid-text. With k=3 the run repeats as windows (p,q,r) and (q,r,s) —
+    // their union covers exactly doc 2's copy of the run; everything else
+    // in doc 2 is unique and survives
+    val d = Seq(
+      (1L, "a b c p q r s"),
+      (2L, "x y p q r s z w"),
+      (3L, "u v")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) === ((1L, 7L, 0L, "a b c p q r s"))) // first occurrence intact
+    assert(out(1) === ((2L, 8L, 4L, "x y z w"))) // the repeated run excised
+    assert(out(2) === ((3L, 2L, 0L, "u v"))) // shorter than k: untouched
+    // an exact duplicate doc is removed entirely (n_removed = n_tokens)
+    val dd = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val o2 = Dedup.substringDedup(dd, k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(o2(0)._4 === "a b c d e f" && o2(1)._4 === "" && o2(1)._3 === 6L)
+  }
+
   test("clusters survives a high-diameter path graph (>=12 propagation rounds)") {
     // path 0-1-2-...-14 (diameter 14): min-label 0 moves ONE hop per round,
     // so this exercises >=14 checkpointed rounds — the lineage-truncation
