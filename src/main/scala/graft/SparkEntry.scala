@@ -618,6 +618,14 @@ object SparkEntry {
         .select("doc_id", "n_pairs", "sum_c2", "min_c2", "n_hapax",
           "mean_pair_prob")
         .orderBy(col("doc_id"))),
+    // CCNet head/middle/tail: exact distributed NTILE(3) over LM quality
+    // (no one-task global window — ranks via range-partition prefix sums).
+    "q_quality_buckets" -> ((s, dir) =>
+      Diagnostics.ntileExact(
+        TextAnalysis.bigramScores(Tables(s, dir).documents)
+          .select(col("doc_id"), col("n_pairs"), col("mean_pair_prob")),
+        Seq(col("mean_pair_prob").desc, col("doc_id")), 3)
+        .orderBy(col("doc_id"))),
     // TF-IDF keywords; integer-exact rank (tf DESC, df ASC, token) so row
     // selection replays bit-for-bit; the float tfidf column stays engine-side.
     "q_keywords" -> ((s, dir) =>
@@ -1877,6 +1885,27 @@ object SparkEntry {
          |    / CAST((SELECT n_bigrams FROM tot) AS DOUBLE) AS mean_pair_prob
          |FROM tf2 JOIN c2 USING (w1, w2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_buckets" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+         |tf2 AS (
+         |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i+1 AS INT)] AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tk, unnest(range(1, len(toks))) t(i)
+         |  GROUP BY doc_id, w1, w2),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
+         |       FROM tf2 GROUP BY w1, w2),
+         |tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n_bigrams FROM c2),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(tf) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(tf * c2) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+         |      / CAST((SELECT n_bigrams FROM tot) AS DOUBLE) AS mean_pair_prob
+         |  FROM tf2 JOIN c2 USING (w1, w2)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_pairs, mean_pair_prob,
+         |  CAST(NTILE(3) OVER (ORDER BY mean_pair_prob DESC, doc_id) AS BIGINT) AS bucket
+         |FROM pd ORDER BY doc_id""".stripMargin,
     "q_keywords" ->
       s"""$ToksCte,
          |ex AS (SELECT doc_id, unnest(toks) AS token FROM toks),

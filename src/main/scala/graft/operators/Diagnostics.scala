@@ -137,4 +137,58 @@ object Diagnostics {
     if (df.columns.contains("key")) joined.drop("zs_key")
     else joined.withColumnRenamed("zs_key", "key")
   }
+
+  /** Exact NTILE over a TOTAL order, computed distributed — the bucket
+    * assignment a CCNet-style head/middle/tail split needs, without the
+    * one-task global window `NTILE(n) OVER (ORDER BY …)` plans (Spark
+    * puts an un-partitioned window on a single task; at 100 TB that is
+    * the whole corpus through one executor). Instead: range-repartition
+    * on the order key, per-partition counts → prefix offsets (one long
+    * per partition to the driver — the [[Curate.takeTokenBudget]]
+    * machinery), then each partition stamps exact global ranks and the
+    * standard NTILE rule (first N mod n buckets get ⌈N/n⌉ rows) assigns
+    * buckets arithmetically. Output = input + `bucket` ∈ [1, n].
+    *
+    * `order` must be a total order (include a unique id) or ranks within
+    * ties depend on partitioning and the result stops being replayable.
+    */
+  def ntileExact(df: DataFrame, order: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(order.nonEmpty, "order columns required")
+    require(!df.columns.contains("bucket") && !df.columns.contains("nt_rank"),
+      "input must not already contain 'bucket'/'nt_rank' columns")
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partCounts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(_ => s += 1); Iterator.single(pid -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val offsetsB = spark.sparkContext.broadcast(offsets.dropRight(1))
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("nt_rank", org.apache.spark.sql.types.LongType))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var r = offsetsB.value(pid)
+        it.map { row =>
+          val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r); r += 1; out
+        }
+      }, schema)
+    // NTILE rule on the 0-based rank: the first m = N mod n buckets hold
+    // q+1 = ⌈N/n⌉ rows, the rest hold q (greatest(q,1) keeps the unused
+    // branch well-defined when N < n)
+    val q = total / n
+    val m = total % n
+    ranked
+      .withColumn("bucket",
+        when(col("nt_rank") < lit(m * (q + 1)), col("nt_rank") / lit(q + 1))
+          .otherwise(lit(m) + (col("nt_rank") - lit(m * (q + 1))) / lit(math.max(q, 1L)))
+          .cast("long") + lit(1L))
+      .drop("nt_rank")
+  }
 }

@@ -494,6 +494,10 @@ object TextAnalysis {
     * pass), two keyed equi-joins back, one doc_id aggregation; V and the
     * bigram total broadcast as a 1-row aggregate. No global windows, no
     * driver data paths — the same scale shape as [[unigramScores]].
+    * `tf2` and `c2` are persisted: the plan references them 3× each
+    * (join + downstream aggregates), and without storage-backed sharing
+    * Spark re-tokenizes the corpus once per reference (measured: 4
+    * Generate nodes, zero ReusedExchange).
     */
   def bigramScores(docs: DataFrame): DataFrame = {
     val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -505,7 +509,9 @@ object TextAnalysis {
             element_at(col("toks"), i + 1).as("w2")))).as("p"))
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val consts = c2.agg(
       countDistinct(col("w2")).as("v_right"),

@@ -123,6 +123,30 @@ class CurateSpec extends SparkSpec {
     assert(ex.getMessage.contains("nosuch"))
   }
 
+  test("ntileExact equals the single-window NTILE for every remainder case") {
+    import org.apache.spark.sql.expressions.Window
+    // N=10/n=3 (remainder 1), N=9/n=3 (exact), N=2/n=3 (N < n)
+    for (total <- Seq(10, 9, 2)) {
+      val df = (1 to total).map(i => (i.toLong, (i * 37 % 11).toLong))
+        .toDF("id", "score").repartition(4)
+      val got = Diagnostics.ntileExact(df, Seq(col("score"), col("id")), 3)
+        .select("id", "bucket").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("bucket",
+        ntile(3).over(Window.orderBy(col("score"), col("id"))).cast("long"))
+        .select("id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got === want, s"total=$total")
+    }
+    // descending order key works through range partitioning too
+    val df = (1 to 30).map(i => (i.toLong, i.toLong % 7)).toDF("id", "score")
+      .repartition(5)
+    val got = Diagnostics.ntileExact(df, Seq(col("score").desc, col("id")), 4)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("bucket",
+      ntile(4).over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("heavyHitters ranks keys by count with exact shares") {
     import graft.operators.Diagnostics
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
