@@ -252,7 +252,23 @@ object ScaleProbe {
       "unigram-LM scoring" -> (d => operators.TextAnalysis.unigramScores(d)),
       "tf-idf keywords top-5" -> (d => operators.TextAnalysis.keywords(d, 5)),
       "bloom decontamination" -> (d => operators.Curate.decontaminateBloom(
-        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 97 === 1))))
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 97 === 1))),
+      "paragraph dedup" -> (d => operators.Dedup.paragraphDedup(d, avgTokens = 4)),
+      "substring-span dedup (k=8)" -> (d => operators.Dedup.substringDedup(d, k = 8)),
+      "bigram-LM scoring" -> (d => operators.TextAnalysis.bigramScores(d)),
+      "quality buckets (exact NTILE 3)" -> (d => operators.Diagnostics.ntileExact(
+        operators.TextAnalysis.bigramScores(d)
+          .select(col("doc_id"), col("mean_pair_prob")),
+        Seq(col("mean_pair_prob").desc, col("doc_id")), 3)),
+      "source mixing (3 targets)" -> (d => operators.Curate.mixToTarget(
+        d, col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")),
+      "quality classifier (train 40 + score)" -> { d =>
+        val lf = operators.Classify.labeledFeatures(d).localCheckpoint()
+        val w = operators.Classify.trainLogistic(
+          lf, operators.Classify.featureVector, col("label"), lr = 8.0, iters = 40)
+        operators.Classify.scoreLogistic(lf, operators.Classify.featureVector, w)
+      })
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents

@@ -12,8 +12,9 @@ class PlanAuditSpec extends SparkSpec {
     * build side by construction, not a pair enumeration:
     *   - q_topk_cosine: the intentional brute-force baseline (broadcast
     *     QUERY side);
-    *   - q_unigram_lm / q_keywords / q_collocations: 1-row scalar
-    *     broadcasts (`crossJoin(broadcast(agg))` for a corpus total N);
+    *   - q_unigram_lm / q_keywords / q_collocations / q_bigram_lm /
+    *     q_quality_buckets: 1-row scalar broadcasts
+    *     (`crossJoin(broadcast(agg))` for a corpus total N);
     *   - q_range_bounds: the (numSplits−1)-row split table joined to the
     *     ranked sample on a computed-rank condition.
     * The exemption is per-query, so a NEW unbounded join sneaking into
@@ -22,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val BnljExempt = Set(
     "q_topk_cosine", "q_unigram_lm", "q_keywords", "q_range_bounds",
-    "q_collocations")
+    "q_collocations", "q_bigram_lm", "q_quality_buckets")
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"
