@@ -263,10 +263,10 @@ object ScaleProbe {
       "source mixing (3 targets)" -> (d => operators.Curate.mixToTarget(
         d, col("source"), col("doc_id"),
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")),
-      "quality classifier (train 40 + score)" -> { d =>
+      "quality classifier (train 16 + score)" -> { d =>
         val lf = operators.Classify.labeledFeatures(d).localCheckpoint()
         val w = operators.Classify.trainLogistic(
-          lf, operators.Classify.featureVector, col("label"), lr = 8.0, iters = 40)
+          lf, operators.Classify.featureVector, col("label"), lr = 16.0, iters = 16)
         operators.Classify.scoreLogistic(lf, operators.Classify.featureVector, w)
       })
     dedupOps.foreach { case (name, op) =>

@@ -447,7 +447,10 @@ object SparkEntry {
     // merge the other half as a "new batch" — the final labels must equal
     // one-shot clustering of everything (same oracle as q_dedup_clusters).
     "q_dedup_clusters_inc" -> ((s, dir) => {
+      // checkpoint: both halves filter the SAME mined pairs — without it
+      // the LSH miner runs once per clusters() call
       val pairs = Dedup.minHashLsh(Tables(s, dir).documents)
+        .select("doc_a", "doc_b").localCheckpoint()
       val first = Dedup.clusters(pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0))
       Dedup.mergeClusters(first, pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1))
         .orderBy(col("doc_id"))
@@ -605,7 +608,7 @@ object SparkEntry {
       val lf = Classify.labeledFeatures(Tables(s, dir).documents)
         .localCheckpoint() // 8 training passes re-read this, not the join
       val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"),
-        lr = 8.0, iters = 40)
+        lr = 16.0, iters = 16)
       clsWeightsStash = Some(w)
       Classify.scoreLogistic(lf, Classify.featureVector, w)
         .select("doc_id", "label", "margin", "pred")

@@ -32,7 +32,7 @@ class ClassifySpec extends SparkSpec {
 
   test("training on real docs beats the majority baseline for the en label") {
     val lf = Classify.labeledFeatures(docs).localCheckpoint()
-    val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"), lr = 8.0, iters = 40)
+    val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"), lr = 16.0, iters = 16)
     val scored = Classify.scoreLogistic(lf, Classify.featureVector, w)
     val n = scored.count().toDouble
     val acc = scored.filter(col("pred") === (col("label") === 1)).count() / n
