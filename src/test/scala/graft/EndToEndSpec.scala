@@ -116,6 +116,63 @@ class EndToEndSpec extends SparkSpec {
     assert(packed.count() === chunks.count()) // packing loses nothing
   }
 
+  test("model-driven curation journey: classifier gate → LM buckets → span dedup → semantic dedup → mix") {
+    // the round-5 composition: every model is TRAINED in the pipeline run
+    // that uses it, and every hop consumes the previous hop's real output
+    val docs = Tables(spark, dir).documents
+
+    // 1. trained-classifier gate (weak label distilled from the langID
+    // heuristic) — keeps predicted-quality docs, drops the 'und' cluster
+    val lf = Classify.labeledFeatures(docs).localCheckpoint()
+    val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"),
+      lr = 16.0, iters = 16)
+    val gated = docs.join(
+      Classify.scoreLogistic(lf, Classify.featureVector, w)
+        .filter(col("pred")).select("doc_id"), "doc_id")
+    assert(gated.count() > 0 && gated.count() < docs.count())
+
+    // 2. bigram-LM quality tertiles over the GATED corpus; drop the tail
+    val scored = TextAnalysis.bigramScores(gated)
+      .select(col("doc_id"), col("mean_pair_prob"))
+    val headMid = Diagnostics.ntileExact(
+      scored, Seq(col("mean_pair_prob").desc, col("doc_id")), 3)
+      .filter(col("bucket") <= 2).select("doc_id")
+    val nScored = scored.count()
+    val nKept = headMid.count()
+    assert(nKept === nScored - nScored / 3) // exact tertiles: tail = ⌊n/3⌋
+    val curated = gated.join(headMid, "doc_id")
+
+    // 3. exact-substring span dedup on the survivors — untouched docs keep
+    // their text verbatim, touched docs lose exactly their removed tokens
+    val spanned = Dedup.substringDedup(curated, k = 8)
+    val joined = spanned.join(curated.select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.filter(col("n_removed") === 0 &&
+      col("text_dedup") =!= lower(regexp_replace(trim(col("text")), " +", " "))).isEmpty)
+    assert(spanned.agg(sum("n_removed")).head().getLong(0) > 0) // corpus has dups
+
+    // 4. semantic dedup over the curated docs' embeddings (vec_id ≡ doc_id
+    // in this corpus): keep one representative per near-dup cell group
+    val emb = Tables(spark, dir).embeddings
+      .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "e2e")
+    val semKept = Similarity.semDedup(emb, cents, tau = 0.4)
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    assert(semKept.count() > 0 && semKept.count() <= emb.count())
+
+    // 5. mix the survivors to target source proportions — realized mix
+    // tracks the target, binding source never upsampled
+    val survivors = curated.join(semKept, "doc_id")
+    val targets = survivors.groupBy("source").count()
+      .orderBy(col("count").desc, col("source")).limit(3)
+      .select("source").as[String].collect()
+    val mixed = Curate.mixToTarget(survivors, col("source"), col("doc_id"),
+      Map(targets(0) -> 0.5, targets(1) -> 0.25, targets(2) -> 0.25), "e2e5")
+    val got = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got.keySet === targets.toSet)
+    val total = got.values.sum.toDouble
+    assert(total > 0 && math.abs(got(targets(0)) / total - 0.5) < 0.25)
+  }
+
   test("facade point lookup agrees with the replayed record payload") {
     val wd = streaming.PersistPipeline.ensureRun(spark, dir)
     val index = store.IndexStore.materialized(spark, dir)
