@@ -957,16 +957,13 @@ object SparkEntry {
       "1.0", "LEAST(sr * 10.0, 1.0)", "pr", "(mtl / 10.0)", "nt")
     val margin = terms.zip(w.map(dbl)).map { case (f, wi) => s"$f * $wi" }
       .reduce((a, b) => s"($a + $b)")
-    s"""WITH tk AS (
-       |  SELECT doc_id, text,
-       |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
-       |  FROM documents),
+    s"""$ToksCte,
        |hits AS (SELECT doc_id,
        |  CAST(len(list_filter(toks, t -> list_contains($StopEn, t))) AS BIGINT) AS en_hits,
        |  CAST(len(list_filter(toks, t -> list_contains($StopEs, t))) AS BIGINT) AS es_hits,
        |  CAST(len(list_filter(toks, t -> list_contains($StopDe, t))) AS BIGINT) AS de_hits,
        |  CAST(len(list_filter(toks, t -> list_contains($StopFr, t))) AS BIGINT) AS fr_hits
-       |  FROM tk),
+       |  FROM toks),
        |lab AS (SELECT doc_id,
        |  CAST(CASE WHEN en_hits + es_hits + de_hits + fr_hits > 0
        |             AND en_hits >= greatest(es_hits, de_hits, fr_hits)
@@ -986,7 +983,7 @@ object SparkEntry {
        |      / len(toks)::DOUBLE
        |  ELSE 0.0 END AS mtl,
        |  LEAST(len(toks)::DOUBLE / 200.0, 1.0) AS nt
-       |  FROM tk JOIN lab USING (doc_id))
+       |  FROM toks JOIN lab USING (doc_id))
        |SELECT doc_id, label, $margin AS margin, ($margin) > 0.0 AS pred
        |FROM ft ORDER BY doc_id""".stripMargin
   }

@@ -28,6 +28,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // The learned-artifact oracles (PQ codebooks, semdedup centroids,
+    // classifier weights) exist only after their query lambda runs — a
+    // GRAFT_ONLY subset that skips them would silently drop those entries
+    // from oracle_sql.json, shrinking the gate's denominator over stale
+    // outputs. Build (not write) the skipped stash queries so the dumped
+    // oracle map is always complete.
+    val stashQueries = Seq("q_pq_topk", "q_semdedup", "q_quality_classifier")
+    only.foreach { o =>
+      stashQueries.filterNot(o.contains).foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] stash build $name failed: ${e.getMessage}")
+        }
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

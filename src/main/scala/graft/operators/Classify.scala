@@ -88,6 +88,11 @@ object Classify {
     */
   def scoreLogistic(df: DataFrame, feats: Seq[Column], w: Array[Double]): DataFrame = {
     require(feats.size == w.length, "weights must match features")
+    // withColumn REPLACES same-named columns — a frame already scored by
+    // another pass would be silently overwritten (the scratch-column
+    // hazard the other operators guard with require)
+    Seq("margin", "score", "pred").foreach(c =>
+      require(!df.columns.contains(c), s"input must not already contain '$c'"))
     val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
     df.withColumn("margin", margin)
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("margin"))))

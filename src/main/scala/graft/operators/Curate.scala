@@ -403,6 +403,10 @@ object Curate {
         }
       }
       .toDF("doc_id")
+      // eager: the kept-id list is small; pinning it lets the corpus-sized
+      // sorted cache go instead of living for the app lifetime
+      .localCheckpoint()
+    keyed.unpersist(blocking = false)
     docs.join(kept, Seq("doc_id"), "left_semi")
   }
 

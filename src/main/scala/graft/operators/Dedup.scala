@@ -402,6 +402,15 @@ object Dedup {
       it += 1
     }
     releaseEdges()
+    // Exhausting the round budget without a zero-change confirmation round
+    // means the labels are PARTIALLY propagated — silently returning them
+    // would poison every consumer that relies on exact components (the
+    // incremental merge path, the DuckDB closure oracle, canonical
+    // selection). Fail loudly; the caller raises maxIters (diameter bound).
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters did not converge in $maxIters rounds — component diameter " +
+          "exceeds the round budget; raise maxIters")
     // the LAST generation stays persisted — the returned plan reads from it
     labels
   }

@@ -184,11 +184,17 @@ object Diagnostics {
     // branch well-defined when N < n)
     val q = total / n
     val m = total % n
-    ranked
+    val out = ranked
       .withColumn("bucket",
         when(col("nt_rank") < lit(m * (q + 1)), col("nt_rank") / lit(q + 1))
           .otherwise(lit(m) + (col("nt_rank") - lit(m * (q + 1))) / lit(math.max(q, 1L)))
           .cast("long") + lit(1L))
       .drop("nt_rank")
+      // eager: the persist is SEMANTIC here (the counts job and the rank
+      // job must see identical partitioning), so pin the finished result
+      // and release the corpus-sized sort cache instead of holding both
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    out
   }
 }

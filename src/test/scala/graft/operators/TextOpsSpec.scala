@@ -134,6 +134,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out === (0 to n).map(i => i.toLong -> 0L).toMap)
   }
 
+  test("clusters refuses to return partially-propagated labels") {
+    // diameter-5 path with a 2-round budget: propagation cannot finish,
+    // and silently returning wrong components would poison the oracle and
+    // the incremental merge path
+    val pairs = (0 until 5).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(pairs, maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("clusters over LSH pairs equals a driver-side union-find") {
     val pairs = Dedup.minHashLsh(docs)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

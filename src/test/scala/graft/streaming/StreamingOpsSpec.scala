@@ -337,8 +337,12 @@ class StreamingOpsSpec extends SparkSpec {
     def latest: Option[String] = {
       val d = Paths.get(storeRoot)
       if (!Files.exists(d)) None
-      else Files.list(d).map[String](_.toString).sorted(Ordering[String].reverse)
-        .findFirst().map[Option[String]](Some(_)).orElse(None)
+      else {
+        val s = Files.list(d) // DirectoryStream: must be closed, not GC'd
+        try s.map[String](_.toString).sorted(Ordering[String].reverse)
+          .findFirst().map[Option[String]](Some(_)).orElse(None)
+        finally s.close()
+      }
     }
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/in/*")
