@@ -538,6 +538,10 @@ object SparkEntry {
       Curate.withShuffleKey(Tables(s, dir).documents, col("doc_id"), "epoch0")
         .select("doc_id", "shuffle_key")
         .orderBy(col("shuffle_key"), col("doc_id"))),
+    "q_sample_exact_n" -> ((s, dir) =>
+      Curate.sampleExactN(Tables(s, dir).documents, col("doc_id"), 500, "exact1")
+        .select("doc_id", "sample_rank")
+        .orderBy(col("sample_rank"))),
     "q_curated" -> ((s, dir) =>
       Curate.curated(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_split_assign" -> ((s, dir) =>
@@ -1703,6 +1707,14 @@ object SparkEntry {
         |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|epoch0'), 1, 15)
         |            AS BIGINT) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "q_sample_exact_n" ->
+      """SELECT doc_id,
+        |       row_number() OVER (
+        |         ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|exact1'), 1, 15)
+        |                  AS BIGINT),
+        |                  CAST(doc_id AS VARCHAR)) AS sample_rank
+        |FROM documents
+        |ORDER BY sample_rank LIMIT 500""".stripMargin,
     "q_curated" ->
       s"""$ToksCte,
          |q AS (SELECT doc_id,

@@ -101,6 +101,52 @@ object Curate {
         .cast("double") <
         least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1048576.0)
 
+  /** Deterministic EXACT-N sample: the n rows whose h60(key ‖ "|" ‖ salt)
+    * sort first (ties broken by key) — "give me exactly 1M docs" where
+    * [[sampleByHash]]'s fraction gate only lands NEAR a count. Emits a
+    * `sample_rank` column (1..n) so the output doubles as a reproducible
+    * ordering.
+    *
+    * Scale shape: a naive `orderBy(h).limit(n)` ships top-n candidates
+    * from EVERY partition to the driver, so instead the hash's uniformity
+    * turns selection into a per-row filter — the n-th smallest of `total`
+    * uniform 60-bit hashes concentrates tightly around (n/total)·2^60, so
+    * filtering `h < cutoff` with cutoff = slack·(n/total)·2^60 keeps
+    * ≈ slack·n survivors, and only THAT bounded set is exactly ranked
+    * (single ordered window over ~2n rows, documented bound). If the
+    * filter undershoots n survivors — P ≤ exp(−n/4) at slack 2, i.e.
+    * never in practice — the cutoff doubles and the filter re-runs, so
+    * exactness is unconditional, not probabilistic. Cost: one count +
+    * one filtered pass; zero shuffle on the corpus itself.
+    */
+  def sampleExactN(df: DataFrame, key: Column, n: Long, salt: String): DataFrame =
+    sampleExactN(df, key, n, salt, slack = 2.0)
+
+  private[graft] def sampleExactN(
+      df: DataFrame, key: Column, n: Long, salt: String, slack: Double): DataFrame = {
+    require(n >= 0, "n must be non-negative")
+    require(!df.columns.contains("sample_rank"),
+      "input must not contain scratch column 'sample_rank'")
+    val h = h60(concat(key.cast("string"), lit("|"), lit(salt)))
+    val rank = row_number().over(
+      Window.orderBy(h.asc, key.cast("string").asc)).cast("long")
+    if (n == 0) return df.withColumn("sample_rank", rank).limit(0)
+    val total = df.count()
+    if (total <= n) return df.withColumn("sample_rank", rank)
+    val hMax = 1L << 60
+    var cutoff = math.min(hMax,
+      math.ceil(slack * n.toDouble / total.toDouble * hMax.toDouble).toLong)
+    var survivors = df.filter(h < lit(cutoff))
+    // guaranteed-exact fallback: widen until the true n smallest are inside
+    while (cutoff < hMax && survivors.count() < n) {
+      cutoff = math.min(hMax, cutoff * 2)
+      survivors = df.filter(h < lit(cutoff))
+    }
+    // partition-less window, but over the ~slack·n survivors only — the
+    // bounded-by-construction case, same pattern as the pqTopK re-rank
+    survivors.withColumn("sample_rank", rank).filter(col("sample_rank") <= n)
+  }
+
   /** Mix sources to TARGET proportions (the DoReMi/Pile-style domain-
     * weighting step): given desired output shares per source, downsample
     * each source so the realized mix matches the target as closely as a

@@ -49,6 +49,38 @@ class CurateSpec extends SparkSpec {
     assert(Curate.sampleByHash(d, col("doc_id"), 1.0, "a").count() === 1000L)
   }
 
+  test("exact-N sampling returns exactly n rows, nested and deterministic") {
+    val d = (1L to 1000L).toDF("doc_id")
+    val s200 = Curate.sampleExactN(d, col("doc_id"), 200, "e")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s200.size === 200)
+    // deterministic re-run
+    assert(Curate.sampleExactN(d, col("doc_id"), 200, "e")
+      .select("doc_id").as[Long].collect().toSet === s200)
+    // nested: the 100-sample is the rank-prefix of the 200-sample
+    val s100 = Curate.sampleExactN(d, col("doc_id"), 100, "e")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s100.subsetOf(s200) && s100.size === 100)
+    // agrees with the brute-force definition: n smallest by (h60, key)
+    val brute = d
+      .withColumn("h", graft.functions.TextFunctions.h60(
+        concat(col("doc_id").cast("string"), lit("|e"))))
+      .orderBy(col("h"), col("doc_id").cast("string"))
+      .limit(200).select("doc_id").as[Long].collect().toSet
+    assert(s200 === brute)
+    // rank column is 1..n in hash order
+    val ranks = Curate.sampleExactN(d, col("doc_id"), 5, "e")
+      .select("sample_rank").as[Long].collect().toSeq.sorted
+    assert(ranks === Seq(1L, 2L, 3L, 4L, 5L))
+    // n >= total keeps everything; n = 0 keeps nothing
+    assert(Curate.sampleExactN(d, col("doc_id"), 5000, "e").count() === 1000L)
+    assert(Curate.sampleExactN(d, col("doc_id"), 0, "e").count() === 0L)
+    // undershooting cutoff (tiny slack) still exact via the widening loop
+    val tight = Curate.sampleExactN(d, col("doc_id"), 200, "e", slack = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight === s200)
+  }
+
   test("shuffle key reorders reproducibly and differs across salts") {
     val d = (1L to 100L).toDF("doc_id")
     def order(salt: String) = Curate.withShuffleKey(d, col("doc_id"), salt)
