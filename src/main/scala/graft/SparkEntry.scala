@@ -724,6 +724,20 @@ object SparkEntry {
       Sketches.hllRegistersBy(Tables(s, dir).events, col("user_id"), p = 7,
         date_trunc("day", col("ts")).as("window_start"))
         .orderBy(col("window_start"), col("bucket"))),
+    // Log-bucketed doc-length histogram per source: the mergeable quantile
+    // register table (pure bit arithmetic, replays cell-for-cell).
+    "q_log_hist" -> ((s, dir) =>
+      Sketches.logHistogram(Tables(s, dir).documents, col("n_chars"),
+        subBits = 5, col("source"))
+        .orderBy(col("source"), col("lo"))),
+    // Quantile bounds recovered from the register walk — est_lo/est_hi
+    // bracket the true order statistic; still integer-exact cross-engine.
+    "q_log_hist_quantiles" -> ((s, dir) =>
+      Sketches.logHistQuantiles(
+        Sketches.logHistogram(Tables(s, dir).documents, col("n_chars"),
+          subBits = 5, col("source")),
+        Seq(0.5, 0.9, 0.99))
+        .orderBy(col("source"), col("q"))),
     // Write-planner split bounds from the deterministic hash sample.
     "q_range_bounds" -> ((s, dir) =>
       Layout.rangeBounds(Tables(s, dir).lineitem, col("l_orderkey"),
@@ -2036,6 +2050,34 @@ object SparkEntry {
          |      FROM s)
          |SELECT window_start, bucket, MAX(rho) AS rho_max FROM r
          |GROUP BY window_start, bucket ORDER BY window_start, bucket""".stripMargin,
+    "q_log_hist" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |b AS (SELECT source, v,
+        |             CAST(GREATEST(length(bin(v)) - 1 - 5, 0) AS BIGINT) AS shift
+        |      FROM v),
+        |c AS (SELECT source, shift, v >> shift AS sub FROM b)
+        |SELECT source, shift, sub, COUNT(*) AS cnt, (sub << shift) AS lo
+        |FROM c GROUP BY source, shift, sub ORDER BY source, lo""".stripMargin,
+    "q_log_hist_quantiles" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |b AS (SELECT source, v,
+        |             CAST(GREATEST(length(bin(v)) - 1 - 5, 0) AS BIGINT) AS shift
+        |      FROM v),
+        |c AS (SELECT source, shift, v >> shift AS sub FROM b),
+        |h AS (SELECT source, shift, sub, COUNT(*) AS cnt, (sub << shift) AS lo
+        |      FROM c GROUP BY source, shift, sub),
+        |w AS (SELECT source, lo, cnt,
+        |             lo + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+        |             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY lo)
+        |                  AS BIGINT) AS cum,
+        |             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM h),
+        |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                     CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT source, q, n, MIN(lo) AS est_lo, MIN(hi) AS est_hi
+        |FROM w CROSS JOIN q
+        |WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        |GROUP BY source, q, n ORDER BY source, q""".stripMargin,
     "q_range_bounds" ->
       s"""WITH s AS (
          |  SELECT l_orderkey AS k FROM lineitem

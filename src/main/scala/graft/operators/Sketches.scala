@@ -126,6 +126,90 @@ object Sketches {
     a.unionByName(b).groupBy(keys: _*).agg(max(col("rho_max")).as("rho_max"))
   }
 
+  /** HdrHistogram-style log-bucketed value histogram: the mergeable
+    * QUANTILE summary alongside [[countMin]] (frequency) and
+    * [[hllRegisters]] (cardinality). A non-negative long value lands in
+    * bucket (shift, sub) where shift = max(bitWidth(v) − 1 − subBits, 0)
+    * and sub = v >> shift — i.e. the value's top `subBits`+1 bits index a
+    * sub-bucket inside its power-of-two range, so every bucket spans a
+    * relative width ≤ 2^−subBits (subBits=5 → ≤ 3.2% relative error on
+    * any recovered quantile). Pure integer bit arithmetic (the same
+    * `bin()` bit-width trick as HLL's rho) — the register table replays
+    * bit-for-bit cross-engine, unlike `approx_percentile`'s opaque
+    * engine-internal KLL sketch ([[Metrics.latencySummaryApprox]]).
+    *
+    * One partially-aggregated (groups, shift, sub) shuffle builds it; at
+    * most ~64·2^subBits non-empty buckets exist PER GROUP no matter how
+    * many rows went in — the latency/length distribution you keep per
+    * window at 100 TB where exact percentiles mean a global sort.
+    * Negative values raise (two's-complement bin() would silently bucket
+    * them as 64-bit giants). `lo` = sub << shift rides along: the
+    * bucket's inclusive lower bound, unique per bucket and monotone in
+    * the values it holds, so it doubles as the walk order for quantile
+    * recovery.
+    */
+  def logHistogram(
+      df: DataFrame, value: Column, subBits: Int, groups: Column*): DataFrame = {
+    require(subBits >= 1 && subBits <= 20, "subBits in [1,20]")
+    val v = {
+      val v0 = value.cast("long")
+      when(v0 < 0, raise_error(lit("logHistogram: negative value"))).otherwise(v0)
+    }
+    val shiftC =
+      greatest(length(call_function("bin", v)) - lit(1) - lit(subBits), lit(0))
+        .cast("int")
+    val grouped = df.select(groups :+
+      shiftC.cast("long").as("shift") :+
+      call_function("shiftright", v, shiftC).as("sub"): _*)
+    val groupNames = grouped.columns.dropRight(2)
+    require(!groupNames.exists(Set("shift", "sub", "cnt", "lo").contains),
+      "group columns must not be named 'shift'/'sub'/'cnt'/'lo'")
+    grouped
+      .groupBy((groupNames.map(col) :+ col("shift") :+ col("sub")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo",
+        call_function("shiftleft", col("sub"), col("shift").cast("int")))
+  }
+
+  /** Merge two log-histograms over the same subBits: cell-wise addition —
+    * exactly the histogram of the concatenated inputs. Extra grouping
+    * columns stay part of the merge key (the [[mergeCountMin]] rule).
+    */
+  def mergeLogHistogram(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filterNot(_ == "cnt").map(col)
+    a.unionByName(b).groupBy(keys: _*).agg(sum(col("cnt")).as("cnt"))
+      .select(a.columns.map(col): _*) // keep the register schema's order
+  }
+
+  /** Recover quantile BOUNDS from a register table: for each group and
+    * each q, the unique bucket where the ⌈q·n⌉-th smallest value lives —
+    * `est_lo`/`est_hi` bracket the true order statistic by construction
+    * (width ≤ 2^−subBits relative). Still pure integer arithmetic given
+    * the registers, so the recovered bounds — not just the registers —
+    * replay cross-engine. The per-group window is over ≤ ~64·2^subBits
+    * register rows, never the data (bounded by construction).
+    */
+  def logHistQuantiles(hist: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "qs in (0,1]")
+    val groupNames =
+      hist.columns.filterNot(Set("shift", "sub", "cnt", "lo").contains).toSeq
+    val gcols = groupNames.map(col)
+    val walk = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("lo"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)
+    val qTable = qs.map(q => s"SELECT CAST($q AS DOUBLE) AS q")
+      .mkString(" UNION ALL ")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(walk))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .withColumn("hi",
+        col("lo") + call_function("shiftleft", lit(1L), col("shift").cast("int")) - 1)
+    cum.crossJoin(broadcast(cum.sparkSession.sql(qTable)))
+      .filter(col("cum") >= ceil(col("q") * col("n")).cast("long"))
+      .groupBy((gcols :+ col("q") :+ col("n")): _*)
+      .agg(min(col("lo")).as("est_lo"), min(col("hi")).as("est_hi"))
+  }
+
   /** Flajolet HLL cardinality estimate from a register table — raw
     * harmonic-mean estimate with the standard small-range linear-counting
     * correction (empty buckets counted against 2^p).

@@ -426,6 +426,63 @@ class CurateSpec extends SparkSpec {
     assert(dailyMerged.exceptAll(daily.select("d", "bucket", "rho_max")).count() === 0)
   }
 
+  test("log-histogram buckets contain their values, merge exactly, and bracket quantiles") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), (col("user_id") * 7L % 5000L).as("v"))
+    val hist = Sketches.logHistogram(ev, col("v"), subBits = 5).cache()
+    // mass conservation: every row landed in exactly one bucket
+    assert(hist.agg(sum("cnt")).as[Long].head === ev.count())
+    // bucket bounds contain every value of that bucket; width ≤ 2^-5·lo
+    val joined = ev
+      .withColumn("shift", greatest(
+        length(call_function("bin", col("v"))) - 6, lit(0)).cast("long"))
+      .withColumn("sub", call_function("shiftright", col("v"), col("shift").cast("int")))
+      .join(hist, Seq("shift", "sub"))
+    assert(joined.filter(col("v") < col("lo") ||
+      col("v") > col("lo") + call_function("shiftleft", lit(1L), col("shift").cast("int")) - 1)
+      .count() === 0)
+    // merge of disjoint halves reproduces the whole, cell for cell
+    val h1 = Sketches.logHistogram(ev.filter(col("event_id") % 2 === 0), col("v"), 5)
+    val h2 = Sketches.logHistogram(ev.filter(col("event_id") % 2 === 1), col("v"), 5)
+    val merged = Sketches.mergeLogHistogram(h1, h2)
+    assert(merged.exceptAll(hist).count() === 0 && hist.exceptAll(merged).count() === 0)
+    // quantile bounds bracket the true order statistic
+    val sorted = ev.select("v").as[Long].collect().sorted
+    val quants = Sketches.logHistQuantiles(hist, Seq(0.5, 0.9, 0.99))
+      .select("q", "est_lo", "est_hi").as[(Double, Long, Long)].collect()
+    assert(quants.length === 3)
+    quants.foreach { case (q, lo, hi) =>
+      val exact = sorted(math.ceil(q * sorted.length).toLong.toInt - 1)
+      assert(lo <= exact && exact <= hi, s"q=$q: [$lo,$hi] misses $exact")
+    }
+    // grouped: one register set per group, quantiles recovered per group
+    val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bySrc = Sketches.logHistogram(docs1, col("n_chars"), 5, col("source"))
+    val qBySrc = Sketches.logHistQuantiles(bySrc, Seq(0.5))
+    docs1.select("source").distinct().as[String].collect().foreach { src =>
+      val vals = docs1.filter(col("source") === src)
+        .select("n_chars").as[Long].collect().sorted
+      val Array((lo, hi)) = qBySrc.filter(col("source") === src)
+        .select("est_lo", "est_hi").as[(Long, Long)].collect()
+      val exact = vals((vals.length + 1) / 2 - 1)
+      assert(lo <= exact && exact <= hi, s"$src: [$lo,$hi] misses $exact")
+    }
+    // zero lands in bucket (0,0); negatives raise instead of silently
+    // bucketing as two's-complement giants
+    val z = Sketches.logHistogram(Seq(0L, 1L, 63L, 64L).toDF("v"), col("v"), 5)
+      .select("shift", "sub", "cnt", "lo")
+    assert(z.filter(col("lo") === 0 && col("shift") === 0).count() === 1)
+    val neg = intercept[Exception] {
+      Sketches.logHistogram(Seq(-1L).toDF("v"), col("v"), 5).count()
+    }
+    assert(neg.getMessage != null)
+    // scratch-name collisions are rejected, not silently miscomputed
+    intercept[IllegalArgumentException] {
+      Sketches.logHistogram(docs1.withColumnRenamed("source", "sub"),
+        col("n_chars"), 5, col("sub"))
+    }
+  }
+
   test("z-score outliers match a driver-side computation of the moments") {
     val df = Seq(
       ("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 1.0), ("a", 50.0),
