@@ -485,6 +485,15 @@ object SparkEntry {
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // Embedding-side decontamination: SRP-LSH bipartite candidates, exact
+    // cosine verify, broadcast eval side — the leakage catch n-grams miss.
+    "q_decontaminate_semantic" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.decontaminateSemantic(
+        emb.filter(col("vec_id") % 3 =!= 0),
+        emb.filter(col("vec_id") % 97 === 1), tau = 0.35)
+        .select("vec_id").orderBy(col("vec_id"))
+    },
     // -- multimodal binary columns over documents ---------------------------
     "q_media_meta" -> ((s, dir) =>
       Multimodal.withMediaMeta(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
@@ -1501,6 +1510,26 @@ object SparkEntry {
          |       FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_decontaminate_semantic" ->
+      s"""$EmbCte,
+         |bands AS (
+         |  SELECT vec_id, b AS band,
+         |         CAST(list_sum(list_transform(range(0, 4),
+         |             r -> bits[b*4 + r + 1] << r)) AS BIGINT) AS sig
+         |  FROM e, range(0, 6) t(b)),
+         |tb AS (SELECT * FROM bands WHERE vec_id % 3 <> 0),
+         |vb AS (SELECT * FROM bands WHERE vec_id % 97 = 1),
+         |cand AS (
+         |  SELECT DISTINCT tb.vec_id AS t_id, vb.vec_id AS e_id
+         |  FROM tb JOIN vb ON tb.band = vb.band AND tb.sig = vb.sig),
+         |hit AS (
+         |  SELECT DISTINCT t_id FROM cand
+         |  JOIN e ta ON t_id = ta.vec_id
+         |  JOIN e ev ON e_id = ev.vec_id
+         |  WHERE list_dot_product(ta.d, ev.d) / (ta.nrm * ev.nrm) >= 0.35)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id % 3 <> 0 AND vec_id NOT IN (SELECT t_id FROM hit)
+         |ORDER BY vec_id""".stripMargin,
     "q_token_counts" ->
       s"""$ToksCte
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

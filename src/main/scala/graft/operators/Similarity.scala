@@ -532,6 +532,55 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Semantic decontamination: drop TRAIN vectors whose embedding-cosine
+    * vs ANY eval vector reaches `tau` — the embedding-side complement to
+    * [[Curate.decontaminate]]'s exact/n-gram text matching (catches eval
+    * paraphrases and re-encodings that share no n-grams, the leakage mode
+    * n-gram decontamination can't see). Candidates come from the same
+    * SRP-LSH banding as [[nearDupPairs]], but as a BIPARTITE train×eval
+    * band join — never a cartesian product — and each candidate is
+    * verified with exact cosine before a train row is dropped (no false
+    * drops; recall is the LSH S-curve, tuned by bands/rowsPerBand).
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of rows
+    * vs a 100 TB corpus — so its band table and vectors BROADCAST; the
+    * train side is touched by one banding projection and one hash-join
+    * probe, no train-side self-join anywhere. Returns the surviving train
+    * rows (original columns).
+    */
+  def decontaminateSemantic(
+      train: DataFrame,
+      evalCorpus: DataFrame,
+      tau: Double,
+      bands: Int = 6,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        srpCode(col("embedding"), b * rowsPerBand, rowsPerBand).as("sig"))
+    }
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idAs), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val t = withNorm(train)
+      .select(col("vec_id").as("t_id"), col("embedding").as("emb_t"),
+        col("nrm").as("nrm_t"))
+    val ev = withNorm(evalCorpus)
+      .select(col("vec_id").as("e_id"), col("embedding").as("emb_e"),
+        col("nrm").as("nrm_e"))
+    val cand = banded(train, "t_id")
+      .join(broadcast(banded(evalCorpus, "e_id")), Seq("band", "sig"))
+      .select("t_id", "e_id")
+      .distinct()
+    val hit = cand
+      .join(t, "t_id")
+      .join(broadcast(ev), "e_id")
+      .filter(dot(col("emb_t"), col("emb_e")) / (col("nrm_t") * col("nrm_e")) >= tau)
+      .select("t_id")
+      .distinct()
+    train.join(hit, train("vec_id") === hit("t_id"), "left_anti")
+  }
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents whose

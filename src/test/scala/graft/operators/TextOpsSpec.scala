@@ -300,6 +300,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("semantic decontamination drops exactly the band-collided pairs verified at tau") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val train = emb.filter(col("vec_id") % 3 =!= 0)
+    val ev = emb.filter(col("vec_id") % 97 === 1)
+    val out = Similarity.decontaminateSemantic(train, ev, tau = 0.35)
+    assert(out.columns.toSeq === train.columns.toSeq) // original schema back
+    // driver replay of the full contract: SRP band signatures (the same
+    // srpPlane constants), bipartite band collision, exact-cosine verify
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def fold(a: Seq[Double], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (p, q)) => s + p * q.toDouble }
+    def dotf(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+    val planes = (0 until 24).map(p => Similarity.srpPlane(p))
+    def sig(v: Seq[Float], band: Int): Long =
+      (0 until 4).map { r =>
+        if (fold(planes(band * 4 + r), v) > 0.0) 1L << r else 0L
+      }.sum
+    val trainIds = vecs.keys.filter(_ % 3 != 0).toSeq.sorted
+    val evalIds = vecs.keys.filter(_ % 97 == 1).toSeq
+    val dropped = trainIds.filter { t =>
+      evalIds.exists { e =>
+        (0 until 6).exists(b => sig(vecs(t), b) == sig(vecs(e), b)) && {
+          val c = dotf(vecs(t), vecs(e)) /
+            (math.sqrt(dotf(vecs(t), vecs(t))) * math.sqrt(dotf(vecs(e), vecs(e))))
+          c >= 0.35
+        }
+      }
+    }.toSet
+    assert(out.select("vec_id").as[Long].collect().toSet ===
+      trainIds.toSet -- dropped)
+    // ids in BOTH train and eval are self-pairs (cosine 1, every band
+    // collides) — always dropped; and the threshold exercises something
+    val overlap = trainIds.toSet.intersect(evalIds.toSet)
+    assert(overlap.nonEmpty && overlap.subsetOf(dropped))
+    assert(dropped.size < trainIds.size, "tau too low: dropped everything")
+  }
+
   test("prefix-filtered ngramJaccardPairs equals the naive all-pairs scan (both modes)") {
     val s = docs
       .select(col("doc_id"), TextFunctions.shingleSet(col("text")).as("sh"))
