@@ -411,6 +411,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cm === cmAll)
   }
 
+  test("streaming log-histogram maintenance: per-batch cell merge equals the batch sketch") {
+    import graft.operators.Sketches
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-lhstream").toString
+    (0 until 3).foreach { i =>
+      events.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeDir = s"$dir/store"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hist = Sketches.logHistogram(batch, col("user_id"), 5)
+        val merged =
+          if (Files.exists(Paths.get(storeDir)))
+            Sketches.mergeLogHistogram(spark.read.parquet(storeDir), hist)
+          else hist
+        // registers are ≤ ~64·2^subBits rows — materialize, then overwrite
+        val rows = merged.as[(Long, Long, Long, Long)].collect().toSeq
+        rows.toDF("shift", "sub", "cnt", "lo").coalesce(1)
+          .write.mode("overwrite").parquet(storeDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.read.parquet(storeDir)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batchHist = Sketches.logHistogram(events, col("user_id"), 5)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed === batchHist)
+    // quantiles recovered from the maintained store match the batch walk
+    val sq = Sketches.logHistQuantiles(spark.read.parquet(storeDir), Seq(0.5, 0.99))
+      .select("q", "est_lo", "est_hi").as[(Double, Long, Long)].collect().sorted.toSeq
+    val bq = Sketches.logHistQuantiles(
+      Sketches.logHistogram(events, col("user_id"), 5), Seq(0.5, 0.99))
+      .select("q", "est_lo", "est_hi").as[(Double, Long, Long)].collect().sorted.toSeq
+    assert(sq === bq)
+  }
+
   test("compaction consolidates micro-batch small files, preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate 10 micro-batches: each writes its own batch_id slice with
