@@ -468,6 +468,12 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.substringDedup(Tables(s, dir).documents, k = 8)
         .orderBy(col("doc_id"))),
+    // MOSS-style partial-copy pairs: shared winnowing fingerprints with
+    // boilerplate fingerprints (df > maxDf) dropped before enumeration.
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(Tables(s, dir).documents,
+        minShared = 3L, maxDf = 16L)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // -- similarity search over embeddings ---------------------------------
     "q_topk_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
@@ -1667,6 +1673,34 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= n - 5 + 1 - 3
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id, len(text) AS n, text,
+        |         unnest(range(1, len(text) - 5 + 2)) AS pos
+        |  FROM documents WHERE len(text) >= 8),
+        |h AS (SELECT doc_id, n, pos,
+        |             CAST('0x' || substr(md5(substr(text, CAST(pos AS INT), 5)), 1, 15)
+        |                  AS BIGINT) AS h
+        |      FROM g),
+        |m AS (SELECT doc_id, pos, n,
+        |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM h),
+        |wf AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 5 + 1 - 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM wf GROUP BY doc_id),
+        |keptfp AS (SELECT fp FROM wf GROUP BY fp HAVING COUNT(*) <= 16),
+        |kept AS (SELECT wf.doc_id, wf.fp FROM wf JOIN keptfp USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+        |       CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE)
+        |         AS containment
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_winnow_fast" -> {
       // identical winnow structure, polynomial Horner hash replayed in SQL
       val horner = (0 until 5).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>

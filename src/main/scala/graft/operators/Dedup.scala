@@ -553,6 +553,51 @@ object Dedup {
           e => e.getField("tok"))).as("text_dedup"))
   }
 
+  /** MOSS-style local-overlap pairs (Schleimer et al., the winnowing
+    * paper's §5 use case): document pairs sharing ≥ `minShared` winnowing
+    * fingerprints, with a containment ratio against the smaller side's
+    * fingerprint count. Because any shared substring of length ≥ k + w − 1
+    * yields a shared fingerprint, this catches PARTIAL copies — a
+    * paragraph lifted into an otherwise-unrelated page — that whole-doc
+    * MinHash/SimHash similarity dilutes below threshold; the complement
+    * of [[substringDedup]], which rewrites exact spans rather than
+    * reporting which pairs overlap.
+    *
+    * Scale shape: the fingerprint table is [[TextAnalysis.winnowFingerprints]]
+    * (zero-shuffle per-row loop); fingerprints in more than `maxDf` docs
+    * are boilerplate (headers, license blocks) and are dropped BEFORE pair
+    * enumeration — the MOSS noise rule and the skew valve in one: each
+    * surviving fingerprint contributes ≤ maxDf² pairs, so the fp equi-join
+    * is bounded linear in the fingerprint table, never quadratic in a hot
+    * key. Enumeration is an equi-join on `fp` — no cartesian product.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      minShared: Long = 3L,
+      maxDf: Long = 16L,
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(minShared > 0 && maxDf > 0, "minShared/maxDf must be positive")
+    val fps = TextAnalysis.winnowFingerprints(docs, k, w).cache()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val keptFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(keptFp, "fp")
+    val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

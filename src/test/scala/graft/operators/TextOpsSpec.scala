@@ -300,6 +300,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("winnow-overlap pairs match a driver replay; boilerplate fingerprints never pair") {
+    // driver replay on the real corpus: same fp table (engine-computed,
+    // independently oracled), df filter, pair count, containment
+    val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = TextAnalysis.winnowFingerprints(docs1)
+      .as[(Long, Long)].collect().toSeq
+    val df = fps.groupBy(_._2).view.mapValues(_.size).toMap
+    val sizes = fps.groupBy(_._1).view.mapValues(_.size).toMap
+    val kept = fps.filter { case (_, fp) => df(fp) <= 16 }
+    val expected = kept.groupBy(_._2).values.flatMap { group =>
+      val ids = group.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 3)
+      .map { case ((a, b), ns) =>
+        (a, b, ns.toLong, sizes(a).toLong, sizes(b).toLong,
+          ns.toDouble / math.min(sizes(a), sizes(b)).toDouble)
+      }.toSet
+    val got = Dedup.winnowOverlapPairs(docs1, minShared = 3L, maxDf = 16L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus has no overlapping pairs: test exercises nothing")
+    assert(got.forall { case (a, b, ns, na, nb, c) =>
+      a < b && c <= 1.0 && ns <= math.min(na, nb) })
+    // constructed case: a paragraph lifted between two docs pairs them; a
+    // boilerplate page shared by MANY docs (df > maxDf on every one of its
+    // fingerprints) pairs nobody — even though those docs are IDENTICAL
+    val lifted = "the quick brown fox jumps over the lazy dog again and again"
+    val d = ((1L to 20L).map(i => (i, "copyright standard header line")) ++
+      Seq((100L, s"$lifted plus tail alpha"), (101L, s"$lifted plus tail beta")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(d, minShared = 2L, maxDf = 5L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100L, 101L)),
+      "exactly the lifted-paragraph pair: boilerplate-only overlap never pairs")
+  }
+
   test("semantic decontamination drops exactly the band-collided pairs verified at tau") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val train = emb.filter(col("vec_id") % 3 =!= 0)
