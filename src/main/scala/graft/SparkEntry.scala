@@ -416,6 +416,13 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")
         .select("doc_id", "source")
         .orderBy(col("doc_id"))),
+    // Temperature mixing at τ=0.5: tail sources lifted, binding source
+    // kept whole; sqrt keeps the frac derivation oracle-replayable.
+    "q_mix_temperature" -> ((s, dir) =>
+      Curate.mixTemperature(Tables(s, dir).documents, col("source"),
+        col("doc_id"), temperature = 0.5, "temp5")
+        .select("doc_id", "source")
+        .orderBy(col("doc_id"))),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(Tables(s, dir).documents)
         .orderBy(col("doc_id"))),
@@ -1772,6 +1779,21 @@ object SparkEntry {
         |      FROM c JOIN w USING (source))
         |SELECT doc_id, source FROM documents JOIN f USING (source)
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dommix'), 1, 15)
+        |           AS BIGINT) % 10000 < ROUND(frac * 10000)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |w AS (SELECT source, n,
+        |             sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS wt
+        |      FROM c, tot),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS t FROM w),
+        |f AS (SELECT source,
+        |             LEAST(1.0, wt * (SELECT t FROM t) / CAST(n AS DOUBLE)) AS frac
+        |      FROM w)
+        |SELECT doc_id, source FROM documents JOIN f USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|temp5'), 1, 15)
         |           AS BIGINT) % 10000 < ROUND(frac * 10000)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->

@@ -191,6 +191,47 @@ object Curate {
     sampleStratified(df, key, source, fracs, salt)
   }
 
+  /** Temperature-scaled source mixing (the multilingual/domain-balance
+    * recipe of mC4/PaLM-style training mixes): target share of source i
+    * ∝ p_i^τ where p_i is its natural share — τ = 1 keeps the natural
+    * mix, τ → 0 approaches uniform, and τ ∈ (0, 1) lifts the tail
+    * without letting a mega-source dominate. Downsample-only like
+    * [[mixToTarget]]: T = min_j(n_j / w_j) picks the binding source and
+    * every frac_i = min(1, w_i·T / n_i) — derived WITHOUT a float
+    * weight-sum (the normalization cancels algebraically), so the only
+    * float ops are divide/√/multiply/min, each replayable cross-engine.
+    * τ = 0.5 computes w via `sqrt` (correctly rounded per IEEE — the
+    * oracle replays it bit-for-bit); other τ use `pow` (libm allows
+    * 1 ulp, which the basis-point gate makes all but unobservable).
+    * Driver traffic: one row per source.
+    */
+  def mixTemperature(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      temperature: Double,
+      salt: String): DataFrame = {
+    require(temperature > 0 && temperature <= 1, "temperature in (0,1]")
+    val counts = df
+      .groupBy(source.as("mix_src"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    require(counts.nonEmpty, "no rows to mix")
+    val total = counts.values.sum
+    def tpow(x: Double): Double =
+      if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)
+    val w = counts.map { case (s, n) =>
+      s -> tpow(n.toDouble / total.toDouble)
+    }
+    val t = counts.map { case (s, n) => n.toDouble / w(s) }.min
+    val fracs = counts.map { case (s, n) =>
+      s -> math.min(1.0, w(s) * t / n.toDouble)
+    }
+    sampleStratified(df, key, source, fracs, salt)
+  }
+
   /** Cap each key's contribution to `k` rows — the per-domain/source
     * balancing gate (keep ≤ k docs per domain so one crawl host can't
     * dominate the mix): keeps the k hash-smallest rows of every group, a

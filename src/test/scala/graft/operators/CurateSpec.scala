@@ -155,6 +155,37 @@ class CurateSpec extends SparkSpec {
     assert(ex.getMessage.contains("nosuch"))
   }
 
+  test("temperature mixing lifts the tail, keeps the binding source whole, τ=1 is identity") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // τ=1: natural mix is already the target — every row survives
+    assert(Curate.mixTemperature(real, col("source"), col("doc_id"), 1.0, "t1")
+      .count() === real.count())
+    // τ=0.5 equals sampleStratified with the hand-derived sqrt fracs —
+    // verifies the temperature math separately from the (shared) gate
+    val counts = real.groupBy("source").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    val w = counts.map { case (s, n) => s -> math.sqrt(n.toDouble / total.toDouble) }
+    val t = counts.map { case (s, n) => n.toDouble / w(s) }.min
+    val fracs = counts.map { case (s, n) => s -> math.min(1.0, w(s) * t / n.toDouble) }
+    val viaStrat = Curate.sampleStratified(real, col("doc_id"), col("source"),
+      fracs, "t5").select("doc_id").as[Long].collect().toSet
+    val viaTemp = Curate.mixTemperature(real, col("source"), col("doc_id"), 0.5, "t5")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaTemp === viaStrat)
+    // the binding (most-downweighted-relative) source keeps frac exactly 1
+    assert(fracs.values.max === 1.0)
+    // kept fraction is monotone DOWN in source size: big sources give up more
+    val kept = Curate.mixTemperature(real, col("source"), col("doc_id"), 0.5, "t5")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val ratios = counts.toSeq.sortBy(_._2).map { case (s, n) =>
+      kept.getOrElse(s, 0L).toDouble / n.toDouble }
+    assert(ratios.zip(ratios.tail).forall { case (small, big) => small >= big - 0.05 },
+      s"kept ratios not monotone down in size: $ratios")
+    intercept[IllegalArgumentException] {
+      Curate.mixTemperature(real, col("source"), col("doc_id"), 0.0, "t")
+    }
+  }
+
   test("ntileExact equals the single-window NTILE for every remainder case") {
     import org.apache.spark.sql.expressions.Window
     // N=10/n=3 (remainder 1), N=9/n=3 (exact), N=2/n=3 (N < n)
