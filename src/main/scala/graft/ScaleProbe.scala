@@ -112,7 +112,9 @@ object ScaleProbe {
           col("event_type"), col("value"), col("event_id"), 5, 16)),
       "zorder layout stats" -> ((s, d) =>
         operators.Layout.zorderStats(Tables(s, d).events,
-          col("user_id"), pmod(col("event_id"), lit(65536)), 16)))
+          col("user_id"), pmod(col("event_id"), lit(65536)), 16)),
+      "log-histogram (subBits=5)" -> ((s, d) =>
+        operators.Sketches.logHistogram(Tables(s, d).events, col("user_id"), 5)))
 
     val sb = new StringBuilder(
       """# SCALE — measured scaling of the persist+index surface (local[32])
@@ -232,7 +234,11 @@ object ScaleProbe {
       """
         |Dedup/similarity over scaled corpora (each replica token-renamed
         |into its own namespace: structurally identical, content-disjoint —
-        |pair counts scale exactly ×f):
+        |pair counts scale exactly ×f). Exception: winnow-overlap matches
+        |CHAR k-grams, and the `_r` rename suffix makes suffix-bearing
+        |k-grams corpus-common, so its boilerplate df rule demotes most
+        |renamed-replica overlaps — read its row for runtime scaling, not
+        |pair growth.
         |
         |""".stripMargin)
     sb.append("| op | " + docFactors.map(f => s"x$f sec (pairs)").mkString(" | ") + " | x4/x1 |\n")
@@ -263,6 +269,12 @@ object ScaleProbe {
       "source mixing (3 targets)" -> (d => operators.Curate.mixToTarget(
         d, col("source"), col("doc_id"),
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")),
+      "winnow overlap pairs (≥3 shared)" ->
+        (d => operators.Dedup.winnowOverlapPairs(d)),
+      "exact-N sample (n=2000)" ->
+        (d => operators.Curate.sampleExactN(d, col("doc_id"), 2000, "sx")),
+      "temperature mixing (τ=0.5)" -> (d => operators.Curate.mixTemperature(
+        d, col("source"), col("doc_id"), 0.5, "temp5")),
       "quality classifier (train 16 + score)" -> { d =>
         val lf = operators.Classify.labeledFeatures(d).localCheckpoint()
         val w = operators.Classify.trainLogistic(

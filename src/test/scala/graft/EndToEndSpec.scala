@@ -173,6 +173,58 @@ class EndToEndSpec extends SparkSpec {
     assert(total > 0 && math.abs(got(targets(0)) / total - 0.5) < 0.25)
   }
 
+  test("budgeted-release journey: semantic decontaminate → overlap dedup → exact-N budget → temperature mix → length report") {
+    // the release-cut composition: scrub eval leakage (embedding-side),
+    // drop partial copies, cut an exact-count corpus, balance sources,
+    // and publish the mergeable length report — each hop consumes the
+    // previous hop's real output
+    val docs = Tables(spark, dir).documents
+    val emb = Tables(spark, dir).embeddings // vec_id ≡ doc_id in this corpus
+
+    // 1. semantic decontamination of the train split vs the eval split
+    val clean = Similarity.decontaminateSemantic(
+      emb.filter(col("vec_id") % 3 =!= 0),
+      emb.filter(col("vec_id") % 97 === 1), tau = 0.35)
+      .select(col("vec_id").as("doc_id"))
+    val cleanDocs = docs.join(clean, "doc_id")
+    assert(cleanDocs.count() > 0 && cleanDocs.count() < docs.count())
+
+    // 2. overlap dedup: drop the doc_b of every winnow-overlap pair; the
+    // keep-min rule leaves NO pair intact (every pair lost its doc_b)
+    val pairs = Dedup.winnowOverlapPairs(cleanDocs, minShared = 3L, maxDf = 16L)
+    assert(pairs.count() > 0, "corpus has no overlaps: journey exercises nothing")
+    val deduped = cleanDocs.join(
+      pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    // every detected pair is resolved; fresh pairs MAY surface because
+    // shrinking the corpus can thaw a boilerplate fingerprint below maxDf
+    assert(Dedup.winnowOverlapPairs(deduped, 3L, 16L)
+      .join(pairs, Seq("doc_a", "doc_b")).isEmpty)
+
+    // 3. exact-N budget cut with a reproducible rank
+    val n = 300L
+    val budgeted = Curate.sampleExactN(deduped, col("doc_id"), n, "release1")
+    assert(budgeted.count() === math.min(n, deduped.count()))
+
+    // 4. temperature mix over the budgeted corpus: binding source whole
+    val mixed = Curate.mixTemperature(
+      budgeted.drop("sample_rank"), col("source"), col("doc_id"), 0.5, "relmix")
+    val before = budgeted.groupBy("source").count().as[(String, Long)].collect().toMap
+    val after = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(after.exists { case (s, k) => k === before(s) }, "some source binds (kept whole)")
+    assert(after.forall { case (s, k) => k <= before(s) }) // downsample-only
+
+    // 5. the per-source length report: registers bracket the exact medians
+    val hist = Sketches.logHistogram(mixed, col("n_chars"), 5, col("source"))
+    val report = Sketches.logHistQuantiles(hist, Seq(0.5))
+    report.select("source", "est_lo", "est_hi").as[(String, Long, Long)]
+      .collect().foreach { case (src, lo, hi) =>
+        val vals = mixed.filter(col("source") === src)
+          .select("n_chars").as[Long].collect().sorted
+        val exact = vals((vals.length + 1) / 2 - 1)
+        assert(lo <= exact && exact <= hi, s"$src: [$lo,$hi] misses $exact")
+      }
+  }
+
   test("facade point lookup agrees with the replayed record payload") {
     val wd = streaming.PersistPipeline.ensureRun(spark, dir)
     val index = store.IndexStore.materialized(spark, dir)
