@@ -219,6 +219,11 @@ object Curate {
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     require(counts.nonEmpty, "no rows to mix")
+    // a NULL source would count toward `total` but never match the
+    // stratified gate (NULL never equi-matches) — rows silently dropped
+    // AND every frac skewed; refuse instead
+    require(!counts.contains(null),
+      "mixTemperature: source column contains NULLs — filter or fill first")
     val total = counts.values.sum
     def tpow(x: Double): Double =
       if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)

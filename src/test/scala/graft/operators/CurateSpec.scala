@@ -184,6 +184,13 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curate.mixTemperature(real, col("source"), col("doc_id"), 0.0, "t")
     }
+    // NULL sources would silently drop through the gate AND skew fracs —
+    // refused instead
+    val withNull = Seq((1L, "a"), (2L, null)).toDF("doc_id", "source")
+    val ex = intercept[IllegalArgumentException] {
+      Curate.mixTemperature(withNull, col("source"), col("doc_id"), 0.5, "t")
+    }
+    assert(ex.getMessage.contains("NULL"))
   }
 
   test("ntileExact equals the single-window NTILE for every remainder case") {
