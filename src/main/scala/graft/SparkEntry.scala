@@ -416,6 +416,11 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")
         .select("doc_id", "source")
         .orderBy(col("doc_id"))),
+    // Per-source corpus card: volume, token mass, dup exposure, dominant
+    // language, and the p50-length bracket — the whole datasheet replays.
+    "q_corpus_card" -> ((s, dir) =>
+      Diagnostics.corpusCard(Tables(s, dir).documents)
+        .orderBy(col("source"))),
     // Temperature mixing at τ=0.5: tail sources lifted, binding source
     // kept whole; sqrt keeps the frac derivation oracle-replayable.
     "q_mix_temperature" -> ((s, dir) =>
@@ -1781,6 +1786,47 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dommix'), 1, 15)
         |           AS BIGINT) % 10000 < ROUND(frac * 10000)
         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_card" ->
+      s"""$ToksCte,
+         |base AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+         |         CAST(SUM(len(t.toks)) AS BIGINT) AS sum_tokens
+         |  FROM documents d JOIN toks t USING (doc_id) GROUP BY d.source),
+         |fp AS (SELECT source, md5(text) AS f FROM documents),
+         |fc AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY f),
+         |dup AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |        FROM fp JOIN fc USING (f) WHERE c > 1 GROUP BY source),
+         |lt AS (SELECT source, lang, COUNT(*) AS lc FROM documents
+         |       GROUP BY source, lang),
+         |tl AS (SELECT source, lang AS top_lang, CAST(lc AS BIGINT) AS top_lang_docs,
+         |              ROW_NUMBER() OVER (PARTITION BY source
+         |                                 ORDER BY lc DESC, lang) AS lr
+         |       FROM lt),
+         |v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+         |b AS (SELECT source, v,
+         |             CAST(GREATEST(length(bin(v)) - 1 - 5, 0) AS BIGINT) AS shift
+         |      FROM v),
+         |cb AS (SELECT source, shift, v >> shift AS sub FROM b),
+         |h AS (SELECT source, shift, sub, COUNT(*) AS cnt, (sub << shift) AS lo
+         |      FROM cb GROUP BY source, shift, sub),
+         |w AS (SELECT source, lo, cnt,
+         |             lo + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+         |             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY lo)
+         |                  AS BIGINT) AS cum,
+         |             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM h),
+         |p50 AS (SELECT source, MIN(lo) AS p50_chars_lo, MIN(hi) AS p50_chars_hi
+         |        FROM w WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+         |        GROUP BY source)
+         |SELECT base.source, n_docs, sum_chars, sum_tokens,
+         |       COALESCE(dup.n_dup_docs, 0) AS n_dup_docs,
+         |       top_lang, top_lang_docs, p50_chars_lo, p50_chars_hi
+         |FROM base
+         |LEFT JOIN dup ON base.source = dup.source
+         |JOIN (SELECT * FROM tl WHERE lr = 1) tl1 ON base.source = tl1.source
+         |JOIN p50 ON base.source = p50.source
+         |ORDER BY base.source""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM documents GROUP BY source),

@@ -197,4 +197,51 @@ object Diagnostics {
     sorted.unpersist(blocking = false)
     out
   }
+
+  /** Corpus card: the per-source summary a curation run publishes with a
+    * release (datasheet row per source) — volume, token mass, exact-dup
+    * exposure, dominant language, and the median-length bracket from the
+    * mergeable log-histogram. Every column is integer-exact or a bracket
+    * from integer registers, so the WHOLE card replays cross-engine.
+    *
+    * Scale shape: one source-keyed aggregation for volume, one md5-keyed
+    * shuffle for corpus-wide dup counts (then re-keyed by source), one
+    * (source, lang) aggregation with a per-source top-1 window over the
+    * tiny aggregate, and the [[Sketches.logHistogram]] register walk —
+    * every join is on `source` (dimension-sized, broadcast-able). No
+    * full-text column survives past its first aggregation.
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"))
+    val fps = docs.select(col("source"), md5(col("text")).as("card_fp"))
+    val dupCounts = fps.groupBy(col("card_fp")).agg(count(lit(1)).as("card_c"))
+    val dups = fps.join(dupCounts, "card_fp")
+      .filter(col("card_c") > 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    val lt = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+    val topLang = lt
+      .withColumn("lr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("lc").desc, col("lang"))))
+      .filter(col("lr") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc").as("top_lang_docs"))
+    val p50 = Sketches.logHistQuantiles(
+      Sketches.logHistogram(docs, col("n_chars"), 5, col("source")), Seq(0.5))
+      .select(col("source"), col("est_lo").as("p50_chars_lo"),
+        col("est_hi").as("p50_chars_hi"))
+    base
+      .join(dups, Seq("source"), "left")
+      .join(topLang, Seq("source"))
+      .join(p50, Seq("source"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        col("top_lang"), col("top_lang_docs"),
+        col("p50_chars_lo"), col("p50_chars_hi"))
+  }
 }

@@ -521,6 +521,44 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("corpus card matches a driver-side computation; dup counts are corpus-wide") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val card = Diagnostics.corpusCard(real)
+      .as[(String, Long, Long, Long, Long, String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val rows = real.select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    val fpCount = rows.groupBy(r => java.security.MessageDigest.getInstance("MD5")
+      .digest(r._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .view.mapValues(_.size).toMap
+    rows.groupBy(_._4).foreach { case (src, rs) =>
+      val (_, nDocs, sumChars, sumToks, nDup, topLang, topLangDocs, p50lo, p50hi) =
+        card(src)
+      assert(nDocs === rs.size && sumChars === rs.map(_._5).sum)
+      assert(sumToks === rs.map(_._2.toLowerCase.split(" ").count(_.nonEmpty).toLong).sum)
+      assert(nDup === rs.count { r =>
+        fpCount(java.security.MessageDigest.getInstance("MD5")
+          .digest(r._2.getBytes("UTF-8")).map("%02x".format(_)).mkString) > 1
+      }.toLong)
+      val byLang = rs.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }
+      assert((topLang, topLangDocs) === (byLang.head._1, byLang.head._2.toLong))
+      val sorted = rs.map(_._5).sorted
+      val exact = sorted((sorted.length + 1) / 2 - 1)
+      assert(p50lo <= exact && exact <= p50hi, s"$src: [$p50lo,$p50hi] misses $exact")
+    }
+    // dup exposure is CORPUS-wide: a text duplicated across two sources
+    // counts in both, even though neither source has an internal dup
+    val cross = Seq(
+      (1L, "same text here", "en", "sa", 14L),
+      (2L, "same text here", "en", "sb", 14L),
+      (3L, "only text here", "en", "sa", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cc = Diagnostics.corpusCard(cross)
+      .select("source", "n_dup_docs").as[(String, Long)].collect().toMap
+    assert(cc === Map("sa" -> 1L, "sb" -> 1L))
+  }
+
   test("z-score outliers match a driver-side computation of the moments") {
     val df = Seq(
       ("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 1.0), ("a", 50.0),
