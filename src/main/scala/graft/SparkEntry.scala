@@ -480,6 +480,15 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.substringDedup(Tables(s, dir).documents, k = 8)
         .orderBy(col("doc_id"))),
+    // Incremental-crawl dedup: new docs (odd ids) dropped when a verified
+    // J ≥ 0.6 twin exists in the kept reference corpus (even ids).
+    "q_dedup_against" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Dedup.dedupAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+        .select("doc_id").orderBy(col("doc_id"))
+    },
     // MOSS-style partial-copy pairs: shared winnowing fingerprints with
     // boilerplate fingerprints (df > maxDf) dropped before enumeration.
     "q_winnow_overlap" -> ((s, dir) =>
@@ -1401,6 +1410,35 @@ object SparkEntry {
          |FROM cand JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_against" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |mh AS (
+         |  SELECT doc_id, sh, list_transform(range(0, 24), i ->
+         |      list_min(list_transform(hs, h -> ($MhA[i+1] * h + $MhB[i+1])
+         |                                        % ${graft.functions.TextFunctions.MinHashP}))) AS sig
+         |  FROM (SELECT doc_id, sh,
+         |               list_transform(sh, s -> ${h60Sql("s")} & 4294967295) AS hs
+         |        FROM s2)),
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |         md5(array_to_string(list_transform(range(b*4+1, b*4+5),
+         |             j -> CAST(sig[j] AS VARCHAR)), ',')) AS bsig
+         |  FROM mh, range(0, 6) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |hit AS (
+         |  SELECT DISTINCT doc_a FROM cand
+         |  JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |          >= 0.6)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_a FROM hit)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" -> ClustersOracleSql,
     // incremental merge must reproduce the one-shot clustering exactly,
     // so the oracle is the SAME recursive closure over the full pair set

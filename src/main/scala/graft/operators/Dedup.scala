@@ -86,9 +86,13 @@ object Dedup {
         array_sort(array_distinct(shingles3(col("toks")))).as("sh"))
       .cache()
 
-  private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+  private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame =
+    jaccardOf(cand, sets, sets)
+
+  private def jaccardOf(
+      cand: DataFrame, setsA: DataFrame, setsB: DataFrame): DataFrame = {
+    val a = setsA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = setsB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val inter = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.expressions.SortedIntersectCount(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_a")),
@@ -341,6 +345,55 @@ object Dedup {
     if (!canonicalize) bandPairs(sets)
     else canonicalMined(sets.withColumn("fp", md5(to_json(col("sh")))),
       key = "fp", carry = Seq("sh"), identical = lit(1.0), score = "jaccard")(bandPairs)
+  }
+
+  /** Bipartite near-dedup vs an already-kept REFERENCE corpus — the
+    * incremental-crawl step: a new batch is deduplicated AGAINST the
+    * corpus you already kept (not just within itself), so re-crawled and
+    * lightly-edited pages never re-enter. Same MinHash-LSH machinery as
+    * [[minHashLsh]] but the band join is train×reference (no self-join,
+    * no `<` tie-break), with the exact size-compatibility cut and exact
+    * Jaccard verification before any drop — a doc leaves ONLY for a
+    * verified J ≥ threshold reference twin. Returns the surviving docs
+    * with their original columns.
+    *
+    * Scale shape: both sides are touched once for signatures (per-row
+    * codegen, no shuffle), candidates come from one (band, sig) hash
+    * join, and the final step is an id anti-join — never pairwise in
+    * either corpus alone. Symmetric with the self-join miner: the pairs
+    * verified here are EXACTLY [[minHashLsh]]'s cross-corpus pairs on the
+    * union (the TextOpsSpec equivalence).
+    */
+  def dedupAgainst(
+      docs: DataFrame,
+      reference: DataFrame,
+      numHashes: Int = 24,
+      bands: Int = 6,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    def prep(input: DataFrame): DataFrame = shingleSets(input)
+      .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
+      .cache()
+    def banded(sets: DataFrame, idAs: String, szAs: String) = sets
+      .select(col("doc_id").as(idAs), size(col("sh")).as(szAs),
+        explode(bandSignatures(col("mh"), bands, r)).as("bs"))
+      .select(col(idAs), col(szAs), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val d = prep(docs)
+    val ref = prep(reference)
+    val cand = banded(d, "doc_a", "sz_a")
+      .join(banded(ref, "doc_b", "sz_b"), Seq("band", "sig"))
+      // the minHashLsh size cut, exact for the same reason (J ≥ t forces
+      // t·max(|A|,|B|) ≤ min(|A|,|B|))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val hit = jaccardOf(cand, d, ref)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+    docs.join(hit, Seq("doc_id"), "left_anti")
   }
 
   /** Duplicate CLUSTERS from near-dup pairs — the step between pair

@@ -300,6 +300,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("dedupAgainst drops exactly the docs with a cross-corpus minHashLsh twin") {
+    val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newDocs = docs1.filter(col("doc_id") % 2 === 1)
+    val kept = docs1.filter(col("doc_id") % 2 === 0)
+    val out = Dedup.dedupAgainst(newDocs, kept)
+    assert(out.columns.toSeq === newDocs.columns.toSeq) // original schema back
+    // the symmetric miner on the union: its odd↔even pairs are exactly the
+    // bipartite hits (band collision + J ≥ t are symmetric properties)
+    val crossPairs = Dedup.minHashLsh(docs1)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+    val expectedDropped = crossPairs
+      .map { case (a, b, _) => if (a % 2 == 1) a else b }.toSet
+    val newIds = newDocs.select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      newIds -- expectedDropped)
+    assert(expectedDropped.nonEmpty, "no cross-parity dups: test exercises nothing")
+    // a doc identical to a reference doc never survives
+    val twin = Seq((1001L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val refTwin = Seq((2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally unrelated reference page text")).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainst(twin, refTwin).isEmpty)
+    // and with an unrelated reference it survives untouched
+    assert(Dedup.dedupAgainst(twin, refTwin.filter(col("doc_id") === 4L))
+      .count() === 1L)
+  }
+
   test("winnow-overlap pairs match a driver replay; boilerplate fingerprints never pair") {
     // driver replay on the real corpus: same fp table (engine-computed,
     // independently oracled), df filter, pair count, containment
