@@ -271,6 +271,10 @@ object ScaleProbe {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), "dommix")),
       "winnow overlap pairs (≥3 shared)" ->
         (d => operators.Dedup.winnowOverlapPairs(d)),
+      "dedup vs reference (odd vs even)" -> (d => operators.Dedup.dedupAgainst(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))),
+      "contamination report" -> (d => operators.Curate.contaminationReport(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 97 === 1))),
       "exact-N sample (n=2000)" ->
         (d => operators.Curate.sampleExactN(d, col("doc_id"), 2000, "sx")),
       "temperature mixing (τ=0.5)" -> (d => operators.Curate.mixTemperature(

@@ -480,6 +480,14 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.substringDedup(Tables(s, dir).documents, k = 8)
         .orderBy(col("doc_id"))),
+    // Per-eval-doc contamination report: shingle hit ratio + exact twins.
+    "q_contamination_report" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Curate.contaminationReport(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 97 === 1))
+        .orderBy(col("eval_id"))
+    },
     // Incremental-crawl dedup: new docs (odd ids) dropped when a verified
     // J ≥ 0.6 twin exists in the kept reference corpus (even ids).
     "q_dedup_against" -> { (s, dir) =>
@@ -1410,6 +1418,29 @@ object SparkEntry {
          |FROM cand JOIN s2 a ON doc_a = a.doc_id JOIN s2 b ON doc_b = b.doc_id
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_contamination_report" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |eg AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sets
+         |       WHERE doc_id % 97 = 1),
+         |tg AS (SELECT DISTINCT unnest(sh) AS g FROM sets WHERE doc_id % 3 <> 0),
+         |ng AS (SELECT eval_id, COUNT(*) AS n_grams FROM eg GROUP BY eval_id),
+         |nh AS (SELECT eval_id, COUNT(*) AS n_grams_hit FROM eg
+         |       WHERE g IN (SELECT g FROM tg) GROUP BY eval_id),
+         |tw AS (SELECT md5(text) AS f, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM documents WHERE doc_id % 3 <> 0 GROUP BY f)
+         |SELECT e.doc_id AS eval_id,
+         |       CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(COALESCE(nh.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+         |       COALESCE(nh.n_grams_hit, 0)::DOUBLE
+         |         / GREATEST(COALESCE(ng.n_grams, 0), 1)::DOUBLE AS hit_ratio,
+         |       CAST(COALESCE(tw.c, 0) AS BIGINT) AS n_exact_twins
+         |FROM documents e
+         |LEFT JOIN tw ON md5(e.text) = tw.f
+         |LEFT JOIN ng ON e.doc_id = ng.eval_id
+         |LEFT JOIN nh ON e.doc_id = nh.eval_id
+         |WHERE e.doc_id % 97 = 1
+         |ORDER BY eval_id""".stripMargin,
     "q_dedup_against" ->
       s"""$ToksCte,
          |$ShinglesCte,

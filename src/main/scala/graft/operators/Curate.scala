@@ -411,6 +411,47 @@ object Curate {
     * row-level bloom filters make — expressed portably so replays are
     * deterministic.
     */
+  /** Per-eval-doc contamination REPORT — the inverse view of the
+    * decontaminate family: instead of scrubbing train, tell the eval
+    * owner which benchmark items are compromised and how badly. For each
+    * eval doc: how many of ITS distinct word-3-gram shingles appear
+    * anywhere in train (`n_grams_hit` of `n_grams`, ratio ride-along) and
+    * how many EXACT text twins train holds (`n_exact_twins`). The ratio
+    * is the doc-level contamination fraction (the GPT-3-appendix-style
+    * dirtiness signal); 0 means the item is clean at 3-gram granularity.
+    *
+    * Scale shape: the per-eval-doc output is bounded by the EVAL side
+    * (rows = eval docs; the shingle probe is a semi-join of eval grams
+    * against the distinct train-gram table — output ≤ |eval grams|, no
+    * per-train-doc fan-out, so a white-hot shingle costs its dedup, not
+    * its df). One distinct on train grams, one semi-join, one md5 count
+    * join — all equi-joins.
+    */
+  def contaminationReport(train: DataFrame, evalCorpus: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.shingleSet
+    val evalG = evalCorpus
+      .select(col("doc_id").as("eval_id"), explode(shingleSet(col("text"))).as("g"))
+    val trainG = train
+      .select(explode(shingleSet(col("text"))).as("g")).distinct()
+    val nGrams = evalG.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+    val nHit = evalG.join(trainG, Seq("g"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams_hit"))
+    val twins = train.select(md5(col("text")).as("cr_fp"))
+      .groupBy(col("cr_fp")).agg(count(lit(1)).as("n_exact_twins"))
+    evalCorpus
+      .select(col("doc_id").as("eval_id"), md5(col("text")).as("cr_fp"))
+      .join(twins, Seq("cr_fp"), "left")
+      .join(nGrams, Seq("eval_id"), "left")
+      .join(nHit, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        (coalesce(col("n_grams_hit"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"))
+          .as("hit_ratio"),
+        coalesce(col("n_exact_twins"), lit(0L)).as("n_exact_twins"))
+  }
+
   def decontaminateBloom(
       train: DataFrame,
       evalCorpus: DataFrame,

@@ -308,6 +308,37 @@ class CurateSpec extends SparkSpec {
     assert(kept === Seq(1L))
   }
 
+  test("contamination report: exact twins ratio-1, partial overlap fractional, clean zero") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // twin of 1
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val ev = Seq(
+      (10L, "alpha beta gamma delta epsilon"),  // exact: all grams hit, 2 twins
+      (11L, "zzz yyy alpha beta gamma qqq"),    // partial: 1 of 4 grams hit
+      (12L, "totally novel phrasing here now"), // clean
+      (13L, "ab cd"))                           // <3 tokens: no grams
+      .toDF("doc_id", "text")
+    val rep = Curate.contaminationReport(train, ev)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep(10L) === ((10L, 3L, 3L, 1.0, 2L)))
+    assert(rep(11L) === ((11L, 4L, 1L, 0.25, 0L)))
+    assert(rep(12L) === ((12L, 3L, 0L, 0.0, 0L)))
+    assert(rep(13L) === ((13L, 0L, 0L, 0.0, 0L)))
+    // real-corpus sanity: every ratio in [0,1], hits ≤ grams, output is
+    // one row per eval doc
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r2 = Curate.contaminationReport(
+      real.filter(col("doc_id") % 3 =!= 0), real.filter(col("doc_id") % 97 === 1))
+    assert(r2.count() === real.filter(col("doc_id") % 97 === 1).count())
+    assert(r2.filter(col("n_grams_hit") > col("n_grams") ||
+      col("hit_ratio") < 0 || col("hit_ratio") > 1).count() === 0)
+    // eval ids present in train are fully contaminated by construction
+    assert(r2.filter(col("eval_id") % 3 =!= 0 && col("hit_ratio") < 1.0).count() === 0)
+  }
+
   test("bloom decontamination equals the exact anti-join; the filter routes, never decides") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = docs.filter(col("doc_id") % 3 =!= 0)
