@@ -411,6 +411,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cm === cmAll)
   }
 
+  test("streaming incremental-crawl dedup: per-batch dedupAgainst a growing kept store") {
+    import graft.operators.Dedup
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-crawlstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val store = s"$dir/kept"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(store) // initial corpus
+    (0 until 3).foreach { i => // the "crawl": odd docs in three files
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val batchIds = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // freeze: the store we read is about to grow
+        batchIds += b.select("doc_id").as[Long].collect().toSet
+        Dedup.dedupAgainst(b, spark.read.parquet(store))
+          .write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val finalIds = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    // sequential replay in the RECORDED arrival order reproduces the store
+    var kept = docs.filter(col("doc_id") % 2 === 0)
+    batchIds.foreach { ids =>
+      val surv = Dedup.dedupAgainst(
+        docs.filter(col("doc_id").isin(ids.toSeq: _*)), kept)
+      kept = kept.unionByName(surv).localCheckpoint()
+    }
+    assert(finalIds === kept.select("doc_id").as[Long].collect().toSet)
+    // invariant: no surviving doc has a verified twin KEPT BEFORE it —
+    // every near-dup pair left in the store is same-batch (dedupAgainst
+    // screens against history, not within the arriving batch)
+    val whenKept = batchIds.zipWithIndex
+      .flatMap { case (ids, i) => ids.map(_ -> i) }.toMap
+        .withDefaultValue(-1) // initial store
+    val pairs = Dedup.minHashLsh(spark.read.parquet(store))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val crossEpoch = pairs.filter { case (a, b) =>
+      finalIds(a) && finalIds(b) && whenKept(a) != whenKept(b) }
+    assert(crossEpoch.isEmpty,
+      s"later batches re-admitted near-dups of earlier kept docs: $crossEpoch")
+  }
+
   test("streaming log-histogram maintenance: per-batch cell merge equals the batch sketch") {
     import graft.operators.Sketches
     import java.nio.file.{Files, Paths}
