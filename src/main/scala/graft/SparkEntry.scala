@@ -488,6 +488,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 1))
         .orderBy(col("eval_id"))
     },
+    // Canonical selection by quality: each dup cluster keeps its longest
+    // member (ties → min id) via the skew-safe salted argmax.
+    "q_dedup_canonical" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Dedup.canonicalByScore(
+        Dedup.clusters(Dedup.minHashLsh(docs)),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+        .orderBy(col("doc_id"))
+    },
     // Incremental-crawl dedup: new docs (odd ids) dropped when a verified
     // J ≥ 0.6 twin exists in the kept reference corpus (even ids).
     "q_dedup_against" -> { (s, dir) =>
@@ -879,7 +888,11 @@ object SparkEntry {
     * shared by q_dedup_clusters (one-shot) and q_dedup_clusters_inc
     * (incremental merge replay): both must produce identical labels.
     */
-  private lazy val ClustersOracleSql =
+  /** The CTE chain shared by the clusters / canonical-selection oracles:
+    * shingles → MinHash → bands → verified LSH pairs → recursive
+    * reachability closure (`reach`).
+    */
+  private lazy val ClustersCtes =
     s"""${ToksCte.replace("WITH toks", "WITH RECURSIVE toks")},
        |$ShinglesCte,
        |mh AS (
@@ -909,7 +922,10 @@ object SparkEntry {
        |reach AS (
        |  SELECT s AS doc_id, d AS r FROM und
        |  UNION
-       |  SELECT re.doc_id, u.d FROM reach re JOIN und u ON re.r = u.s)
+       |  SELECT re.doc_id, u.d FROM reach re JOIN und u ON re.r = u.s)""".stripMargin
+
+  private lazy val ClustersOracleSql =
+    s"""$ClustersCtes
        |SELECT doc_id, least(doc_id, min(r)) AS cluster_id
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -1470,6 +1486,17 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_a FROM hit)
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""$ClustersCtes,
+         |cl AS (SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+         |       FROM reach GROUP BY doc_id),
+         |rk AS (SELECT cl.doc_id, cl.cluster_id,
+         |              CAST(d.n_chars AS BIGINT) AS score,
+         |              ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |                                 ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+         |       FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id, score, (rn = 1) AS kept
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" -> ClustersOracleSql,
     // incremental merge must reproduce the one-shot clustering exactly,
     // so the oracle is the SAME recursive closure over the full pair set

@@ -347,6 +347,31 @@ object Dedup {
       key = "fp", carry = Seq("sh"), identical = lit(1.0), score = "jaccard")(bandPairs)
   }
 
+  /** Canonical selection by SCORE: keep the BEST member of each duplicate
+    * cluster — highest `score`, ties to the smallest `doc_id` — instead
+    * of [[clusters]]' min-id convention. The choice a curation stack
+    * actually wants: among near-duplicate crawls of a page, keep the
+    * longest / highest-quality capture, not the one with the smallest id.
+    * Inputs: a (doc_id, cluster_id) assignment and a (doc_id, score)
+    * table (score must be engine-deterministic for oracle replays; ids
+    * must be unique so the order is total). Output: every clustered doc
+    * with its cluster, score, and a `kept` flag.
+    *
+    * The per-cluster argmax rides [[Diagnostics.saltedTopKPerKey]] with
+    * k = 1 — two-stage salted ranks, so a boilerplate mega-cluster
+    * (thousands of identical pages) never funnels through one window
+    * task.
+    */
+  def canonicalByScore(clusterAssign: DataFrame, scores: DataFrame): DataFrame = {
+    val withScore = clusterAssign.join(scores, "doc_id")
+    val winners = Diagnostics.saltedTopKPerKey(withScore,
+      col("cluster_id"), col("score"), col("doc_id"), k = 1)
+      .select(col("key").as("cluster_id"), col("tiebreak").as("cn_winner"))
+    withScore.join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("doc_id") === col("cn_winner")).as("kept"))
+  }
+
   /** Bipartite near-dedup vs an already-kept REFERENCE corpus — the
     * incremental-crawl step: a new batch is deduplicated AGAINST the
     * corpus you already kept (not just within itself), so re-crawled and

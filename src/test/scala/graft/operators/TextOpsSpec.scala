@@ -300,6 +300,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("cosine") >= 0.3))
   }
 
+  test("canonicalByScore keeps exactly the best-scoring member per cluster") {
+    val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cl = Dedup.clusters(Dedup.minHashLsh(docs1)).cache()
+    val out = Dedup.canonicalByScore(cl,
+      docs1.select(col("doc_id"), col("n_chars").as("score")))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty && out.length === cl.count().toInt)
+    // driver replay: per cluster, the (score desc, id asc) head is kept
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val winner = members.minBy { case (id, _, sc, _) => (-sc, id) }._1
+      members.foreach { case (id, _, _, kept) =>
+        assert(kept === (id === winner), s"cluster $c: $id kept=$kept")
+      }
+    }
+    // exactly one kept per cluster
+    assert(out.filter(_._4).map(_._2).distinct.length === out.map(_._2).distinct.length)
+    // a mega-cluster (many identical scores) still keeps exactly one —
+    // the min-id member — through the salted two-stage argmax
+    val mega = (1L to 5000L).map(i => (i, 1L)).toDF("doc_id", "cluster_id")
+    val megaOut = Dedup.canonicalByScore(mega,
+      (1L to 5000L).map(i => (i, 7L)).toDF("doc_id", "score"))
+    assert(megaOut.filter(col("kept")).select("doc_id").as[Long].collect().toSeq
+      === Seq(1L))
+    assert(megaOut.count() === 5000L)
+  }
+
   test("dedupAgainst drops exactly the docs with a cross-corpus minHashLsh twin") {
     val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val newDocs = docs1.filter(col("doc_id") % 2 === 1)
