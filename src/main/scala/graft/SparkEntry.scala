@@ -595,6 +595,29 @@ object SparkEntry {
       Curate.sampleExactN(Tables(s, dir).documents, col("doc_id"), 500, "exact1")
         .select("doc_id", "sample_rank")
         .orderBy(col("sample_rank"))),
+    // Epoch/repeat upsampling: src0 seen 2.5×, src2 3×, src1 downsampled
+    // to 0.4×, everything else exactly once — one generate, zero shuffle.
+    "q_repeat_upsample" -> ((s, dir) =>
+      Curate.repeatUpsample(Tables(s, dir).documents, col("source"),
+        col("doc_id"), Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 3.0), "rep1")
+        .select("doc_id", "source", "rep_no")
+        .orderBy(col("doc_id"), col("rep_no"))),
+    // Deterministic shard layout: hash shard + reproducible within-shard
+    // shuffle position (the final training-file write plan).
+    "q_shards" -> ((s, dir) =>
+      Layout.assignShards(Tables(s, dir).documents, col("doc_id"), 8, "sh1")
+        .select("doc_id", "shard_no", "shard_pos")
+        .orderBy(col("doc_id"))),
+    // Release manifest per shard: counts, token mass, and the
+    // order-independent DECIMAL fingerprint a reader re-derives.
+    "q_shard_manifest" -> { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables(s, dir).documents
+      Layout.shardManifest(
+        Layout.assignShards(docs, col("doc_id"), 8, "sh1"),
+        col("doc_id"), size(tokens(col("text"))))
+        .orderBy(col("shard_no"))
+    },
     "q_curated" -> ((s, dir) =>
       Curate.curated(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_split_assign" -> ((s, dir) =>
@@ -1956,6 +1979,45 @@ object SparkEntry {
         |                  CAST(doc_id AS VARCHAR)) AS sample_rank
         |FROM documents
         |ORDER BY sample_rank LIMIT 500""".stripMargin,
+    "q_repeat_upsample" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |         (CASE WHEN source = 'src0' THEN 2
+        |               WHEN source = 'src1' THEN 0
+        |               WHEN source = 'src2' THEN 3 ELSE 1 END)
+        |       + (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|rep|rep1'), 1, 15)
+        |                     AS BIGINT) % 10000
+        |                < (CASE WHEN source = 'src0' THEN 5000
+        |                        WHEN source = 'src1' THEN 4000 ELSE 0 END)
+        |          THEN 1 ELSE 0 END) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(range(0, n)) AS rep_no
+        |FROM n ORDER BY doc_id, rep_no""".stripMargin,
+    "q_shards" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shard|sh1'), 1, 15)
+        |              AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard_no,
+        |       CAST(row_number() OVER (PARTITION BY h % 8
+        |                               ORDER BY h, CAST(doc_id AS VARCHAR)) AS BIGINT) - 1
+        |         AS shard_pos
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_shard_manifest" ->
+      s"""$ToksCte,
+         |a AS (
+         |  SELECT t.doc_id, len(t.toks) AS n_tok,
+         |         CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || '|shard|sh1'), 1, 15)
+         |              AS BIGINT) AS h,
+         |         CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS fp
+         |  FROM toks t)
+         |SELECT h % 8 AS shard_no,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(fp) AS DECIMAL(38,0)) AS fp_sum
+         |FROM a GROUP BY 1 ORDER BY shard_no""".stripMargin,
     "q_curated" ->
       s"""$ToksCte,
          |q AS (SELECT doc_id,

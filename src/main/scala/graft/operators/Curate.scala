@@ -622,4 +622,55 @@ object Curate {
       redacted.as("text_redacted"),
       nPii.cast("long").as("n_pii"))
   }
+
+  /** Epoch/repeat upsampling — the UP-sampling half of mix construction
+    * (the [[mixToTarget]]/[[mixTemperature]] gates only downsample): a
+    * source with repeat factor e contributes ⌊e⌋ full copies of every row
+    * plus one extra copy of a deterministic frac(e) hash-share of its
+    * rows — the "Wikipedia seen 3.3 epochs" recipe of real pretraining
+    * mixes, with the fractional epoch as an unbiased per-row gate instead
+    * of a truncation. Sources absent from `epochs` keep factor 1.0
+    * (exactly one copy); factors below 1 degrade gracefully into plain
+    * hash sampling (0 full copies + gate), so one operator expresses the
+    * whole per-source repeat schedule. Output = input + `rep_no`
+    * (0-based copy index, so (key, rep_no) stays unique downstream and a
+    * shuffle salt like [[withShuffleKey]]'s can separate copies).
+    *
+    * Per-source ⌊e⌋ / basis-point literals are inlined into the plan (the
+    * epochs map is an explicit argument — tens of sources, no driver
+    * job), the gate is the shared h60 % 10000 convention, and the copy
+    * fan-out is one generate per row: zero shuffle, zero extra scan,
+    * linear in OUTPUT size at any corpus scale. The `sequence` upper
+    * bound is guarded (`when n ≥ 1`) because `sequence(0, −1)` would
+    * fabricate a descending range for gated-out rows of a sub-1 factor.
+    */
+  def repeatUpsample(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      epochs: Map[String, Double],
+      salt: String): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    require(epochs.values.forall(e => e > 0 && e <= 100),
+      "repeat factors must be in (0, 100]")
+    val scratch = Set("rep_n", "rep_no")
+    require(!df.columns.exists(scratch.contains),
+      s"input must not contain scratch columns ${scratch.mkString("/")}")
+    val full = epochs.foldLeft(lit(1L)) { case (acc, (s, e)) =>
+      when(source === lit(s), lit(math.floor(e).toLong)).otherwise(acc)
+    }
+    val bp = epochs.foldLeft(lit(0L)) { case (acc, (s, e)) =>
+      when(source === lit(s),
+        lit(math.round((e - math.floor(e)) * 10000))).otherwise(acc)
+    }
+    val gate = pmod(h60(concat(key.cast("string"), lit("|rep|"), lit(salt))),
+      lit(10000L)) < bp
+    df
+      .withColumn("rep_n", full + when(gate, lit(1L)).otherwise(lit(0L)))
+      .withColumn("rep_no",
+        explode(when(col("rep_n") >= 1,
+          sequence(lit(0L), col("rep_n") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("rep_n")
+  }
 }

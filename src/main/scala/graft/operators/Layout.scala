@@ -112,4 +112,55 @@ object Layout {
         ceil(col("split_no") * col("m") / lit(numSplits.toDouble)).cast("long"))
       .select(col("split_no"), col("k").as("upper_bound"))
   }
+
+  /** Deterministic training-shard layout — the final write step of a
+    * curation run: every row lands in shard `h60(key|salt) % numShards`
+    * with a reproducible within-shard position (rank by the shuffled h60,
+    * ties by the key's string form — a total order when keys are unique).
+    * The assignment doubles as the global example shuffle (the h60 order
+    * IS [[Curate.withShuffleKey]]'s), so shard files stream to a trainer
+    * in a reproducible shuffled order with no separate pass.
+    *
+    * Scale shape: one hash shuffle on `shard_no` and a per-shard sort
+    * window. The window is partitioned (never global-one-task); its
+    * per-task input is one shard — callers size `numShards` so a shard is
+    * one training file (≈ 1–4 GB), which bounds the task by construction
+    * and keeps hash balance within noise (uniform h60).
+    */
+  def assignShards(
+      df: DataFrame, key: Column, numShards: Int, salt: String): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val scratch = Set("shard_no", "shard_pos", "sh_h")
+    require(!df.columns.exists(scratch.contains),
+      s"input must not contain scratch columns ${scratch.mkString("/")}")
+    import graft.functions.TextFunctions.h60
+    import org.apache.spark.sql.expressions.Window
+    val h = h60(concat(key.cast("string"), lit("|shard|"), lit(salt)))
+    val w = Window.partitionBy(col("shard_no"))
+      .orderBy(col("sh_h"), key.cast("string"))
+    df
+      .withColumn("sh_h", h)
+      .withColumn("shard_no", pmod(col("sh_h"), lit(numShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+      .drop("sh_h")
+  }
+
+  /** Release manifest over an [[assignShards]] assignment: one row per
+    * shard with its document count, token mass, and an order-independent
+    * integer content fingerprint (the exact DECIMAL sum of each member's
+    * h60(key) — commutative, so partitioning/arrival order can't change
+    * it, and any engine replays it bit-for-bit). The manifest is what a
+    * release publishes next to the shard files: a reader re-derives the
+    * same row from the data it downloaded and rejects a short or
+    * corrupted shard. One keyed aggregation, numShards output rows.
+    */
+  def shardManifest(
+      assigned: DataFrame, key: Column, tokenCount: Column): DataFrame =
+    assigned
+      .groupBy(col("shard_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"),
+        sum(graft.functions.TextFunctions.h60(key.cast("string"))
+          .cast("decimal(38,0)")).as("fp_sum"))
 }

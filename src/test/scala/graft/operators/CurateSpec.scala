@@ -626,6 +626,39 @@ class CurateSpec extends SparkSpec {
     assert(kept.select("id").exceptAll(raised.select("id")).count() === 0)
   }
 
+  test("repeatUpsample emits floor(e) copies plus a frac(e) hash-gated extra") {
+    import graft.functions.TextFunctions.h60Jvm
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val epochs = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 3.0)
+    val out = Curate.repeatUpsample(docs, col("source"), col("doc_id"), epochs, "t1")
+      .select("doc_id", "source", "rep_no")
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    srcOf.foreach { case (id, src) =>
+      val e = epochs.getOrElse(src, 1.0)
+      val gate = h60Jvm(s"$id|rep|t1") % 10000 <
+        math.round((e - math.floor(e)) * 10000)
+      val expected = math.floor(e).toLong + (if (gate) 1L else 0L)
+      val copies = byDoc.getOrElse(id, Array.empty).sortBy(_._3)
+      assert(copies.length.toLong === expected,
+        s"doc $id of $src: ${copies.length} copies, expected $expected")
+      // rep_no is the contiguous 0-based copy index
+      assert(copies.map(_._3).toSeq === (0L until expected))
+    }
+    // a factor-1 source contributes exactly its input rows
+    assert(out.count(_._2 == "src3") ===
+      docs.filter(col("source") === "src3").count())
+    intercept[IllegalArgumentException] {
+      Curate.repeatUpsample(docs.withColumn("rep_no", lit(1)),
+        col("source"), col("doc_id"), epochs, "t1")
+    }
+    intercept[IllegalArgumentException] {
+      Curate.repeatUpsample(docs, col("source"), col("doc_id"),
+        Map("src0" -> 0.0), "t1")
+    }
+  }
+
   test("centroids equal the driver-side per-label mean") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),

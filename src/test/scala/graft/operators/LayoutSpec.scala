@@ -95,4 +95,46 @@ class LayoutSpec extends SparkSpec {
       .count()
     assert(loose === 0, "a bucket spans more than half of BOTH dimensions")
   }
+
+  test("assignShards gives every row the h60 shard and a contiguous 0-based position") {
+    import graft.functions.TextFunctions.h60Jvm
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Layout.assignShards(docs, col("doc_id"), 8, "t1")
+      .select("doc_id", "shard_no", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === docs.count())
+    out.foreach { case (id, shard, _) =>
+      assert(shard === h60Jvm(s"$id|shard|t1") % 8)
+    }
+    // positions within a shard are exactly 0..n-1 in hash order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq === rows.indices.map(_.toLong))
+      val hashes = byPos.map(r => h60Jvm(s"${r._1}|shard|t1"))
+      assert(hashes.toSeq === hashes.sorted.toSeq)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.assignShards(docs.withColumn("shard_no", lit(1)), col("doc_id"), 8, "t1")
+    }
+  }
+
+  test("shardManifest row replays from the members (count, mass, decimal fp)") {
+    import graft.functions.TextFunctions.h60Jvm
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = Layout.assignShards(docs, col("doc_id"), 4, "t2")
+    val manifest = Layout.shardManifest(assigned, col("doc_id"), col("n_chars"))
+      .select("shard_no", "n_docs", "n_tokens", "fp_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger))
+    val members = assigned.select("doc_id", "shard_no", "n_chars")
+      .as[(Long, Long, Long)].collect().groupBy(_._2)
+    assert(manifest.map(_._1).sorted.toSeq === members.keys.toSeq.sorted)
+    manifest.foreach { case (shard, nDocs, mass, fp) =>
+      val m = members(shard)
+      assert(nDocs === m.length)
+      assert(mass === m.map(_._3).sum)
+      val expected = m.map(r => BigInt(h60Jvm(r._1.toString))).sum
+      assert(BigInt(fp) === expected)
+    }
+  }
 }
