@@ -625,6 +625,17 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // Leakage-safe split: the split key is the near-dup CLUSTER root, so
+    // no mined pair ever straddles train/eval; unpaired docs hash exactly
+    // as q_split_assign does (cluster_id = doc_id).
+    "q_split_by_cluster" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Curate.splitByCluster(docs, col("doc_id"),
+        Dedup.clusters(Dedup.minHashLsh(docs)), "v1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy(col("doc_id"))
+    }),
     "q_decontaminate" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       Curate.decontaminate(
@@ -2055,6 +2066,20 @@ object SparkEntry {
         |  ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_split_by_cluster" ->
+      s"""$ClustersCtes,
+         |labels AS (SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+         |           FROM reach GROUP BY doc_id),
+         |keyed AS (SELECT d.doc_id,
+         |                 coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |          FROM documents d LEFT JOIN labels l USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${h60Sql("CAST(cluster_id AS VARCHAR) || '|v1'")} % 10000 < 8000
+         |         THEN 'train'
+         |       WHEN ${h60Sql("CAST(cluster_id AS VARCHAR) || '|v1'")} % 10000 < 9000
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""$ToksCte,
          |fps AS (SELECT doc_id, md5(text) AS fe,

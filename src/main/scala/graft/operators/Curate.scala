@@ -294,6 +294,41 @@ object Curate {
     df.withColumn("split", split)
   }
 
+  /** Leakage-safe split: assign train/val/test BY NEAR-DUP CLUSTER, not by
+    * document, so two near-duplicates can never straddle a split boundary
+    * (per-doc hashing leaks ~dup_rate·eval_frac of eval content into
+    * train — the contamination mode measured in "Deduplicating Training
+    * Data Makes Language Models Better"; group-wise assignment is the
+    * standard fix). `clusterLabels` is the (doc_id, cluster_id) output of
+    * [[Dedup.clusters]] / [[Dedup.mergeClusters]]; docs that appear in no
+    * near-dup pair fall back to their own id (singleton cluster), so the
+    * hash gate reduces to [[assignSplit]] exactly on the unpaired mass.
+    *
+    * Scale shape: one equi-join on the id (labels cover only paired docs —
+    * typically a few % of the corpus, broadcast-able when small; never a
+    * cartesian) and the per-row hash gate. Split fractions are honored in
+    * cluster-mass, not doc-mass — a heavy cluster drags its whole mass to
+    * one side, which is precisely the point.
+    */
+  def splitByCluster(
+      docs: DataFrame,
+      key: Column,
+      clusterLabels: DataFrame,
+      salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(!docs.columns.contains("cluster_id"),
+      "docs already has a cluster_id column — rename it before splitByCluster")
+    require(!docs.columns.contains("sbc_id"),
+      "docs already has a sbc_id column (scratch name) — rename it")
+    val labels = clusterLabels.select(
+      col("doc_id").as("sbc_id"), col("cluster_id"))
+    val keyed = docs
+      .join(labels, key === col("sbc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), key.cast("long")))
+      .drop("sbc_id")
+    assignSplit(keyed, col("cluster_id"), salt, fractions)
+  }
+
   /** Decontamination: drop training documents whose content collides with
     * the evaluation corpus — by exact text hash or by bag-of-words
     * fingerprint (catches token reorderings). Two broadcast-able anti

@@ -293,6 +293,28 @@ class CurateSpec extends SparkSpec {
     assert(out === again)
   }
 
+  test("splitByCluster never splits a pair; singletons match assignSplit") {
+    val d = (1L to 400L).toDF("doc_id")
+    // chain 1-2, 2-3 (one cluster) plus 10-11; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.clusters(pairs)
+    val out = Curate.splitByCluster(d, col("doc_id"), labels, "s",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 400)
+    // every pair endpoint shares its cluster's split
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(out(a)._2 === out(b)._2, s"pair ($a,$b) straddles splits")
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct === Seq(1L))
+    // unpaired docs reduce to plain per-doc assignSplit
+    val plain = Curate.assignSplit(d.filter(!col("doc_id").isin(1L, 2L, 3L, 10L, 11L)),
+      col("doc_id"), "s", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    plain.foreach { case (id, sp) => assert(out(id)._2 === sp) }
+  }
+
   test("decontaminate drops exact and reordered eval collisions, keeps the rest") {
     val train = Seq(
       (1L, "unique training text here"),
