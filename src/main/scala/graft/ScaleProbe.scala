@@ -186,7 +186,7 @@ object ScaleProbe {
         .write.parquet(s"$srcDir/events.parquet")
       val wd = s"$root/stream-x$f"
       streaming.PersistPipeline.runStream(spark, s"$srcDir/events.parquet", wd,
-        prepare = _.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+        prepare = Tables.normalizeTs)
       val store = s"$wd/index"
       val compacted = s"$wd/index_compacted"
       streaming.Maintenance.compact(spark, store, compacted,

@@ -48,9 +48,7 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           src.resolve("events.parquet"))
         graft.streaming.PersistPipeline.runStream(s, src.toString, wd,
-          // driver testdata stores ts as TIMESTAMP(NANOS) → long under
-          // nanosAsLong; floor to micros exactly like Tables.events
-          prepare = _.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+          prepare = Tables.normalizeTs)
         wd
       })
   }

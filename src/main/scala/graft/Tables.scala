@@ -19,17 +19,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read it as raw nanos and floor-truncate to micros
-    * — exactly what DuckDB does when it reads the same file, so oracle
-    * comparisons stay value-identical. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build time
-    * ([[GraftSession]] / Verify / Bench), NOT mutated here: flipping shared
-    * session conf inside a getter is racy against already-planned scans.
+  /** events.parquet's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (arrives as raw nanos `bigint` under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build time)
+    * or plain TIMESTAMP(MICROS) (arrives as `timestamp_ntz`). Normalize both
+    * to micro-precision session-TZ `timestamp` — exactly the value DuckDB
+    * sees for the same file, so oracle comparisons stay value-identical.
     */
-  def events: DataFrame =
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  def events: DataFrame = Tables.normalizeTs(t("events"))
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** Schema-adaptive `ts` normalization (see [[Tables.events]]): raw parquet
+    * nanos (`bigint`) floor-truncate to micros; `timestamp_ntz` reinterprets
+    * as session-TZ (UTC) `timestamp` — same instant, since the driver writes
+    * naive UTC; already-`timestamp` passes through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case _                => df
+  }
 }

@@ -12,8 +12,9 @@ class MetricsSpec extends SparkSpec {
 
   test("approx latency summary lands within the reference quantile tolerances (A6)") {
     // same lag shape as q_latency_metrics, over sf0.001 events
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select((col("ts") / lit(1e9)).as("t")) // raw nanos → seconds scale
+    val ev = graft.Tables.normalizeTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("ts").cast("double").as("t")) // epoch seconds scale
     val mx = ev.agg(max(col("t"))).head().getDouble(0)
     val lags = ev.select((lit(mx) - col("t")).as("lag")).cache()
     val approx = Metrics.latencySummaryApprox(lags, col("lag")).head()

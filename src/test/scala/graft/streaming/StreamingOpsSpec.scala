@@ -17,9 +17,8 @@ class StreamingOpsSpec extends SparkSpec {
 
   private val GapMinutes = 360L // 6 hours, matching q_sessionize
 
-  private lazy val events = spark.read
-    .parquet("/root/testdata/sf0.001/events.parquet")
-    .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  private lazy val events = graft.Tables.normalizeTs(spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet"))
     .cache()
 
   private def sessionKey(r: org.apache.spark.sql.Row) =
