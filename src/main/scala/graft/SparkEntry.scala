@@ -92,6 +92,18 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) => Analytics.shippingPriority(Tables(s, dir))),
     "q5_local_supplier_volume" -> ((s, dir) => Analytics.localSupplierVolume(Tables(s, dir))),
     "q_top_customers_per_nation" -> ((s, dir) => Analytics.topCustomersPerNation(Tables(s, dir))),
+    // Link-graph authority scoring (Common-Crawl-style domain weighting):
+    // 3 integer-exact PageRank rounds over the symmetrized customer–
+    // supplier graph — every rank a BIGINT in parts-per-10^12.
+    "q_pagerank" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.pagerank(Graph.symmetrize(edges), iters = 3).orderBy(col("node"))
+    },
     // -- index model + query surface (SURVEY §2.1 S7-S10, §2.3 T4/T5, §2.5 A1-A3)
     "q_idx_build" -> ((s, dir) =>
       IndexModel.fromEventsFlat(Tables(s, dir).events).orderBy(col("unique_id"))),
@@ -473,6 +485,13 @@ object SparkEntry {
     "q_dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(Tables(s, dir).documents, avgTokens = 4)
         .orderBy(col("doc_id"))),
+    // Boilerplate removal (RefinedWeb line rule at paragraph granularity):
+    // a paragraph in >2 distinct docs is dropped from EVERY doc — the
+    // complement of keep-first dedup above, same content-defined split.
+    "q_boilerplate_paragraphs" -> ((s, dir) =>
+      Dedup.boilerplateParagraphs(Tables(s, dir).documents,
+        avgTokens = 4, maxDf = 2)
+        .orderBy(col("doc_id"))),
     // Exact-substring span dedup: remove every repeated ≥8-token run
     // corpus-wide, keep-first (the ExactSubstr pass at window granularity).
     "q_dedup_substring" -> ((s, dir) =>
@@ -517,6 +536,17 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
         .orderBy(col("query_id"), col("rank"))),
+    // ANN acceptance gate: recall@5 of the SRP-IVF index against the
+    // brute-force baseline on the same probe set — the tuning measurement
+    // an index is accepted on before a corpus-wide sweep trusts it.
+    "q_ann_recall" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val pred = col("vec_id") % 50 === 0
+      Similarity.recallAtK(
+        Similarity.ivfTopK(emb, pred, 5),
+        Similarity.bruteForceTopK(emb, pred, 5), 5)
+        .orderBy(col("query_id"))
+    },
     // Learned-quantizer IVF at nprobe == numCells: an exact full scan by
     // construction, so the brute-force oracle gates the entire k-means
     // train + assign + multi-probe machinery (any drift → hash mismatch).
@@ -593,6 +623,13 @@ object SparkEntry {
       Curate.sampleExactN(Tables(s, dir).documents, col("doc_id"), 500, "exact1")
         .select("doc_id", "sample_rank")
         .orderBy(col("sample_rank"))),
+    // Balanced per-class cut: exactly min(60, |lang|) docs per language by
+    // deterministic h60 rank — the skew-safe two-stage form, never a
+    // per-language single window task.
+    "q_sample_per_lang" -> ((s, dir) =>
+      Curate.sampleExactPerKey(Tables(s, dir).documents,
+        col("lang"), col("doc_id"), n = 60, salt = "balance")
+        .orderBy(col("lang"), col("sample_rank"))),
     // Epoch/repeat upsampling: src0 seen 2.5×, src2 3×, src1 downsampled
     // to 0.4×, everything else exactly once — one generate, zero shuffle.
     "q_repeat_upsample" -> ((s, dir) =>
@@ -674,6 +711,14 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScores(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // Gopher rule battery as per-rule integer flags + conjunction;
+    // thresholds tightened vs the published defaults so every rule
+    // discriminates on the synthetic corpus (all-integer comparisons).
+    "q_quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherGate(Tables(s, dir).documents,
+        minWords = 20, maxWords = 90, minMwlTenths = 40, maxMwlTenths = 50,
+        alphaPct = 80, minStopDistinct = 1, ttrPct = 40)
+        .orderBy(col("doc_id"))),
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_text_fingerprints" -> ((s, dir) =>
@@ -890,6 +935,36 @@ object SparkEntry {
   /** DuckDB h60 — lockstep with [[graft.functions.TextFunctions.h60]]. */
   private def h60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Unrolled integer-exact PageRank replay — lockstep with
+    * [[graft.operators.Graph.pagerank]]: round i's CTE recomputes
+    * r_i(v) = base + (85·Σ r_{i-1}(u) // outdeg(u)) // 100 over the
+    * symmetrized customer–supplier edges, all BIGINT floor divisions.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST((SELECT ((15 * 1000000000000) // (100 * COUNT(*))) FROM nodes)
+         |    + ((85 * COALESCE(s.s, 0)) // 100) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+         |    FROM bi e JOIN r${i - 1} r ON e.src = r.node
+         |              JOIN deg d ON e.src = d.node
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |bi AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |nodes AS (SELECT DISTINCT src AS node FROM bi),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM bi GROUP BY src),
+       |r0 AS (SELECT node,
+       |       CAST((SELECT (1000000000000 // COUNT(*)) FROM nodes) AS BIGINT) AS r
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS rank_pp12,
+       |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** DuckDB CTE: embeddings with double vector, norm, and the SRP sign-bit
     * array over planes 0..23 — lockstep with
@@ -1285,6 +1360,7 @@ object SparkEntry {
         |  FROM customer)
         |WHERE rnk <= 3
         |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q_pagerank" -> pagerankSql(3),
     "q_idx_getall_join" ->
       s"""$IndexCte
          |SELECT unique_id, broker_id, location_key FROM idx
@@ -1579,6 +1655,29 @@ object SparkEntry {
          |       COALESCE(string_agg(CASE WHEN rn = 1 THEN ptext END,
          |                           ' ' ORDER BY para_no), '') AS text_dedup
          |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same content-defined paragraph CTEs as q_dedup_paragraph; the rule
+    // flips from keep-first to drop-everywhere when df > 2 distinct docs
+    "q_boilerplate_paragraphs" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM toks),
+         |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok FROM tk),
+         |fl AS (SELECT doc_id, i, tok,
+         |              CASE WHEN ${h60Sql("tok")} % 4 = 0 THEN 1 ELSE 0 END AS b
+         |       FROM tok),
+         |pn AS (SELECT doc_id, i, tok,
+         |              COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_no
+         |       FROM fl),
+         |paras AS (SELECT doc_id, para_no, string_agg(tok, ' ' ORDER BY i) AS ptext
+         |          FROM pn GROUP BY doc_id, para_no),
+         |dfc AS (SELECT md5(ptext) AS fp, COUNT(DISTINCT doc_id) AS para_df
+         |        FROM paras GROUP BY md5(ptext))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |       CAST(SUM(CASE WHEN para_df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       COALESCE(string_agg(CASE WHEN para_df <= 2 THEN ptext END,
+         |                           ' ' ORDER BY para_no), '') AS text_clean
+         |FROM paras JOIN dfc ON md5(paras.ptext) = dfc.fp
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""$ToksCte,
          |sims AS (
@@ -1640,6 +1739,37 @@ object SparkEntry {
          |         cosine
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // approx = q_ivf_topk's cell-restricted ranking, exact = q_topk_cosine's
+    // full scan; recall@5 = their per-query top-5 intersection / 5
+    "q_ann_recall" ->
+      s"""$EmbCte,
+         |c AS (SELECT vec_id, d, nrm,
+         |             CAST(list_sum(list_transform(range(0, 4),
+         |                 p -> bits[p+1] << p)) AS BIGINT) AS cell
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, cell, d AS dq, nrm AS nq
+         |      FROM c WHERE vec_id % 50 = 0),
+         |sa AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY list_dot_product(dq, d) / (nq * nrm) DESC, c.vec_id) AS rnk
+         |    FROM c JOIN q ON q.cell = c.cell AND query_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         |se AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY list_dot_product(dq, d) / (nq * nrm) DESC, c.vec_id) AS rnk
+         |    FROM c JOIN q ON query_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         |hits AS (SELECT se.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM se JOIN sa ON se.query_id = sa.query_id
+         |                        AND se.neighbor_id = sa.neighbor_id
+         |         GROUP BY se.query_id)
+         |SELECT u.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM se) u
+         |LEFT JOIN hits h ON u.query_id = h.query_id
+         |ORDER BY u.query_id""".stripMargin,
     "q_near_dup_embeddings" ->
       s"""$EmbCte,
          |bands AS (
@@ -1699,6 +1829,29 @@ object SparkEntry {
          |      / len(toks)::DOUBLE
          |  ELSE 0.0 END AS mean_token_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // integer cross-multiplication comparisons — no float anywhere, so the
+    // flag table replays bit-exactly; thresholds mirror the queries() call
+    "q_quality_gopher" ->
+      s"""$ToksCte,
+         |st AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
+         |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(list_filter(list_distinct(toks), t -> list_contains($StopEn, t))) AS BIGINT)
+         |    AS n_stop_distinct
+         |  FROM toks)
+         |SELECT *, CAST(CASE WHEN words_ok + mwl_ok + alpha_ok + stop_ok + ttr_ok = 5
+         |                    THEN 1 ELSE 0 END AS BIGINT) AS pass_all
+         |FROM (SELECT doc_id, n_tokens, n_unique, sum_token_len, n_alpha_words, n_stop_distinct,
+         |  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 90 THEN 1 ELSE 0 END AS BIGINT) AS words_ok,
+         |  CAST(CASE WHEN sum_token_len * 10 >= n_tokens * 40
+         |             AND sum_token_len * 10 <= n_tokens * 50 THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+         |  CAST(CASE WHEN n_alpha_words * 100 >= n_tokens * 80 THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+         |  CAST(CASE WHEN n_stop_distinct >= 1 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+         |  CAST(CASE WHEN n_unique * 100 >= n_tokens * 40 THEN 1 ELSE 0 END AS BIGINT) AS ttr_ok
+         |  FROM st)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""$ToksCte,
          |h AS (SELECT doc_id,
@@ -1988,6 +2141,14 @@ object SparkEntry {
         |                  CAST(doc_id AS VARCHAR)) AS sample_rank
         |FROM documents
         |ORDER BY sample_rank LIMIT 500""".stripMargin,
+    "q_sample_per_lang" ->
+      s"""SELECT doc_id, text, lang, source, n_chars, sample_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h60Sql("CAST(doc_id AS VARCHAR) || '|balance'")},
+         |             CAST(doc_id AS VARCHAR)) AS sample_rank
+         |  FROM documents)
+         |WHERE sample_rank <= 60
+         |ORDER BY lang, sample_rank""".stripMargin,
     "q_repeat_upsample" ->
       """WITH n AS (
         |  SELECT doc_id, source,

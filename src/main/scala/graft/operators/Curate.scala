@@ -147,6 +147,38 @@ object Curate {
     survivors.withColumn("sample_rank", rank).filter(col("sample_rank") <= n)
   }
 
+  /** Per-group exact-N sampling — the class-balancing cut (exactly
+    * min(n, |group|) rows per language/source/domain) a curation run uses
+    * to build evaluation slices and balanced fine-tuning mixes. Selection
+    * is the n smallest h60(key|salt) per group (ties impossible for
+    * unique keys), so membership is deterministic, engine-replayable, and
+    * nested under growing n — the same contract as [[sampleExactN]], per
+    * group.
+    *
+    * Scale shape: rides [[Diagnostics.twoStageTopK]], so a white-hot
+    * group (one domain = half the corpus) spreads over `salts` partial
+    * rank tasks and never funnels through one window task. Output = input
+    * + `sample_rank` (1..n within the group, in hash order).
+    */
+  def sampleExactPerKey(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      n: Int,
+      salt: String,
+      salts: Int = 16): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(!df.columns.contains("spk_h"),
+      "input must not contain scratch column 'spk_h'")
+    val withH = df.withColumn("spk_h",
+      h60(concat(key.cast("string"), lit("|"), lit(salt))))
+    Diagnostics.twoStageTopK(withH, group,
+        pmod(col("spk_h"), lit(salts.toLong)),
+        Seq(col("spk_h").asc, key.cast("string").asc), n)
+      .withColumn("sample_rank", col("ts_rank").cast("long"))
+      .drop("ts_rank", "spk_h")
+  }
+
   /** Mix sources to TARGET proportions (the DoReMi/Pile-style domain-
     * weighting step): given desired output shares per source, downsample
     * each source so the realized mix matches the target as closely as a

@@ -543,24 +543,7 @@ object Dedup {
     * paragraph granularity.
     */
   def paragraphDedup(docs: DataFrame, avgTokens: Int = 16): DataFrame = {
-    require(avgTokens > 0, "avgTokens must be positive")
-    val tok = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
-    // paragraph index = boundaries strictly BEFORE this token (the marker
-    // token closes its own paragraph; the next token opens a new one)
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = tok
-      .withColumn("b",
-        when(pmod(h60(col("tok")), lit(avgTokens.toLong)) === 0, lit(1L))
-          .otherwise(lit(0L)))
-      .withColumn("para_no", coalesce(sum(col("b")).over(byDoc), lit(0L)))
-    val paras = flagged
-      .groupBy(col("doc_id"), col("para_no"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("i"), col("tok")))),
-          e => e.getField("tok"))).as("ptext"))
-      .withColumn("fp", md5(col("ptext")))
+    val paras = paragraphsOf(docs, avgTokens)
     // keep-first: row 1 of the fingerprint group in (doc_id, para_no)
     // order — a total order, so replays are deterministic cross-engine
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("para_no"))
@@ -574,6 +557,66 @@ object Dedup {
           array_sort(collect_list(
             when(col("keep"), struct(col("para_no"), col("ptext"))))),
           e => e.getField("ptext"))).as("text_dedup"))
+  }
+
+  /** The shared content-defined paragraph builder behind [[paragraphDedup]]
+    * and [[boilerplateParagraphs]]: one (doc_id, para_no, ptext, fp) row
+    * per paragraph, boundaries after any token with h60 ≡ 0 (mod
+    * avgTokens). One per-doc window + one (doc_id, para_no) aggregation.
+    */
+  private def paragraphsOf(docs: DataFrame, avgTokens: Int): DataFrame = {
+    require(avgTokens > 0, "avgTokens must be positive")
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+    // paragraph index = boundaries strictly BEFORE this token (the marker
+    // token closes its own paragraph; the next token opens a new one)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("b",
+        when(pmod(h60(col("tok")), lit(avgTokens.toLong)) === 0, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("para_no", coalesce(sum(col("b")).over(byDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("para_no"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          e => e.getField("tok"))).as("ptext"))
+      .withColumn("fp", md5(col("ptext")))
+  }
+
+  /** Boilerplate-paragraph removal — the RefinedWeb/C4 line-removal rule
+    * at paragraph granularity: a paragraph appearing in MORE than `maxDf`
+    * distinct documents is boilerplate (headers, license blocks, cookie
+    * banners) and is removed from EVERY document — including the first,
+    * which distinguishes this from [[paragraphDedup]]'s keep-first rule
+    * (dedup keeps one copy of everything; boilerplate removal keeps no
+    * copy of the over-frequent). Each document is rewritten from its
+    * surviving paragraphs; `n_removed` counts its boilerplate slots.
+    *
+    * Scale shape: the same [[paragraphsOf]] build, one fp-keyed
+    * COUNT(DISTINCT doc_id) aggregation (two-stage partial distinct — a
+    * white-hot boilerplate fingerprint costs its per-partition dedup, not
+    * a single-task funnel), one fp equi-join back, one doc rebuild. No
+    * pairwise work; boilerplate detection at exact-dedup cost.
+    */
+  def boilerplateParagraphs(
+      docs: DataFrame, avgTokens: Int = 16, maxDf: Int = 2): DataFrame = {
+    require(maxDf >= 1, "maxDf must be at least 1")
+    val paras = paragraphsOf(docs, avgTokens)
+    val dfByFp = paras
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("para_df"))
+    paras
+      .join(dfByFp, Seq("fp"))
+      .withColumn("keep", col("para_df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("para_no"), col("ptext"))))),
+          e => e.getField("ptext"))).as("text_clean"))
   }
 
   /** Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training

@@ -125,6 +125,34 @@ object Similarity {
       .select("query_id", "cell", "neighbor_id", "rank", "cosine")
   }
 
+  /** Recall@k evaluation of an ANN result against the exact baseline —
+    * the acceptance gate every approximate index (IVF cell bits, probe
+    * count, PQ codebook size) is tuned against before a corpus-wide
+    * semantic-dedup sweep trusts it. Both inputs use the top-k contract
+    * of [[bruteForceTopK]]/[[ivfTopK]] (`query_id`, `neighbor_id`,
+    * `rank`); per query: `n_hits` = |approx top-k ∩ exact top-k| and
+    * `recall` = n_hits / k. Queries the approximate index returned
+    * nothing for (empty probe cell) score 0, not absent — the exact side
+    * defines the query universe.
+    *
+    * Scale shape: one (query_id, neighbor_id) equi-semi-join of two
+    * ≤ |queries|·k tables and one keyed count — bounded by the probe set,
+    * independent of corpus size.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ex = exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val ap = approx.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    ex.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Per-label centroids of the embedding column — the building block for
     * IVF training, cluster auditing, and per-class drift checks. Shape:
     * `posexplode` each vector → one `(label, dim)` aggregation (a single

@@ -408,6 +408,63 @@ object TextAnalysis {
         coalesce(col("dup_trigram_ratio"), lit(0.0)).as("dup_trigram_ratio"))
   }
 
+  /** Gopher-style heuristic quality gate (Rae et al. 2021 §A1.1) — the
+    * rule battery a pretraining filter applies per document, emitted as
+    * per-rule flags plus the conjunction, so a pipeline can either hard-
+    * filter on `pass_all` or audit per-rule failure rates before choosing
+    * thresholds:
+    *
+    *   - `words_ok`:  token count within [minWords, maxWords];
+    *   - `mwl_ok`:    mean token length within [minMwl, maxMwl] tenths;
+    *   - `alpha_ok`:  ≥ alphaPct% of tokens contain an alphabetic char;
+    *   - `stop_ok`:   ≥ minStopDistinct distinct common stopwords occur
+    *     (Gopher's "at least 2 of a small stop list" rule, over
+    *     [[StopwordsEn]]);
+    *   - `ttr_ok`:    distinct/total tokens ≥ ttrPct% (the repetition
+    *     proxy; [[repetitionScores]] has the graded forms).
+    *
+    * Every flag is an INTEGER cross-multiplication comparison (e.g. mean
+    * length ≥ 3.0 tested as 10·Σlen ≥ 30·n), so there is no float
+    * division anywhere and the oracle replays bit-exactly. One narrow
+    * projection per row — zero shuffle, codegen throughout. Defaults are
+    * Gopher's published bounds; tests/queries pass stricter ones so the
+    * flags discriminate on the synthetic corpus.
+    */
+  def gopherGate(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMwlTenths: Int = 30,
+      maxMwlTenths: Int = 100,
+      alphaPct: Int = 80,
+      minStopDistinct: Int = 2,
+      ttrPct: Int = 20): DataFrame = {
+    val toks = col("toks")
+    val n = col("n_tokens")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+        size(filter(array_distinct(toks), t => t.isin(StopwordsEn: _*)))
+          .cast("long").as("n_stop_distinct"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_unique"), col("sum_token_len"),
+        col("n_alpha_words"), col("n_stop_distinct"),
+        (n >= minWords && n <= maxWords).cast("long").as("words_ok"),
+        (col("sum_token_len") * 10 >= n * minMwlTenths &&
+          col("sum_token_len") * 10 <= n * maxMwlTenths).cast("long").as("mwl_ok"),
+        (col("n_alpha_words") * 100 >= n * alphaPct).cast("long").as("alpha_ok"),
+        (col("n_stop_distinct") >= minStopDistinct).cast("long").as("stop_ok"),
+        (col("n_unique") * 100 >= n * ttrPct).cast("long").as("ttr_ok"))
+      .withColumn("pass_all",
+        (col("words_ok") === 1 && col("mwl_ok") === 1 && col("alpha_ok") === 1 &&
+          col("stop_ok") === 1 && col("ttr_ok") === 1).cast("long"))
+  }
+
   /** Content fingerprints: h60 of the full normalized text (exact-content
     * identity) and md5 of the sorted distinct-token bag (order-insensitive
     * identity) — the lookup keys for dedup joins.

@@ -692,4 +692,29 @@ class CurateSpec extends SparkSpec {
     assert(out(0) === ((0, 2L, Seq(2.0, 3.0))))
     assert(out(1) === ((1, 1L, Seq(10.0, 20.0))))
   }
+
+  test("sampleExactPerKey keeps exactly min(n, |group|) per group, equals the single-window form, and nests") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Curate.sampleExactPerKey(d, col("lang"), col("doc_id"), n = 7, salt = "t")
+      .select("lang", "doc_id", "sample_rank").cache()
+    val sizes = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got === sizes.map { case (l, c) => l -> math.min(7L, c) })
+    // identical membership AND ranks as the plain one-window-per-group form
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.TextFunctions.h60(
+      concat(col("doc_id").cast("string"), lit("|t")))
+    val ref = d
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").cast("string").asc))
+        .cast("long"))
+      .filter(col("sample_rank") <= 7)
+      .select("lang", "doc_id", "sample_rank")
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+    // nesting: the n=3 selection is exactly the rank ≤ 3 slice of n=7
+    val small = Curate.sampleExactPerKey(d, col("lang"), col("doc_id"), n = 3, salt = "t")
+      .select("lang", "doc_id", "sample_rank")
+    assert(small.exceptAll(out.filter(col("sample_rank") <= 3)).isEmpty)
+    out.unpersist()
+  }
 }

@@ -849,4 +849,48 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).select("tfidf").as[Double].head()
     assert(math.abs(tfidf - 3 * math.log(3.0 / 1.0)) < 1e-12)
   }
+
+  test("boilerplateParagraphs drops over-frequent paragraphs from EVERY doc") {
+    // avgTokens=1: single-token paragraphs. 'a' is in 3 distinct docs
+    // (> maxDf=2) → removed everywhere, including repeats inside doc 1;
+    // contrast with paragraphDedup, which would keep doc 1's first 'a'
+    val d = Seq((1L, "a b a"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateParagraphs(d, avgTokens = 1, maxDf = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2L, "b"), (2L, 2L, 1L, "c"), (3L, 2L, 1L, "d")))
+  }
+
+  test("gopherGate flags discriminate rule by rule; pass_all is the conjunction") {
+    val d = Seq(
+      (1L, "the cat sat"),                       // passes every rule below
+      (2L, "xx yy"),                             // too few words
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaa bbb ccc"), // mean word length too high
+      (4L, "1 2 3 4"),                           // no alpha words, no stopwords
+      (5L, "a a a a"))                           // type-token ratio too low
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherGate(d,
+        minWords = 3, maxWords = 5, minMwlTenths = 20, maxMwlTenths = 60,
+        alphaPct = 50, minStopDistinct = 1, ttrPct = 60)
+      .select("doc_id", "words_ok", "mwl_ok", "alpha_ok", "stop_ok", "ttr_ok", "pass_all")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 1L, 1L, 1L, 1L, 1L, 1L),
+      (2L, 0L, 1L, 1L, 0L, 1L, 0L),
+      (3L, 1L, 0L, 1L, 0L, 1L, 0L),
+      (4L, 1L, 0L, 0L, 0L, 1L, 0L),
+      (5L, 1L, 0L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("recallAtK counts top-k intersection per query; the exact side defines the universe") {
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (3L, 30L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val exact = Seq((1L, 10L, 1L), (1L, 12L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(approx, exact, k = 2)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    // query 3 exists only on the approx side → absent; query 2 got no
+    // approx results → recall 0
+    assert(out === Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
 }
