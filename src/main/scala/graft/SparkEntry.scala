@@ -480,6 +480,15 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables(s, dir).documents, 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Pair-miner agreement measurement: how well hamming ≤ 2 SimHash
+    // pairs approximate the exact J ≥ 0.6 ground truth — the tuning
+    // readout a dedup pass is accepted on.
+    "q_dedup_pair_pr" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Dedup.pairAgreement(
+        Dedup.simHashPairs(docs, 2),
+        Dedup.ngramJaccardPairs(docs, threshold = 0.6))
+    },
     // Paragraph-level exact dedup (content-defined boundaries, keep-first
     // corpus-wide); avgTokens=4 so the tiny-vocab corpus has real repeats.
     "q_dedup_paragraph" -> ((s, dir) =>
@@ -1739,6 +1748,37 @@ object SparkEntry {
          |         cosine
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // pred = q_dedup_simhash's hamming ≤ 2 pairs, truth = q_ngram_jaccard's
+    // exact J ≥ 0.6 pairs; one row of counts + derived precision/recall
+    "q_dedup_pair_pr" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |sims AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+         |    AS simhash
+         |  FROM (SELECT doc_id,
+         |               list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
+         |        FROM toks)),
+         |pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+         |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |            >= 0.6)
+         |SELECT CAST(np AS BIGINT) AS n_pred, CAST(nt AS BIGINT) AS n_truth,
+         |       CAST(ntp AS BIGINT) AS n_tp,
+         |       CASE WHEN np > 0 THEN CAST(ntp AS DOUBLE) / CAST(np AS DOUBLE)
+         |            ELSE 0.0 END AS precision,
+         |       CASE WHEN nt > 0 THEN CAST(ntp AS DOUBLE) / CAST(nt AS DOUBLE)
+         |            ELSE 0.0 END AS recall
+         |FROM (SELECT (SELECT COUNT(*) FROM pred) AS np,
+         |             (SELECT COUNT(*) FROM truth) AS nt,
+         |             (SELECT COUNT(*) FROM pred JOIN truth USING (doc_a, doc_b)) AS ntp)
+         |""".stripMargin,
     // approx = q_ivf_topk's cell-restricted ranking, exact = q_topk_cosine's
     // full scan; recall@5 = their per-query top-5 intersection / 5
     "q_ann_recall" ->

@@ -773,4 +773,33 @@ object Dedup {
     else canonicalMined(sims, key = "simhash", carry = Seq.empty,
       identical = lit(0L), score = "hamming")(chunkPairs)
   }
+
+  /** Pair-set agreement — the "measure, don't guess" gate for dedup
+    * tuning: how well one pair miner's output approximates another's
+    * (banding parameters vs exact ground truth, SimHash radius vs
+    * Jaccard threshold, cheap pass vs expensive pass). One row:
+    * `n_pred`, `n_truth`, `n_tp` (pairs in both), and the derived
+    * `precision` / `recall` (0 when the denominator is empty).
+    *
+    * Scale shape: one (doc_a, doc_b) equi-semi-join of the two pair
+    * tables and three scalar counts — pair tables are the SMALL
+    * derived artifacts (near-linear in corpus size by the miners'
+    * construction), never the corpus.
+    */
+  def pairAgreement(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val p = pred.select(col("doc_a"), col("doc_b"))
+    val t = truth.select(col("doc_a"), col("doc_b"))
+    val np = p.agg(count(lit(1)).as("n_pred"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val tp = p.join(t, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_tp"))
+    np.crossJoin(nt).crossJoin(tp)
+      .select(col("n_pred"), col("n_truth"), col("n_tp"),
+        when(col("n_pred") > 0,
+          col("n_tp").cast("double") / col("n_pred").cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_tp").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+  }
 }

@@ -882,6 +882,19 @@ class TextOpsSpec extends SparkSpec {
       (5L, 1L, 0L, 1L, 1L, 0L, 0L)))
   }
 
+  test("pairAgreement computes tp/precision/recall over pair sets") {
+    val pred = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pairAgreement(pred, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out === ((4L, 2L, 2L, 0.5, 1.0)))
+    // empty prediction: both denominators guard to 0, not NaN
+    val empty = Dedup.pairAgreement(pred.limit(0), truth.limit(0))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(empty === ((0L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("recallAtK counts top-k intersection per query; the exact side defines the universe") {
     val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (3L, 30L, 1L))
       .toDF("query_id", "neighbor_id", "rank")
