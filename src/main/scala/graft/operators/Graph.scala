@@ -50,9 +50,12 @@ object Graph {
     val base = (15L * RankScale) / (100L * n)
     // rank table joined with outdeg once up front: the join is on the
     // node key and the degree table is node-sized; nodes without
-    // out-edges carry outdeg 0 and contribute nothing (dangling)
+    // out-edges carry outdeg 0 and contribute nothing (dangling).
+    // Checkpointed: every round re-reads this table, and without the pin
+    // each round would redo the distinct-union + degree shuffles
     val degreed = nodes.join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
     var (ranks, release) = Iterate.checkpointed(
       degreed.withColumn("rank_pp12", lit(RankScale / n)))
     for (_ <- 1 to iters) {

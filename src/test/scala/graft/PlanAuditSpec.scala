@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_topk_cosine", "q_unigram_lm", "q_keywords", "q_range_bounds",
     "q_collocations", "q_bigram_lm", "q_quality_buckets",
     "q_log_hist_quantiles", // 3-row quantile table vs ≤ ~64·2^subBits registers
-    "q_corpus_card") // embeds the same bounded quantile-table walk
+    "q_corpus_card", // embeds the same bounded quantile-table walk
+    "q_ann_recall", // embeds q_topk_cosine's brute-force exact baseline
+    "q_dedup_pair_pr") // crossJoin of three 1-row count aggregates
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"
