@@ -114,7 +114,17 @@ object ScaleProbe {
         operators.Layout.zorderStats(Tables(s, d).events,
           col("user_id"), pmod(col("event_id"), lit(65536)), 16)),
       "log-histogram (subBits=5)" -> ((s, d) =>
-        operators.Sketches.logHistogram(Tables(s, d).events, col("user_id"), 5)))
+        operators.Sketches.logHistogram(Tables(s, d).events, col("user_id"), 5)),
+      // power iteration: per round one src-keyed join + one dst-keyed sum;
+      // replicas add users at constant per-user weight, the 5 type nodes
+      // become ×f-hotter hubs — absorbed by partial (map-side) aggregation
+      "pagerank (user↔type, 3 iters)" -> { (s, d) =>
+        val ev = Tables(s, d).events
+        val edges = ev.select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("t"), col("event_type")).as("dst")).distinct()
+        operators.Graph.pagerank(operators.Graph.symmetrize(edges), 3)
+      })
 
     val sb = new StringBuilder(
       """# SCALE — measured scaling of the persist+index surface (local[32])
@@ -279,6 +289,11 @@ object ScaleProbe {
         (d => operators.Curate.sampleExactN(d, col("doc_id"), 2000, "sx")),
       "temperature mixing (τ=0.5)" -> (d => operators.Curate.mixTemperature(
         d, col("source"), col("doc_id"), 0.5, "temp5")),
+      "gopher quality gate" -> (d => operators.TextAnalysis.gopherGate(d)),
+      "boilerplate paragraphs (df>2)" ->
+        (d => operators.Dedup.boilerplateParagraphs(d, avgTokens = 4, maxDf = 2)),
+      "per-lang exact sample (n=60)" -> (d => operators.Curate.sampleExactPerKey(
+        d, col("lang"), col("doc_id"), 60, "balance")),
       "quality classifier (train 16 + score)" -> { d =>
         val lf = operators.Classify.labeledFeatures(d).localCheckpoint()
         val w = operators.Classify.trainLogistic(

@@ -586,6 +586,14 @@ object SparkEntry {
         frameBytes = 64, stride = 4)
         .select("doc_id", "frame_no", "n_frames", "frame_md5")
         .orderBy(col("doc_id"), col("frame_no"))),
+    // Media near-dup by shared frame fingerprints (re-encoded/trimmed
+    // copies keep frames bit-identical): ≥2 shared 16-byte frames, frames
+    // in >4 payloads dropped as boilerplate (and as the skew valve).
+    "q_media_shared_frames" -> ((s, dir) =>
+      Multimodal.sharedFramePairs(
+        Multimodal.mediaFromDocuments(Tables(s, dir).documents),
+        frameBytes = 16, stride = 1, minShared = 2, maxDf = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // The stub codec is deterministic arithmetic over the payload byte
     // length (all-ASCII text ⇒ octet_length), so even the mapPartitions
     // decode path gets a full SQL oracle — swap in a real codec and this
@@ -2356,6 +2364,26 @@ object SparkEntry {
         |FROM fr
         |WHERE fn % 4 = 0
         |ORDER BY doc_id, frame_no""".stripMargin,
+    // all-ASCII text ⇒ byte frames == char frames; md5(text) == md5(bytes)
+    "q_media_shared_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(ceil(octet_length(encode(text))::DOUBLE / 16) AS BIGINT)
+        |           AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT doc_id,
+        |              md5(substring(text, CAST(fn * 16 + 1 AS INT), 16)) AS fp
+        |       FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS fn
+        |             FROM f)),
+        |d AS (SELECT DISTINCT doc_id, fp FROM fr),
+        |dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS c FROM d GROUP BY fp),
+        |kept AS (SELECT d.doc_id, d.fp FROM d JOIN dfc USING (fp) WHERE c <= 4)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_location_parse" ->
       s"""$IndexCte, locs AS (SELECT DISTINCT location_key FROM idx),
          |p AS (

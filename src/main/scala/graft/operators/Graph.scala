@@ -41,38 +41,46 @@ object Graph {
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
+    // pinned for the loop's lifetime: every round re-scans the edge list,
+    // and an un-persisted `edges` would re-run its upstream plan (joins,
+    // symmetrize's union-distinct) once per round — the standard power-
+    // iteration trade of storage for recomputation. Released in `finally`:
+    // the returned frame reads only the final checkpointed rank table.
     val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val n = nodes.count()
-    require(n > 0, "edge list is empty")
-    val base = (15L * RankScale) / (100L * n)
-    // rank table joined with outdeg once up front: the join is on the
-    // node key and the degree table is node-sized; nodes without
-    // out-edges carry outdeg 0 and contribute nothing (dangling).
-    // Checkpointed: every round re-reads this table, and without the pin
-    // each round would redo the distinct-union + degree shuffles
-    val degreed = nodes.join(deg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .localCheckpoint()
-    var (ranks, release) = Iterate.checkpointed(
-      degreed.withColumn("rank_pp12", lit(RankScale / n)))
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.filter(col("outdeg") > 0), e("src") === ranks("node"))
-        .select(col("dst").as("node"),
-          expr("rank_pp12 DIV outdeg").as("contrib"))
-        .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
-      val next = degreed
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("outdeg"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank_pp12"))
-      val (cp, rel) = Iterate.checkpointed(next)
-      release(); ranks = cp; release = rel
-    }
-    ranks.select(col("node"), col("rank_pp12"),
-      (col("rank_pp12").cast("double") / lit(RankScale.toDouble)).as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      val n = nodes.count()
+      require(n > 0, "edge list is empty")
+      val base = (15L * RankScale) / (100L * n)
+      // rank table joined with outdeg once up front: the join is on the
+      // node key and the degree table is node-sized; nodes without
+      // out-edges carry outdeg 0 and contribute nothing (dangling).
+      // Checkpointed: every round re-reads this table, and without the pin
+      // each round would redo the distinct-union + degree shuffles
+      val degreed = nodes.join(deg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+        .localCheckpoint()
+      var (ranks, release) = Iterate.checkpointed(
+        degreed.withColumn("rank_pp12", lit(RankScale / n)))
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(ranks.filter(col("outdeg") > 0), e("src") === ranks("node"))
+          .select(col("dst").as("node"),
+            expr("rank_pp12 DIV outdeg").as("contrib"))
+          .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+        val next = degreed
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank_pp12"))
+        val (cp, rel) = Iterate.checkpointed(next)
+        release(); ranks = cp; release = rel
+      }
+      ranks.select(col("node"), col("rank_pp12"),
+        (col("rank_pp12").cast("double") / lit(RankScale.toDouble)).as("rank"))
+    } finally e.unpersist(blocking = false)
   }
 
   /** Undirected view of an edge list: both directions, distinct. */

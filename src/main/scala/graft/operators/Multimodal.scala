@@ -87,6 +87,45 @@ object Multimodal {
   def crop(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("payload", substring(col("payload"), 1, targetBytes))
 
+  /** Shared-frame near-dup pairs — the media-side dedup step (re-encoded
+    * or trimmed copies of a video/audio asset keep most frames
+    * bit-identical even when the container checksum differs): pairs of
+    * media rows sharing ≥ `minShared` distinct sampled-frame fingerprints.
+    * The frame analog of the winnow-overlap text rule, built on
+    * [[frameSample]]'s oracle-replayable `frame_md5`.
+    *
+    * Frames appearing in more than `maxDf` distinct payloads (black
+    * frames, silence, padding) are boilerplate AND the skew valve: they
+    * are dropped before the pair join, so one white-hot frame yields
+    * ≤ maxDf² pairs, never a quadratic blowup. Scale shape: one
+    * (doc, frame_md5) distinct, one df aggregation + filter, one
+    * fp equi-join, one pair count — no cartesian anywhere.
+    */
+  def sharedFramePairs(
+      media: DataFrame,
+      frameBytes: Int,
+      stride: Int,
+      minShared: Int,
+      maxDf: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    require(maxDf >= 2, "maxDf must allow a pair (>= 2)")
+    val frames = frameSample(media, frameBytes, stride)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val rare = frames
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("doc_id")).as("frame_df"))
+      .filter(col("frame_df") <= maxDf)
+      .select("frame_md5")
+    val kept = frames.join(rare, Seq("frame_md5"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Decoded features per media row. */
   final case class MediaFeatures(
       doc_id: Long,

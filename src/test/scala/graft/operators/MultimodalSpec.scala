@@ -90,4 +90,25 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.zip(again).forall { case (a, b) =>
       a._1 == b._1 && a._5.toSeq == b._5.toSeq })
   }
+
+  test("sharedFramePairs pairs media with common frames; boilerplate frames are dropped") {
+    // frameBytes=4, stride=1. Docs 10/11 share frames "AAAA" and "BBBB"
+    // (2 shared → pair). The "ZZZZ" frame appears in ALL FIVE docs →
+    // df > maxDf=4 → never contributes; docs 12/13/14 share ONLY "ZZZZ"
+    // and must not pair.
+    val media = Seq(
+      (10L, "AAAABBBBCCCC"),
+      (11L, "AAAABBBBDDDD"),
+      (12L, "ZZZZEEEEXXX1"),
+      (13L, "ZZZZQQQQX2"), // ragged last frame
+      (14L, "ZZZZWWWWX3"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("video/mp4").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+    // ZZZZ is in 3 docs; cap at 2 so it crosses the df valve
+    val out = Multimodal.sharedFramePairs(media,
+        frameBytes = 4, stride = 1, minShared = 2, maxDf = 2)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq((10L, 11L, 2L)))
+  }
 }
