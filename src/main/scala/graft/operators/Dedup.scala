@@ -600,15 +600,46 @@ object Dedup {
     * pairwise work; boilerplate detection at exact-dedup cost.
     */
   def boilerplateParagraphs(
-      docs: DataFrame, avgTokens: Int = 16, maxDf: Int = 2): DataFrame = {
-    require(maxDf >= 1, "maxDf must be at least 1")
-    val paras = paragraphsOf(docs, avgTokens)
-    val dfByFp = paras
+      docs: DataFrame, avgTokens: Int = 16, maxDf: Int = 2): DataFrame =
+    boilerplateWithDf(docs, paragraphDf(docs, avgTokens), avgTokens, maxDf)
+
+  /** Paragraph document-frequency table of `docs` — (fp, para_df), one
+    * row per distinct paragraph fingerprint. The mergeable state of the
+    * boilerplate detector: a crawl maintains this store per micro-batch
+    * with [[mergeParagraphDf]] instead of recounting the corpus.
+    */
+  def paragraphDf(docs: DataFrame, avgTokens: Int = 16): DataFrame =
+    paragraphsOf(docs, avgTokens)
       .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("para_df"))
+
+  /** Merge two paragraph-df tables by fingerprint sum. EXACT when every
+    * document contributed to exactly one side (the crawl contract — each
+    * doc arrives in one micro-batch); re-delivered docs would double-count
+    * their paragraphs, so dedup ids upstream first.
+    */
+  def mergeParagraphDf(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("fp"))
+      .agg(sum(col("para_df")).as("para_df"))
+
+  /** [[boilerplateParagraphs]] against a PRE-COMPUTED df store: drops
+    * paragraphs whose store df exceeds `maxDf`. Equal to the one-shot
+    * form when the store was accumulated over exactly `docs`; with a
+    * crawl store it applies corpus-wide boilerplate knowledge to any
+    * slice (e.g. re-clean only the newest batch). Paragraphs absent from
+    * the store count df 0 (kept).
+    */
+  def boilerplateWithDf(
+      docs: DataFrame,
+      dfStore: DataFrame,
+      avgTokens: Int = 16,
+      maxDf: Int = 2): DataFrame = {
+    require(maxDf >= 1, "maxDf must be at least 1")
+    val paras = paragraphsOf(docs, avgTokens)
     paras
-      .join(dfByFp, Seq("fp"))
-      .withColumn("keep", col("para_df") <= maxDf)
+      .join(dfStore.select(col("fp"), col("para_df")), Seq("fp"), "left")
+      .withColumn("keep", coalesce(col("para_df"), lit(0L)) <= maxDf)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_paras"),

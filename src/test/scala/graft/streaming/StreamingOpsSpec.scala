@@ -367,6 +367,61 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.filter(_._1 >= 6).map(_._2).distinct === Seq(6L))
   }
 
+  test("streaming boilerplate maintenance: per-batch paragraph-df merge equals the one-shot detector") {
+    import graft.operators.Dedup
+    import java.nio.file.{Files, Paths}
+    // crawl batches: the "zz" paragraph accretes df across batches (1 per
+    // batch) and only crosses maxDf=2 once batch 2 lands — a cross-batch
+    // boilerplate decision no single batch can make
+    val batches = Seq(
+      Seq((1L, "zz aa"), (2L, "zz bb")),
+      Seq((3L, "zz cc")),
+      Seq((4L, "dd ee"), (5L, "dd ff")))
+    val dir = Files.createTempDirectory("graft-bpstream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeRoot = s"$dir/store"
+    def latest: Option[String] = {
+      val d = Paths.get(storeRoot)
+      if (!Files.exists(d)) None
+      else {
+        val s = Files.list(d)
+        try s.map[String](_.toString).sorted(Ordering[String].reverse)
+          .findFirst().map[Option[String]](Some(_)).orElse(None)
+        finally s.close()
+      }
+    }
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bdf = Dedup.paragraphDf(batch, avgTokens = 1)
+        val merged = latest match {
+          case Some(p) => Dedup.mergeParagraphDf(spark.read.parquet(p), bdf)
+          case None => bdf
+        }
+        merged.write.parquet(f"$storeRoot/v$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val store = spark.read.parquet(latest.get)
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val viaStore = Dedup
+      .boilerplateWithDf(allDocs, store, avgTokens = 1, maxDf = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val oneShot = Dedup.boilerplateParagraphs(allDocs, avgTokens = 1, maxDf = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaStore === oneShot)
+    // and "zz" (df 3 > 2) was actually removed from every doc that had it
+    assert(viaStore.filter(_._1 <= 3).forall(r => r._3 == 1 && !r._4.contains("zz")))
+    // "dd" (df 2 ≤ 2) survives in both docs
+    assert(viaStore.filter(_._1 >= 4).forall(r => r._3 == 0 && r._4.contains("dd")))
+  }
+
   test("streaming HLL maintenance: per-batch register merge equals the batch sketch") {
     import graft.operators.Sketches
     import java.nio.file.{Files, Paths}
