@@ -94,15 +94,21 @@ object SparkEntry {
     "q_top_customers_per_nation" -> ((s, dir) => Analytics.topCustomersPerNation(Tables(s, dir))),
     // Link-graph authority scoring (Common-Crawl-style domain weighting):
     // 3 integer-exact PageRank rounds over the symmetrized customer–
-    // supplier graph — every rank a BIGINT in parts-per-10^12.
+    // supplier graph — every rank a BIGINT in parts-per-10^12. Nodes are
+    // parity-encoded LONGS (cust = 2k, supp = 2k+1 — the int64 host-hash a
+    // web-graph pipeline uses, not strings), and the bipartite reversal is
+    // a plain unionByName: the two directions cannot collide, so
+    // symmetrize()'s generic distinct would be a wasted 2·|E| shuffle.
     "q_pagerank" -> { (s, dir) =>
       val t = Tables(s, dir)
       val edges = t.orders
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      Graph.pagerank(Graph.symmetrize(edges), iters = 3).orderBy(col("node"))
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pagerank(sym, iters = 3).orderBy(col("node"))
     },
     // -- index model + query surface (SURVEY §2.1 S7-S10, §2.3 T4/T5, §2.5 A1-A3)
     "q_idx_build" -> ((s, dir) =>
@@ -969,9 +975,9 @@ object SparkEntry {
          |              JOIN deg d ON e.src = d.node
          |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    s"""WITH ed AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |bi AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |bi AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
        |nodes AS (SELECT DISTINCT src AS node FROM bi),
        |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM bi GROUP BY src),
        |r0 AS (SELECT node,

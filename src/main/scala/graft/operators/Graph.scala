@@ -46,7 +46,11 @@ object Graph {
     // symmetrize's union-distinct) once per round — the standard power-
     // iteration trade of storage for recomputation. Released in `finally`:
     // the returned frame reads only the final checkpointed rank table.
+    // pre-partitioned by src so every round's rank join reuses this
+    // partitioning from the cache (the rank side is the one that moves);
+    // without it each round re-shuffles the full edge list
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = e.select(col("src").as("node"))
@@ -63,9 +67,17 @@ object Graph {
       val degreed = nodes.join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
         .localCheckpoint()
-      var (ranks, release) = Iterate.checkpointed(
-        degreed.withColumn("rank_pp12", lit(RankScale / n)))
-      for (_ <- 1 to iters) {
+      // checkpoint CADENCE, not every round: plan depth stays bounded (≤ 4
+      // join rounds between truncations — well inside analyzer comfort)
+      // while consecutive rounds pipeline into one job instead of paying
+      // an eager materialization barrier per round. The LAST round always
+      // checkpoints: the returned frame must not depend on `e` once the
+      // finally-block unpins it.
+      val cadence = 4
+      var ranks = degreed.withColumn("rank_pp12", lit(RankScale / n))
+      var release: () => Unit = () => ()
+      var sinceCp = 0
+      for (i <- 1 to iters) {
         val contribs = e
           .join(ranks.filter(col("outdeg") > 0), e("src") === ranks("node"))
           .select(col("dst").as("node"),
@@ -75,8 +87,11 @@ object Graph {
           .join(contribs, Seq("node"), "left")
           .select(col("node"), col("outdeg"),
             (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank_pp12"))
-        val (cp, rel) = Iterate.checkpointed(next)
-        release(); ranks = cp; release = rel
+        sinceCp += 1
+        if (sinceCp >= cadence || i == iters) {
+          val (cp, rel) = Iterate.checkpointed(next)
+          release(); ranks = cp; release = rel; sinceCp = 0
+        } else ranks = next
       }
       ranks.select(col("node"), col("rank_pp12"),
         (col("rank_pp12").cast("double") / lit(RankScale.toDouble)).as("rank"))

@@ -116,7 +116,10 @@ object Multimodal {
       .agg(countDistinct(col("doc_id")).as("frame_df"))
       .filter(col("frame_df") <= maxDf)
       .select("frame_md5")
-    val kept = frames.join(rare, Seq("frame_md5"))
+    // cache: both sides of the self-join read this table — without the pin
+    // the frame explode + distinct + df aggregation run twice (same
+    // convention as minHashLsh's banded table)
+    val kept = frames.join(rare, Seq("frame_md5")).cache()
     kept.as("a")
       .join(kept.as("b"),
         col("a.frame_md5") === col("b.frame_md5") &&
