@@ -412,6 +412,12 @@ object SparkEntry {
       Diagnostics.heavyHitters(Tables(s, dir).events, col("user_id"), 20)),
     "q_token_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCountsBpe(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // Vocabulary-id encoding (the training-prep step after tokenizer
+    // induction): ids = top-20 vocab ranks, OOV → 0; n_oov is the
+    // coverage metric a vocab size is tuned on.
+    "q_token_ids" -> ((s, dir) =>
+      TextAnalysis.encodeIds(Tables(s, dir).documents, topK = 20)
+        .orderBy(col("doc_id"))),
     // BPE merge training, first rank (the iterative argmax is not
     // SQL-expressible beyond one unrolled step; TextOpsSpec checks deep
     // training against a JVM reference implementation).
@@ -1965,6 +1971,23 @@ object SparkEntry {
          |                                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
          |         AS BIGINT) AS n_bpeish
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_token_ids" ->
+      s"""$ToksCte,
+         |vc AS (SELECT tok AS token, COUNT(*) AS n_occ
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       GROUP BY tok ORDER BY n_occ DESC, token LIMIT 20),
+         |v AS (SELECT token,
+         |             row_number() OVER (ORDER BY n_occ DESC, token) AS tok_id
+         |      FROM vc),
+         |tk AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+         |       FROM (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks
+         |             FROM toks)),
+         |j AS (SELECT doc_id, i, COALESCE(tok_id, 0) AS tid
+         |      FROM tk LEFT JOIN v ON tk.tok = v.token)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       string_agg(tid, ' ' ORDER BY i) AS ids
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_repetition" ->
       s"""$ToksCte,
          |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),

@@ -98,6 +98,38 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
 
+  /** Encode documents to vocabulary ids — the final training-prep step
+    * after tokenizer induction: each token maps to its [[vocabulary]]
+    * rank (1-based; rank order = occurrences DESC, token ASC — the
+    * deterministic id assignment), out-of-vocabulary tokens map to 0.
+    * Ids emit as a space-joined string (`ids`) plus `n_tokens` and
+    * `n_oov` — the OOV rate is the tokenizer-coverage metric a vocab
+    * size is tuned on.
+    *
+    * Scale shape: the vocab is topK rows → broadcast left join onto the
+    * exploded token stream, then one per-doc ordered rebuild (the same
+    * posexplode → collect_list(struct) pattern as the dedup rewrites).
+    * One shuffle on doc_id; the corpus never self-joins.
+    */
+  def encodeIds(docs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val vocab = vocabulary(docs, topK)
+      .select(col("token").as("tok"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token"))).cast("long").as("tok_id"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tok_id", coalesce(col("tok_id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id") === 0, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok_id")))),
+          e => e.getField("tok_id"))).as("ids"))
+  }
+
   /** BPE-ish token counting: a tokenizer-shaped regex (letter runs, digit
     * runs, single punctuation marks — the class structure GPT-style BPE
     * pre-tokenizers split on) counted per document, alongside the

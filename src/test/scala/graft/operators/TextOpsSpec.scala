@@ -882,6 +882,15 @@ class TextOpsSpec extends SparkSpec {
       (5L, 1L, 0L, 1L, 1L, 0L, 0L)))
   }
 
+  test("encodeIds maps tokens to vocab ranks in order; OOV is 0") {
+    val d = Seq(
+      (1L, "b a b c"),   // b(×3 corpus-wide) → id 1, a(×2) → id 2, c OOV
+      (2L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.encodeIds(d, topK = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 4L, 1L, "1 2 1 0"), (2L, 3L, 0L, "2 1 1")))
+  }
+
   test("pairAgreement computes tp/precision/recall over pair sets") {
     val pred = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
       .toDF("doc_a", "doc_b")
