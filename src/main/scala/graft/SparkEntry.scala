@@ -612,10 +612,16 @@ object SparkEntry {
     // reverts to a rows-only check.
     "q_media_decode" -> ((s, dir) =>
       Multimodal.Decode.features(Multimodal.mediaFromDocuments(Tables(s, dir).documents))
-        .select(col("doc_id"), col("mime"),
+        .select(Seq(col("doc_id"), col("mime"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          size(col("features")).cast("long").as("n_features"))
+          size(col("features")).cast("long").as("n_features")) ++
+          // the stub features themselves: band byte-means are pure integer
+          // sums + IEEE divisions over the all-ASCII payload, so even the
+          // "decode" output replays bit-for-bit (float-rounded in both
+          // engines by the double→float cast)
+          (0 until 8).map(i =>
+            element_at(col("features"), i + 1).as(s"feat_$i")): _*)
         .orderBy(col("doc_id"))),
     // S4/S5 location-key parsing, column-side (plan-resolved, no driver trips)
     "q_location_parse" -> { (s, dir) =>
@@ -2368,18 +2374,31 @@ object SparkEntry {
         |  hex(encode(substring(text, 1, 4))) AS magic_hex,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_media_decode" ->
-      """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
-        |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-        |  CAST(CASE WHEN doc_id % 3 = 0
-        |       THEN 16 + (octet_length(encode(text)) % 64) ELSE 0 END
-        |    AS BIGINT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 0
-        |       THEN 16 + ((octet_length(encode(text)) // 64) % 64) ELSE 0 END
-        |    AS BIGINT) AS height,
-        |  CAST(8 AS BIGINT) AS n_features
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_decode" -> {
+      // feat_b = mean byte value over band [b·n/8, max((b+1)·n/8, lo+1)):
+      // all-ASCII text ⇒ ascii(char) == byte; integer floor divisions and
+      // the double→REAL cast mirror the Scala stub exactly
+      val feats = (0 until 8).map { b =>
+        s"""  CAST((CAST(list_sum(list_transform(
+           |      range(($b * n) // 8 + 1, greatest(($b + 1) * n // 8, ($b * n) // 8 + 1) + 1),
+           |      k -> ascii(substring(text, CAST(k AS INT), 1)))) AS DOUBLE)
+           |    / (greatest(($b + 1) * n // 8, ($b * n) // 8 + 1) - ($b * n) // 8)
+           |    / 255.0) AS REAL) AS feat_$b""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, text,
+         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+         |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (n % 64) ELSE 0 END
+         |    AS BIGINT) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + ((n // 64) % 64) ELSE 0 END
+         |    AS BIGINT) AS height,
+         |  CAST(8 AS BIGINT) AS n_features,
+         |$feats
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "q_media_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,
