@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * persist/stream/publish materializations), then N timed passes per
   * query (default 3, `SPARK_GRAFT_BENCH_RUNS`). The headline per-query
   * number and the total are the per-query MINIMUM across passes — the
-  * run least polluted by hypervisor contention (CLAUDE.md: whole-run
+  * run least polluted by hypervisor contention (build-notes convention: whole-run
   * totals can inflate 2-3× under load; the best of a few runs is the
   * trustworthy one). The raw per-pass totals and per-query medians ride
   * along so the noise is visible, not hidden. Failures are NOT swallowed

@@ -463,7 +463,7 @@ object Dedup {
       // convergence check into one job per round instead of two. The round
       // result is CHECKPOINTED, not cached: a cache keeps the full k-deep
       // join tree alive and round k re-analyzes k rounds of history
-      // (quadratic in rounds — the CLAUDE.md iterative-loop convention);
+      // (quadratic in rounds — the iterative-loop convention);
       // the checkpoint truncates to a LogicalRDD so plan depth is O(1)
       // per round. Storage: previous generation released once the next is
       // materialized, so at most two label generations are ever persisted.

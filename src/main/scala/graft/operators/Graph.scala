@@ -33,8 +33,8 @@ object Graph {
     * edge list by src and one dst-keyed sum — the canonical power-
     * iteration shuffle pair, partitioned by node key (a hot page costs
     * its in-degree aggregation, partial-combined map-side). The loop
-    * rides [[Iterate.checkpointed]], so plan depth is O(1) per round
-    * (CLAUDE.md's iterative-loop convention) and at most two rank
+    * rides [[Iterate.checkpointed]], so plan depth stays bounded across
+    * rounds (the iterative-loop convention) and at most two rank
     * generations hold storage. Output: (node, rank_pp12, rank) with
     * `rank` the double view rank_pp12 / 10^12 (a presentation column —
     * derived by one deterministic division from the exact value).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
   * label-propagation clustering): each round must TRUNCATE lineage, not
   * just cache — a per-round `.cache()` keeps the full deepening logical
   * plan and the analyzer/optimizer re-walk it every round (O(rounds²)
-  * analysis, eventual stack overflow), the convention CLAUDE.md records
+  * analysis, eventual stack overflow), the convention the build notes record
   * after being bitten twice (BPE apply, cluster propagation).
   */
 object Iterate {
