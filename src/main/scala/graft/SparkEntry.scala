@@ -113,6 +113,16 @@ object SparkEntry {
     // -- index model + query surface (SURVEY §2.1 S7-S10, §2.3 T4/T5, §2.5 A1-A3)
     "q_idx_build" -> ((s, dir) =>
       IndexModel.fromEventsFlat(Tables(s, dir).events).orderBy(col("unique_id"))),
+    // Retention sweep with tombstone audit: delete everything published
+    // before T1, prove the erasure per broker via the exact Σh60(key)
+    // fingerprint — survivors untouched, payload not retained.
+    "q_delete_audit" -> { (s, dir) =>
+      val idx = IndexModel.fromEventsFlat(Tables(s, dir).events)
+      graft.streaming.Maintenance.deleteWhere(idx,
+        col("publish_time") < lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+        Seq("broker_id"), col("unique_id"))._2
+        .orderBy(col("broker_id"))
+    },
     // Fixture-ID selection runs one extra Spark job; memoized per dir so
     // timed bench passes measure only the lookup itself.
     "q_idx_point_lookup" -> { (s, dir) =>
@@ -1396,6 +1406,17 @@ object SparkEntry {
         |WHERE rnk <= 3
         |ORDER BY c_nationkey, rnk""".stripMargin,
     "q_pagerank" -> pagerankSql(3),
+    "q_delete_audit" ->
+      s"""$IndexCte
+         |SELECT broker_id,
+         |  CAST(SUM(CASE WHEN publish_time < TIMESTAMP '2024-01-05 00:00:00'
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |  CAST(SUM(CASE WHEN publish_time < TIMESTAMP '2024-01-05 00:00:00'
+         |                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN publish_time < TIMESTAMP '2024-01-05 00:00:00'
+         |                THEN ${h60Sql("unique_id")} END), 0) AS DECIMAL(38,0))
+         |    AS del_fp_sum
+         |FROM idx GROUP BY broker_id ORDER BY broker_id""".stripMargin,
     "q_idx_getall_join" ->
       s"""$IndexCte
          |SELECT unique_id, broker_id, location_key FROM idx

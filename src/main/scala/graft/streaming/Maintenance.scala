@@ -79,6 +79,46 @@ object Maintenance {
       .saveAsTable(table)
   }
 
+  /** Retention / data-subject deletion with a tombstone audit — the
+    * GDPR-shaped maintenance pass a stored corpus needs: rows matching
+    * `pred` are REMOVED (survivors returned for rewrite), and the audit
+    * table proves WHAT was removed without retaining the payload — per
+    * `groupCols` group: `n_deleted`, `n_kept`, and `del_fp_sum`, the
+    * order-independent exact-DECIMAL Σ h60(key) over the deleted keys
+    * (the [[graft.operators.Layout.shardManifest]] fingerprint trick: an
+    * auditor holding the deletion request's key list re-derives the sum
+    * and matches it — proof of erasure, no payload kept).
+    *
+    * A NULL predicate value KEEPS the row: deletion must affirmatively
+    * match (the conservative rule for three-valued predicates — a
+    * malformed retention clause must not silently erase).
+    *
+    * Scale shape: one filtered scan for survivors, one keyed aggregation
+    * for the audit — both partial-aggregated; no shuffle on the survivor
+    * path, so the rewrite parallelizes like any store write.
+    */
+  def deleteWhere(
+      df: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column,
+      groupCols: Seq[String],
+      key: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(groupCols.nonEmpty, "at least one audit group column")
+    val hit = coalesce(pred, lit(false))
+    val survivors = df.filter(!hit)
+    val audit = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_deleted"),
+        sum(when(hit, lit(0L)).otherwise(lit(1L))).as("n_kept"),
+        coalesce(
+          sum(when(hit,
+            graft.functions.TextFunctions.h60(key.cast("string"))
+              .cast("decimal(38,0)"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("del_fp_sum"))
+    (survivors, audit)
+  }
+
   /** CDC-style latest-per-key snapshot of an append-only store: keep the
     * row with the greatest `versionCols` value per `keyCols` group
     * (`versionCols` must totally order rows within a key — add a unique

@@ -111,6 +111,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("deleteWhere splits survivors from tombstones; NULL predicate keeps; fingerprint proves erasure") {
+    val store = Seq(
+      (1L, "b1", "k1", Some(10)), (2L, "b1", "k2", Some(99)),
+      (3L, "b1", "k3", None),     // NULL predicate value → kept
+      (4L, "b2", "k4", Some(99)), (5L, "b2", "k5", Some(1)))
+      .toDF("id", "broker", "key", "score")
+    val (survivors, audit) = Maintenance.deleteWhere(
+      store, col("score") > 50, Seq("broker"), col("key"))
+    assert(survivors.select("id").as[Long].collect().sorted === Array(1L, 3L, 5L))
+    val a = audit.orderBy("broker")
+      .as[(String, Long, Long, java.math.BigDecimal)].collect()
+    assert(a.map(r => (r._1, r._2, r._3)) === Array(("b1", 1L, 2L), ("b2", 1L, 1L)))
+    // the deleted-key fingerprint re-derives from the deletion list alone
+    def h60(s: String): BigInt =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    assert(BigInt(a(0)._4.toBigInteger) === h60("k2"))
+    assert(BigInt(a(1)._4.toBigInteger) === h60("k4"))
+    // a group with no deletions reports 0, not NULL
+    val none = Maintenance.deleteWhere(
+      store, col("score") > 1000, Seq("broker"), col("key"))._2
+      .as[(String, Long, Long, java.math.BigDecimal)].collect()
+    assert(none.forall(r => r._2 == 0L && BigInt(r._4.toBigInteger) == 0))
+  }
+
   test("streaming hopping-window aggregation (Complete) equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hopagg").toString
     events.orderBy("ts").coalesce(1).write.parquet(s"$dir/in")
