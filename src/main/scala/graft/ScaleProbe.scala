@@ -115,6 +115,11 @@ object ScaleProbe {
           col("user_id"), pmod(col("event_id"), lit(65536)), 16)),
       "log-histogram (subBits=5)" -> ((s, d) =>
         operators.Sketches.logHistogram(Tables(s, d).events, col("user_id"), 5)),
+      "retention delete audit (pre-T1)" -> ((s, d) =>
+        streaming.Maintenance.deleteWhere(
+          graft.model.IndexModel.fromEventsFlat(Tables(s, d).events),
+          col("publish_time") < lit(T1), Seq("broker_id"),
+          col("unique_id"))._2),
       // power iteration: per round one src-keyed join + one dst-keyed sum;
       // replicas add users at constant per-user weight, the 5 type nodes
       // become ×f-hotter hubs — absorbed by partial (map-side) aggregation
