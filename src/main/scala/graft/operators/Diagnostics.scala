@@ -211,28 +211,69 @@ object Diagnostics {
     * every join is on `source` (dimension-sized, broadcast-able). No
     * full-text column survives past its first aggregation.
     */
-  def corpusCard(docs: DataFrame): DataFrame = {
+  def corpusCard(docs: DataFrame): DataFrame =
+    corpusCardFrom(cardBase(docs), cardFps(docs), cardLangs(docs), cardHist(docs))
+
+  /** The four MERGEABLE state tables behind [[corpusCard]] — a streaming
+    * crawl maintains them per micro-batch ([[mergeBySum]] for the first
+    * three, [[Sketches.mergeLogHistogram]] for the registers) and calls
+    * [[corpusCardFrom]] for the current datasheet, instead of recounting
+    * the corpus. Exact under the crawl contract (each doc contributes to
+    * exactly one batch): every table is a keyed integer-sum.
+    */
+  def cardBase(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val base = docs
-      .groupBy(col("source"))
+    docs.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"))
-    val fps = docs.select(col("source"), md5(col("text")).as("card_fp"))
-    val dupCounts = fps.groupBy(col("card_fp")).agg(count(lit(1)).as("card_c"))
-    val dups = fps.join(dupCounts, "card_fp")
-      .filter(col("card_c") > 1)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
-    val lt = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
-    val topLang = lt
+  }
+
+  def cardFps(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("card_fp"))
+      .groupBy(col("source"), col("card_fp")).agg(count(lit(1)).as("card_c"))
+
+  def cardLangs(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+
+  def cardHist(docs: DataFrame): DataFrame =
+    Sketches.logHistogram(docs, col("n_chars"), 5, col("source"))
+
+  /** Merge two keyed integer-sum tables: union, group by `keys`, sum every
+    * other column (all must be numeric). The generic state-merge for
+    * [[cardBase]]/[[cardFps]]/[[cardLangs]]-shaped tables.
+    */
+  def mergeBySum(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val vals = a.columns.filterNot(keys.contains).toSeq
+    require(vals.nonEmpty, "nothing to sum")
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(vals.head)).as(vals.head),
+        vals.tail.map(c => sum(col(c)).as(c)): _*)
+      .select(a.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Assemble the datasheet from the state tables — the finisher shared by
+    * the one-shot [[corpusCard]] and the incrementally-maintained form.
+    * Dup exposure recomputes the GLOBAL per-fingerprint total from the
+    * (source, fp) counts, so cross-source duplicates count exactly as the
+    * one-shot pass counts them.
+    */
+  def corpusCardFrom(
+      base: DataFrame, fps: DataFrame, langs: DataFrame, hist: DataFrame): DataFrame = {
+    val g = fps.groupBy(col("card_fp")).agg(sum(col("card_c")).as("card_g"))
+    val dups = fps.join(g, "card_fp")
+      .filter(col("card_g") > 1)
+      .groupBy(col("source")).agg(sum(col("card_c")).as("n_dup_docs"))
+    val topLang = langs
       .withColumn("lr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("lc").desc, col("lang"))))
       .filter(col("lr") === 1)
       .select(col("source"), col("lang").as("top_lang"), col("lc").as("top_lang_docs"))
-    val p50 = Sketches.logHistQuantiles(
-      Sketches.logHistogram(docs, col("n_chars"), 5, col("source")), Seq(0.5))
+    val p50 = Sketches.logHistQuantiles(hist, Seq(0.5))
       .select(col("source"), col("est_lo").as("p50_chars_lo"),
         col("est_hi").as("p50_chars_hi"))
     base

@@ -448,6 +448,66 @@ class StreamingOpsSpec extends SparkSpec {
     assert(viaStore.filter(_._1 >= 4).forall(r => r._3 == 0 && r._4.contains("dd")))
   }
 
+  test("streaming corpus-card maintenance: per-batch state merge equals the one-shot card") {
+    import graft.operators.Diagnostics
+    import graft.operators.Sketches
+    import java.nio.file.{Files, Paths}
+    // real docs split into 3 crawl batches — cross-batch duplicates and
+    // language mixes must land exactly as the one-shot pass counts them
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graft-cardstream").toString
+    (0 until 3).foreach { i =>
+      all.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = all.schema
+    val roots = Seq("base", "fps", "langs", "hist").map(k => k -> s"$dir/store/$k").toMap
+    def latest(kind: String): Option[String] = {
+      val d = Paths.get(roots(kind))
+      if (!Files.exists(d)) None
+      else {
+        val s = Files.list(d)
+        try s.map[String](_.toString).sorted(Ordering[String].reverse)
+          .findFirst().map[Option[String]](Some(_)).orElse(None)
+        finally s.close()
+      }
+    }
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val states = Seq(
+          ("base", Diagnostics.cardBase(batch), Seq("source")),
+          ("fps", Diagnostics.cardFps(batch), Seq("source", "card_fp")),
+          ("langs", Diagnostics.cardLangs(batch), Seq("source", "lang")))
+        states.foreach { case (kind, b, keys) =>
+          val merged = latest(kind) match {
+            case Some(p) => Diagnostics.mergeBySum(spark.read.parquet(p), b, keys)
+            case None => b
+          }
+          merged.write.parquet(f"${roots(kind)}/v$id%05d")
+        }
+        val bh = Diagnostics.cardHist(batch)
+        val mh = latest("hist") match {
+          case Some(p) => Sketches.mergeLogHistogram(spark.read.parquet(p), bh)
+          case None => bh
+        }
+        mh.write.parquet(f"${roots("hist")}/v$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val card = Diagnostics.corpusCardFrom(
+      spark.read.parquet(latest("base").get),
+      spark.read.parquet(latest("fps").get),
+      spark.read.parquet(latest("langs").get),
+      spark.read.parquet(latest("hist").get))
+    val oneShot = Diagnostics.corpusCard(all)
+    assert(card.exceptAll(oneShot).isEmpty && oneShot.exceptAll(card).isEmpty)
+    assert(card.count() === oneShot.count())
+  }
+
   test("streaming HLL maintenance: per-batch register merge equals the batch sketch") {
     import graft.operators.Sketches
     import java.nio.file.{Files, Paths}
