@@ -1414,7 +1414,7 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN publish_time < TIMESTAMP '2024-01-05 00:00:00'
          |                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
          |  CAST(COALESCE(SUM(CASE WHEN publish_time < TIMESTAMP '2024-01-05 00:00:00'
-         |                THEN ${h60Sql("unique_id")} END), 0) AS DECIMAL(38,0))
+         |                THEN ${h60Sql("unique_id")} % 1000003 END), 0) AS BIGINT)
          |    AS del_fp_sum
          |FROM idx GROUP BY broker_id ORDER BY broker_id""".stripMargin,
     "q_idx_getall_join" ->
@@ -2290,7 +2290,7 @@ object SparkEntry {
          |SELECT h % 8 AS shard_no,
          |       count(*) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |       CAST(sum(fp) AS DECIMAL(38,0)) AS fp_sum
+         |       CAST(sum(fp % 1000003) AS BIGINT) AS fp_sum
          |FROM a GROUP BY 1 ORDER BY shard_no""".stripMargin,
     "q_curated" ->
       s"""$ToksCte,

@@ -147,12 +147,15 @@ object Layout {
 
   /** Release manifest over an [[assignShards]] assignment: one row per
     * shard with its document count, token mass, and an order-independent
-    * integer content fingerprint (the exact DECIMAL sum of each member's
-    * h60(key) — commutative, so partitioning/arrival order can't change
-    * it, and any engine replays it bit-for-bit). The manifest is what a
-    * release publishes next to the shard files: a reader re-derives the
-    * same row from the data it downloaded and rejects a short or
-    * corrupted shard. One keyed aggregation, numShards output rows.
+    * integer content fingerprint: Σ (h60(key) mod 1000003) over the
+    * shard's members. Commutative, so partitioning/arrival order can't
+    * change it, and the per-member residue is < 2^20, so even a 2^40-row
+    * shard keeps the sum inside exact-int64 territory — every engine (and
+    * every float64-canonicalizing serializer) replays it bit-for-bit.
+    * The manifest is what a release publishes next to the shard files: a
+    * reader re-derives the same row from the data it downloaded and
+    * rejects a short or corrupted shard. One keyed aggregation,
+    * numShards output rows.
     */
   def shardManifest(
       assigned: DataFrame, key: Column, tokenCount: Column): DataFrame =
@@ -161,6 +164,6 @@ object Layout {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(tokenCount.cast("long")).as("n_tokens"),
-        sum(graft.functions.TextFunctions.h60(key.cast("string"))
-          .cast("decimal(38,0)")).as("fp_sum"))
+        sum(pmod(graft.functions.TextFunctions.h60(key.cast("string")),
+          lit(1000003L))).as("fp_sum"))
 }

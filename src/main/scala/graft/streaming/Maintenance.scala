@@ -84,8 +84,9 @@ object Maintenance {
     * `pred` are REMOVED (survivors returned for rewrite), and the audit
     * table proves WHAT was removed without retaining the payload — per
     * `groupCols` group: `n_deleted`, `n_kept`, and `del_fp_sum`, the
-    * order-independent exact-DECIMAL Σ h60(key) over the deleted keys
-    * (the [[graft.operators.Layout.shardManifest]] fingerprint trick: an
+    * order-independent Σ (h60(key) mod 1000003) over the deleted keys
+    * (the [[graft.operators.Layout.shardManifest]] fingerprint: residues
+    * are < 2^20 so the sum stays exact in int64 at any corpus size; an
     * auditor holding the deletion request's key list re-derives the sum
     * and matches it — proof of erasure, no payload kept).
     *
@@ -113,9 +114,9 @@ object Maintenance {
         sum(when(hit, lit(0L)).otherwise(lit(1L))).as("n_kept"),
         coalesce(
           sum(when(hit,
-            graft.functions.TextFunctions.h60(key.cast("string"))
-              .cast("decimal(38,0)"))),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("del_fp_sum"))
+            pmod(graft.functions.TextFunctions.h60(key.cast("string")),
+              lit(1000003L)))),
+          lit(0L)).as("del_fp_sum"))
     (survivors, audit)
   }
 

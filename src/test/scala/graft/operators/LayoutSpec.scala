@@ -118,14 +118,13 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("shardManifest row replays from the members (count, mass, decimal fp)") {
+  test("shardManifest row replays from the members (count, mass, mod-prime fp)") {
     import graft.functions.TextFunctions.h60Jvm
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val assigned = Layout.assignShards(docs, col("doc_id"), 4, "t2")
     val manifest = Layout.shardManifest(assigned, col("doc_id"), col("n_chars"))
       .select("shard_no", "n_docs", "n_tokens", "fp_sum")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).toBigInteger))
+      .as[(Long, Long, Long, Long)].collect()
     val members = assigned.select("doc_id", "shard_no", "n_chars")
       .as[(Long, Long, Long)].collect().groupBy(_._2)
     assert(manifest.map(_._1).sorted.toSeq === members.keys.toSeq.sorted)
@@ -133,8 +132,8 @@ class LayoutSpec extends SparkSpec {
       val m = members(shard)
       assert(nDocs === m.length)
       assert(mass === m.map(_._3).sum)
-      val expected = m.map(r => BigInt(h60Jvm(r._1.toString))).sum
-      assert(BigInt(fp) === expected)
+      val expected = m.map(r => h60Jvm(r._1.toString) % 1000003L).sum
+      assert(fp === expected)
     }
   }
 }
