@@ -30,6 +30,37 @@ object SparkEntry {
   private def qs(s: SparkSession, dir: String): QueryService =
     QueryService(idx(s, dir))
 
+  /** Composed resubmitter over the index store and the persist run's real
+    * written Avro records (the replay's record source, S6/D2).
+    */
+  private def resubmitter(s: SparkSession, dir: String): Resubmitter = {
+    val wd = graft.streaming.PersistPipeline.ensureRun(s, dir)
+    val records = graft.streaming.PersistPipeline.readRecords(s, wd)
+      .withColumn("payload", col("data").cast("string"))
+    Resubmitter(qs(s, dir), records, broadcastIndex = true)
+  }
+
+  /** Verification view of a [[ResubmitRun]] publish plan: per ordering
+    * group, membership count, the exact per-key publish order (keyless
+    * groups exempt — no mutual order, see [[Replay.orderingGroups]]), and
+    * the payload mass proving the stored blob payloads joined through.
+    */
+  private def publishGroups(publish: DataFrame): DataFrame = {
+    val keyless = col("ordering_key").isNull || col("ordering_key") === ""
+    publish
+      .groupBy(col("ordering_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        when(keyless, lit(null).cast("string"))
+          .otherwise(concat_ws(",",
+            transform(
+              array_sort(collect_list(when(keyless, lit(null)).otherwise(struct(
+                col("location_key"), col("location_position"), col("unique_id"))))),
+              e => e.getField("unique_id")))).as("publish_order"),
+        sum(length(col("payload")).cast("long")).as("payload_bytes"))
+      .orderBy(col("ordering_key"))
+  }
+
   /** One streaming persist run per JVM per testdata dir: fresh work dir +
     * checkpoint, Trigger.AvailableNow drains the source, foreachBatch
     * persists each micro-batch (W1/W2).
@@ -281,6 +312,24 @@ object SparkEntry {
               e => concat(e.getField("key"), lit("="), e.getField("value"))))
             .as("attrs_flat"))
         .orderBy(col("unique_id"))
+    },
+    // Composed resubmit modes (resubmitter_job.go:93,147,202): index query
+    // → positional join vs the real written Avro records → repackaging →
+    // ordered publish plan, one entry per reference mode. Output replays
+    // the whole chain per ordering group: membership + per-key publish
+    // order + payload mass (proof the stored payloads made the plan).
+    "q_resubmit_ids" -> { (s, dir) =>
+      val r = resubmitter(s, dir)
+      val ids = idx(s, dir)
+        .filter(col("broker_msg_id").cast("long") % 3 === 0)
+        .select("unique_id")
+      publishGroups(r.byIdSet(ids).publish)
+    },
+    "q_resubmit_interval" -> { (s, dir) =>
+      publishGroups(resubmitter(s, dir).byInterval(T1, T2, "t-purchase").publish)
+    },
+    "q_resubmit_query" -> { (s, dir) =>
+      publishGroups(resubmitter(s, dir).byQuery(orFilters).publish)
     },
     // J4: large-ID-set membership as a semi-join (vs isin literal lists).
     "q_idx_getall_join" -> { (s, dir) =>
@@ -981,6 +1030,30 @@ object SparkEntry {
   private def h60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** DuckDB replay of one composed resubmit mode: index slice (`where`) →
+    * positional join vs the record store → per-ordering-group order +
+    * payload mass — lockstep with [[publishGroups]] over
+    * [[graft.operators.Resubmitter]].
+    */
+  private def resubmitOracle(where: String): String =
+    s"""$IndexCte, records AS (
+       |  SELECT 'gs://graft/events/blob-' || CAST(event_id // 100 AS VARCHAR) AS location_key,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY event_id // 100 ORDER BY event_id) AS BIGINT)
+       |           AS location_position,
+       |         props AS payload
+       |  FROM events),
+       |j AS (
+       |  SELECT ordering_key, unique_id, location_key, location_position, payload
+       |  FROM records JOIN idx USING (location_key, location_position)
+       |  WHERE $where)
+       |SELECT ordering_key, COUNT(*) AS n,
+       |       CASE WHEN ordering_key = '' THEN NULL
+       |            ELSE string_agg(unique_id, ','
+       |                   ORDER BY location_key, location_position, unique_id) END
+       |         AS publish_order,
+       |       CAST(SUM(length(payload)) AS BIGINT) AS payload_bytes
+       |FROM j GROUP BY ordering_key ORDER BY ordering_key""".stripMargin
+
   /** Unrolled integer-exact PageRank replay — lockstep with
     * [[graft.operators.Graph.pagerank]]: round i's CTE recomputes
     * r_i(v) = base + (85·Σ r_{i-1}(u) // outdeg(u)) // 100 over the
@@ -1322,6 +1395,16 @@ object SparkEntry {
          |       || CASE WHEN ordering_key = '' THEN ''
          |               ELSE ',ordering_key=' || ordering_key END AS attrs_flat
          |FROM idx ORDER BY unique_id""".stripMargin,
+    "q_resubmit_ids" -> resubmitOracle(
+      "CAST(broker_msg_id AS BIGINT) % 3 = 0"),
+    "q_resubmit_interval" -> resubmitOracle(
+      """publish_time >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND publish_time <  TIMESTAMP '2024-01-15 00:00:00'
+        |  AND broker_id = 't-purchase'""".stripMargin),
+    "q_resubmit_query" -> resubmitOracle(
+      """(business_source_key = 'bsk1'
+        |       AND publish_time >= TIMESTAMP '2024-01-10 00:00:00')
+        |   OR (ordering_key = '' AND meta_k >= '50')""".stripMargin),
     "q_idx_build" ->
       s"""$IndexCte
          |SELECT * FROM idx ORDER BY unique_id""".stripMargin,

@@ -45,6 +45,29 @@ object ApiFacade {
       limit: Option[String] = None,
       offset: Option[String] = None)
 
+  /** Resubmitter endpoints (resubmitter-api/lib/resubmitter/handler.go:
+    * 68-103, 146-186, 203-240): topic comes from the `topic` query param,
+    * falling back to the deployment-level default (the TOPIC_ID env var in
+    * the reference, a constructor field here); a None body models an
+    * unbindable JSON body; the interval body's broker_id is
+    * binding:"required" (handler.go:141) while lb/ub are optional with
+    * zero-time/now defaults (handler.go:188-199).
+    */
+  final case class ResubmitIdsRequest(
+      collection: String,
+      ids: Option[Seq[String]],
+      topic: Option[String] = None)
+  final case class ResubmitIntervalRequest(
+      collection: String,
+      brokerId: Option[String],
+      lb: Option[String] = None,
+      ub: Option[String] = None,
+      topic: Option[String] = None)
+  final case class ResubmitQueryRequest(
+      collection: String,
+      filters: Option[Seq[Map[String, FilterValue]]],
+      topic: Option[String] = None)
+
   /** What the HTTP layer would serialize: the status code, the message the
     * reference's gin handlers attach, and the lazy result frame (None on
     * error responses, like the error-body-only responses).
@@ -54,6 +77,9 @@ object ApiFacade {
   val OnBadRequestMessage = "bad request"
   val OnFailureMessage = "request failed"
   val OkMessage = "ok"
+  /** handler.go:40: topic neither in query param nor environment. */
+  val OnNoTopicMessage =
+    "topic was not defined as a query parameter nor as an environment variable"
 
   /** Reference response projections (util.go:146-188), restricted to the
     * columns this index materializes.
@@ -79,7 +105,9 @@ object ApiFacade {
   */
 final case class ApiFacade(
     collections: Map[String, QueryService],
-    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    resubmitters: Map[String, Resubmitter] = Map.empty,
+    envTopic: Option[String] = None) {
   import ApiFacade._
 
   def getUnique(req: GetUniqueRequest): ApiResponse =
@@ -153,6 +181,91 @@ final case class ApiFacade(
     if (indexerErrors == 0 && pipelineErrors == 0) (200, "resubmission successful")
     else if (published == 0) (400, "resubmission failed due to bad request")
     else (206, "partial resubmission")
+
+  /** POST /resubmit/:coll {ids:[…]}?topic — mode 1 (handler.go:68-103 →
+    * resubmitter_job.go:93). A resubmission is a JOB, not a view, so these
+    * endpoints execute eagerly (the reference runs the pipeline inside the
+    * request) and derive the status from the run's counters.
+    */
+  def resubmitIds(req: ResubmitIdsRequest): ApiResponse =
+    withTopic(req.topic) {
+      req.ids match {
+        case None      => (400, "resubmission failed due to bad request", None)
+        case Some(ids) => runResubmit(req.collection)(_.byIds(ids))
+      }
+    }
+
+  /** POST /range_resubmit/:coll {broker_id, lb?, ub?}?topic — mode 2
+    * (handler.go:146-199 → resubmitter_job.go:147). Missing broker_id is a
+    * bind failure (binding:"required"); absent bounds default to
+    * zero-time/now; malformed bounds are bind failures too.
+    */
+  def resubmitInterval(req: ResubmitIntervalRequest): ApiResponse =
+    withTopic(req.topic) {
+      val bounds =
+        try Some((
+          req.lb.map(parseWire).getOrElse(new Timestamp(0L)),
+          req.ub.map(parseWire).getOrElse(now())))
+        catch { case _: Exception => None }
+      (req.brokerId, bounds) match {
+        case (Some(broker), Some((from, to))) =>
+          runResubmit(req.collection)(_.byInterval(from, to, broker, now))
+        case _ => (400, "resubmission failed due to bad request", None)
+      }
+    }
+
+  /** POST /query_resubmit/:coll {filters:[…]}?topic — mode 3
+    * (handler.go:203-240 → resubmitter_job.go:202). Non-whitelisted keys
+    * and bad operators surface as indexer errors → 400 with nothing
+    * published, like the reference's IndexerError path.
+    */
+  def resubmitQuery(req: ResubmitQueryRequest): ApiResponse =
+    withTopic(req.topic) {
+      req.filters match {
+        case None          => (400, "resubmission failed due to bad request", None)
+        case Some(filters) => runResubmit(req.collection)(_.byQuery(filters))
+      }
+    }
+
+  private def withTopic(topic: Option[String])(
+      body: => (Int, String, Option[DataFrame])): ApiResponse =
+    topic.orElse(envTopic).filter(_.nonEmpty) match {
+      case None => ApiResponse(400, OnNoTopicMessage, None)
+      case Some(_) =>
+        val (status, msg, data) = body
+        ApiResponse(status, msg, data)
+    }
+
+  /** Run one composed mode and map its counters through [[resubmitStatus]]:
+    * an unknown collection or a rejected query is an indexer error with
+    * nothing published (→ 400); index rows that found no stored record are
+    * the pipeline's storage/deserialization failures (→ 206 partial if
+    * anything else made it); a clean drain is a 200 even when empty
+    * (chooseHTTPStatusCode: no errors → 200).
+    */
+  private def runResubmit(collection: String)(
+      mode: Resubmitter => ResubmitRun): (Int, String, Option[DataFrame]) =
+    resubmitters.get(collection) match {
+      case None =>
+        val (s, m) = resubmitStatus(indexerErrors = 1, pipelineErrors = 0, published = 0)
+        (s, m, None)
+      case Some(r) =>
+        try {
+          val run = mode(r)
+          val counts = run.summary.head()
+          val indexed = counts.getLong(0)
+          val published = counts.getLong(1)
+          val (s, m) = resubmitStatus(
+            indexerErrors = 0,
+            pipelineErrors = indexed - published,
+            published = published)
+          (s, m, Some(run.publish))
+        } catch {
+          case _: IllegalArgumentException =>
+            val (s, m) = resubmitStatus(indexerErrors = 1, pipelineErrors = 0, published = 0)
+            (s, m, None)
+        }
+    }
 
   private def pagination(limit: Option[String], offset: Option[String]): (Int, Int) = (
     limit.flatMap(_.toIntOption).filter(_ > 0).getOrElse(DefaultLimit),

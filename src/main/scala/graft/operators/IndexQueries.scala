@@ -75,6 +75,27 @@ final case class QueryService(index: DataFrame) {
     project(page(intervalFilter(from, to, brokerId), limit, offset), attrs)
   }
 
+  /** The resubmitter's drain of S9: the reference pages the interval with
+    * an offset loop until TotalCount is exhausted
+    * (resubmitter-api/lib/resubmitter/resubmitter_job.go:155-199), so the
+    * WHOLE matching slice is the result — the Spark form is the unpaged
+    * pushed-down filter, one scan, no top-k, no batching artifacts.
+    */
+  def allInInterval(
+      from: Timestamp,
+      to: Timestamp,
+      brokerId: String,
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): DataFrame = {
+    require(!to.after(now()), s"interval upper bound $to is in the future")
+    intervalFilter(from, to, brokerId)
+  }
+
+  /** Drain of S10 for the resubmitter's query mode (resubmitter_job.go:
+    * 207-260): the full matching set, unpaged.
+    */
+  def allQueried(filters: Seq[Map[String, FilterValue]]): DataFrame =
+    index.filter(compile(filters))
+
   /** Interval count — A1 (mongo.go:194-209). */
   def countInInterval(from: Timestamp, to: Timestamp, brokerId: String): DataFrame =
     intervalFilter(from, to, brokerId).agg(count(lit(1)).as("cnt"))

@@ -74,14 +74,16 @@ object Layout {
     *
     * bound_i = the sample's value at rank ⌈i·m/numSplits⌉ (the i-th
     * sample quantile by rank, duplicates handled by value: the r-th
-    * smallest value is well-defined however ties order). Rank AND total
-    * ride the same single-task window over the SAMPLE only, in one pass
-    * (no second scan for the count). The sample is PROPORTIONAL —
-    * expected size sampleFrac·N, unlike RangePartitioner's fixed-size
-    * reservoir — so the single task is bounded only by the caller's
-    * choice of sampleFrac: at large N pick sampleFrac so the sample stays
-    * task-sized (the 2^20-bucket hash gate keeps fractions down to
-    * ~1e-6 expressible — ~1e5 sampled keys from 1e11 rows).
+    * smallest value is well-defined however ties order). Ranking is the
+    * DISTRIBUTED prefix-sum pattern ([[Curate.takeTokenBudget]]'s): range
+    * repartition + per-partition sort, per-partition counts to the driver
+    * (#partitions longs — bounded), then a per-partition offset walk — no
+    * task ever holds more than its slice of the sample, so the sample
+    * itself can be arbitrarily large (sampleFrac is a quality knob, not a
+    * memory-safety knob). The hash gate's 2^20 buckets keep fractions
+    * down to ~1e-6 expressible. Runs the sample scan eagerly (two passes
+    * over a cached sample) and returns the checkpointed (numSplits−1)-row
+    * bound table.
     */
   def rangeBounds(
       df: DataFrame,
@@ -92,25 +94,48 @@ object Layout {
     require(numSplits >= 2, "numSplits must be at least 2")
     require(sampleFrac > 0 && sampleFrac <= 1, "sampleFrac in (0,1]")
     import graft.functions.TextFunctions.h60
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val cut = math.max(1L, math.round(sampleFrac * 1048576.0))
-    val sample = df
+    val sorted = df
       .select(key.as("k"))
       .filter(col("k").isNotNull)
       .filter(pmod(h60(concat(col("k").cast("string"), lit("|"), lit(salt))),
         lit(1048576L)) < lit(cut))
-    val w = Window.orderBy(col("k"))
-    val ranked = sample
-      .withColumn("rn", row_number().over(w))
-      .withColumn("m", count(lit(1)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    // one row per split even when two split ranks coincide (tiny samples)
-    val splits = df.sparkSession.range(1, numSplits)
-      .select(col("id").as("split_no"))
-    splits
-      .join(ranked, col("rn") ===
-        ceil(col("split_no") * col("m") / lit(numSplits.toDouble)).cast("long"))
+      .repartitionByRange(col("k"))
+      .sortWithinPartitions(col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator.single(pid -> n)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val m = offsets.last
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        "rn", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var rn = offsetsB.value(pid)
+        it.map { r =>
+          rn += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rn)
+        }
+      }, schema)
+    // target ranks computed on the driver (m is known); one row per split
+    // even when two split ranks coincide (tiny samples) because the split
+    // table drives the equi-join
+    import spark.implicits._
+    val targets = (1L until numSplits.toLong)
+      .map(i => (i, math.ceil(i.toDouble * m / numSplits).toLong))
+      .toDF("split_no", "target_rn")
+    val out = ranked
+      .join(broadcast(targets), col("rn") === col("target_rn"))
       .select(col("split_no"), col("k").as("upper_bound"))
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    out
   }
 
   /** Deterministic training-shard layout — the final write step of a

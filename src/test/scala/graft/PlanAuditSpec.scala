@@ -15,14 +15,13 @@ class PlanAuditSpec extends SparkSpec {
     *   - q_unigram_lm / q_keywords / q_collocations / q_bigram_lm /
     *     q_quality_buckets: 1-row scalar broadcasts
     *     (`crossJoin(broadcast(agg))` for a corpus total N);
-    *   - q_range_bounds: the (numSplits−1)-row split table joined to the
-    *     ranked sample on a computed-rank condition.
     * The exemption is per-query, so a NEW unbounded join sneaking into
     * one of these would pass — keep their join structure in view when
-    * touching them.
+    * touching them. (q_range_bounds left the list when its rank join
+    * became a broadcast equi-join on driver-computed target ranks.)
     */
   private val BnljExempt = Set(
-    "q_topk_cosine", "q_unigram_lm", "q_keywords", "q_range_bounds",
+    "q_topk_cosine", "q_unigram_lm", "q_keywords",
     "q_collocations", "q_bigram_lm", "q_quality_buckets",
     "q_log_hist_quantiles", // 3-row quantile table vs ≤ ~64·2^subBits registers
     "q_corpus_card", // embeds the same bounded quantile-table walk

@@ -108,4 +108,81 @@ class ApiFacadeSpec extends SparkSpec {
     assert(api.resubmitStatus(3, 1, 0) === ((400, "resubmission failed due to bad request")))
     assert(api.resubmitStatus(0, 2, 40) === ((206, "partial resubmission")))
   }
+
+  // record store for the composed modes: every index row's blob record
+  // EXCEPT i=7 — the one hole turns any slice containing id_007 into the
+  // reference's partial-resubmission case (storage failure → 206)
+  private lazy val records =
+    (1 to 30).filter(_ != 7)
+      .map(i => (s"blob-${i / 10}", (i % 10 + 1).toLong, s"payload-$i"))
+      .toDF("location_key", "location_position", "payload")
+
+  private lazy val rApi = ApiFacade(
+    Map("meta" -> QueryService(index)),
+    now = () => fixedNow,
+    resubmitters = Map("meta" -> Resubmitter(QueryService(index), records)),
+    envTopic = Some("env-topic"))
+
+  test("resubmit by ids: clean 200 with the publish plan; a missing record → 206 partial") {
+    val clean = rApi.resubmitIds(ResubmitIdsRequest("meta", Some(Seq("id_001", "id_002"))))
+    assert(clean.status === 200 && clean.message === "resubmission successful")
+    assert(clean.data.get.count() === 2)
+    // repackaged attributes made the plan (T13 ran inside the composition)
+    assert(clean.data.get.columns.contains("attributes"))
+    val partial = rApi.resubmitIds(ResubmitIdsRequest("meta", Some(Seq("id_007", "id_008"))))
+    assert(partial.status === 206 && partial.message === "partial resubmission")
+    assert(partial.data.get.count() === 1)
+    // unbindable body and unknown collection are 400s with nothing published
+    assert(rApi.resubmitIds(ResubmitIdsRequest("meta", None)).status === 400)
+    assert(rApi.resubmitIds(ResubmitIdsRequest("nope", Some(Seq("id_001")))).status === 400)
+  }
+
+  test("resubmit topic routing: query param or env, neither → 400 no-topic") {
+    val noEnv = ApiFacade(Map("meta" -> QueryService(index)),
+      now = () => fixedNow,
+      resubmitters = Map("meta" -> Resubmitter(QueryService(index), records)))
+    val missing = noEnv.resubmitIds(ResubmitIdsRequest("meta", Some(Seq("id_001"))))
+    assert(missing.status === 400 && missing.message === OnNoTopicMessage)
+    assert(noEnv.resubmitIds(
+      ResubmitIdsRequest("meta", Some(Seq("id_001")), topic = Some("t"))).status === 200)
+  }
+
+  test("resubmit interval: lb/ub default to zero-time/now; broker required; bad bounds 400") {
+    // b1 holds i=7 (the record hole) → partial; b2 is whole → clean
+    val b1 = rApi.resubmitInterval(ResubmitIntervalRequest("meta", Some("b1")))
+    assert(b1.status === 206)
+    assert(b1.data.get.count() ===
+      index.filter($"broker_id" === "b1").count() - 1)
+    val b2 = rApi.resubmitInterval(ResubmitIntervalRequest("meta", Some("b2")))
+    assert(b2.status === 200)
+    assert(b2.data.get.count() === index.filter($"broker_id" === "b2").count())
+    // explicit wire-format bounds narrow the slice
+    val narrowed = rApi.resubmitInterval(ResubmitIntervalRequest("meta", Some("b2"),
+      lb = Some("2024-01-05T00:00:00Z"), ub = Some("2024-01-10T00:00:00Z")))
+    assert(narrowed.status === 200)
+    assert(narrowed.data.get.count() ===
+      index.filter($"broker_id" === "b2" &&
+        $"publish_time" >= ts("2024-01-05 00:00:00") &&
+        $"publish_time" < ts("2024-01-10 00:00:00")).count())
+    assert(rApi.resubmitInterval(
+      ResubmitIntervalRequest("meta", brokerId = None)).status === 400)
+    assert(rApi.resubmitInterval(ResubmitIntervalRequest("meta", Some("b1"),
+      lb = Some("01/05/2024"))).status === 400)
+    assert(rApi.resubmitInterval(ResubmitIntervalRequest("meta", Some("b1"),
+      ub = Some("2999-01-01T00:00:00Z"))).status === 400)
+  }
+
+  test("resubmit query: whitelist failures 400; a clean empty drain is still 200") {
+    val hit = rApi.resubmitQuery(ResubmitQueryRequest("meta",
+      Some(Seq(Map("broker_id" -> Eq("b2"))))))
+    assert(hit.status === 200)
+    assert(hit.data.get.count() === index.filter($"broker_id" === "b2").count())
+    assert(rApi.resubmitQuery(ResubmitQueryRequest("meta",
+      Some(Seq(Map("no_such_attr" -> Eq("x")))))).status === 400)
+    assert(rApi.resubmitQuery(ResubmitQueryRequest("meta", None)).status === 400)
+    // zero matches, zero errors → 200 (chooseHTTPStatusCode's no-error arm)
+    val empty = rApi.resubmitQuery(ResubmitQueryRequest("meta",
+      Some(Seq(Map("broker_id" -> Eq("zzz"))))))
+    assert(empty.status === 200 && empty.data.get.isEmpty)
+  }
 }

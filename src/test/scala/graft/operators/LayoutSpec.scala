@@ -67,6 +67,22 @@ class LayoutSpec extends SparkSpec {
     assert(sBounds.map(_._2).toSeq === sBounds.map(_._2).sorted.toSeq)
   }
 
+  test("rangeBounds never plans a global one-task Window (distributed prefix-sum rank)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition(16) // many input partitions: the shape that would expose a global sort task
+    val bounds = Layout.rangeBounds(li, col("l_orderkey"), 4, sampleFrac = 0.5)
+    // the returned plan and its lineage carry no Window operator at all —
+    // ranking rode the per-partition offset walk, not a partition-less sort
+    assert(!bounds.queryExecution.executedPlan.toString.contains("Window"))
+    val got = bounds.orderBy("split_no").as[(Long, Long)].collect()
+    assert(got.length === 3)
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    // quantiles still replay the rank-by-value contract on the same sample
+    val again = Layout.rangeBounds(li, col("l_orderkey"), 4, sampleFrac = 0.5)
+      .orderBy("split_no").as[(Long, Long)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("zorder buckets prune a 2-D rectangle far better than row order") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
