@@ -281,8 +281,34 @@ object TextAnalysis {
   private def checkpointed(df: DataFrame): (DataFrame, () => Unit) =
     Iterate.checkpointed(df)
 
-  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[BpeMerge] =
+    bpeTrainBatched(docs, numMerges, batchSize = 1)
+
+  /** Batched BPE training: per round, ONE pair-count job ranks the corpus
+    * pairs, the driver greedily selects up to `batchSize` merges whose
+    * symbols are pairwise disjoint (and whose symbols don't collide with a
+    * just-created merged symbol), and ONE checkpointed pass applies them
+    * all in rank order — so a 30k-merge vocabulary costs ~30k/batchSize
+    * scheduler round-trips instead of 30k (the round-4/5 wall:
+    * one `.limit(1).collect()` job per merge).
+    *
+    * Exactness: `batchSize = 1` IS sequential greedy BPE (the default
+    * [[bpeTrain]] path). For `batchSize > 1`, disjointness guarantees the
+    * selected pairs' counts can't change each other (merging (a,b) only
+    * perturbs pairs touching `a` or `b`), so every selected merge's count
+    * is its true corpus count at selection time; the divergence from
+    * sequential greedy is only that a pair NEWLY CREATED by an earlier
+    * merge in the same round (count ≤ that merge's count) cannot outrank a
+    * later selection until the next round — the standard frequency-
+    * snapshot batching of parallel tokenizer trainers. Candidates are
+    * drawn from a bounded top-(4·batchSize) window; if the window runs dry
+    * of disjoint pairs the round simply selects fewer (never wrong, the
+    * next snapshot re-ranks).
+    */
+  def bpeTrainBatched(
+      docs: DataFrame, numMerges: Int, batchSize: Int): Seq[BpeMerge] = {
     require(numMerges > 0, "numMerges must be positive")
+    require(batchSize > 0, "batchSize must be positive")
     var (words, releaseWords) = checkpointed(docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -291,24 +317,43 @@ object TextAnalysis {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
+      val window = math.max(batchSize * 4, 16)
       val top = words
         .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(window)
         .collect()
-      top.headOption match {
-        case None => done = true // every word is a single symbol
-        case Some(row) =>
-          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += BpeMerge(rank, l, r, n)
-          val (next, releaseNext) = checkpointed(words
-            .select(mergePair(col("syms"), l, r).as("syms"), col("wc")))
-          releaseWords()
-          words = next
-          releaseWords = releaseNext
-          rank += 1
+      if (top.isEmpty) done = true // every word is a single symbol
+      else {
+        // greedy disjoint selection in rank order: a candidate is dropped
+        // if it shares a symbol with an already-selected pair, or if one
+        // of its symbols is a string a selected merge is about to create
+        val forbidden = scala.collection.mutable.Set.empty[String]
+        val selected = Seq.newBuilder[BpeMerge]
+        var taken = 0
+        top.iterator
+          .takeWhile(_ => taken < batchSize && rank + taken <= numMerges)
+          .foreach { row =>
+            val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+            if (!forbidden(l) && !forbidden(r)) {
+              selected += BpeMerge(rank + taken, l, r, n)
+              forbidden += l += r += (l + r)
+              taken += 1
+            }
+          }
+        val batch = selected.result()
+        val folded = batch.foldLeft(col("syms")) { (syms, m) =>
+          mergePair(syms, m.left, m.right)
+        }
+        val (next, releaseNext) = checkpointed(
+          words.select(folded.as("syms"), col("wc")))
+        releaseWords()
+        words = next
+        releaseWords = releaseNext
+        merges ++= batch
+        rank += batch.size
       }
     }
     releaseWords()

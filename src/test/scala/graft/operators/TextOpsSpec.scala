@@ -633,6 +633,45 @@ class TextOpsSpec extends SparkSpec {
     assert(nSyms < nChars)
   }
 
+  test("bpeTrainBatched runs ≥4× fewer Spark jobs than sequential for a 64-merge train") {
+    // count jobs via job groups; the status tracker is fed asynchronously,
+    // so poll until the group's job count stops moving
+    def jobs(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100)
+        prev = cur
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      cur
+    }
+    var exact: Seq[TextAnalysis.BpeMerge] = Seq.empty
+    var batched: Seq[TextAnalysis.BpeMerge] = Seq.empty
+    val exactJobs = jobs("bpe-exact") { exact = TextAnalysis.bpeTrain(docs, 64) }
+    val batchedJobs = jobs("bpe-batched") {
+      batched = TextAnalysis.bpeTrainBatched(docs, 64, batchSize = 16)
+    }
+    assert(exact.size === 64 && batched.size === 64)
+    assert(batchedJobs * 4 <= exactJobs,
+      s"batched=$batchedJobs jobs vs exact=$exactJobs — batching did not amortize")
+    // both orderings start from the same snapshot argmax, and the batched
+    // list never repeats a pair
+    assert(batched.head.copy(rank = exact.head.rank) === exact.head)
+    assert(batched.map(m => (m.left, m.right)).distinct.size === 64)
+    // segmentation through the batched vocabulary is still lossless
+    val seg = TextAnalysis.bpeSegment(docs, batched)
+      .select(col("doc_id"), concat_ws("", col("bpe_syms")).as("joined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws("", TextFunctions.tokens(col("text"))).as("joined"))
+    assert(seg.as[(Long, String)].collect().toMap ===
+      orig.as[(Long, String)].collect().toMap)
+  }
+
   test("bpeSegment applies a 256-merge vocabulary without a deep expression tree") {
     // fabricated vocabulary: all 256 single-char pairs over a-p, applied in
     // rank order — 8 re-materialized chunks of 32, never one 256-deep plan
