@@ -560,6 +560,15 @@ object SparkEntry {
         Dedup.simHashPairs(docs, 2),
         Dedup.ngramJaccardPairs(docs, threshold = 0.6))
     },
+    // The contract-shaped form: ground truth mined on the reproducible
+    // h60 half-sample, so the exact miner's superlinear cost is bounded
+    // by the sampling knob (the full-corpus row above stays as the
+    // correctness anchor; the bench times THIS one).
+    "q_dedup_pair_pr_sampled" -> { (s, dir) =>
+      Dedup.pairAgreementSampled(Tables(s, dir).documents, 0.5, "prs1",
+        d => Dedup.simHashPairs(d, 2),
+        d => Dedup.ngramJaccardPairs(d, threshold = 0.6))
+    },
     // Paragraph-level exact dedup (content-defined boundaries, keep-first
     // corpus-wide); avgTokens=4 so the tiny-vocab corpus has real repeats.
     "q_dedup_paragraph" -> ((s, dir) =>
@@ -1029,6 +1038,50 @@ object SparkEntry {
   /** DuckDB h60 — lockstep with [[graft.functions.TextFunctions.h60]]. */
   private def h60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** [[ToksCte]] restricted to the h60-gated document sample — lockstep
+    * with [[graft.operators.Curate.sampleByHash]] on doc_id.
+    */
+  private def sampledToksCte(frac: Double, salt: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM documents
+       |  WHERE ${h60Sql(s"CAST(doc_id AS VARCHAR) || '|$salt'")} % 10000
+       |          < ${math.round(frac * 10000)})""".stripMargin
+
+  /** Pair-miner agreement oracle (SimHash hamming ≤ 2 vs exact J ≥ 0.6)
+    * over whatever toks CTE defines the corpus — full or sampled.
+    */
+  private def pairPrOracle(toksCte: String): String =
+    s"""$toksCte,
+       |$ShinglesCte,
+       |sims AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+       |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+       |    AS simhash
+       |  FROM (SELECT doc_id,
+       |               list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
+       |        FROM toks)),
+       |pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+       |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+       |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+       |            >= 0.6)
+       |SELECT CAST(np AS BIGINT) AS n_pred, CAST(nt AS BIGINT) AS n_truth,
+       |       CAST(ntp AS BIGINT) AS n_tp,
+       |       CASE WHEN np > 0 THEN CAST(ntp AS DOUBLE) / CAST(np AS DOUBLE)
+       |            ELSE 0.0 END AS precision,
+       |       CASE WHEN nt > 0 THEN CAST(ntp AS DOUBLE) / CAST(nt AS DOUBLE)
+       |            ELSE 0.0 END AS recall
+       |FROM (SELECT (SELECT COUNT(*) FROM pred) AS np,
+       |             (SELECT COUNT(*) FROM truth) AS nt,
+       |             (SELECT COUNT(*) FROM pred JOIN truth USING (doc_a, doc_b)) AS ntp)
+       |""".stripMargin
 
   /** DuckDB replay of one composed resubmit mode: index slice (`where`) →
     * positional join vs the record store → per-ordering-group order +
@@ -1880,35 +1933,10 @@ object SparkEntry {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // pred = q_dedup_simhash's hamming ≤ 2 pairs, truth = q_ngram_jaccard's
     // exact J ≥ 0.6 pairs; one row of counts + derived precision/recall
-    "q_dedup_pair_pr" ->
-      s"""$ToksCte,
-         |$ShinglesCte,
-         |sims AS (
-         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
-         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
-         |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-         |    AS simhash
-         |  FROM (SELECT doc_id,
-         |               list_transform(list_distinct(toks), t -> ${h60Sql("t")}) AS hs
-         |        FROM toks)),
-         |pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
-         |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
-         |            >= 0.6)
-         |SELECT CAST(np AS BIGINT) AS n_pred, CAST(nt AS BIGINT) AS n_truth,
-         |       CAST(ntp AS BIGINT) AS n_tp,
-         |       CASE WHEN np > 0 THEN CAST(ntp AS DOUBLE) / CAST(np AS DOUBLE)
-         |            ELSE 0.0 END AS precision,
-         |       CASE WHEN nt > 0 THEN CAST(ntp AS DOUBLE) / CAST(nt AS DOUBLE)
-         |            ELSE 0.0 END AS recall
-         |FROM (SELECT (SELECT COUNT(*) FROM pred) AS np,
-         |             (SELECT COUNT(*) FROM truth) AS nt,
-         |             (SELECT COUNT(*) FROM pred JOIN truth USING (doc_a, doc_b)) AS ntp)
-         |""".stripMargin,
+    "q_dedup_pair_pr" -> pairPrOracle(ToksCte),
+    // the same readout over the h60-gated half-corpus sample — the
+    // executable form of the "ground truth on a sample" contract
+    "q_dedup_pair_pr_sampled" -> pairPrOracle(sampledToksCte(0.5, "prs1")),
     // approx = q_ivf_topk's cell-restricted ranking, exact = q_topk_cosine's
     // full scan; recall@5 = their per-query top-5 intersection / 5
     "q_ann_recall" ->

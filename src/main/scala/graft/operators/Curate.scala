@@ -168,6 +168,9 @@ object Curate {
       salt: String,
       salts: Int = 16): DataFrame = {
     require(n > 0, "n must be positive")
+    // salts <= 0 would make pmod(spk_h, salts) NULL and silently collapse
+    // the two-stage skew valve into one partition per group
+    require(salts > 0, "salts must be positive")
     require(!df.columns.contains("spk_h"),
       "input must not contain scratch column 'spk_h'")
     val withH = df.withColumn("spk_h",

@@ -818,8 +818,11 @@ object Dedup {
     * construction), never the corpus.
     */
   def pairAgreement(pred: DataFrame, truth: DataFrame): DataFrame = {
-    val p = pred.select(col("doc_a"), col("doc_b"))
-    val t = truth.select(col("doc_a"), col("doc_b"))
+    // distinct both projections: n_tp is a semi-join count (each predicted
+    // pair at most once) and must agree with an oracle's inner-join count
+    // even if a miner ever emits a duplicate (doc_a, doc_b) row
+    val p = pred.select(col("doc_a"), col("doc_b")).distinct()
+    val t = truth.select(col("doc_a"), col("doc_b")).distinct()
     val np = p.agg(count(lit(1)).as("n_pred"))
     val nt = t.agg(count(lit(1)).as("n_truth"))
     val tp = p.join(t, Seq("doc_a", "doc_b"), "left_semi")
@@ -832,5 +835,27 @@ object Dedup {
         when(col("n_truth") > 0,
           col("n_tp").cast("double") / col("n_truth").cast("double"))
           .otherwise(lit(0.0)).as("recall"))
+  }
+
+  /** The executable form of the exact-ground-truth contract: the
+    * all-pairs Jaccard miner ([[ngramJaccardPairs]]) grows superlinearly
+    * with near-dup density, so its documented role is a TUNING READOUT ON
+    * A SAMPLE — this operator IS that contract. Hash-sample the DOCUMENTS
+    * (both miners must see the same restricted corpus so their pair
+    * universes coincide; sampling the pair tables instead would measure
+    * nothing), run `pred` and `truth` over the sample, and score
+    * agreement. Doc-sampling at `frac` shrinks the pair space ~frac², so
+    * even the exact miner's worst case is bounded by the caller's knob;
+    * the h60 gate makes the readout reproducible run-to-run and
+    * engine-to-engine.
+    */
+  def pairAgreementSampled(
+      docs: DataFrame,
+      frac: Double,
+      salt: String,
+      pred: DataFrame => DataFrame,
+      truth: DataFrame => DataFrame): DataFrame = {
+    val sampled = Curate.sampleByHash(docs, col("doc_id"), frac, salt)
+    pairAgreement(pred(sampled), truth(sampled))
   }
 }

@@ -116,10 +116,13 @@ object Multimodal {
       .agg(countDistinct(col("doc_id")).as("frame_df"))
       .filter(col("frame_df") <= maxDf)
       .select("frame_md5")
-    // cache: both sides of the self-join read this table — without the pin
-    // the frame explode + distinct + df aggregation run twice (same
-    // convention as minHashLsh's banded table)
-    val kept = frames.join(rare, Seq("frame_md5")).cache()
+    // localCheckpoint, not cache: both sides of the self-join read this
+    // table (without a pin the frame explode + distinct + df aggregation
+    // run twice), and unlike a CacheManager entry the checkpoint's blocks
+    // are released by the context cleaner once the frame is unreachable —
+    // repeated bench/verify passes don't accumulate pinned frame tables
+    // (the Graph.pagerank release pattern)
+    val kept = frames.join(rare, Seq("frame_md5")).localCheckpoint()
     kept.as("a")
       .join(kept.as("b"),
         col("a.frame_md5") === col("b.frame_md5") &&

@@ -515,6 +515,14 @@ class CurateSpec extends SparkSpec {
     val dailyMerged = Sketches.mergeHll(daily, daily)
     assert(dailyMerged.count() === daily.count())
     assert(dailyMerged.exceptAll(daily.select("d", "bucket", "rho_max")).count() === 0)
+    // a group column aliased to a scratch/output name would be recovered
+    // positionally and silently miscompute — refused instead
+    Seq("bucket", "suffix", "rho_max").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Sketches.hllRegistersBy(evTs, col("user_id"), 7,
+          date_trunc("day", col("ts")).as(bad))
+      }
+    }
   }
 
   test("log-histogram buckets contain their values, merge exactly, and bracket quantiles") {
@@ -715,6 +723,12 @@ class CurateSpec extends SparkSpec {
     val small = Curate.sampleExactPerKey(d, col("lang"), col("doc_id"), n = 3, salt = "t")
       .select("lang", "doc_id", "sample_rank")
     assert(small.exceptAll(out.filter(col("sample_rank") <= 3)).isEmpty)
+    // a non-positive salt count would NULL the pmod and collapse the
+    // two-stage skew valve to one partition per group — refused
+    intercept[IllegalArgumentException] {
+      Curate.sampleExactPerKey(d, col("lang"), col("doc_id"), n = 3, salt = "t",
+        salts = 0)
+    }
     out.unpersist()
   }
 }
