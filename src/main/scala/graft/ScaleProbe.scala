@@ -129,6 +129,16 @@ object ScaleProbe {
           concat(lit("u"), col("user_id")).as("src"),
           concat(lit("t"), col("event_type")).as("dst")).distinct()
         operators.Graph.pagerank(operators.Graph.symmetrize(edges), 3)
+      },
+      // deeper loop at the same scales: the checkpoint-cadence claim — 8
+      // rounds should cost ~8/3 of 3 rounds at every scale, not grow with
+      // accumulated lineage
+      "pagerank (user↔type, 8 iters)" -> { (s, d) =>
+        val ev = Tables(s, d).events
+        val edges = ev.select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("t"), col("event_type")).as("dst")).distinct()
+        operators.Graph.pagerank(operators.Graph.symmetrize(edges), 8)
       })
 
     val sb = new StringBuilder(
@@ -315,6 +325,37 @@ object ScaleProbe {
       sb.append(s"| $name | " +
         cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
         " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
+    }
+
+    // ---- streaming-crawl accretion: dedupAgainst with a GROWING kept
+    // store — the loop/state-growth shape of an incremental crawl. Waves
+    // arrive by doc_id stripe; each wave band-joins everything kept so far
+    // and its survivors append. The kept store is a localCheckpoint per
+    // wave, so plan depth stays O(1) — the store grows as DATA, not
+    // lineage. Claim under test: per-wave cost grows at most linearly with
+    // the kept-store size (one band equi-join), never superlinearly, and
+    // no wave re-pays earlier waves' mining.
+    sb.append(
+      """
+        |Streaming-crawl accretion (the x4 corpus arriving in 4 waves; each
+        |wave dedups against the kept-so-far store, survivors append;
+        |single timed pass per wave — cold, unlike the warmed rows above):
+        |
+        |""".stripMargin)
+    sb.append("| wave | kept rows before | wave rows | survivors | sec |\n")
+    sb.append("|---|---|---|---|---|\n")
+    val crawl = Tables(spark, docDirs.last._2).documents
+    var kept = crawl.filter(pmod(col("doc_id"), lit(4)) === 0).localCheckpoint()
+    (1 to 3).foreach { w =>
+      val wave = crawl.filter(pmod(col("doc_id"), lit(4)) === w)
+      val keptBefore = kept.count()
+      val waveRows = wave.count()
+      val t0 = System.nanoTime()
+      val survivors = operators.Dedup.dedupAgainst(wave, kept).localCheckpoint()
+      val t = (System.nanoTime() - t0) / 1e9
+      val n = survivors.count()
+      kept = kept.unionByName(survivors).localCheckpoint()
+      sb.append(s"| $w | $keptBefore | $waveRows | $n | " + f"$t%.2f |\n")
     }
 
     Files.writeString(Paths.get(out), sb.toString)

@@ -913,6 +913,25 @@ object SparkEntry {
       Curate.sampleByWeight(Tables(s, dir).documents, col("doc_id"),
         least(col("n_chars").cast("double") / 400.0, lit(1.0)), "w1")
         .select("doc_id", "n_chars").orderBy(col("doc_id"))),
+    // DSIR importance weights + resample gate: target = the doc_id % 23
+    // stripe standing in for the curated seed corpus, raw = the rest.
+    // The kept flag inlines dsirResample's exact gate (Curate.scala) so
+    // the whole selection replays without running the model twice.
+    "q_dsir" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val w = Curate.dsirWeights(
+        docs.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0))
+      import graft.functions.TextFunctions.h60
+      w.select(col("doc_id"), col("dsir_tokens"), col("dsir_w"),
+        col("dsir_mean_ppm"),
+        (pmod(h60(concat(col("doc_id").cast("string"), lit("|dsir1"))),
+          lit(1048576L)).cast("double") <
+          least(greatest(
+            lit(0.25) * col("dsir_mean_ppm").cast("double") / lit(1000000.0),
+            lit(0.0)), lit(1.0)) * 1048576.0).as("kept"))
+        .orderBy(col("doc_id"))
+    },
     // IVF-PQ with a FULL DuckDB oracle: the run stashes the learned
     // codebooks and oracleSql (evaluated by Verify AFTER the queries run)
     // replays them as literal DOUBLE[][][] tables — code assignment, ADC
@@ -2727,6 +2746,44 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${h60Sql("CAST(doc_id AS VARCHAR) || '|w1'")} % 1048576
          |      < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 1048576.0
+         |ORDER BY doc_id""".stripMargin,
+    // add-one bag models over 4096 hashed-unigram buckets; r_ppm exact in
+    // HUGEINT/DECIMAL(38) with one floor division — lockstep with
+    // Curate.dsirWeights; the kept gate mirrors sampleByWeight's
+    "q_dsir" ->
+      s"""$ToksCte,
+         |tb AS (SELECT doc_id, ${h60Sql("tok")} % 4096 AS bucket
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks
+         |             WHERE doc_id % 23 = 0)),
+         |rb AS (SELECT doc_id, ${h60Sql("tok")} % 4096 AS bucket
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks
+         |             WHERE doc_id % 23 <> 0)),
+         |tc AS (SELECT bucket, COUNT(*) AS c_tgt FROM tb GROUP BY 1),
+         |rc AS (SELECT bucket, COUNT(*) AS c_raw FROM rb GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n_tgt FROM tb),
+         |nr AS (SELECT COUNT(*) AS n_raw FROM rb),
+         |ratio AS (
+         |  SELECT bucket,
+         |         CAST((1000000::HUGEINT * (COALESCE(c_tgt, 0) + 1) * (n_raw + 4096))
+         |              // ((COALESCE(c_raw, 0) + 1) * (n_tgt + 4096)) AS BIGINT)
+         |           AS r_ppm
+         |  FROM tc FULL OUTER JOIN rc USING (bucket), nt, nr),
+         |w AS (SELECT doc_id, COUNT(*) AS dsir_tokens,
+         |             CAST(SUM(r_ppm) AS BIGINT) AS dsir_w
+         |      FROM rb JOIN ratio USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(dsir_tokens, 0) AS dsir_tokens,
+         |       COALESCE(dsir_w, 0) AS dsir_w,
+         |       COALESCE(dsir_w, 0) // GREATEST(COALESCE(dsir_tokens, 0), 1)
+         |         AS dsir_mean_ppm,
+         |       CAST(${h60Sql("CAST(d.doc_id AS VARCHAR) || '|dsir1'")} % 1048576
+         |            AS DOUBLE)
+         |         < LEAST(GREATEST(
+         |             0.25 * CAST(COALESCE(dsir_w, 0)
+         |                         // GREATEST(COALESCE(dsir_tokens, 0), 1) AS DOUBLE)
+         |               / 1000000.0, 0.0), 1.0) * 1048576.0 AS kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+         |LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_hll" ->
       s"""WITH h AS (SELECT ${h60Sql("CAST(user_id AS VARCHAR)")} & 4294967295 AS h32

@@ -743,4 +743,85 @@ object Curate {
           .otherwise(array().cast("array<bigint>"))))
       .drop("rep_n")
   }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * arXiv:2302.03169): score every raw document by how target-like its
+    * hashed-unigram bag is under two add-one-smoothed bag-of-buckets
+    * models — one fit on the (small, high-quality) `target` corpus, one
+    * on `raw` itself — the cheap lexical stand-in for "select web data
+    * that looks like Wikipedia/books".
+    *
+    * Portability: the paper's per-token statistic is the log-likelihood
+    * ratio; log is not exactly replayable across engines, so the CHECKED
+    * statistic is the integer ratio surrogate (the [[TextAnalysis]]
+    * LM-scoring convention): per bucket b,
+    * `r_ppm(b) = ⌊10^6·(c_tgt(b)+1)·(N_raw+D) / ((c_raw(b)+1)·(N_tgt+D))⌋`
+    * — all products exact in DECIMAL(38,0), one floor division, > 10^6
+    * iff the bucket is more probable under the target model. A doc's
+    * `dsir_w` sums r_ppm over its token occurrences (arithmetic-mean
+    * surrogate of the geometric-mean paper weight — same per-token
+    * signal, length-additive like the paper's log sum); `dsir_mean_ppm`
+    * is the length-normalized form selection uses.
+    *
+    * Scale shape: both models are D-row aggregations (D = `dim` buckets,
+    * broadcastable); the per-doc weight is one broadcast equi-join of the
+    * exploded raw tokens against the D-row ratio table plus one doc-keyed
+    * sum — raw never self-joins and nothing corpus-sized reaches the
+    * driver. Raw text is scanned twice (model + weights); cache upstream
+    * if that matters.
+    */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, dim: Int = 4096): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val scratch = Set("dsir_w", "dsir_tokens", "dsir_mean_ppm")
+    require(!raw.columns.exists(scratch.contains),
+      s"raw must not contain scratch columns ${scratch.mkString("/")}")
+    val d38 = "decimal(38,0)"
+    def buckets(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), pmod(h60(col("t")), lit(dim.toLong)).as("bucket"))
+    val tgtB = buckets(target)
+    val rawB = buckets(raw)
+    val ratio = tgtB.groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+      .join(rawB.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw")),
+        Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tgtB.agg(count(lit(1)).as("n_tgt"))))
+      .crossJoin(broadcast(rawB.agg(count(lit(1)).as("n_raw"))))
+      .select(col("bucket"),
+        call_function("div",
+          lit(1000000L).cast(d38)
+            * (coalesce(col("c_tgt"), lit(0L)) + 1).cast(d38)
+            * (col("n_raw") + dim).cast(d38),
+          (coalesce(col("c_raw"), lit(0L)) + 1).cast(d38)
+            * (col("n_tgt") + dim).cast(d38)).as("r_ppm"))
+    val w = rawB
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("r_ppm")).as("dsir_w"), count(lit(1)).as("dsir_tokens"))
+    raw.join(w, Seq("doc_id"), "left")
+      .withColumn("dsir_w", coalesce(col("dsir_w"), lit(0L)))
+      .withColumn("dsir_tokens", coalesce(col("dsir_tokens"), lit(0L)))
+      .withColumn("dsir_mean_ppm",
+        call_function("div", col("dsir_w"), greatest(col("dsir_tokens"), lit(1L))))
+  }
+
+  /** The resampling half of DSIR: keep each raw doc with probability
+    * ∝ its per-token target-likeness — `frac · dsir_mean_ppm / 10^6`,
+    * clamped to [0,1] — through the same deterministic h60 gate as every
+    * other sampler ([[sampleByWeight]]). A neutral doc (ratio 1) keeps at
+    * `frac`; target-like docs upweight, target-unlike downweight; the
+    * whole selection replays cross-engine (the only float ops are one
+    * multiply and one divide, each a single correctly-rounded IEEE op).
+    */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      frac: Double,
+      salt: String,
+      dim: Int = 4096): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac in (0,1]")
+    val weighted = dsirWeights(raw, target, dim)
+    sampleByWeight(weighted, col("doc_id"),
+      lit(frac) * col("dsir_mean_ppm").cast("double") / lit(1000000.0), salt)
+  }
 }

@@ -731,4 +731,47 @@ class CurateSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("dsirWeights replays a driver-side add-one bag model; resample equals weights+gate") {
+    import graft.functions.TextFunctions.h60Jvm
+    val dim = 64
+    val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta delta"),
+      (3L, "")).toDF("doc_id", "text")
+    def toks(s: String) = s.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    def bucket(t: String) = h60Jvm(t) % dim
+    val tgtToks = Seq("alpha beta alpha").flatMap(toks)
+    val rawToks = Seq("alpha beta gamma", "delta delta", "").flatMap(toks)
+    val cTgt = tgtToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val cRaw = rawToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    def rPpm(b: Long): Long =
+      ((BigInt(1000000) * (cTgt.getOrElse(b, 0L) + 1) * (rawToks.size + dim)) /
+        (BigInt(cRaw.getOrElse(b, 0L) + 1) * (tgtToks.size + dim))).toLong
+    val expected = Map(
+      1L -> toks("alpha beta gamma").map(t => rPpm(bucket(t))).sum,
+      2L -> toks("delta delta").map(t => rPpm(bucket(t))).sum,
+      3L -> 0L)
+    val got = Curate.dsirWeights(raw, target, dim)
+      .select("doc_id", "dsir_tokens", "dsir_w", "dsir_mean_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._3).toMap === expected)
+    assert(got.map(_._2).toSeq === Seq(3L, 2L, 0L))
+    got.foreach { case (_, n, w, mean) => assert(mean === w / math.max(n, 1L)) }
+    // a target-only bucket outweighs a raw-only one (the signal exists)
+    assert(expected(1L) / 3 > expected(2L) / 2)
+    // resample ≡ weights + the documented gate
+    val kept = Curate.dsirResample(raw, target, frac = 0.5, salt = "ds", dim = dim)
+      .select("doc_id").as[Long].collect().toSet
+    val gate = Curate.sampleByWeight(
+      Curate.dsirWeights(raw, target, dim), col("doc_id"),
+      lit(0.5) * col("dsir_mean_ppm").cast("double") / lit(1000000.0), "ds")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === gate)
+    // scratch-name collision refused
+    intercept[IllegalArgumentException] {
+      Curate.dsirWeights(raw.withColumn("dsir_w", lit(1L)), target, dim)
+    }
+  }
 }
