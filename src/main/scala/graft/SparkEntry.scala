@@ -747,7 +747,7 @@ object SparkEntry {
         .select("doc_id", "shard_no", "shard_pos")
         .orderBy(col("doc_id"))),
     // Release manifest per shard: counts, token mass, and the
-    // order-independent DECIMAL fingerprint a reader re-derives.
+    // order-independent mod-prime fingerprint a reader re-derives.
     "q_shard_manifest" -> { (s, dir) =>
       import graft.functions.TextFunctions.tokens
       val docs = Tables(s, dir).documents
@@ -755,6 +755,43 @@ object SparkEntry {
         Layout.assignShards(docs, col("doc_id"), 8, "sh1"),
         col("doc_id"), size(tokens(col("text"))))
         .orderBy(col("shard_no"))
+    },
+    // Shard-skipping Bloom index: the per-(shard, word) filter table
+    // itself, rebuilt bit-for-bit by any engine.
+    "q_shard_bloom" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Layout.shardBloomIndex(
+        Layout.assignShards(docs, col("doc_id"), 8, "sb1"),
+        col("doc_id"), m = 1024)
+        .orderBy(col("shard_no"), col("word_idx"))
+    },
+    // Point-lookup pruning readout over the Bloom index: member probes
+    // ALWAYS include their true shard (no false negatives); absent keys
+    // prune most shards (false positives only cost extra reads).
+    "q_bloom_prune" -> { (s, dir) =>
+      import graft.functions.TextFunctions.h60
+      val docs = Tables(s, dir).documents
+      val bloom = Layout.shardBloomIndex(
+        Layout.assignShards(docs, col("doc_id"), 8, "sb1"),
+        col("doc_id"), m = 1024)
+      val members = docs.filter(col("doc_id") % 101 === 0).select("doc_id")
+      val probes = members
+        .select(col("doc_id").cast("string").as("probe_key"),
+          lit(true).as("is_member"),
+          pmod(h60(concat(col("doc_id").cast("string"), lit("|shard|sb1"))),
+            lit(8L)).as("true_shard"))
+        .unionByName(members.select(
+          (col("doc_id") + 1000000000L).cast("string").as("probe_key"),
+          lit(false).as("is_member"), lit(-1L).as("true_shard")))
+      val cand = Layout.pruneShards(bloom, probes, col("probe_key"), m = 1024)
+      probes.join(cand, Seq("probe_key"), "left")
+        .groupBy(col("probe_key"), col("is_member"), col("true_shard"))
+        .agg(count(col("shard_no")).as("n_candidates"),
+          max(when(col("shard_no") === col("true_shard"), lit(1L))
+            .otherwise(lit(0L))).as("inc"))
+        .select(col("probe_key"), col("is_member"), col("true_shard"),
+          col("n_candidates"), (col("inc") === 1L).as("includes_true"))
+        .orderBy(col("probe_key"))
     },
     "q_curated" -> ((s, dir) =>
       Curate.curated(Tables(s, dir).documents).orderBy(col("doc_id"))),
@@ -2422,6 +2459,63 @@ object SparkEntry {
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |       CAST(sum(fp % 1000003) AS BIGINT) AS fp_sum
          |FROM a GROUP BY 1 ORDER BY shard_no""".stripMargin,
+    // double-hash positions (h1 + i·h2 mod m) in 32-bit words — lockstep
+    // with PortableBloom.positionsCol and Layout.shardBloomIndex
+    "q_shard_bloom" ->
+      s"""WITH a AS (
+         |  SELECT ${h60Sql("CAST(doc_id AS VARCHAR) || '|shard|sb1'")} % 8 AS shard_no,
+         |         ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |p AS (SELECT shard_no,
+         |             unnest(list_distinct(list_transform(range(0, 6),
+         |               i -> ((hk & 1073741823)
+         |                     + i * (((hk >> 30) & 1073741823) | 1)) % 1024))) AS pos
+         |      FROM a)
+         |SELECT shard_no, pos >> 5 AS word_idx,
+         |       CAST(bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS BIGINT) AS word
+         |FROM p GROUP BY 1, 2 ORDER BY shard_no, word_idx""".stripMargin,
+    "q_bloom_prune" ->
+      s"""WITH a AS (
+         |  SELECT ${h60Sql("CAST(doc_id AS VARCHAR) || '|shard|sb1'")} % 8 AS shard_no,
+         |         ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |bloom AS (
+         |  SELECT shard_no, pos >> 5 AS word_idx,
+         |         CAST(bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS BIGINT) AS word
+         |  FROM (SELECT shard_no,
+         |               unnest(list_distinct(list_transform(range(0, 6),
+         |                 i -> ((hk & 1073741823)
+         |                       + i * (((hk >> 30) & 1073741823) | 1)) % 1024))) AS pos
+         |        FROM a) GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS probe_key, TRUE AS is_member,
+         |         ${h60Sql("CAST(doc_id AS VARCHAR) || '|shard|sb1'")} % 8 AS true_shard
+         |  FROM documents WHERE doc_id % 101 = 0
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 1000000000 AS VARCHAR), FALSE, CAST(-1 AS BIGINT)
+         |  FROM documents WHERE doc_id % 101 = 0),
+         |pb AS (SELECT probe_key, is_member, true_shard,
+         |              list_distinct(list_transform(range(0, 6),
+         |                i -> ((hp & 1073741823)
+         |                      + i * (((hp >> 30) & 1073741823) | 1)) % 1024)) AS poss
+         |       FROM (SELECT probes.*, ${h60Sql("probe_key")} AS hp FROM probes)),
+         |pp AS (SELECT probe_key, CAST(len(poss) AS BIGINT) AS n_probe,
+         |              unnest(poss) AS pos
+         |       FROM pb),
+         |hits AS (
+         |  SELECT probe_key, shard_no, n_probe, COUNT(*) AS n_hit
+         |  FROM (SELECT probe_key, n_probe, pos >> 5 AS word_idx,
+         |               CAST(pos & 31 AS INT) AS bit FROM pp) x
+         |  JOIN bloom USING (word_idx)
+         |  WHERE (word >> bit) & 1 = 1
+         |  GROUP BY 1, 2, 3),
+         |cand AS (SELECT probe_key, shard_no FROM hits WHERE n_hit = n_probe)
+         |SELECT p.probe_key, p.is_member, p.true_shard,
+         |       COUNT(c.shard_no) AS n_candidates,
+         |       MAX(CASE WHEN c.shard_no = p.true_shard THEN 1 ELSE 0 END) = 1
+         |         AS includes_true
+         |FROM probes p LEFT JOIN cand c USING (probe_key)
+         |GROUP BY 1, 2, 3 ORDER BY probe_key""".stripMargin,
     "q_curated" ->
       s"""$ToksCte,
          |q AS (SELECT doc_id,

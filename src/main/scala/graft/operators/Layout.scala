@@ -191,4 +191,68 @@ object Layout {
         sum(tokenCount.cast("long")).as("n_tokens"),
         sum(pmod(graft.functions.TextFunctions.h60(key.cast("string")),
           lit(1000003L))).as("fp_sum"))
+
+  /** Per-shard Bloom skipping index — the shard/file-skipping structure a
+    * store needs for point lookups on a key it is NOT partitioned by: at
+    * 100 TB a "find this doc_id" probe either touches every shard or
+    * consults a summary like this one. Parquet footers carry the same
+    * idea privately; this is the portable form — the filter WORDS are
+    * data (one row per (shard, word)), so any engine rebuilds and any
+    * reader replays them.
+    *
+    * Probe math is [[graft.functions.PortableBloom]]'s double hashing
+    * (one h60 per key serves all `k` probes), laid out in 32-BIT words
+    * stored in BIGINT: the largest mask is 2^31, so no engine's left
+    * shift can overflow a signed 64-bit value (a 64-bit layout would need
+    * `1 << 63`, which DuckDB rejects). Build = explode k positions per
+    * key + one (shard, word) bit_or aggregation; output ≤ shards·m/32
+    * rows of longs — metadata-sized at any corpus scale.
+    */
+  def shardBloomIndex(
+      assigned: DataFrame, key: Column, m: Int, k: Int = 6): DataFrame = {
+    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    require(k >= 1, "k must be at least 1")
+    val h = graft.functions.TextFunctions.h60(key.cast("string"))
+    assigned
+      .select(col("shard_no"),
+        explode(array_distinct(
+          graft.functions.PortableBloom.positionsCol(h, m, k))).as("pos"))
+      .select(col("shard_no"),
+        call_function("shiftright", col("pos"), lit(5)).as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(31L)).cast("int")).as("mask"))
+      .groupBy(col("shard_no"), col("word_idx"))
+      .agg(call_function("bit_or", col("mask")).as("word"))
+  }
+
+  /** Candidate shards per probe key against a [[shardBloomIndex]]: a
+    * shard survives iff EVERY probe bit of the key is set in its word
+    * table — no false negatives by construction (a member's bits were
+    * all OR-ed in), false positives cost one extra shard read, never a
+    * wrong result. One equi-join of the probes' (word_idx, bit) rows
+    * against the word table plus a per-(probe, shard) count — bounded by
+    * k·shards rows per probe, the corpus itself is never touched.
+    */
+  def pruneShards(
+      bloom: DataFrame, probes: DataFrame, probeKey: Column,
+      m: Int, k: Int = 6): DataFrame = {
+    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    val h = graft.functions.TextFunctions.h60(probeKey.cast("string"))
+    val pp = probes
+      .select(probeKey.cast("string").as("probe_key"),
+        array_distinct(
+          graft.functions.PortableBloom.positionsCol(h, m, k)).as("poss"))
+      .select(col("probe_key"), size(col("poss")).cast("long").as("n_probe"),
+        explode(col("poss")).as("pos"))
+      .select(col("probe_key"), col("n_probe"),
+        call_function("shiftright", col("pos"), lit(5)).as("word_idx"),
+        col("pos").bitwiseAND(lit(31L)).cast("int").as("bit"))
+    pp.join(bloom, Seq("word_idx"))
+      .filter(call_function("shiftright", col("word"), col("bit"))
+        .bitwiseAND(lit(1L)) === lit(1L))
+      .groupBy(col("probe_key"), col("shard_no"), col("n_probe"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_probe"))
+      .select(col("probe_key"), col("shard_no"))
+  }
 }

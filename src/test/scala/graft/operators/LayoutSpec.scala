@@ -134,6 +134,46 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("shardBloomIndex replays from PortableBloom.positions; prune never misses a member") {
+    import graft.functions.TextFunctions.h60Jvm
+    import graft.functions.PortableBloom
+    val m = 1024
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = Layout.assignShards(docs, col("doc_id"), 4, "bl")
+    val bloom = Layout.shardBloomIndex(assigned, col("doc_id"), m)
+    // the word table IS the JVM-computed bloom of each shard's members
+    val members = assigned.select("doc_id", "shard_no")
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val expected = members.flatMap { case (shard, ids) =>
+      val words = scala.collection.mutable.Map.empty[Long, Long]
+      ids.foreach { id =>
+        PortableBloom.positions(h60Jvm(id.toString), m, 6).distinct.foreach { pos =>
+          words(pos >> 5) = words.getOrElse(pos >> 5, 0L) | (1L << (pos & 31))
+        }
+      }
+      words.map { case (w, v) => (shard, w) -> v }
+    }
+    val got = bloom.as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
+    // every member probe includes its true shard; absent keys prune shards
+    val probes = docs.select(col("doc_id"))
+      .unionByName(docs.select((col("doc_id") + 1000000000L).as("doc_id")))
+    val cand = Layout.pruneShards(bloom, probes, col("doc_id"), m)
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    members.foreach { case (shard, ids) =>
+      ids.foreach(id => assert(cand.getOrElse(id.toString, Set.empty).contains(shard),
+        s"member $id missed its shard $shard"))
+    }
+    // absent keys: candidates are the documented false-positive tail, not
+    // a full fan-out — on average well under half the shards
+    val absent = docs.select((col("doc_id") + 1000000000L).cast("string"))
+      .as[String].collect()
+    val fanout = absent.map(k => cand.getOrElse(k, Set.empty).size.toDouble)
+    assert(fanout.sum / fanout.length < 2.0,
+      s"mean absent-key fan-out ${fanout.sum / fanout.length} of 4 shards")
+  }
+
   test("shardManifest row replays from the members (count, mass, mod-prime fp)") {
     import graft.functions.TextFunctions.h60Jvm
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
