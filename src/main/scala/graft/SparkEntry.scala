@@ -756,6 +756,19 @@ object SparkEntry {
         col("doc_id"), size(tokens(col("text"))))
         .orderBy(col("shard_no"))
     },
+    // Release diff between two corpus snapshots: per source, added /
+    // removed / changed / unchanged keyed rows — v2 drops a different
+    // doc_id stripe than v1 and rewrites the %11 stripe's text.
+    "q_corpus_diff" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val v1 = docs.filter(col("doc_id") % 5 =!= 4)
+      val v2 = docs.filter(col("doc_id") % 7 =!= 6)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.streaming.Maintenance.corpusDiff(v1, v2, "doc_id", "text", "source")
+        .orderBy(col("g"))
+    },
     // Shard-skipping Bloom index: the per-(shard, word) filter table
     // itself, rebuilt bit-for-bit by any engine.
     "q_shard_bloom" -> { (s, dir) =>
@@ -2459,6 +2472,26 @@ object SparkEntry {
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |       CAST(sum(fp % 1000003) AS BIGINT) AS fp_sum
          |FROM a GROUP BY 1 ORDER BY shard_no""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, source FROM documents
+        |            WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |                   ELSE text END AS text,
+        |              source
+        |       FROM documents WHERE doc_id % 7 <> 6),
+        |j AS (SELECT COALESCE(b.source, a.source) AS g,
+        |             CASE WHEN a.doc_id IS NULL THEN 'added'
+        |                  WHEN b.doc_id IS NULL THEN 'removed'
+        |                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT g,
+        |       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY g ORDER BY g""".stripMargin,
     // double-hash positions (h1 + i·h2 mod m) in 32-bit words — lockstep
     // with PortableBloom.positionsCol and Layout.shardBloomIndex
     "q_shard_bloom" ->

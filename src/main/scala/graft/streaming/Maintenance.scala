@@ -146,4 +146,43 @@ object Maintenance {
       .agg(max(struct(ordered.map(col): _*)).as("_latest"))
       .select(keyCols.map(col) ++ ordered.map(c => col(s"_latest.$c").as(c)): _*)
   }
+
+  /** Corpus snapshot diff — the release-engineering readout between two
+    * corpus versions: per `group` (source/domain/shard), how many keyed
+    * rows were ADDED (key only in `b`), REMOVED (key only in `a`),
+    * CHANGED (key in both, content fingerprint differs), and UNCHANGED.
+    * This is what a dataset release publishes next to its
+    * [[graft.operators.Layout.shardManifest]]: a consumer diffing v1→v2
+    * knows whether re-training is warranted and which sources moved —
+    * without scanning either corpus again.
+    *
+    * One md5 projection per side and ONE full-outer equi-join on the key
+    * — both corpora stream through once; the output is |groups| rows.
+    * The group of an added row comes from `b`, of a removed row from `a`
+    * (a changed row reports under its NEW group — re-homed rows count as
+    * changed in the destination, the convention a per-source card wants).
+    */
+  def corpusDiff(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      contentCol: String,
+      groupCol: String): org.apache.spark.sql.DataFrame = {
+    def prep(df: org.apache.spark.sql.DataFrame, side: String) = df
+      .select(col(keyCol).as("k"),
+        md5(col(contentCol).cast("string")).as(s"fp_$side"),
+        col(groupCol).as(s"g_$side"))
+    prep(a, "a").join(prep(b, "b"), Seq("k"), "full_outer")
+      .select(coalesce(col("g_b"), col("g_a")).as("g"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

@@ -137,6 +137,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(none.forall(r => r._2 == 0L && r._4 == 0L))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged per group; re-homed rows land in the new group") {
+    val v1 = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"), (4L, "d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((2L, "b", "s1"), (3L, "c2", "s2"), (4L, "d", "s3"), (5L, "e", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Maintenance.corpusDiff(v1, v2, "doc_id", "text", "source")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("s1", 0L, 1L, 0L, 1L), // doc 1 removed, doc 2 unchanged
+      ("s2", 0L, 0L, 1L, 0L), // doc 3 changed
+      // doc 4 re-homed s2→s3 with same text: counts as unchanged in the
+      // NEW group; doc 5 added
+      ("s3", 1L, 0L, 0L, 1L)))
+  }
+
   test("streaming hopping-window aggregation (Complete) equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hopagg").toString
     events.orderBy("ts").coalesce(1).write.parquet(s"$dir/in")
