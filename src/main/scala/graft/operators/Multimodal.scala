@@ -121,7 +121,10 @@ object Multimodal {
     // run twice), and unlike a CacheManager entry the checkpoint's blocks
     // are released by the context cleaner once the frame is unreachable —
     // repeated bench/verify passes don't accumulate pinned frame tables
-    // (the Graph.pagerank release pattern)
+    // (the Graph.pagerank release pattern). Bench provenance: pre-round-6
+    // samples (~0.6 s at sf0.1) were flattered by that leaked cache
+    // (CacheManager matches by canonical plan, so later passes read pass
+    // 1's entry); ~1.6 s is the honest per-run cost, not a regression.
     val kept = frames.join(rare, Seq("frame_md5")).localCheckpoint()
     kept.as("a")
       .join(kept.as("b"),
