@@ -1004,6 +1004,16 @@ object SparkEntry {
       semCentStash = Some(cents)
       Similarity.semDedup(emb, cents, tau = 0.4).orderBy(col("vec_id"))
     },
+    // Reciprocal-nearest-neighbor pairs inside the same learned cells:
+    // the high-precision near-dup/alignment pair set (mutuality kills
+    // hub vectors that one-sided kNN admits).
+    "q_mutual_knn" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      mknnCentStash = Some(cents)
+      Similarity.mutualKnn(emb, cents, k = 3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).
     "q_hll" -> ((s, dir) =>
@@ -1299,6 +1309,12 @@ object SparkEntry {
     */
   @volatile private var clsWeightsStash: Option[Array[Double]] = None
 
+  /** Centroids stashed by the q_mutual_knn run (deterministically equal
+    * to q_semdedup's — same corpus, cells, iters, salt — but stashed
+    * separately so either query replays alone).
+    */
+  @volatile private var mknnCentStash: Option[Array[Array[Double]]] = None
+
   /** Shortest round-trip double literal — DuckDB parses Java's toString
     * form (incl. scientific notation) back to the identical IEEE bits.
     */
@@ -1368,6 +1384,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
+      mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
       clsWeightsStash.map(w => "q_quality_classifier" -> classifierOracleSql(w)).toMap ++
       staticOracleSql
 
@@ -1437,6 +1454,37 @@ object SparkEntry {
        |SELECT asg.vec_id, cell, drp.vec_id IS NULL AS kept
        |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
        |ORDER BY asg.vec_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.mutualKnn]] with the
+    * learned centroids as literals: same cell assignment as
+    * [[semDedupOracleSql]], per-vector within-cell top-k by cosine (ties
+    * to the smaller neighbor id), then the reciprocal self-join.
+    */
+  private def mutualKnnOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, d, nrm, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, d, nrm, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1),
+       |sc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |              list_dot_product(a.d, b.d) / (a.nrm * b.nrm) AS cosine
+       |       FROM asg a JOIN asg b
+       |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |top AS (SELECT vec_a, vec_b, cosine FROM (
+       |          SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY vec_a
+       |                   ORDER BY cosine DESC, vec_b) AS rnk
+       |          FROM sc) WHERE rnk <= 3)
+       |SELECT x.vec_a, x.vec_b, x.cosine
+       |FROM top x JOIN top y ON x.vec_a = y.vec_b AND x.vec_b = y.vec_a
+       |WHERE x.vec_a < x.vec_b
+       |ORDER BY x.vec_a, x.vec_b""".stripMargin
   }
 
   private def staticOracleSql: Map[String, String] = Map(

@@ -656,4 +656,51 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         coalesce(!col("drop"), lit(true)).as("kept"))
   }
+
+  /** Mutual-kNN (reciprocal nearest neighbor) pair mining: pairs
+    * (vec_a < vec_b) where each vector is in the OTHER's within-cell
+    * exact top-k by cosine — the high-precision near-duplicate /
+    * alignment pair set (one-sided kNN admits hubs: a popular vector
+    * appears in thousands of top-k lists it does not reciprocate;
+    * mutuality suppresses exactly those). The classic RNN criterion of
+    * the image-dedup and bitext-mining literature, restricted to learned
+    * k-means cells with [[semDedup]]'s cost model.
+    *
+    * Scale shape: one cell equi-join bounded by the cell histogram, a
+    * per-vector top-k window (partitioned by vector — group size ≤ cell
+    * size, never global), and a self-equi-join of the k·N top-k rows on
+    * the swapped pair — no all-pairs stage anywhere. Deterministic: ties
+    * in the top-k break by neighbor id.
+    */
+  def mutualKnn(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val top = a.join(b, Seq("cell"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_a"))
+          .orderBy(col("cosine").desc, col("vec_b"))))
+      .filter(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    top.as("x")
+      .join(top.as("y"),
+        col("x.vec_a") === col("y.vec_b") && col("x.vec_b") === col("y.vec_a"))
+      .filter(col("x.vec_a") < col("x.vec_b"))
+      .select(col("x.vec_a").as("vec_a"), col("x.vec_b").as("vec_b"),
+        col("x.cosine").as("cosine"))
+  }
 }

@@ -293,6 +293,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count(_._3) > out.size / 2, "threshold too low: dropped most of corpus")
   }
 
+  test("mutualKnn mines exactly the reciprocal within-cell top-k pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val k = 3
+    val out = Similarity.mutualKnn(emb, cents, k)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(p => p._1 < p._2))
+    // naive replay on collected rows
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def d(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      d(ad, bd) / math.sqrt(d(ad, ad) * d(bd, bd))
+    }
+    def cell(v: Seq[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) => (d(c.toSeq, v.map(_.toDouble)), i) }.max._2
+    val topOf = vecs.groupBy(v => cell(v._2)).values.flatMap { vs =>
+      vs.map { case (id, v) =>
+        id -> vs.filter(_._1 != id)
+          .map { case (id2, v2) => (id2, cos(v, v2)) }
+          .sortBy { case (id2, c) => (-c, id2) }
+          .take(k).map(_._1).toSet
+      }
+    }.toMap
+    val expected = (for {
+      (a, ta) <- topOf.toSeq; b <- ta
+      if a < b && topOf(b).contains(a)
+    } yield (a, b)).toSet
+    assert(out.map(p => (p._1, p._2)).toSet === expected)
+    // mutuality genuinely prunes one-sided candidates
+    val oneSided = (for { (a, ta) <- topOf.toSeq; b <- ta } yield
+      (math.min(a, b), math.max(a, b))).toSet
+    assert(expected.size < oneSided.size)
+  }
+
   test("nearDupPairs contains no false positives and no self/inverted pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.nearDupPairs(emb, 0.3).collect()
