@@ -65,6 +65,37 @@ class EndToEndSpec extends SparkSpec {
     assert(attrs.filter(!col("m").getItem("business_object_key").isNotNull).isEmpty)
   }
 
+  test("composed resubmit over the real store: facade interval mode drains clean with a 200") {
+    val wd = streaming.PersistPipeline.ensureRun(spark, dir)
+    val index = store.IndexStore.materialized(spark, dir)
+    val records = streaming.PersistPipeline.readRecords(spark, wd)
+    val api = ApiFacade(
+      Map("index" -> QueryService(index)),
+      resubmitters = Map("index" ->
+        Resubmitter(QueryService(index), records, broadcastIndex = true)),
+      envTopic = Some("replay-topic"))
+    val resp = api.resubmitInterval(ResubmitIntervalRequest("index",
+      brokerId = Some("t-click"),
+      lb = Some("2024-01-05T00:00:00Z"), ub = Some("2024-01-15T00:00:00Z")))
+    // the store holds every persisted record, so the drain is clean (200)
+    // and the publish plan carries exactly the interval slice, repackaged
+    assert(resp.status === 200 && resp.message === "resubmission successful")
+    val expected = index.filter(col("broker_id") === "t-click" &&
+      col("publish_time") >= lit(ts("2024-01-05 00:00:00")) &&
+      col("publish_time") < lit(ts("2024-01-15 00:00:00"))).count()
+    assert(expected > 0)
+    val plan = resp.data.get
+    assert(plan.count() === expected)
+    assert(plan.filter(!col("attributes").getItem("business_object_key").isNotNull).isEmpty)
+    // the same slice through the by-ids mode reaches the same plan size
+    val ids = index.filter(col("broker_id") === "t-click" &&
+      col("publish_time") >= lit(ts("2024-01-05 00:00:00")) &&
+      col("publish_time") < lit(ts("2024-01-15 00:00:00")))
+      .select("unique_id").as[String].collect().toSeq
+    val byIds = api.resubmitIds(ResubmitIdsRequest("index", Some(ids)))
+    assert(byIds.status === 200 && byIds.data.get.count() === expected)
+  }
+
   test("curation journey: quality gate → dedup → decontaminate → cap → budget → chunk → pack") {
     // the training-data twin of the replay journey: every hop consumes the
     // previous hop's actual output, with the hop's contract asserted on it
