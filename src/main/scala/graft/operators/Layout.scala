@@ -192,6 +192,25 @@ object Layout {
         sum(pmod(graft.functions.TextFunctions.h60(key.cast("string")),
           lit(1000003L))).as("fp_sum"))
 
+  /** Merge two [[shardManifest]] tables over the same layout: counts and
+    * token mass add, and because the fingerprint is a plain Σ of
+    * mod-prime residues (no outer reduction), the residue sums add
+    * EXACTLY — merged state is bit-identical to the one-shot manifest of
+    * the concatenated inputs. This is the per-micro-batch maintenance of
+    * a release manifest: a streaming writer appends rows to shards all
+    * day and keeps the manifest current with a shards-sized merge per
+    * trigger instead of re-scanning the store. Residues are < 2^20, so
+    * the summed fingerprint stays exact int64 up to ~2^43 rows per shard
+    * — orders beyond a file-sized shard.
+    */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("shard_no"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("fp_sum")).as("fp_sum"))
+
   /** Per-shard Bloom skipping index — the shard/file-skipping structure a
     * store needs for point lookups on a key it is NOT partitioned by: at
     * 100 TB a "find this doc_id" probe either touches every shard or

@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     * the artifact — Verify runs queries first, then dumps the oracles.
     * Anything NOT in this set must have a static oracle.
     */
-  private val stashBacked = Set("q_pq_topk", "q_semdedup", "q_quality_classifier")
+  private val stashBacked =
+    Set("q_pq_topk", "q_semdedup", "q_quality_classifier", "q_mutual_knn")
 
   test("every query has an oracle (stash-backed ones after a run); no dangling oracles") {
     val q = SparkEntry.queries.keySet

@@ -566,6 +566,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cm === cmAll)
   }
 
+  test("streaming manifest maintenance: per-batch mergeManifests equals the one-shot manifest") {
+    import graft.operators.Layout
+    import java.nio.file.{Files, Paths}
+    val batches = Seq(
+      Seq((1L, "aa bb cc"), (2L, "dd")),
+      Seq((3L, "ee ff"), (4L, "gg hh ii jj")),
+      Seq((5L, "kk")))
+    val dir = Files.createTempDirectory("graft-mfstream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeRoot = s"$dir/store"
+    def latest: Option[String] = {
+      val d = Paths.get(storeRoot)
+      if (!Files.exists(d)) None
+      else {
+        val s = Files.list(d)
+        try s.map[String](_.toString).sorted(Ordering[String].reverse)
+          .findFirst().map[Option[String]](Some(_)).orElse(None)
+        finally s.close()
+      }
+    }
+    def manifestOf(df: org.apache.spark.sql.DataFrame) = {
+      import graft.functions.TextFunctions.tokens
+      Layout.shardManifest(
+        Layout.assignShards(df, col("doc_id"), 4, "mf"),
+        col("doc_id"), size(tokens(col("text"))))
+    }
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bm = manifestOf(batch)
+        val merged = latest match {
+          case Some(p) => Layout.mergeManifests(spark.read.parquet(p), bm)
+          case None => bm
+        }
+        merged.write.parquet(f"$storeRoot/v$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val maintained = spark.read.parquet(latest.get)
+      .orderBy("shard_no").as[(Long, Long, Long, Long)].collect().toSeq
+    val oneShot = manifestOf(batches.flatten.toDF("doc_id", "text"))
+      .orderBy("shard_no").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(maintained === oneShot)
+    assert(maintained.map(_._2).sum === batches.flatten.size)
+  }
+
   test("streaming incremental-crawl dedup: per-batch dedupAgainst a growing kept store") {
     import graft.operators.Dedup
     import java.nio.file.Files
