@@ -963,6 +963,15 @@ object SparkEntry {
       Curate.sampleByWeight(Tables(s, dir).documents, col("doc_id"),
         least(col("n_chars").cast("double") / 400.0, lit(1.0)), "w1")
         .select("doc_id", "n_chars").orderBy(col("doc_id"))),
+    // Min-K%-prob membership audit: the %17 stripe audited against the
+    // full corpus unigram model (members — their rare tails should be
+    // covered); integer-exact selected-tail statistics.
+    "q_min_k_prob" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      TextAnalysis.minKCountAudit(docs,
+        docs.filter(col("doc_id") % 17 === 0), kPct = 20)
+        .orderBy(col("doc_id"))
+    },
     // DSIR importance weights + resample gate: target = the doc_id % 23
     // stripe standing in for the curated seed corpus, raw = the rest.
     // The kept flag inlines dsirResample's exact gate (Curate.scala) so
@@ -2922,6 +2931,24 @@ object SparkEntry {
          |WHERE ${h60Sql("CAST(doc_id AS VARCHAR) || '|w1'")} % 1048576
          |      < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 1048576.0
          |ORDER BY doc_id""".stripMargin,
+    // lowest-count k% selection replayed with list_sort + slice — lockstep
+    // with TextAnalysis.minKCountAudit
+    "q_min_k_prob" ->
+      s"""$ToksCte,
+         |cnt AS (SELECT tok AS t, COUNT(*) AS c
+         |        FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1),
+         |at AS (SELECT doc_id, unnest(toks) AS t FROM toks
+         |       WHERE doc_id % 17 = 0),
+         |pd AS (SELECT doc_id, list_sort(list(COALESCE(c, 0))) AS cs
+         |       FROM at LEFT JOIN cnt USING (t) GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(len(cs) AS BIGINT) AS n_tokens,
+         |       CAST(LEAST(GREATEST(1, (len(cs) * 20) // 100), len(cs))
+         |            AS BIGINT) AS n_lowk,
+         |       CAST(COALESCE(list_sum(
+         |           cs[1:GREATEST(1, (len(cs) * 20) // 100)]), 0) AS BIGINT)
+         |         AS lowk_count_sum
+         |FROM pd ORDER BY doc_id""".stripMargin,
     // add-one bag models over 4096 hashed-unigram buckets; r_ppm exact in
     // HUGEINT/DECIMAL(38) with one floor division — lockstep with
     // Curate.dsirWeights; the kept gate mirrors sampleByWeight's

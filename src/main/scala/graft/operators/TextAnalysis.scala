@@ -760,4 +760,41 @@ object TextAnalysis {
         (col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
+
+  /** Min-K%-prob membership audit (Shi et al. 2023, arXiv:2310.16789):
+    * for each audit document, look at its k% LEAST-likely tokens under
+    * the corpus unigram model — if even those are common corpus tokens,
+    * the document is well-covered by the corpus (the membership /
+    * memorization-risk signal; a genuinely held-out document's rare tail
+    * is rare). Under an add-one unigram model, probability is monotone in
+    * the corpus token count, so "lowest-prob k%" IS "lowest-count k%":
+    * selection is integer sorting, and the CHECKED statistics are
+    * integers — the audit-doc token count, the selected-tail size
+    * m = max(1, ⌊n·k/100⌋) (capped at n), and the selected counts' sum.
+    * Probability-scale scores derive engine-side from the sums.
+    *
+    * Scale shape: the corpus model is one vocabulary-sized aggregation
+    * (broadcast-joined to the exploded audit tokens); per-doc work is a
+    * collect+sort of that DOC's counts — bounded by document length,
+    * never corpus-sized. The audit set is the small side by construction.
+    * A zero-token audit document produces no row (nothing to audit).
+    */
+  def minKCountAudit(
+      corpus: DataFrame, audit: DataFrame, kPct: Int): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct in [1,100]")
+    val counts = corpus.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val m = greatest(lit(1L),
+      call_function("div", size(col("cs")).cast("long") * kPct, lit(100L)))
+    audit.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(broadcast(counts), Seq("t"), "left")
+      .select(col("doc_id"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_tokens"),
+        least(m, size(col("cs")).cast("long")).as("n_lowk"),
+        aggregate(slice(col("cs"), lit(1), m),
+          lit(0L), (a, x) => a + x).as("lowk_count_sum"))
+  }
 }

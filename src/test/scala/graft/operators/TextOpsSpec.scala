@@ -968,6 +968,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 4L, 1L, "1 2 1 0"), (2L, 3L, 0L, "2 1 1")))
   }
 
+  test("minKCountAudit selects the k% lowest-count tokens, integer-exactly") {
+    val corpus = Seq(
+      (1L, "the the the cat sat"),  // the:3(+2 below)=?? counts computed over whole corpus
+      (2L, "the dog sat sat"),
+      (3L, "a rare zebra")).toDF("doc_id", "text")
+    // corpus counts: the=4, cat=1, sat=3, dog=1, a=1, rare=1, zebra=1
+    val audit = Seq(
+      (10L, "the cat runs runs runs the"), // counts: the=4,cat=1,runs=0(x3),the=4
+      (11L, "zebra"),
+      (12L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.minKCountAudit(corpus, audit, kPct = 40)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    // doc 10: n=6, sorted counts [0,0,0,1,4,4], m=max(1,⌊6·40/100⌋)=2 → sum 0
+    // doc 11: n=1, m=1 → counts [1] → sum 1
+    // doc 12: zero tokens → no row
+    assert(out === Array((10L, 6L, 2L, 0L), (11L, 1L, 1L, 1L)))
+    // members of a corpus have a better-covered tail than held-out text:
+    // audit doc 1 (a member) vs the OOV-heavy doc 10
+    val member = TextAnalysis.minKCountAudit(corpus,
+      corpus.filter(col("doc_id") === 1), kPct = 40)
+      .select("lowk_count_sum").as[Long].head()
+    assert(member > 0L)
+  }
+
   test("pairAgreement computes tp/precision/recall over pair sets") {
     val pred = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
       .toDF("doc_a", "doc_b")
