@@ -314,7 +314,18 @@ object ScaleProbe {
         val w = operators.Classify.trainLogistic(
           lf, operators.Classify.featureVector, col("label"), lr = 16.0, iters = 16)
         operators.Classify.scoreLogistic(lf, operators.Classify.featureVector, w)
-      })
+      },
+      "dsir weights (4096 buckets)" -> (d => operators.Curate.dsirWeights(
+        d.filter(col("doc_id") % 23 =!= 0), d.filter(col("doc_id") % 23 === 0))),
+      "min-k% membership audit (k=20)" -> (d => operators.TextAnalysis
+        .minKCountAudit(d, d.filter(col("doc_id") % 17 === 0), 20)),
+      "corpus diff (v1 vs v2)" -> (d => graft.streaming.Maintenance.corpusDiff(
+        d.filter(col("doc_id") % 5 =!= 4),
+        d.filter(col("doc_id") % 7 =!= 6), "doc_id", "text", "source")),
+      "shard bloom index (8 shards, m=1024)" -> (d => operators.Layout
+        .shardBloomIndex(
+          operators.Layout.assignShards(d, col("doc_id"), 8, "sp"),
+          col("doc_id"), m = 1024)))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents

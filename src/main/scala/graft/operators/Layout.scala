@@ -251,6 +251,12 @@ object Layout {
     * wrong result. One equi-join of the probes' (word_idx, bit) rows
     * against the word table plus a per-(probe, shard) count — bounded by
     * k·shards rows per probe, the corpus itself is never touched.
+    *
+    * Intended for interactive point lookups and small replay manifests
+    * (the k·shards fan-out is per PROBE): a corpus-sized membership
+    * sweep should use the store's bucketed equi-join (J4 /
+    * [[graft.store]]) instead — the filter prunes READS, it does not
+    * replace joins.
     */
   def pruneShards(
       bloom: DataFrame, probes: DataFrame, probeKey: Column,
