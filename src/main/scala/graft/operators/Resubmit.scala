@@ -29,7 +29,14 @@ import org.apache.spark.sql.DataFrame
 final case class Resubmitter(
     service: QueryService,
     records: DataFrame,
-    broadcastIndex: Boolean = false) {
+    broadcastIndex: Boolean = false,
+    /** Route single-record blobs with NULL positions through the J3
+      * short-circuit ([[Replay.positionalJoinWithSingletons]],
+      * resubmitter.go:166-201) — needed only for stores written by OTHER
+      * writers; this engine's persist pipeline always stores positions,
+      * so the default skips the per-blob window the short-circuit costs.
+      */
+    singletons: Boolean = false) {
 
   /** Mode 1 — resubmit an explicit id list (resubmitter_job.go:93-101,
     * `batchesFromIds` draining GetAll batch by batch).
@@ -63,7 +70,10 @@ final case class Resubmitter(
     run(service.allQueried(filters))
 
   private def run(slice: DataFrame): ResubmitRun = {
-    val joined = Replay.positionalJoin(records, slice, broadcastIndex)
+    val joined =
+      if (singletons)
+        Replay.positionalJoinWithSingletons(records, slice, broadcastIndex)
+      else Replay.positionalJoin(records, slice, broadcastIndex)
     val packaged = Replay.repackagedMetadata(joined)
     ResubmitRun(slice, Replay.orderedForPublish(packaged))
   }

@@ -172,6 +172,31 @@ class ApiFacadeSpec extends SparkSpec {
       ub = Some("2999-01-01T00:00:00Z"))).status === 400)
   }
 
+  test("resubmit singleton mode delivers null-position single-record blobs; default treats them as pipeline loss") {
+    val idxS = Seq(
+      // singleton blob: one index row, NO position (external writer shape)
+      ("b9", "m1", "id_x1", "bsk", "bok1", "src", "u1", "1",
+        Map("k" -> "1"), "blobS", None: Option[Long], ts("2024-01-02 00:00:00"),
+        ts("2024-01-02 00:00:01"), true),
+      ("b9", "m2", "id_x2", "bsk", "bok2", "src", "u2", "2",
+        Map("k" -> "2"), "blobP", Some(1L), ts("2024-01-03 00:00:00"),
+        ts("2024-01-03 00:00:01"), true))
+      .toDF(graft.model.IndexModel.Columns: _*)
+    val recs = Seq(("blobS", 1L, "pay-s"), ("blobP", 1L, "pay-p"))
+      .toDF("location_key", "location_position", "payload")
+    def apiWith(singletons: Boolean) = ApiFacade(
+      Map("meta" -> QueryService(idxS)), now = () => fixedNow,
+      resubmitters = Map("meta" ->
+        Resubmitter(QueryService(idxS), recs, singletons = singletons)),
+      envTopic = Some("t"))
+    val withSc = apiWith(singletons = true)
+      .resubmitIds(ResubmitIdsRequest("meta", Some(Seq("id_x1", "id_x2"))))
+    assert(withSc.status === 200 && withSc.data.get.count() === 2)
+    val without = apiWith(singletons = false)
+      .resubmitIds(ResubmitIdsRequest("meta", Some(Seq("id_x1", "id_x2"))))
+    assert(without.status === 206 && without.data.get.count() === 1)
+  }
+
   test("resubmit query: whitelist failures 400; a clean empty drain is still 200") {
     val hit = rApi.resubmitQuery(ResubmitQueryRequest("meta",
       Some(Seq(Map("broker_id" -> Eq("b2"))))))
