@@ -42,24 +42,14 @@ object SparkEntry {
 
   /** Verification view of a [[ResubmitRun]] publish plan: per ordering
     * group, membership count, the exact per-key publish order (keyless
-    * groups exempt — no mutual order, see [[Replay.orderingGroups]]), and
-    * the payload mass proving the stored blob payloads joined through.
+    * groups exempt — [[Replay.orderingGroups]] owns that rule; the
+    * payload-mass sum rides as its extra aggregate, proving the stored
+    * blob payloads joined through).
     */
-  private def publishGroups(publish: DataFrame): DataFrame = {
-    val keyless = col("ordering_key").isNull || col("ordering_key") === ""
-    publish
-      .groupBy(col("ordering_key"))
-      .agg(
-        count(lit(1)).as("n"),
-        when(keyless, lit(null).cast("string"))
-          .otherwise(concat_ws(",",
-            transform(
-              array_sort(collect_list(when(keyless, lit(null)).otherwise(struct(
-                col("location_key"), col("location_position"), col("unique_id"))))),
-              e => e.getField("unique_id")))).as("publish_order"),
-        sum(length(col("payload")).cast("long")).as("payload_bytes"))
+  private def publishGroups(publish: DataFrame): DataFrame =
+    Replay.orderingGroups(publish,
+      sum(length(col("payload")).cast("long")).as("payload_bytes"))
       .orderBy(col("ordering_key"))
-  }
 
   /** One streaming persist run per JVM per testdata dir: fresh work dir +
     * checkpoint, Trigger.AvailableNow drains the source, foreachBatch

@@ -229,7 +229,10 @@ final case class ApiFacade(
 
   private def withTopic(topic: Option[String])(
       body: => (Int, String, Option[DataFrame])): ApiResponse =
-    topic.orElse(envTopic).filter(_.nonEmpty) match {
+    // an EMPTY topic param falls back to the env topic exactly like the
+    // reference (handler.go getTopicIDFromQueryOrEnv: "" → env), so the
+    // param filters to nonEmpty BEFORE the orElse
+    topic.filter(_.nonEmpty).orElse(envTopic).filter(_.nonEmpty) match {
       case None => ApiResponse(400, OnNoTopicMessage, None)
       case Some(_) =>
         val (status, msg, data) = body

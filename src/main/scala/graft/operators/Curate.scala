@@ -772,11 +772,12 @@ object Curate {
     * is the length-normalized form selection uses.
     *
     * Scale shape: both models are D-row aggregations (D = `dim` buckets,
-    * broadcastable); the per-doc weight is one broadcast equi-join of the
-    * exploded raw tokens against the D-row ratio table plus one doc-keyed
-    * sum — raw never self-joins and nothing corpus-sized reaches the
-    * driver. Raw text is scanned twice (model + weights); cache upstream
-    * if that matters.
+    * checkpointed — the token TOTALS aggregate from those D rows, never
+    * from a second corpus scan); the per-doc weight is one broadcast
+    * equi-join of the exploded raw tokens against the D-row ratio table
+    * plus one doc-keyed sum — raw never self-joins and nothing
+    * corpus-sized reaches the driver. Net corpus passes: target once,
+    * raw twice (model + weights).
     */
   def dsirWeights(
       raw: DataFrame, target: DataFrame, dim: Int = 4096): DataFrame = {
@@ -788,13 +789,19 @@ object Curate {
     def buckets(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), pmod(h60(col("t")), lit(dim.toLong)).as("bucket"))
-    val tgtB = buckets(target)
     val rawB = buckets(raw)
-    val ratio = tgtB.groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
-      .join(rawB.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw")),
-        Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(tgtB.agg(count(lit(1)).as("n_tgt"))))
-      .crossJoin(broadcast(rawB.agg(count(lit(1)).as("n_raw"))))
+    // checkpoint the D-row models: each is read twice (per-bucket join +
+    // total), and without the pin each read would re-tokenize its corpus
+    val tc = buckets(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_tgt")).localCheckpoint()
+    val rc = rawB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_raw")).localCheckpoint()
+    val ratio = tc
+      .join(rc, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(
+        tc.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))))
+      .crossJoin(broadcast(
+        rc.agg(coalesce(sum(col("c_raw")), lit(0L)).as("n_raw"))))
       .select(col("bucket"),
         call_function("div",
           lit(1000000L).cast(d38)

@@ -90,7 +90,21 @@ object Layout {
       key: Column,
       numSplits: Int,
       sampleFrac: Double = 0.1,
-      salt: String = "bounds"): DataFrame = {
+      salt: String = "bounds"): DataFrame =
+    rangeBounds(df, key, numSplits, sampleFrac, salt, checkpoint = true)
+
+  /** `checkpoint = false` keeps the full lineage in the returned frame
+    * (and leaves the sorted sample pinned) — for plan audits only: the
+    * public form's localCheckpoint truncates the plan, which would make a
+    * no-Window assertion vacuous.
+    */
+  private[graft] def rangeBounds(
+      df: DataFrame,
+      key: Column,
+      numSplits: Int,
+      sampleFrac: Double,
+      salt: String,
+      checkpoint: Boolean): DataFrame = {
     require(numSplits >= 2, "numSplits must be at least 2")
     require(sampleFrac > 0 && sampleFrac <= 1, "sampleFrac in (0,1]")
     import graft.functions.TextFunctions.h60
@@ -133,9 +147,12 @@ object Layout {
     val out = ranked
       .join(broadcast(targets), col("rn") === col("target_rn"))
       .select(col("split_no"), col("k").as("upper_bound"))
-      .localCheckpoint()
-    sorted.unpersist(blocking = false)
-    out
+    if (!checkpoint) out
+    else {
+      val pinned = out.localCheckpoint()
+      sorted.unpersist(blocking = false)
+      pinned
+    }
   }
 
   /** Deterministic training-shard layout — the final write step of a
@@ -262,9 +279,13 @@ object Layout {
       bloom: DataFrame, probes: DataFrame, probeKey: Column,
       m: Int, k: Int = 6): DataFrame = {
     require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
-    val h = graft.functions.TextFunctions.h60(probeKey.cast("string"))
-    val pp = probes
-      .select(probeKey.cast("string").as("probe_key"),
+    // distinct the probe KEYS first: a duplicated key would double every
+    // (word_idx, bit) row and n_hit could never equal n_probe — a false
+    // negative, which this operator must never produce
+    val keys = probes.select(probeKey.cast("string").as("probe_key")).distinct()
+    val h = graft.functions.TextFunctions.h60(col("probe_key"))
+    val pp = keys
+      .select(col("probe_key"),
         array_distinct(
           graft.functions.PortableBloom.positionsCol(h, m, k)).as("poss"))
       .select(col("probe_key"), size(col("poss")).cast("long").as("n_probe"),

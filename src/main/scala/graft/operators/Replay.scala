@@ -81,18 +81,22 @@ object Replay {
   private def keylessKey: Column =
     col("ordering_key").isNull || col("ordering_key") === ""
 
-  def orderingGroups(index: DataFrame): DataFrame = {
+  /** `extraAggs` ride the same grouping (e.g. a payload-mass sum when
+    * verifying a publish plan) so callers never re-implement the
+    * keyless-exemption subtleties.
+    */
+  def orderingGroups(index: DataFrame, extraAggs: Column*): DataFrame = {
     val keyless = keylessKey
+    val orderAgg =
+      when(keyless, lit(null).cast("string"))
+        .otherwise(concat_ws(",",
+          transform(
+            array_sort(collect_list(when(keyless, lit(null)).otherwise(struct(
+              col("location_key"), col("location_position"), col("unique_id"))))),
+            e => e.getField("unique_id")))).as("publish_order")
     index
       .groupBy(col("ordering_key"))
-      .agg(
-        count(lit(1)).as("n"),
-        when(keyless, lit(null).cast("string"))
-          .otherwise(concat_ws(",",
-            transform(
-              array_sort(collect_list(when(keyless, lit(null)).otherwise(struct(
-                col("location_key"), col("location_position"), col("unique_id"))))),
-              e => e.getField("unique_id")))).as("publish_order"))
+      .agg(count(lit(1)).as("n"), (orderAgg +: extraAggs): _*)
   }
 
   /** Keyed rows only (`ordering_key` nonempty), physically partitioned by

@@ -145,6 +145,13 @@ class ApiFacadeSpec extends SparkSpec {
     assert(missing.status === 400 && missing.message === OnNoTopicMessage)
     assert(noEnv.resubmitIds(
       ResubmitIdsRequest("meta", Some(Seq("id_001")), topic = Some("t"))).status === 200)
+    // an EMPTY topic param falls back to the env topic (handler.go:
+    // getTopicIDFromQueryOrEnv), it does not mask it
+    assert(rApi.resubmitIds(
+      ResubmitIdsRequest("meta", Some(Seq("id_001")), topic = Some(""))).status === 200)
+    val emptyBoth = noEnv.resubmitIds(
+      ResubmitIdsRequest("meta", Some(Seq("id_001")), topic = Some("")))
+    assert(emptyBoth.status === 400 && emptyBoth.message === OnNoTopicMessage)
   }
 
   test("resubmit interval: lb/ub default to zero-time/now; broker required; bad bounds 400") {

@@ -70,14 +70,17 @@ class LayoutSpec extends SparkSpec {
   test("rangeBounds never plans a global one-task Window (distributed prefix-sum rank)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .repartition(16) // many input partitions: the shape that would expose a global sort task
-    val bounds = Layout.rangeBounds(li, col("l_orderkey"), 4, sampleFrac = 0.5)
-    // the returned plan and its lineage carry no Window operator at all —
-    // ranking rode the per-partition offset walk, not a partition-less sort
-    assert(!bounds.queryExecution.executedPlan.toString.contains("Window"))
-    val got = bounds.orderBy("split_no").as[(Long, Long)].collect()
+    // audit the UN-checkpointed twin: the public form truncates lineage
+    // (localCheckpoint), which would make this assertion vacuous
+    val unpinned = Layout.rangeBounds(li, col("l_orderkey"), 4,
+      sampleFrac = 0.5, salt = "bounds", checkpoint = false)
+    val plan = unpinned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = unpinned.orderBy("split_no").as[(Long, Long)].collect()
     assert(got.length === 3)
     assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
-    // quantiles still replay the rank-by-value contract on the same sample
+    // the public checkpointed form computes the identical bounds
     val again = Layout.rangeBounds(li, col("l_orderkey"), 4, sampleFrac = 0.5)
       .orderBy("split_no").as[(Long, Long)].collect()
     assert(got.toSeq === again.toSeq)
