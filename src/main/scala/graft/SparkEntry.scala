@@ -1003,6 +1003,18 @@ object SparkEntry {
       semCentStash = Some(cents)
       Similarity.semDedup(emb, cents, tau = 0.4).orderBy(col("vec_id"))
     },
+    // Mergeable per-cell assignment state (counts + exact-DECIMAL
+    // coordinate sums): the incremental-IVF maintenance table a streaming
+    // ingest keeps current per micro-batch.
+    "q_cell_stats" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      cellStatsStash = Some(cents)
+      Similarity.cellStats(emb, cents)
+        .select(col("cell"), col("dim"), col("n"),
+          col("s").cast("double").as("s"))
+        .orderBy(col("cell"), col("dim"))
+    },
     // Reciprocal-nearest-neighbor pairs inside the same learned cells:
     // the high-precision near-dup/alignment pair set (mutuality kills
     // hub vectors that one-sided kNN admits).
@@ -1314,6 +1326,9 @@ object SparkEntry {
     */
   @volatile private var mknnCentStash: Option[Array[Array[Double]]] = None
 
+  /** Centroids stashed by the q_cell_stats run — same contract. */
+  @volatile private var cellStatsStash: Option[Array[Array[Double]]] = None
+
   /** Shortest round-trip double literal — DuckDB parses Java's toString
     * form (incl. scientific notation) back to the identical IEEE bits.
     */
@@ -1384,6 +1399,7 @@ object SparkEntry {
     pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
       mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
+      cellStatsStash.map(c => "q_cell_stats" -> cellStatsOracleSql(c)).toMap ++
       clsWeightsStash.map(w => "q_quality_classifier" -> classifierOracleSql(w)).toMap ++
       staticOracleSql
 
@@ -1484,6 +1500,28 @@ object SparkEntry {
        |FROM top x JOIN top y ON x.vec_a = y.vec_b AND x.vec_b = y.vec_a
        |WHERE x.vec_a < x.vec_b
        |ORDER BY x.vec_a, x.vec_b""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.cellStats]]: same cell
+    * assignment as [[semDedupOracleSql]], dims unrolled via range, sums
+    * exact in DECIMAL(27,6) and cast to DOUBLE on output.
+    */
+  private def cellStatsOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, d, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, d, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1)
+       |SELECT cell, CAST(j - 1 AS INT) AS dim, COUNT(*) AS n,
+       |       CAST(SUM(CAST(d[CAST(j AS INT)] AS DECIMAL(27,6))) AS DOUBLE) AS s
+       |FROM asg CROSS JOIN range(1, 65) u(j)
+       |GROUP BY cell, j ORDER BY cell, dim""".stripMargin
   }
 
   private def staticOracleSql: Map[String, String] = Map(

@@ -657,6 +657,46 @@ object Similarity {
         coalesce(!col("drop"), lit(true)).as("kept"))
   }
 
+  /** Mergeable per-cell assignment state for incremental IVF/k-means
+    * maintenance: one row per (cell, dim) with the member count and the
+    * exact-DECIMAL coordinate sum. Sketch-family contract
+    * ([[graft.operators.Sketches]]): states of disjoint batches merge by
+    * plain addition into EXACTLY the one-shot state of the union — the
+    * DECIMAL(27,6) sums are order-independent, so a streaming ingest
+    * keeps the table current per micro-batch (cells·dim rows of
+    * metadata) and refreshes centroids (sum/n) without ever re-scanning
+    * history. The drift readout (refreshed vs. training centroids) is
+    * the signal that schedules an index re-train.
+    */
+  def cellStats(
+      embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    embeddings
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        // widen float→double FIRST (exact); a direct float→decimal cast
+        // rounds the float's SHORTEST decimal form, which can land on the
+        // other side of a 6th-decimal boundary than the exact binary
+        // value another engine rounds
+        sum(col("v").cast("double").cast("decimal(27,6)")).as("s"))
+
+  /** Merge two [[cellStats]] tables: counts and exact-DECIMAL sums add —
+    * merged state ≡ the one-shot state of the concatenated inputs.
+    */
+  def mergeCellStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+
+  /** Refreshed centroid coordinates from a [[cellStats]] table: the mean
+    * of the members seen so far, one double division per (cell, dim).
+    */
+  def centroidsFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("cell"), col("dim"),
+      (col("s").cast("double") / col("n").cast("double")).as("c"))
+
   /** Mutual-kNN (reciprocal nearest neighbor) pair mining: pairs
     * (vec_a < vec_b) where each vector is in the OTHER's within-cell
     * exact top-k by cosine — the high-precision near-duplicate /

@@ -16,7 +16,8 @@ class RegistrySpec extends AnyFunSuite {
     * Anything NOT in this set must have a static oracle.
     */
   private val stashBacked =
-    Set("q_pq_topk", "q_semdedup", "q_quality_classifier", "q_mutual_knn")
+    Set("q_pq_topk", "q_semdedup", "q_quality_classifier", "q_mutual_knn",
+      "q_cell_stats")
 
   test("every query has an oracle (stash-backed ones after a run); no dangling oracles") {
     val q = SparkEntry.queries.keySet

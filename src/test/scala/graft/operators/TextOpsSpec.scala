@@ -293,6 +293,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count(_._3) > out.size / 2, "threshold too low: dropped most of corpus")
   }
 
+  test("cellStats merges exactly and refreshes centroids toward the member means") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val whole = Similarity.cellStats(emb, cents)
+    // disjoint halves merge into EXACTLY the one-shot state (DECIMAL sums)
+    val h1 = Similarity.cellStats(emb.filter(col("vec_id") % 2 === 0), cents)
+    val h2 = Similarity.cellStats(emb.filter(col("vec_id") % 2 === 1), cents)
+    val merged = Similarity.mergeCellStats(h1, h2)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // counts: every vector contributes to exactly one cell, all dims
+    val n = emb.count()
+    val dimRows = whole.groupBy("dim").agg(sum("n").as("tot"))
+    assert(dimRows.filter(col("tot") =!= n).isEmpty)
+    // refreshed centroid = member mean per coordinate (driver replay)
+    val refreshed = Similarity.centroidsFromStats(whole)
+      .as[(Int, Int, Double)].collect()
+      .map { case (c, d, v) => (c, d) -> v }.toMap
+    val members = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect()
+      .groupBy { case (_, v) =>
+        cents.zipWithIndex.map { case (cn, i) =>
+          (cn.zip(v).foldLeft(0.0) { case (s, (p, q)) => s + p * q.toDouble }, i)
+        }.max._2
+      }
+    members.foreach { case (c, vs) =>
+      (0 until 4).foreach { d => // spot-check leading dims
+        val mean = vs.map(_._2(d).toDouble).sum / vs.size
+        assert(math.abs(refreshed((c, d)) - mean) < 1e-5,
+          s"cell $c dim $d: ${refreshed((c, d))} vs $mean")
+      }
+    }
+  }
+
   test("mutualKnn mines exactly the reciprocal within-cell top-k pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
