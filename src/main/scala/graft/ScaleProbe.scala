@@ -366,12 +366,8 @@ object ScaleProbe {
       val t = (System.nanoTime() - t0) / 1e9
       val n = survivors.count()
       kept = kept.unionByName(survivors).localCheckpoint()
-      // dedupAgainst pins both sides' minhash tables in the CacheManager
-      // and each wave's kept store is a fresh frame, so nothing is ever
-      // reused across waves — release per wave or later waves run under
-      // accumulated memory pressure and the timings measure eviction, not
-      // the operator (the kept localCheckpoints are RDD blocks, untouched)
-      spark.catalog.clearCache()
+      // dedupAgainst's prep tables are localCheckpoints released by the
+      // context cleaner, so waves carry no accumulated pinned state
       sb.append(s"| $w | $keptBefore | $waveRows | $n | " + f"$t%.2f |\n")
     }
 

@@ -1010,9 +1010,13 @@ object SparkEntry {
       val emb = Tables(s, dir).embeddings
       val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
       cellStatsStash = Some(cents)
+      // fixed-point micro-units, not a DOUBLE cast: the ×10^6 unscaling
+      // of a DECIMAL(.,6) is exact integer arithmetic at any corpus
+      // scale, where decimal→double conversions can diverge by 1 ulp
+      // between engines once the unscaled sum passes 2^53
       Similarity.cellStats(emb, cents)
         .select(col("cell"), col("dim"), col("n"),
-          col("s").cast("double").as("s"))
+          (col("s") * 1000000).cast("long").as("s_micro"))
         .orderBy(col("cell"), col("dim"))
     },
     // Reciprocal-nearest-neighbor pairs inside the same learned cells:
@@ -1519,7 +1523,8 @@ object SparkEntry {
        |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
        |  WHERE rn = 1)
        |SELECT cell, CAST(j - 1 AS INT) AS dim, COUNT(*) AS n,
-       |       CAST(SUM(CAST(d[CAST(j AS INT)] AS DECIMAL(27,6))) AS DOUBLE) AS s
+       |       CAST(SUM(CAST(d[CAST(j AS INT)] AS DECIMAL(27,6))) * 1000000
+       |            AS BIGINT) AS s_micro
        |FROM asg CROSS JOIN range(1, 65) u(j)
        |GROUP BY cell, j ORDER BY cell, dim""".stripMargin
   }

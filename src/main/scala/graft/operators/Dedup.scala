@@ -397,9 +397,14 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
+    // localCheckpoint, not cache: each prep table is read twice (band join
+    // + exact verification) but the frames are fresh per invocation, so a
+    // CacheManager pin would leak one minhash table PAIR per call for the
+    // session lifetime (the streaming-crawl shape calls this per batch);
+    // checkpoint blocks release via the context cleaner once unreachable
     def prep(input: DataFrame): DataFrame = shingleSets(input)
       .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
-      .cache()
+      .localCheckpoint()
     def banded(sets: DataFrame, idAs: String, szAs: String) = sets
       .select(col("doc_id").as(idAs), size(col("sh")).as(szAs),
         explode(bandSignatures(col("mh"), bands, r)).as("bs"))

@@ -147,8 +147,13 @@ object Layout {
     val out = ranked
       .join(broadcast(targets), col("rn") === col("target_rn"))
       .select(col("split_no"), col("k").as("upper_bound"))
-    if (!checkpoint) out
-    else {
+    if (!checkpoint) {
+      // unpersist only unmarks the plan — the returned lineage (and its
+      // plan string, which is what the audit reads) is unaffected; the
+      // consumer recomputes the sample instead of leaking a pinned one
+      sorted.unpersist(blocking = false)
+      out
+    } else {
       val pinned = out.localCheckpoint()
       sorted.unpersist(blocking = false)
       pinned
