@@ -913,6 +913,20 @@ object SparkEntry {
         .select(col("doc_id"), col("rank").as("rnk"), col("token"),
           col("tf"), col("df"))
         .orderBy(col("doc_id"), col("rnk"))),
+    // BM25 top-k lexical retrieval — integer-exact Okapi weighting with a
+    // log-free rational idf (TextAnalysis.bm25TopK scaladoc); score is an
+    // exact BIGINT so ranking and hash both replay cross-engine.
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables(s, dir).documents, Bm25Terms, k = 25)
+        .orderBy(col("score").desc, col("doc_id"))),
+    // Batch retrieval: top-10 per query for a table of term-bag queries,
+    // salted per-query top-k (decontamination-by-retrieval shape).
+    "q_bm25_multi" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Bm25Queries.toDF("query_id", "terms")
+      TextAnalysis.bm25PerQuery(Tables(s, dir).documents, qs, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
     // Skew-safe per-key top-k — identical output to the single-window form.
     "q_topk_per_key" -> ((s, dir) =>
       Diagnostics.saltedTopKPerKey(Tables(s, dir).events,
@@ -1111,6 +1125,17 @@ object SparkEntry {
   /** DuckDB CTE: whitespace tokens of lowercased document text — keep in
     * lockstep with [[graft.functions.TextFunctions.tokens]].
     */
+  /** Query terms for the BM25 retrieval demo — mid-frequency corpus words
+    * so df < N and the per-term idf weights differ.
+    */
+  private val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** Term-bag query table for the batch-retrieval demo. */
+  private val Bm25Queries = Seq(
+    1L -> Seq("vector", "stream"),
+    2L -> Seq("window", "batch", "merge"),
+    3L -> Seq("dup", "sort"))
+
   private val ToksCte =
     """WITH toks AS (
       |  SELECT doc_id, text,
@@ -2902,6 +2927,60 @@ object SparkEntry {
          |      FROM tf JOIN dfreq USING (token))
          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df FROM r
          |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "q_bm25" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+         |             CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM w GROUP BY 1)
+         |SELECT doc_id, score, n_hit FROM s
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "q_bm25_multi" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
+         |         ${Bm25Queries.flatMap { case (q, ts) =>
+                      ts.map(t => s"($q, '$t')") }.mkString(", ")})
+         |       AS t(query_id, tok)),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (SELECT DISTINCT tok FROM qt)
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tok, doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT query_id, doc_id, CAST(SUM(w) AS BIGINT) AS score,
+         |             CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM w JOIN qt USING (tok) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, n_hit,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_hit
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q_topk_per_key" ->
       """WITH r AS (
         |  SELECT event_type AS etype, value, event_id AS tiebreak,

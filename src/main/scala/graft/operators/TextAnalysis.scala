@@ -761,6 +761,151 @@ object TextAnalysis {
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** BM25 top-k retrieval over the corpus for a literal term query — the
+    * lexical-retrieval primitive a curation pipeline uses to pull
+    * topic-relevant training documents (and, inverted, to decontaminate
+    * by retrieval: rank the corpus against an eval query and audit the
+    * head). Okapi weighting with k1 = 1.2, b = 0.75, with ONE deliberate
+    * deviation: the idf factor is the raw Robertson–Sparck-Jones ratio
+    * (2N − 2df + 1)/(2df + 1) rather than its logarithm. Dropping the log
+    * keeps every quantity a ratio of integers, so the whole score is
+    * computed in exact DECIMAL(38,0) arithmetic (the q_dsir div pattern)
+    * and replays bit-for-bit cross-engine — no transcendental function
+    * whose last-ulp behavior differs between libms ever touches a hashed
+    * or ranked value. Monotonicity in (tf, df, dl) is unchanged, so
+    * single-term rankings are identical to log-idf BM25; multi-term
+    * rankings weight rare terms more sharply (documented contract).
+    *
+    * Per-term integer weight, all k1/b rationals cleared through ×10A:
+    *   satur_ppm = ⌊10^6 · 22·A·tf / (10·A·tf + 3·A + 9·dl·N)⌋
+    *   idf_ppm   = ⌊10^6 · (2N − 2df + 1) / (2df + 1)⌋
+    *   w         = ⌊satur_ppm · idf_ppm / 10^6⌋            (BIGINT)
+    * score = Σ_t w — an exact BIGINT sum, order-independent. Bounds: with
+    * A ≤ 2·10^13 corpus tokens and tf ≤ 10^5 the widest intermediate
+    * (10^6·22·A·tf ≈ 4.4·10^26) sits inside DECIMAL(38,0), and
+    * satur_ppm·idf_ppm ≤ 2.2·10^6 · 6.6·10^15 needs the DECIMAL cast it
+    * gets before the final div.
+    *
+    * Scale shape: document length dl = size(tokens) is a narrow per-row
+    * projection (no explode shuffle) checkpointed once — corpus stats N/A
+    * and the per-doc join both read the pinned N-row (doc_id, dl) table,
+    * not a re-tokenize. The tf table explodes tokens but filters to the
+    * query terms BEFORE the shuffle, so only matching postings move; df
+    * and the corpus stats broadcast as |terms|-row / 1-row tables. Top-k
+    * is TakeOrdered (distributed heap, never a global sort), ties broken
+    * by doc_id. The checkpoint is released before returning; the ≤ k-row
+    * result is eagerly materialized first.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val dl = docLengths(docs)
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val out = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25Weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .localCheckpoint() // eager: consume the dl checkpoint, then release it
+    dl.unpersist(blocking = false)
+    out
+  }
+
+  /** Checkpointed (doc_id, dl) table — one tokenize pass feeds both the
+    * corpus stats and the per-doc join without a re-tokenize.
+    */
+  private def docLengths(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    .localCheckpoint()
+
+  /** The per-posting integer BM25 weight (see [[bm25TopK]] scaladoc for
+    * the formula and bounds); expects columns tf, df, dl, n_docs,
+    * a_tokens in scope.
+    */
+  private def bm25Weight: Column = {
+    val d38 = "decimal(38,0)"
+    val saturPpm = call_function("div",
+      lit(22000000L).cast(d38) * col("a_tokens").cast(d38) * col("tf").cast(d38),
+      lit(10L).cast(d38) * col("a_tokens").cast(d38) * col("tf").cast(d38)
+        + lit(3L).cast(d38) * col("a_tokens").cast(d38)
+        + lit(9L).cast(d38) * col("dl").cast(d38) * col("n_docs").cast(d38))
+    val idfPpm = call_function("div",
+      lit(1000000L).cast(d38) *
+        (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast(d38),
+      (lit(2L) * col("df") + lit(1L)).cast(d38))
+    call_function("div",
+      saturPpm.cast(d38) * idfPpm.cast(d38), lit(1000000L).cast(d38))
+  }
+
+  /** Batch BM25: top-k per query over a whole table of term-bag queries —
+    * the decontamination-by-retrieval shape (rank the corpus against
+    * every eval query in one job and audit each head) and the
+    * multi-topic curation pull. Same integer-exact weighting as
+    * [[bm25TopK]]; df/dl/N/A are corpus-level (shared across queries).
+    *
+    * Scale shape: the query table explodes to (query_id, tok) postings —
+    * small by construction (queries × terms) — and broadcasts twice:
+    * once distinct-by-tok to filter the corpus explode BEFORE its
+    * shuffle (an inverted-index semi-join: only postings of some query's
+    * terms move), once keyed to fan scored postings out per query. The
+    * per-(query, doc) sum shuffles on (query_id, doc_id) — skew-safe by
+    * key width — and the final per-query top-k runs through the
+    * [[Diagnostics.twoStageTopK]] salt valve, never a single-task
+    * per-query window (a query containing a stopword scores a large
+    * slice of the corpus; the valve bounds stage-2 input at k·salts
+    * rows per query regardless).
+    */
+  def bm25PerQuery(
+      docs: DataFrame, queries: DataFrame, k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(salts > 0, "salts must be positive")
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val terms = qt.select(col("tok")).distinct()
+    val dl = docLengths(docs)
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(terms), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"), bm25Weight.as("w"))
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
+    val out = Diagnostics.twoStageTopK(scored, col("query_id"),
+        pmod(h60(col("doc_id").cast("string")), lit(salts.toLong)),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("ts_rank").cast("long").as("rnk"),
+        col("doc_id"), col("score"), col("n_hit"))
+      .localCheckpoint() // eager, then release the qt/dl pins
+    qt.unpersist(blocking = false)
+    dl.unpersist(blocking = false)
+    out
+  }
+
   /** Min-K%-prob membership audit (Shi et al. 2023, arXiv:2310.16789):
     * for each audit document, look at its k% LEAST-likely tokens under
     * the corpus unigram model — if even those are common corpus tokens,

@@ -1038,6 +1038,58 @@ class TextOpsSpec extends SparkSpec {
     assert(empty === ((0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("bm25TopK: scores match an independent BigInt replay of the formula") {
+    val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, Seq("x", "q"), k = 3).collect()
+    // replay the documented integer formula (k1=1.2, b=0.75 cleared
+    // through ×10A; rational idf) in plain BigInt arithmetic
+    def w(tf: Long, df: Long, dl: Long, n: Long, a: Long): Long = {
+      val satur = (BigInt(1000000) * 22 * a * tf) /
+        (BigInt(10) * a * tf + BigInt(3) * a + BigInt(9) * dl * n)
+      val idf = (BigInt(1000000) * (2 * n - 2 * df + 1)) / BigInt(2 * df + 1)
+      (satur * idf / 1000000).toLong
+    }
+    val (n, a) = (3L, 10L) // 3 docs, 10 corpus tokens
+    val s1 = w(tf = 2, df = 2, dl = 4, n, a)          // doc 1: x only
+    val s2 = w(1, 2, 3, n, a) + w(2, 1, 3, n, a)      // doc 2: x + q
+    val expected = Seq((1L, s1, 1L), (2L, s2, 2L))
+      .sortBy { case (id, s, _) => (-s, id) }
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === expected)
+    // the rare term q dominates: doc 2 outranks the doc with more hits of x
+    assert(out.head.getLong(0) === 2L)
+  }
+
+  test("bm25TopK: k truncates after the (score desc, doc_id) tiebreak") {
+    val d = Seq((5L, "x"), (4L, "x"), (9L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, Seq("x"), k = 2).collect()
+    // identical tf/dl/df → identical scores; doc_id breaks the tie
+    assert(out.map(_.getLong(0)).toSeq === Seq(4L, 5L))
+    assert(out.map(_.getLong(1)).distinct.length === 1)
+  }
+
+  test("bm25PerQuery agrees with bm25TopK per query; ranks are 1..n") {
+    val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
+      .toDF("doc_id", "text")
+    val qs = Seq(1L -> Seq("x", "q"), 2L -> Seq("y")).toDF("query_id", "terms")
+    val multi = TextAnalysis.bm25PerQuery(d, qs, k = 3, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // corpus-level df/dl/N/A are query-independent, so each query's head
+    // equals the single-query operator run with the same terms
+    val single = TextAnalysis.bm25TopK(d, Seq("x", "q"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val q1 = multi.filter(_._1 == 1L).sortBy(_._2)
+      .map { case (_, _, id, s, h) => (id, s, h) }
+    assert(q1.toSeq === single.toSeq)
+    multi.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // query 2 sees only docs containing y, ordered by tf
+    assert(multi.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq === Seq(4L, 1L))
+  }
+
   test("recallAtK counts top-k intersection per query; the exact side defines the universe") {
     val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (3L, 30L, 1L))
       .toDF("query_id", "neighbor_id", "rank")
