@@ -927,6 +927,14 @@ object SparkEntry {
       TextAnalysis.bm25PerQuery(Tables(s, dir).documents, qs, k = 10)
         .orderBy(col("query_id"), col("rnk"))
     },
+    // Per-source bigram type/token diversity — the templated-source flag.
+    "q_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(Tables(s, dir).documents, n = 2)
+        .orderBy(col("source"))),
+    // Ordered-step conversion funnel over events (strictly-after times).
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(Tables(s, dir).events, FunnelSteps)
+        .orderBy(col("step"))),
     // Skew-safe per-key top-k — identical output to the single-window form.
     "q_topk_per_key" -> ((s, dir) =>
       Diagnostics.saltedTopKPerKey(Tables(s, dir).events,
@@ -1135,6 +1143,9 @@ object SparkEntry {
     1L -> Seq("vector", "stream"),
     2L -> Seq("window", "batch", "merge"),
     3L -> Seq("dup", "sort"))
+
+  /** Funnel stages for the events conversion readout. */
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
 
   private val ToksCte =
     """WITH toks AS (
@@ -2981,6 +2992,40 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_hit
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_ngram_diversity" ->
+      s"""$ToksCte,
+         |g AS (SELECT d.source AS source,
+         |        unnest(CASE WHEN len(toks) >= 2 THEN
+         |            list_transform(range(1, len(toks)),
+         |                           i -> toks[i] || ' ' || toks[i+1])
+         |          ELSE [] END) AS g
+         |      FROM toks JOIN documents d USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         |       CAST((1000000::HUGEINT * COUNT(DISTINCT g)) // COUNT(*) AS BIGINT)
+         |         AS ttr_ppm
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+         |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+         |s2 AS (SELECT user_id, MIN(ts) AS t FROM (
+         |         SELECT e.user_id, e.ts FROM events e JOIN s1 USING (user_id)
+         |         WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t)
+         |       GROUP BY 1),
+         |s3 AS (SELECT user_id, MIN(ts) AS t FROM (
+         |         SELECT e.user_id, e.ts FROM events e JOIN s2 USING (user_id)
+         |         WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t)
+         |       GROUP BY 1),
+         |s4 AS (SELECT user_id, MIN(ts) AS t FROM (
+         |         SELECT e.user_id, e.ts FROM events e JOIN s3 USING (user_id)
+         |         WHERE e.event_type = '${FunnelSteps(3)}' AND e.ts > s3.t)
+         |       GROUP BY 1)
+         |SELECT CAST(1 AS BIGINT) AS step, '${FunnelSteps(0)}' AS event_type,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+         |UNION ALL SELECT 2, '${FunnelSteps(1)}', (SELECT COUNT(*) FROM s2)
+         |UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT COUNT(*) FROM s3)
+         |UNION ALL SELECT 4, '${FunnelSteps(3)}', (SELECT COUNT(*) FROM s4)
+         |ORDER BY step""".stripMargin,
     "q_topk_per_key" ->
       """WITH r AS (
         |  SELECT event_type AS etype, value, event_id AS tiebreak,

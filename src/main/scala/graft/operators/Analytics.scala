@@ -112,4 +112,40 @@ object Analytics {
       .filter(col("rnk") <= 3)
       .orderBy(col("c_nationkey"), col("rnk"))
   }
+
+  /** Ordered-step funnel over the events table: how many users reach each
+    * stage, where stage i counts only events STRICTLY after that user's
+    * stage-(i−1) time (earliest-completion semantics — the standard
+    * product-analytics conversion readout). Returns one row per step:
+    * (step, event_type, n_users), n_users non-increasing by construction.
+    *
+    * Scale shape: each stage filters the fact table to ONE event type
+    * before its user_id shuffle (predicate reaches the scan), joins the
+    * shrinking per-user frontier — steps.length keyed aggregations total,
+    * no window over all events, nothing user-count-sized on the driver.
+    * Every checked value is a BIGINT count; timestamp comparisons are
+    * exact micros, so the readout replays cross-engine.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    def stepRow(i: Int, frontier: DataFrame): DataFrame = frontier
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit(i.toLong + 1L).as("step"),
+        lit(steps(i)).as("event_type"), col("n_users"))
+    var frontier = events
+      .filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t"))
+    var out = stepRow(0, frontier)
+    for (i <- 1 until steps.length) {
+      frontier = events
+        .filter(col("event_type") === steps(i))
+        .join(frontier, Seq("user_id"))
+        .filter(col("ts") > col("t"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t"))
+      out = out.unionByName(stepRow(i, frontier))
+    }
+    out
+  }
 }

@@ -823,6 +823,43 @@ object TextAnalysis {
     out
   }
 
+  /** Per-source n-gram diversity (type/token ratio): distinct n-grams /
+    * total n-grams, the mixture-planning readout that flags templated or
+    * SEO-spam sources (low diversity → boilerplate factory, prime
+    * dedup/downweight candidate) and complements the per-doc repetition
+    * scores with a corpus-level view. The ratio is emitted as an exact
+    * integer ppm (DECIMAL(38,0) floor division — 10^6·distinct can pass
+    * 2^63 at corpus scale), so the readout replays cross-engine.
+    *
+    * Scale shape: one tokenize projection (toks materialized BEFORE the
+    * n-gram transform so the lambda's n references don't re-tokenize per
+    * element), one explode, one per-source aggregation whose
+    * count-distinct Spark rewrites into a (source, gram)-keyed partial
+    * dedup — never a driver-side set. Sources whose every document has
+    * fewer than n tokens have no grams and are absent (documented).
+    */
+  def ngramDiversity(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1 && n <= 3, "n in [1,3]")
+    val d38 = "decimal(38,0)"
+    val base = docs.select(col("source"), tokens(col("text")).as("toks"))
+    val grams =
+      if (n == 1) col("toks")
+      else
+        // sequence(a, b) descends when a > b — guard short docs or empty
+        // inputs fabricate grams (CLAUDE.md range foot-gun)
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+            concat_ws(" ",
+              (0 until n).map(j => element_at(col("toks"), i + j)): _*)))
+          .otherwise(array().cast("array<string>"))
+    base.select(col("source"), explode(grams).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+      .withColumn("ttr_ppm", call_function("div",
+        lit(1000000L).cast(d38) * col("n_distinct").cast(d38),
+        col("n_grams").cast(d38)))
+  }
+
   /** Checkpointed (doc_id, dl) table — one tokenize pass feeds both the
     * corpus stats and the per-doc join without a re-tokenize.
     */

@@ -1090,6 +1090,18 @@ class TextOpsSpec extends SparkSpec {
     assert(multi.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq === Seq(4L, 1L))
   }
 
+  test("ngramDiversity: exact type/token counts; short docs contribute nothing") {
+    val d = Seq((1L, "a b a b", "s1"), (2L, "a", "s1"), (3L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val bi = TextAnalysis.ngramDiversity(d, n = 2).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s1: "a b","b a","a b" → 3 grams / 2 types; doc 2 is sub-bigram
+    assert(bi.toSeq === Seq(("s1", 3L, 2L, 666666L), ("s2", 1L, 1L, 1000000L)))
+    val uni = TextAnalysis.ngramDiversity(d, n = 1).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(uni.toSeq === Seq(("s1", 5L, 2L, 400000L), ("s2", 2L, 2L, 1000000L)))
+  }
+
   test("recallAtK counts top-k intersection per query; the exact side defines the universe") {
     val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (3L, 30L, 1L))
       .toDF("query_id", "neighbor_id", "rank")

@@ -799,4 +799,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin")) // union+window, not a join at all
   }
+
+  test("funnel: strictly-after stage times, non-members and same-ts drop") {
+    val e = Seq(
+      // user 1 completes all four stages in order
+      (1L, "signup", 1L), (1L, "view", 2L), (1L, "click", 3L), (1L, "purchase", 4L),
+      // user 2: purchase BEFORE signup and no click — stalls at view
+      (2L, "purchase", 1L), (2L, "signup", 1L), (2L, "view", 2L),
+      // user 3 never signs up — absent from every stage
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "purchase", 3L),
+      // user 4: view at the signup instant — strictly-after excludes it
+      (4L, "signup", 5L), (4L, "view", 5L))
+      .toDF("user_id", "event_type", "secs")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("secs")).as("ts"))
+    val out = graft.operators.Analytics
+      .funnel(e, Seq("signup", "view", "click", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "signup", 3L), (2L, "view", 2L),
+      (3L, "click", 1L), (4L, "purchase", 1L)))
+  }
 }
