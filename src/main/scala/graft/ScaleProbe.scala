@@ -139,7 +139,12 @@ object ScaleProbe {
           concat(lit("u"), col("user_id")).as("src"),
           concat(lit("t"), col("event_type")).as("dst")).distinct()
         operators.Graph.pagerank(operators.Graph.symmetrize(edges), 8)
-      })
+      },
+      // 4 sequential user-keyed aggregations over a type-filtered fact;
+      // the frontier shrinks per stage — cost tracks the filtered scans
+      "funnel (signup→view→click→purchase)" -> ((s, d) =>
+        operators.Analytics.funnel(Tables(s, d).events,
+          Seq("signup", "view", "click", "purchase"))))
 
     val sb = new StringBuilder(
       """# SCALE — measured scaling of the persist+index surface (local[32])
@@ -325,7 +330,20 @@ object ScaleProbe {
       "shard bloom index (8 shards, m=1024)" -> (d => operators.Layout
         .shardBloomIndex(
           operators.Layout.assignShards(d, col("doc_id"), 8, "sp"),
-          col("doc_id"), m = 1024)))
+          col("doc_id"), m = 1024)),
+      // replica renaming means only replica 0 matches the terms — the
+      // cost under test is the corpus dl/tf passes, which scale with f
+      "bm25 top-25 (3 terms)" -> (d => operators.TextAnalysis.bm25TopK(
+        d, Seq("vector", "stream", "window"), 25)),
+      "bm25 per-query top-10 (3 queries)" -> { d =>
+        import spark.implicits._
+        val qs = Seq(1L -> Seq("vector", "stream"),
+          2L -> Seq("window", "batch", "merge"),
+          3L -> Seq("dup", "sort")).toDF("query_id", "terms")
+        operators.TextAnalysis.bm25PerQuery(d, qs, 10)
+      },
+      "bigram diversity per source" ->
+        (d => operators.TextAnalysis.ngramDiversity(d, 2)))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents
