@@ -123,8 +123,12 @@ object Analytics {
     * before its user_id shuffle (predicate reaches the scan), joins the
     * shrinking per-user frontier — steps.length keyed aggregations total,
     * no window over all events, nothing user-count-sized on the driver.
-    * Every checked value is a BIGINT count; timestamp comparisons are
-    * exact micros, so the readout replays cross-engine.
+    * Each frontier is checkpointed so later stages and the final union
+    * read the materialized per-user table, not a re-derivation of the
+    * whole chain (O(steps) fact scans, not O(steps²)); the steps-row
+    * result is materialized eagerly and every pin released before
+    * returning. Every checked value is a BIGINT count; timestamp
+    * comparisons are exact micros, so the readout replays cross-engine.
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
@@ -132,10 +136,13 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .select(lit(i.toLong + 1L).as("step"),
         lit(steps(i)).as("event_type"), col("n_users"))
+    val pins = Seq.newBuilder[DataFrame]
     var frontier = events
       .filter(col("event_type") === steps.head)
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    pins += frontier
     var out = stepRow(0, frontier)
     for (i <- 1 until steps.length) {
       frontier = events
@@ -144,8 +151,12 @@ object Analytics {
         .filter(col("ts") > col("t"))
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("t"))
+        .localCheckpoint()
+      pins += frontier
       out = out.unionByName(stepRow(i, frontier))
     }
-    out
+    val res = out.localCheckpoint() // eager: consume the pins, then release
+    pins.result().foreach(_.unpersist(blocking = false))
+    res
   }
 }
