@@ -144,7 +144,9 @@ object ScaleProbe {
       // the frontier shrinks per stage — cost tracks the filtered scans
       "funnel (signup→view→click→purchase)" -> ((s, d) =>
         operators.Analytics.funnel(Tables(s, d).events,
-          Seq("signup", "view", "click", "purchase"))))
+          Seq("signup", "view", "click", "purchase"))),
+      "retention cohorts (weekly)" -> ((s, d) =>
+        operators.Analytics.retentionCohorts(Tables(s, d).events)))
 
     val sb = new StringBuilder(
       """# SCALE — measured scaling of the persist+index surface (local[32])

@@ -935,6 +935,10 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(Tables(s, dir).events, FunnelSteps)
         .orderBy(col("step"))),
+    // Weekly retention cohort matrix (first-event week × active week).
+    "q_retention_cohorts" -> ((s, dir) =>
+      Analytics.retentionCohorts(Tables(s, dir).events)
+        .orderBy(col("cohort_week"), col("week_offset"))),
     // Skew-safe per-key top-k — identical output to the single-window form.
     "q_topk_per_key" -> ((s, dir) =>
       Diagnostics.saltedTopKPerKey(Tables(s, dir).events,
@@ -3026,6 +3030,17 @@ object SparkEntry {
          |UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT COUNT(*) FROM s3)
          |UNION ALL SELECT 4, '${FunnelSteps(3)}', (SELECT COUNT(*) FROM s4)
          |ORDER BY step""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |            FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |      FROM events),
+        |j AS (SELECT cohort_week,
+        |             date_diff('day', cohort_week, week) // 7 AS week_offset
+        |      FROM a JOIN fw USING (user_id))
+        |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_topk_per_key" ->
       """WITH r AS (
         |  SELECT event_type AS etype, value, event_id AS tiebreak,

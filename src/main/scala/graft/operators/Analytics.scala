@@ -159,4 +159,32 @@ object Analytics {
     pins.result().foreach(_.unpersist(blocking = false))
     res
   }
+
+  /** Weekly retention cohort matrix: users grouped by the ISO week of
+    * their FIRST event, counted in every subsequent week they were
+    * active — (cohort_week, week_offset, n_users), the classic
+    * engagement-decay triangle. Week truncation is Monday-based on both
+    * engines; offsets are exact integer day-diffs of Monday boundaries
+    * floor-divided by 7, so every checked value replays cross-engine.
+    *
+    * Scale shape: one user-keyed min (cohort), one (user, week) distinct
+    * (partial-aggregated before its shuffle), one user-keyed equi-join,
+    * one (cohort, offset) count — all map-side combinable, no window,
+    * nothing driver-sized. Both sides of the join are user-count-sized,
+    * far below the fact table.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstWeek = events
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(firstWeek, Seq("user_id"))
+      .select(col("cohort_week"),
+        call_function("div",
+          datediff(col("week"), col("cohort_week")), lit(7)).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -821,4 +821,20 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, "signup", 3L), (2L, "view", 2L),
       (3L, "click", 1L), (4L, "purchase", 1L)))
   }
+
+  test("retentionCohorts: Monday-week cohorts, exact offsets, distinct weeks") {
+    // 2024-01-01 and 2024-01-08 are Mondays
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"), // same week
+      (1L, "2024-01-09 10:00:00"),                              // week +1
+      (2L, "2024-01-10 10:00:00"))                              // cohort Jan 8
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val out = graft.operators.Analytics.retentionCohorts(e)
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 1L)))
+  }
 }
