@@ -16,11 +16,15 @@ import graft.Tables
   *     exact decimal is cast back to double for a stable output schema;
   *   - every output row set has an explicit ORDER BY with a unique key.
   *
-  * Scale notes (100 TB): only true dimensions (customer, supplier, nation,
-  * region) carry `broadcast()` hints; fact⋈fact joins (lineitem⋈orders)
-  * are left to shuffle joins with AQE choosing the physical strategy —
-  * broadcasting a filtered fact looks fine at sf0.1 and OOMs at 100x.
-  * Aggregations are partial (map-side combine) by construction.
+  * Scale notes (100 TB): only CONSTANT-SIZE dimensions (nation: 25 rows,
+  * region: 5 rows) carry forced `broadcast()` hints. Customer and supplier
+  * scale linearly with SF — tens of GB at the 100 TB target, over Spark's
+  * broadcast hard limit — so they carry NO hint: AQE still broadcasts them
+  * while their runtime size fits and falls back to a shuffle join when it
+  * doesn't, which a forced hint would bypass straight into an OOM.
+  * Fact⋈fact joins (lineitem⋈orders) are left to shuffle joins with AQE
+  * choosing the physical strategy. Aggregations are partial (map-side
+  * combine) by construction.
   */
 object Analytics {
 
@@ -40,8 +44,8 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q3-style: fact-to-fact join (orders⋈lineitem) with a broadcast
-    * customer filter; revenue per order, top 10 by revenue.
+  /** TPC-H Q3-style: fact-to-fact join (orders⋈lineitem) with a filtered
+    * customer semi-side; revenue per order, top 10 by revenue.
     */
   def shippingPriority(t: Tables): DataFrame = {
     val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -51,11 +55,11 @@ object Analytics {
     val li = t.lineitem
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // orders is a FACT table: never broadcast it (OOMs at 100x scale).
-    // customer (a dimension, pre-filtered) broadcasts into orders; the
-    // lineitem⋈orders join shuffles on the join key and AQE picks the
-    // physical strategy at runtime.
-    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+    // No forced broadcast anywhere here: orders/lineitem are facts, and
+    // customer scales linearly with SF (tens of GB at 100 TB — over the
+    // broadcast hard limit). AQE broadcasts the filtered customer side
+    // while its runtime size fits and shuffle-joins otherwise.
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(
@@ -66,9 +70,11 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: 5-way star join, revenue by nation. Dimension tables
-    * broadcast; lineitem⋈orders shuffles on the join key; final groupBy on
-    * n_name is the only other shuffle.
+  /** TPC-H Q5-style: 5-way star join, revenue by nation. Only the
+    * constant-size dimensions (nation, region) carry forced broadcast
+    * hints; customer/supplier scale with SF, so AQE chooses their join
+    * strategy at runtime. lineitem⋈orders shuffles on the join key; the
+    * final groupBy on n_name is the only other shuffle.
     */
   def localSupplierVolume(t: Tables): DataFrame = {
     val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -82,11 +88,13 @@ object Analytics {
     val nat = t.nation.select("n_nationkey", "n_name", "n_regionkey")
     val reg = t.region.filter(col("r_name") === "ASIA").select("r_regionkey")
 
-    // lineitem⋈orders is fact⋈fact — shuffle join (AQE decides); only the
-    // true dimensions (customer/supplier/nation/region) are broadcast.
+    // lineitem⋈orders is fact⋈fact — shuffle join (AQE decides). Forced
+    // broadcasts only on the constant-size nation/region; customer and
+    // supplier are SF-scaling, so no hint — AQE broadcasts them while
+    // they fit and degrades gracefully to a shuffle join at 100x.
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
@@ -97,21 +105,23 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Window-function workload: rank customers by account balance within
-    * nation, keep top 3 per nation. Single shuffle on the window key.
+  /** Per-nation top-3 customers by account balance. NOT a plain
+    * `row_number() OVER (PARTITION BY c_nationkey)`: that funnels every
+    * customer of a nation — millions of rows at 100x, across only 25
+    * partitions — through one window task. Top-k is mergeable, so this
+    * rides [[Diagnostics.saltedTopKPerKey]]'s two-stage kernel: partial
+    * rank within (nation, salt), then rank the ≤ k·salts survivors.
+    * Output is identical to the single-window form (c_custkey is a
+    * unique tiebreaker, making the per-nation order total).
     */
-  def topCustomersPerNation(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    t.customer
-      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
-        col("c_acctbal"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+  def topCustomersPerNation(t: Tables): DataFrame =
+    Diagnostics.saltedTopKPerKey(
+      t.customer.select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"), col("c_acctbal")),
+      col("c_nationkey"), col("c_acctbal"), col("c_custkey"), k = 3, salts = 8)
+      .select(col("tiebreak").as("c_custkey"), col("key").as("c_nationkey"),
+        col("value").as("c_acctbal"), col("rank").as("rnk"))
       .orderBy(col("c_nationkey"), col("rnk"))
-  }
 
   /** Ordered-step funnel over the events table: how many users reach each
     * stage, where stage i counts only events STRICTLY after that user's

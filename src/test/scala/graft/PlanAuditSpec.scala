@@ -41,4 +41,46 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a nested-loop join")
     }
   }
+
+  /** A forced `broadcast()` hint bypasses AQE's runtime size check, so a
+    * hint on an SF-scaling table (customer/supplier/orders/lineitem grow
+    * linearly with scale factor) is a 100x OOM waiting to happen — Spark
+    * hard-fails broadcasts past its size limit. Only the constant-size
+    * nation (25 rows) / region (5 rows) may carry hints in the headline
+    * analytics plans.
+    */
+  test("headline analytics force-broadcast only constant-size dimensions") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = "/root/testdata/sf0.001"
+    val scaling = Seq("customer", "supplier", "orders", "lineitem", "part")
+    Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+      "q_top_customers_per_nation").foreach { name =>
+      val analyzed = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val paths = h.child.collect { case r: LogicalRelation =>
+            r.relation match {
+              case f: HadoopFsRelation => f.location.rootPaths.map(_.toString).mkString(",")
+              case o                   => o.toString
+            }
+          }.mkString(";")
+          scaling.foreach(t => assert(!paths.contains(s"$t.parquet"),
+            s"$name forces a broadcast hint onto SF-scaling table $t"))
+        case _ => ()
+      }
+    }
+  }
+
+  /** q_top_customers_per_nation must keep the two-stage salted top-k shape:
+    * a partial rank within (key, salt) — spreading a hot nation across
+    * `salts` tasks — before the bounded final rank. The scratch columns
+    * (`ts_salt`, `ts_pr`) only appear when the kernel is in the plan.
+    */
+  test("top-customers-per-nation plans the salted two-stage top-k, not one window task per nation") {
+    val plan = SparkEntry.queries("q_top_customers_per_nation")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ts_salt"), "partial stage is not salted")
+    assert(plan.contains("ts_pr"), "partial-rank filter missing — single-window shape")
+  }
 }
