@@ -2970,7 +2970,8 @@ object SparkEntry {
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
-         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, tok
+         |       FROM (VALUES
          |         ${Bm25Queries.flatMap { case (q, ts) =>
                       ts.map(t => s"($q, '$t')") }.mkString(", ")})
          |       AS t(query_id, tok)),
@@ -3010,18 +3011,20 @@ object SparkEntry {
          |         AS ttr_ppm
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_funnel" ->
-      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |              date_trunc('microseconds', ts) AS ts FROM events),
+         |s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
          |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
          |s2 AS (SELECT user_id, MIN(ts) AS t FROM (
-         |         SELECT e.user_id, e.ts FROM events e JOIN s1 USING (user_id)
+         |         SELECT e.user_id, e.ts FROM ev e JOIN s1 USING (user_id)
          |         WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t)
          |       GROUP BY 1),
          |s3 AS (SELECT user_id, MIN(ts) AS t FROM (
-         |         SELECT e.user_id, e.ts FROM events e JOIN s2 USING (user_id)
+         |         SELECT e.user_id, e.ts FROM ev e JOIN s2 USING (user_id)
          |         WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t)
          |       GROUP BY 1),
          |s4 AS (SELECT user_id, MIN(ts) AS t FROM (
-         |         SELECT e.user_id, e.ts FROM events e JOIN s3 USING (user_id)
+         |         SELECT e.user_id, e.ts FROM ev e JOIN s3 USING (user_id)
          |         WHERE e.event_type = '${FunnelSteps(3)}' AND e.ts > s3.t)
          |       GROUP BY 1)
          |SELECT CAST(1 AS BIGINT) AS step, '${FunnelSteps(0)}' AS event_type,

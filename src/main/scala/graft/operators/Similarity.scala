@@ -611,6 +611,51 @@ object Similarity {
 
   // ------------------------------------------------- semantic dedup
 
+  /** Cell-size valve for the within-cell self-joins ([[semDedup]],
+    * [[mutualKnn]]): 2-D blocked pair enumeration. A plain equi-join on
+    * `cell` sends EVERY row of a cell to one shuffle partition, so one
+    * duplicate-heavy mega-cell — precisely the input a dedup pass
+    * receives — enumerates |cell|² pairs in a single task. The valve
+    * splits each cell into `s = ⌈|cell| / maxCellSize⌉` deterministic
+    * hash groups and fans the pair space over the s² (ga, gb) blocks:
+    * side a replicates each row across its gb row-block, side b across
+    * its ga column-block, and the equi-join on (cell, ga, gb) lands
+    * every ordered pair in EXACTLY one block — (ga(x), gb(y)) — so the
+    * output pair set is identical to the plain cell join (no re-verify
+    * or dedup needed) while per-task work is bounded by maxCellSize²
+    * regardless of skew. Normal-size cells have s = 1 and degenerate to
+    * the unvalved single-block join.
+    *
+    * Input: one row per vector with (vec_id, cell, embedding, nrm).
+    * Output: the ordered-pair join frame (cell, vec_a, emb_a, nrm_a,
+    * vec_b, emb_b, nrm_b) — callers apply their own diagonal filter
+    * (`<` for unordered sweeps, `=!=` for kNN) and cosine predicate.
+    */
+  private def blockedCellPairs(e: DataFrame, maxCellSize: Int): DataFrame = {
+    require(maxCellSize >= 1, "maxCellSize must be at least 1")
+    import graft.functions.TextFunctions.h60
+    val hist = e.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"))
+      // ceil in exact integer arithmetic: (cn + m - 1) div m — never a
+      // double division, which could misround for corpus-scale counts
+      .select(col("cell"),
+        call_function("div",
+          col("cn") + lit(maxCellSize.toLong - 1L),
+          lit(maxCellSize.toLong)).as("nsplit"))
+    val g = e.join(broadcast(hist), Seq("cell"))
+      .withColumn("grp", pmod(h60(col("vec_id").cast("string")), col("nsplit")))
+    // nsplit >= 1 always (cells in e are non-empty), so sequence(0, nsplit-1)
+    // never hits the descending-range hazard of a negative upper bound
+    val a = g.select(col("cell"), col("grp").as("ga"),
+      explode(sequence(lit(0L), col("nsplit") - 1L)).as("gb"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = g.select(col("cell"),
+      explode(sequence(lit(0L), col("nsplit") - 1L)).as("ga"),
+      col("grp").as("gb"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell", "ga", "gb")).drop("ga", "gb")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents whose
     * embeddings are near-duplicates of a LOWER-id document in the same
     * k-means cell — the "semantic" complement to the lexical MinHash/
@@ -629,23 +674,24 @@ object Similarity {
     * Scale shape: one narrow assignment pass over plan-time literal
     * centroids, one hash shuffle on `cell`, per-cell pair enumeration
     * bounded by the cell histogram — size `numCells` ~ √N (same knob as
-    * [[ivfTopKKmeans]]) and train on a hash-sample so no cell is
-    * corpus-sized. Output: every vector with its cell and a `kept` flag
+    * [[ivfTopKKmeans]]) and train on a hash-sample so the AVERAGE cell
+    * is small; `maxCellSize` is the hard valve for the skewed tail (a
+    * duplicate-heavy corpus concentrates mass into one cell): cells
+    * above it run through [[blockedCellPairs]]' 2-D split, so no task
+    * ever enumerates more than maxCellSize² pairs and the output is
+    * unchanged. Output: every vector with its cell and a `kept` flag
     * (callers filter `kept` to materialize the surviving corpus).
     */
   def semDedup(
       embeddings: DataFrame,
       centroids: Array[Array[Double]],
-      tau: Double): DataFrame = {
+      tau: Double,
+      maxCellSize: Int = 4096): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val e = withNorm(embeddings)
       .withColumn("cell", nearestCell(col("embedding"), centroids))
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    val dropped = a.join(b, Seq("cell"))
+    val dropped = blockedCellPairs(e, maxCellSize)
       .filter(col("vec_a") < col("vec_b"))
       .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= tau)
       .select(col("vec_b").as("vec_id"))
@@ -706,27 +752,26 @@ object Similarity {
     * the image-dedup and bitext-mining literature, restricted to learned
     * k-means cells with [[semDedup]]'s cost model.
     *
-    * Scale shape: one cell equi-join bounded by the cell histogram, a
-    * per-vector top-k window (partitioned by vector — group size ≤ cell
-    * size, never global), and a self-equi-join of the k·N top-k rows on
-    * the swapped pair — no all-pairs stage anywhere. Deterministic: ties
-    * in the top-k break by neighbor id.
+    * Scale shape: the pair enumeration runs through
+    * [[blockedCellPairs]]' cell-size valve (per-task work ≤
+    * maxCellSize² even under a mega-cell), then a per-vector top-k
+    * window (partitioned by vector — group size ≤ cell size, never
+    * global), and a self-equi-join of the k·N top-k rows on the swapped
+    * pair — no all-pairs stage anywhere. Deterministic: ties in the
+    * top-k break by neighbor id.
     */
   def mutualKnn(
       embeddings: DataFrame,
       centroids: Array[Array[Double]],
-      k: Int): DataFrame = {
+      k: Int,
+      maxCellSize: Int = 4096): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(k >= 1, "k must be at least 1")
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings)
       .withColumn("cell", nearestCell(col("embedding"), centroids))
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    val top = a.join(b, Seq("cell"))
+    val top = blockedCellPairs(e, maxCellSize)
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))

@@ -782,7 +782,8 @@ object TextAnalysis {
     *   w         = ⌊satur_ppm · idf_ppm / 10^6⌋            (BIGINT)
     * score = Σ_t w — an exact BIGINT sum, order-independent. Bounds: with
     * A ≤ 2·10^13 corpus tokens and tf ≤ 10^5 the widest intermediate
-    * (10^6·22·A·tf ≈ 4.4·10^26) sits inside DECIMAL(38,0), and
+    * (10^6·22·A·tf ≈ 4.4·10^25) sits inside DECIMAL(38,0) with 12
+    * digits of headroom, and
     * satur_ppm·idf_ppm ≤ 2.2·10^6 · 6.6·10^15 needs the DECIMAL cast it
     * gets before the final div.
     *
@@ -845,8 +846,9 @@ object TextAnalysis {
     val grams =
       if (n == 1) col("toks")
       else
-        // sequence(a, b) descends when a > b — guard short docs or empty
-        // inputs fabricate grams (CLAUDE.md range foot-gun)
+        // sequence(a, b) generates a DESCENDING range when a > b, so an
+        // unguarded size(toks) - (n-1) bound would fabricate grams for
+        // docs shorter than n tokens — hence the when() guard
         when(size(col("toks")) >= n,
           transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
             concat_ws(" ",
@@ -887,11 +889,15 @@ object TextAnalysis {
       saturPpm.cast(d38) * idfPpm.cast(d38), lit(1000000L).cast(d38))
   }
 
-  /** Batch BM25: top-k per query over a whole table of term-bag queries —
+  /** Batch BM25: top-k per query over a whole table of term-SET queries —
     * the decontamination-by-retrieval shape (rank the corpus against
     * every eval query in one job and audit each head) and the
-    * multi-topic curation pull. Same integer-exact weighting as
-    * [[bm25TopK]]; df/dl/N/A are corpus-level (shared across queries).
+    * multi-topic curation pull. Query `terms` arrays are deduplicated
+    * (the `.distinct()` below): a repeated term contributes its weight
+    * once, not once per repetition — set semantics, no qtf weighting
+    * (mirrored by the q_bm25_multi oracle's DISTINCT qt CTE). Same
+    * integer-exact weighting as [[bm25TopK]]; df/dl/N/A are corpus-level
+    * (shared across queries).
     *
     * Scale shape: the query table explodes to (query_id, tok) postings —
     * small by construction (queries × terms) — and broadcasts twice:

@@ -293,6 +293,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count(_._3) > out.size / 2, "threshold too low: dropped most of corpus")
   }
 
+  test("cell-size valve: a mega-cell splits into blocks with output unchanged") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val n = emb.count()
+    // ONE centroid → every vector lands in cell 0: the degenerate
+    // duplicate-heavy shape where the unvalved join enumerates n² pairs
+    // in a single task (the canonicalByScore-style mega case)
+    val one = Array(Array.fill(Similarity.Dim)(1.0 / math.sqrt(Similarity.Dim.toDouble)))
+    val unvalved = Similarity.semDedup(emb, one, tau = 0.4, maxCellSize = Int.MaxValue)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val valved = Similarity.semDedup(emb, one, tau = 0.4, maxCellSize = 50)
+    assert(n > 100, "corpus too small to force a split") // ceil(n/50) blocks
+    // the 2-D block split must actually engage (explode over the split range)
+    assert(valved.queryExecution.executedPlan.toString.contains("Generate"),
+      "valved plan shows no block fan-out")
+    assert(valved.as[(Long, Int, Boolean)].collect().toSet === unvalved)
+    // same contract for the kNN pair miner
+    val mkUnvalved = Similarity.mutualKnn(emb, one, k = 3, maxCellSize = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val mkValved = Similarity.mutualKnn(emb, one, k = 3, maxCellSize = 50)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mkValved === mkUnvalved)
+    assert(mkUnvalved.nonEmpty)
+  }
+
   test("cellStats merges exactly and refreshes centroids toward the member means") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
@@ -1100,6 +1124,12 @@ class TextOpsSpec extends SparkSpec {
     val uni = TextAnalysis.ngramDiversity(d, n = 1).orderBy("source")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(uni.toSeq === Seq(("s1", 5L, 2L, 400000L), ("s2", 2L, 2L, 1000000L)))
+    // n=3 exercises the widest guarded sequence/element_at window: doc 1
+    // yields "a b a","b a b" (2 grams / 2 types); docs 2 ("a") and 3
+    // ("x y") are sub-trigram, so s2 has no grams and is absent
+    val tri = TextAnalysis.ngramDiversity(d, n = 3).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tri.toSeq === Seq(("s1", 2L, 2L, 1000000L)))
   }
 
   test("recallAtK counts top-k intersection per query; the exact side defines the universe") {
