@@ -633,6 +633,21 @@ object SparkEntry {
       Similarity.ivfTopKKmeans(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5,
         numCells = 8, iters = 2, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))),
+    // The production index lifecycle: train once, persist centroids +
+    // cell stats to parquet, reload in a (conceptually) different session,
+    // serve with the RESTORED quantizer. At nprobe == numCells the probe
+    // is an exact scan, so the brute-force oracle gates the whole
+    // save→load→serve path — any bit drift through parquet would move a
+    // cell assignment or a cosine and mismatch the hash.
+    "q_ivf_stored" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/ann-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.saveIvfIndex(s, wd, cents, Some(Similarity.cellStats(emb, cents)))
+      Similarity.ivfTopKWithCentroids(emb, col("vec_id") % 50 === 0, 5,
+        Similarity.loadIvfCentroids(s, wd), nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -2087,6 +2102,22 @@ object SparkEntry {
     // nprobe == numCells ⇒ exact full scan ⇒ identical to the brute-force
     // top-k contract (same predicate, same k, same tie-break)
     "q_ivf_kmeans" ->
+      s"""$EmbCte,
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM e JOIN q ON query_id <> e.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Same exact-scan contract as q_ivf_kmeans: the stored-index variant
+    // must serve the identical brute-force top-5 after its parquet
+    // round-trip (bit-exact FP64), so the oracle is the same query.
+    "q_ivf_stored" ->
       s"""$EmbCte,
          |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
          |sc AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -311,6 +311,24 @@ object Similarity {
       broadcastQueries: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "nprobe must be in [1, numCells]")
     val cents = kmeansCentroids(embeddings, numCells, iters)
+    ivfTopKWithCentroids(embeddings, queryPred, k, cents, nprobe, broadcastQueries)
+  }
+
+  /** [[ivfTopKKmeans]]' serving half against an ALREADY-TRAINED (or
+    * [[loadIvfCentroids]]-restored) quantizer — the production shape: an
+    * index is trained once, persisted with [[saveIvfIndex]], and every
+    * later query job probes it without re-running Lloyd iterations over
+    * the corpus.
+    */
+  def ivfTopKWithCentroids(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(cents.nonEmpty, "centroids must be non-empty")
+    require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
     val e = withNorm(embeddings).cache()
     val corpus = e
       .withColumn("cell", nearestCell(col("embedding"), cents))
@@ -787,5 +805,95 @@ object Similarity {
       .filter(col("x.vec_a") < col("x.vec_b"))
       .select(col("x.vec_a").as("vec_a"), col("x.vec_b").as("vec_b"),
         col("x.cosine").as("cosine"))
+  }
+
+  // ------------------------------------------------- index persistence
+
+  /** Persist a trained IVF index as parquet tables so it outlives the
+    * session: `<dir>/centroids` holds one (cell, dim, c) row per
+    * coordinate and `<dir>/cell_stats` the mergeable [[cellStats]]
+    * assignment state. Doubles round-trip BIT-EXACTLY through parquet's
+    * FP64 physical type, so a reloaded quantizer assigns every vector to
+    * the identical cell and serves identical top-k — the round-trip spec
+    * asserts this, and it is what lets the incremental [[cellStats]]
+    * maintenance and later query jobs run against a STORED index instead
+    * of retraining per session. Both tables are metadata-sized
+    * (cells × dim rows), written as one file each.
+    */
+  def saveIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cents: Array[Array[Double]],
+      stats: Option[DataFrame] = None): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .flatMap { case (c, cell) => c.zipWithIndex.map { case (v, d) => (cell, d, v) } }
+      .toSeq.toDF("cell", "dim", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    stats.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/cell_stats"))
+  }
+
+  /** Restore [[saveIvfIndex]]'s quantizer: the exact centroid array the
+    * session that trained it held (cells must be 0..k-1 dense with a full
+    * `Dim`-coordinate row set — enforced, a torn write fails loudly).
+    */
+  def loadIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("int"), col("dim").cast("int"), col("c").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(rows.nonEmpty, s"no centroids at $dir")
+    val k = rows.map(_._1).max + 1
+    val dim = rows.map(_._2).max + 1
+    require(rows.length == k * dim, s"torn centroid table at $dir: ${rows.length} rows")
+    val cents = Array.ofDim[Double](k, dim)
+    rows.foreach { case (cell, d, v) => cents(cell)(d) = v }
+    cents
+  }
+
+  /** Stored [[cellStats]] table of a persisted index ([[saveIvfIndex]]) —
+    * the base state an incremental maintenance job merges fresh batches
+    * into ([[mergeCellStats]]) before re-persisting.
+    */
+  def loadCellStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cell_stats")
+
+  /** Persist PQ codebooks ([[pqCodebooks]]) as `<dir>/codebooks` parquet:
+    * one (subspace, code, dim, c) row per coordinate (dim is the offset
+    * WITHIN the subspace). Same bit-exactness contract as
+    * [[saveIvfIndex]].
+    */
+  def savePqBooks(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.flatMap { case (c, code) =>
+        c.zipWithIndex.map { case (v, d) => (s, code, d, v) }
+      }
+    }.toSeq.toDF("subspace", "code", "dim", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Restore [[savePqBooks]]' codebooks (dense, torn writes rejected). */
+  def loadPqBooks(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("dim").cast("int"), col("c").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    require(rows.nonEmpty, s"no codebooks at $dir")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val sub = rows.map(_._3).max + 1
+    require(rows.length == m * ksub * sub, s"torn codebook table at $dir: ${rows.length} rows")
+    val books = Array.ofDim[Double](m, ksub, sub)
+    rows.foreach { case (s, code, d, v) => books(s)(code)(d) = v }
+    books
   }
 }

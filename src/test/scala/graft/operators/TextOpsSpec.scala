@@ -263,6 +263,40 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("ANN index persistence: save → load is bit-exact and serves identical top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "persist")
+    val wd = java.nio.file.Files.createTempDirectory("annidx").toString
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.saveIvfIndex(spark, wd, cents, Some(Similarity.cellStats(even, cents)))
+    val loaded = Similarity.loadIvfCentroids(spark, wd)
+    // bit-exact doubles: the restored quantizer IS the trained one
+    assert(loaded.length === cents.length)
+    cents.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // identical serving: same probe results from the restored index
+    val pred = col("vec_id") % 20 === 0
+    def topk(cs: Array[Array[Double]]) =
+      Similarity.ivfTopKWithCentroids(emb, pred, 5, cs, nprobe = 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(topk(loaded) === topk(cents))
+    assert(topk(loaded).nonEmpty)
+    // incremental maintenance against the STORED index: merging a fresh
+    // batch into the reloaded base state == the one-shot state of the union
+    val merged = Similarity.mergeCellStats(
+      Similarity.loadCellStats(spark, wd),
+      Similarity.cellStats(emb.filter(col("vec_id") % 2 === 1), cents))
+    val whole = Similarity.cellStats(emb, cents)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // PQ codebooks round-trip bit-exactly too
+    val books = Similarity.pqCodebooks(emb, m = 4, ksub = 4, iters = 1, salt = "persist")
+    Similarity.savePqBooks(spark, wd, books)
+    val lb = Similarity.loadPqBooks(spark, wd)
+    assert(lb.length === books.length)
+    books.zip(lb).foreach { case (ba, bb) =>
+      ba.zip(bb).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    }
+  }
+
   test("semDedup drops exactly the vectors with a smaller same-cell near-duplicate") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
