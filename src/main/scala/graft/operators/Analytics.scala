@@ -183,18 +183,121 @@ object Analytics {
     * nothing driver-sized. Both sides of the join are user-count-sized,
     * far below the fact table.
     */
-  def retentionCohorts(events: DataFrame): DataFrame = {
-    val firstWeek = events
-      .groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-    val active = events
+  def retentionCohorts(events: DataFrame): DataFrame =
+    retentionFromState(retentionState(events))
+
+  // --------------------------------------- streaming-mergeable state
+  // The sketch-family contract (graft.operators.Sketches): states of
+  // disjoint batches merge into EXACTLY the one-shot state of the union,
+  // so a foreachBatch loop keeps the readout current without ever
+  // re-scanning history.
+
+  /** Mergeable activity state behind [[retentionCohorts]]: the distinct
+    * (user_id, week) presence table. DISTINCT is idempotent-commutative
+    * and the cohort week is derivable as min(week) per user (week
+    * truncation is monotone, so min∘trunc ≡ trunc∘min), so this ONE
+    * store supports the whole readout and merges under ANY batch order —
+    * late or replayed events are absorbed exactly. State size: active
+    * (user, week) pairs, far below the event log.
+    */
+  def retentionState(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
       .distinct()
-    active.join(firstWeek, Seq("user_id"))
+
+  /** Merge two [[retentionState]] tables: distinct union ≡ the one-shot
+    * state of the concatenated inputs (partial-aggregated before its
+    * shuffle like any distinct).
+    */
+  def mergeRetentionState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** [[retentionCohorts]]' readout from a maintained [[retentionState]]
+    * table: one user-keyed min (cohort), one user-keyed equi-join of two
+    * user-count-sized tables, one (cohort, offset) count — identical
+    * result to the one-shot operator by construction (it delegates here).
+    */
+  def retentionFromState(state: DataFrame): DataFrame = {
+    val firstWeek = state
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    state.join(firstWeek, Seq("user_id"))
       .select(col("cohort_week"),
         call_function("div",
           datediff(col("week"), col("cohort_week")), lit(7)).as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-micro-batch advance of the per-user funnel frontier — the
+    * streaming maintenance behind [[funnel]]. State: one (user_id, step,
+    * t) row per completed stage, t = that user's earliest-completion
+    * time — frontier-sized (≤ steps rows per user), NOT event-log-sized.
+    *
+    * REQUIRES batches drained in event-time order (the natural shape of
+    * an append-only log consumed in sequence): under in-order arrival a
+    * stage time, once set, is final — every later event is ≥ it, so
+    * `min(state, new candidate)` keeps the state value — which is
+    * exactly what lets the state stay this small. With out-of-order
+    * ingestion an earlier stage-1 event could retroactively re-qualify
+    * discarded stage-2 events; that regime needs the distinct-event
+    * store shape ([[retentionState]]) instead. Within a batch a user may
+    * advance multiple stages (each stage's frontier feeds the next
+    * stage's strictly-after filter, as in the one-shot operator).
+    *
+    * Per stage: one filtered batch aggregation + one user-keyed join
+    * against the shrinking frontier — same shape as [[funnel]], with the
+    * batch (not the full log) as the fact side. Checkpoint discipline as
+    * in [[funnel]]: per-stage localCheckpoint, pins released on return.
+    */
+  def funnelAdvance(
+      state: Option[DataFrame], batch: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    def stepState(i: Int): DataFrame = state match {
+      case Some(s) => s.filter(col("step") === (i + 1).toLong)
+        .select(col("user_id"), col("t"))
+      case None => batch.select(col("user_id"), col("ts").as("t")).limit(0)
+    }
+    val pins = Seq.newBuilder[DataFrame]
+    var frontier = stepState(0)
+      .unionByName(batch.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t")))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+      .localCheckpoint()
+    pins += frontier
+    var out = frontier.select(col("user_id"), lit(1L).as("step"), col("t"))
+    for (i <- 1 until steps.length) {
+      val advanced = batch.filter(col("event_type") === steps(i))
+        .join(frontier.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      frontier = stepState(i).unionByName(advanced)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+        .localCheckpoint()
+      pins += frontier
+      out = out.unionByName(
+        frontier.select(col("user_id"), lit((i + 1).toLong).as("step"), col("t")))
+    }
+    val res = out.localCheckpoint()
+    pins.result().foreach(_.unpersist(blocking = false))
+    res
+  }
+
+  /** [[funnel]]'s readout from a maintained [[funnelAdvance]] state: one
+    * step-keyed count of the frontier table, left-joined onto the
+    * steps list so unreached stages report 0 (as the one-shot operator
+    * does) — (step, event_type, n_users), n_users non-increasing.
+    */
+  def funnelFromState(state: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val stepTable = steps.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }.toDF("step", "event_type")
+    val counts = state.groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+    stepTable.join(broadcast(counts), Seq("step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("step"))
   }
 }

@@ -708,6 +708,114 @@ class StreamingOpsSpec extends SparkSpec {
     assert(sq === bq)
   }
 
+  test("streaming funnel maintenance: per-batch frontier advance equals the one-shot funnel") {
+    import graft.operators.Analytics
+    import java.nio.file.{Files, Paths}
+    val steps = Seq("A", "B", "C")
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // in-event-time-order batches (the funnelAdvance contract); exercises:
+    // a step-2 event BEFORE any step-1 (u3's B@3 — never counts), a dup
+    // step-1 after completion (u2's A@14 — min keeps the first), and
+    // multi-stage advancement inside one batch (u3's B@21 then C@23)
+    val batches = Seq(
+      Seq((1L, "A", ts(1)), (2L, "A", ts(2)), (3L, "B", ts(3)),
+        (1L, "B", ts(5)), (4L, "A", ts(6))),
+      Seq((1L, "C", ts(11)), (2L, "B", ts(12)), (3L, "A", ts(13)),
+        (2L, "A", ts(14)), (4L, "B", ts(15))),
+      Seq((3L, "B", ts(21)), (2L, "C", ts(22)), (3L, "C", ts(23)),
+        (4L, "A", ts(24))))
+    val dir = Files.createTempDirectory("graft-funstream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "event_type", "ts").coalesce(1)
+        .write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeDir = s"$dir/store"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val prior =
+          if (Files.exists(Paths.get(storeDir))) Some(spark.read.parquet(storeDir))
+          else None
+        // frontier is ≤ steps rows per user — materialize, then overwrite
+        val rows = Analytics.funnelAdvance(prior, batch, steps)
+          .as[(Long, Long, Timestamp)].collect().toSeq
+        rows.toDF("user_id", "step", "t").coalesce(1)
+          .write.mode("overwrite").parquet(storeDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = Analytics.funnelFromState(spark.read.parquet(storeDir), steps)
+      .as[(Long, String, Long)].collect().toSeq
+    val oneShot = Analytics.funnel(
+      batches.flatten.toDF("user_id", "event_type", "ts"), steps)
+      .orderBy(col("step")).as[(Long, String, Long)].collect().toSeq
+    assert(streamed === oneShot)
+    assert(oneShot.map(_._3) === Seq(4L, 4L, 3L)) // hand-checked counts
+    // the state is frontier-sized: ≤ steps rows per user, and the exact
+    // per-user earliest-completion times of the one-shot semantics
+    val state = spark.read.parquet(storeDir)
+      .as[(Long, Long, Timestamp)].collect().toSeq
+    assert(state.groupBy(_._1).values.forall(_.size <= steps.size))
+    assert(state.toSet.contains((3L, 3L, ts(23)))) // u3 completed C@23
+    assert(!state.exists(s => s._1 == 4L && s._2 == 3L)) // u4 never reached C
+  }
+
+  test("streaming retention maintenance: any-order batch merge equals the one-shot cohorts") {
+    import graft.operators.Analytics
+    import java.nio.file.{Files, Paths}
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // users active across 4 ISO weeks (2024-01-01 is a Monday); batches
+    // deliberately OUT of time order with cross-batch duplicates —
+    // retentionState merges under any order (distinct ∘ union)
+    val all = Seq(
+      (1L, ts(1, 9)), (1L, ts(8, 9)), (1L, ts(22, 9)),
+      (2L, ts(8, 10)), (2L, ts(15, 10)),
+      (3L, ts(1, 11)), (3L, ts(2, 12)), (3L, ts(15, 11)),
+      (4L, ts(22, 8)))
+    val batches = Seq(
+      Seq(all(2), all(4), all(8)), // latest weeks first
+      Seq(all(0), all(3), all(7), all(2)), // dup of (1, w4)
+      Seq(all(1), all(5), all(6)))
+    val dir = Files.createTempDirectory("graft-retstream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val storeDir = s"$dir/store"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val state = Analytics.retentionState(batch)
+        val merged =
+          if (Files.exists(Paths.get(storeDir)))
+            Analytics.mergeRetentionState(spark.read.parquet(storeDir), state)
+          else state
+        val rows = merged.as[(Long, Timestamp)].collect().toSeq
+        rows.toDF("user_id", "week").coalesce(1)
+          .write.mode("overwrite").parquet(storeDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = Analytics.retentionFromState(spark.read.parquet(storeDir))
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (w, o, n) => (w.getTime, o, n) }.sorted.toSeq
+    val oneShot = Analytics.retentionCohorts(all.toDF("user_id", "ts"))
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (w, o, n) => (w.getTime, o, n) }.sorted.toSeq
+    assert(streamed === oneShot)
+    // hand-check against the cohort triangle
+    val w1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(streamed.contains((w1, 0L, 2L))) // u1, u3 in their cohort week
+    assert(streamed.contains((w1, 3L, 1L))) // u1 active in week 4
+  }
+
   test("compaction consolidates micro-batch small files, preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate 10 micro-batches: each writes its own batch_id slice with
