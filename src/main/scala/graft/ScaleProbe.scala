@@ -146,7 +146,20 @@ object ScaleProbe {
         operators.Analytics.funnel(Tables(s, d).events,
           Seq("signup", "view", "click", "purchase"))),
       "retention cohorts (weekly)" -> ((s, d) =>
-        operators.Analytics.retentionCohorts(Tables(s, d).events)))
+        operators.Analytics.retentionCohorts(Tables(s, d).events)),
+      // the whole composed replay chain (mode 2): pushed-down interval
+      // slice → positional join vs the persist run's written records →
+      // repackage → ordered publish plan. broadcastIndex: an outage
+      // replay's slice is selective; the records side never shuffles
+      "resubmit byInterval (composed modes)" -> { (s, d) =>
+        val wd = streaming.PersistPipeline.ensureRun(s, d)
+        val records = streaming.PersistPipeline.readRecords(s, wd)
+          .withColumn("payload", col("data").cast("string"))
+        operators.Resubmitter(
+          QueryService(graft.store.IndexStore.materialized(s, d)), records,
+          broadcastIndex = true)
+          .byInterval(T1, T2, "t-purchase").publish
+      })
 
     val sb = new StringBuilder(
       """# SCALE — measured scaling of the persist+index surface (local[32])
@@ -389,6 +402,76 @@ object ScaleProbe {
       // dedupAgainst's prep tables are localCheckpoints released by the
       // context cleaner, so waves carry no accumulated pinned state
       sb.append(s"| $w | $keptBefore | $waveRows | $n | " + f"$t%.2f |\n")
+    }
+
+    // ---- embedding-side similarity scaling: replicas are circularly
+    // dim-rotated copies with shifted vec_ids — identical norm/geometry
+    // statistics but content-distinct vectors (no pasted duplicates), and
+    // the quantizer granularity follows the documented √N sizing rule
+    // (numCells = 8·√f), so the within-cell cost model Σ|cell|² ≈ N²/cells
+    // predicts ~f^1.5 pair growth — the honest trajectory to watch for the
+    // cell-skew signal (superlinear beyond f^1.5 would mean concentration,
+    // which the maxCellSize valve then spreads).
+    val embBase = Tables(spark, baseDir).embeddings
+    val embFactors = Seq(1, 4)
+    val embDirs = embFactors.map { f =>
+      val dir = s"$root/emb-x$f"
+      Files.createDirectories(Paths.get(dir))
+      (0 until f).map { r =>
+        val shift = (r * 7) % operators.Similarity.Dim
+        val rotated =
+          if (shift == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), shift + 1, operators.Similarity.Dim - shift),
+            slice(col("embedding"), 1, shift))
+        embBase
+          .withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+          .withColumn("embedding", rotated)
+      }.reduce(_.unionByName(_))
+        .write.parquet(s"$dir/embeddings.parquet")
+      (f, dir)
+    }
+    sb.append(
+      """
+        |Embedding similarity over scaled corpora (replicas dim-rotated +
+        |id-shifted: content-distinct, same geometry; numCells follows the
+        |√N rule, so Σ|cell|² predicts ~f^1.5 within-cell pair growth —
+        |superlinear beyond that is the cell-skew signal the maxCellSize
+        |valve answers):
+        |
+        |""".stripMargin)
+    sb.append("| op | " + embFactors.map(f => s"x$f sec (rows)").mkString(" | ") + " | x4/x1 |\n")
+    sb.append("|---|" + embFactors.map(_ => "---|").mkString + "---|\n")
+    val simOps: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
+      "semDedup (tau=0.4)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.semDedup(e, c, tau = 0.4)
+      },
+      "mutual-kNN (k=3)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.mutualKnn(e, c, k = 3)
+      },
+      "mutual-kNN (k=3, valve 256)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.mutualKnn(e, c, k = 3, maxCellSize = 256)
+      },
+      "cell stats (mergeable state)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.cellStats(e, c)
+      })
+    simOps.foreach { case (name, op) =>
+      val cells = embDirs.map { case (f, dir) =>
+        val emb = Tables(spark, dir).embeddings
+        op(emb, f).count() // warm
+        time(op(emb, f).count())
+      }
+      sb.append(s"| $name | " +
+        cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
+        " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
     }
 
     Files.writeString(Paths.get(out), sb.toString)
