@@ -942,6 +942,16 @@ object SparkEntry {
       TextAnalysis.bm25PerQuery(Tables(s, dir).documents, qs, k = 10)
         .orderBy(col("query_id"), col("rnk"))
     },
+    // Term-BAG retrieval: repeated query terms multiply their weight
+    // (classic qtf emphasis) — the queries here repeat terms on purpose,
+    // so the gate fails if multiplicity is dropped anywhere.
+    "q_bm25_weighted" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Bm25WeightedQueries.toDF("query_id", "terms")
+      TextAnalysis.bm25PerQuery(Tables(s, dir).documents, qs, k = 10,
+        weighted = true)
+        .orderBy(col("query_id"), col("rnk"))
+    },
     // Per-source bigram type/token diversity — the templated-source flag.
     "q_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables(s, dir).documents, n = 2)
@@ -954,6 +964,18 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables(s, dir).events)
         .orderBy(col("cohort_week"), col("week_offset"))),
+    // The streaming-maintained funnel frontier itself, gate-checked:
+    // advancing an empty state by the whole log (one batch) must equal
+    // the one-shot per-user earliest-completion table the q_funnel CTEs
+    // derive — so the foreachBatch state store is oracle-verified, not
+    // just spec-verified.
+    "q_funnel_state" -> ((s, dir) =>
+      Analytics.funnelAdvance(None, Tables(s, dir).events, FunnelSteps)
+        .orderBy(col("user_id"), col("step"))),
+    // The mergeable retention state store: distinct (user, week) presence.
+    "q_retention_state" -> ((s, dir) =>
+      Analytics.retentionState(Tables(s, dir).events)
+        .orderBy(col("user_id"), col("week"))),
     // Skew-safe per-key top-k — identical output to the single-window form.
     "q_topk_per_key" -> ((s, dir) =>
       Diagnostics.saltedTopKPerKey(Tables(s, dir).events,
@@ -1157,11 +1179,17 @@ object SparkEntry {
     */
   private val Bm25Terms = Seq("vector", "stream", "window")
 
-  /** Term-bag query table for the batch-retrieval demo. */
+  /** Term-set query table for the batch-retrieval demo. */
   private val Bm25Queries = Seq(
     1L -> Seq("vector", "stream"),
     2L -> Seq("window", "batch", "merge"),
     3L -> Seq("dup", "sort"))
+
+  /** Term-bag queries with deliberate repeats for the qtf-weighted mode. */
+  private val Bm25WeightedQueries = Seq(
+    1L -> Seq("vector", "vector", "stream"),
+    2L -> Seq("window", "window", "window", "batch"),
+    3L -> Seq("dup", "sort", "dup"))
 
   /** Funnel stages for the events conversion readout. */
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
@@ -3028,6 +3056,42 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_hit
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // qtf-weighted twin: the qt CTE KEEPS multiplicity (GROUP BY → qtf)
+    // and the per-(query, doc) sum weights each term by it.
+    "q_bm25_weighted" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok,
+         |              CAST(COUNT(*) AS BIGINT) AS qtf
+         |       FROM (VALUES
+         |         ${Bm25WeightedQueries.flatMap { case (q, ts) =>
+                      ts.map(t => s"($q, '$t')") }.mkString(", ")})
+         |       AS t(query_id, tok) GROUP BY 1, 2),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (SELECT DISTINCT tok FROM qt)
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tok, doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT query_id, doc_id,
+         |             CAST(SUM(qtf::HUGEINT * w) AS BIGINT) AS score,
+         |             CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM w JOIN qt USING (tok) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, n_hit,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_hit
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q_ngram_diversity" ->
       s"""$ToksCte,
          |g AS (SELECT d.source AS source,
@@ -3064,6 +3128,31 @@ object SparkEntry {
          |UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT COUNT(*) FROM s3)
          |UNION ALL SELECT 4, '${FunnelSteps(3)}', (SELECT COUNT(*) FROM s4)
          |ORDER BY step""".stripMargin,
+    "q_funnel_state" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |              date_trunc('microseconds', ts) AS ts FROM events),
+         |s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+         |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+         |s2 AS (SELECT user_id, MIN(ts) AS t FROM (
+         |         SELECT e.user_id, e.ts FROM ev e JOIN s1 USING (user_id)
+         |         WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t)
+         |       GROUP BY 1),
+         |s3 AS (SELECT user_id, MIN(ts) AS t FROM (
+         |         SELECT e.user_id, e.ts FROM ev e JOIN s2 USING (user_id)
+         |         WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t)
+         |       GROUP BY 1),
+         |s4 AS (SELECT user_id, MIN(ts) AS t FROM (
+         |         SELECT e.user_id, e.ts FROM ev e JOIN s3 USING (user_id)
+         |         WHERE e.event_type = '${FunnelSteps(3)}' AND e.ts > s3.t)
+         |       GROUP BY 1)
+         |SELECT user_id, CAST(1 AS BIGINT) AS step, t FROM s1
+         |UNION ALL SELECT user_id, CAST(2 AS BIGINT), t FROM s2
+         |UNION ALL SELECT user_id, CAST(3 AS BIGINT), t FROM s3
+         |UNION ALL SELECT user_id, CAST(4 AS BIGINT), t FROM s4
+         |ORDER BY user_id, step""".stripMargin,
+    "q_retention_state" ->
+      """SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |FROM events ORDER BY user_id, week""".stripMargin,
     "q_retention_cohorts" ->
       """WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
         |            FROM events GROUP BY 1),

@@ -892,10 +892,15 @@ object TextAnalysis {
   /** Batch BM25: top-k per query over a whole table of term-SET queries —
     * the decontamination-by-retrieval shape (rank the corpus against
     * every eval query in one job and audit each head) and the
-    * multi-topic curation pull. Query `terms` arrays are deduplicated
-    * (the `.distinct()` below): a repeated term contributes its weight
-    * once, not once per repetition — set semantics, no qtf weighting
-    * (mirrored by the q_bm25_multi oracle's DISTINCT qt CTE). Same
+    * multi-topic curation pull. Default term-SET semantics: query
+    * `terms` arrays are deduplicated — a repeated term contributes its
+    * weight once, not once per repetition, no qtf weighting (mirrored by
+    * the q_bm25_multi oracle's DISTINCT qt CTE). `weighted = true`
+    * switches to term-BAG semantics: each term's weight is multiplied by
+    * its multiplicity in the query (classic BM25 qtf weighting —
+    * repeating a term emphasizes it), with the qtf·w products summed in
+    * DECIMAL(38,0) so no query shape can overflow, then cast back to the
+    * BIGINT score (exact: the true sum is far inside 38 digits). Same
     * integer-exact weighting as [[bm25TopK]]; df/dl/N/A are corpus-level
     * (shared across queries).
     *
@@ -912,12 +917,16 @@ object TextAnalysis {
     * rows per query regardless).
     */
   def bm25PerQuery(
-      docs: DataFrame, queries: DataFrame, k: Int, salts: Int = 16): DataFrame = {
+      docs: DataFrame, queries: DataFrame, k: Int, salts: Int = 16,
+      weighted: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     require(salts > 0, "salts must be positive")
-    val qt = queries
+    val posting = queries
       .select(col("query_id"), explode(col("terms")).as("tok"))
-      .distinct()
+    val qt = (if (weighted)
+        posting.groupBy(col("query_id"), col("tok"))
+          .agg(count(lit(1)).as("qtf"))
+      else posting.distinct().withColumn("qtf", lit(1L)))
       .localCheckpoint()
     val terms = qt.select(col("tok")).distinct()
     val dl = docLengths(docs)
@@ -937,7 +946,12 @@ object TextAnalysis {
       .select(col("tok"), col("doc_id"), bm25Weight.as("w"))
       .join(broadcast(qt), Seq("tok"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
+      // qtf·w multiplied and summed as DECIMAL so no (qtf, #terms) shape
+      // can overflow mid-sum; the final BIGINT cast is exact (true sums
+      // sit far inside 38 digits) and matches the oracle's HUGEINT path.
+      // In the unweighted default qtf ≡ 1 and this reduces to Σw.
+      .agg(sum(col("w").cast("decimal(20,0)") * col("qtf").cast("decimal(18,0)"))
+        .cast("long").as("score"), count(lit(1)).as("n_hit"))
     val out = Diagnostics.twoStageTopK(scored, col("query_id"),
         pmod(h60(col("doc_id").cast("string")), lit(salts.toLong)),
         Seq(col("score").desc, col("doc_id").asc), k)

@@ -1127,6 +1127,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length === 1)
   }
 
+  test("bm25PerQuery weighted mode multiplies each term's weight by its query multiplicity") {
+    val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
+      .toDF("doc_id", "text")
+    // baseline per-term weights via the set-semantics single queries
+    def scoresOf(terms: Seq[String]): Map[Long, Long] =
+      TextAnalysis.bm25PerQuery(d, Seq(9L -> terms).toDF("query_id", "terms"),
+        k = 4, salts = 4)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val wx = scoresOf(Seq("x")) // per-doc weight of term x alone
+    val wq = scoresOf(Seq("q"))
+    // query "x x q": x's weight doubles, q's counts once
+    val weighted = TextAnalysis.bm25PerQuery(d,
+      Seq(1L -> Seq("x", "x", "q")).toDF("query_id", "terms"),
+      k = 4, salts = 4, weighted = true)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    weighted.foreach { case (doc, s) =>
+      assert(s === 2L * wx.getOrElse(doc, 0L) + wq.getOrElse(doc, 0L),
+        s"doc $doc")
+    }
+    assert(weighted.nonEmpty)
+    // with no repeated terms, weighted ≡ the set-semantics default
+    val dup = TextAnalysis.bm25PerQuery(d,
+      Seq(1L -> Seq("x", "q")).toDF("query_id", "terms"),
+      k = 4, salts = 4, weighted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val set = TextAnalysis.bm25PerQuery(d,
+      Seq(1L -> Seq("x", "q")).toDF("query_id", "terms"), k = 4, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(dup === set)
+  }
+
   test("bm25PerQuery agrees with bm25TopK per query; ranks are 1..n") {
     val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
       .toDF("doc_id", "text")
