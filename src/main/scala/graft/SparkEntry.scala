@@ -956,6 +956,19 @@ object SparkEntry {
     "q_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables(s, dir).documents, n = 2)
         .orderBy(col("source"))),
+    // CCNet-style cross-corpus likelihood: LM trained on the 3/4
+    // reference split scores the held-out 1/4 — integer-ratio scores.
+    "q_lm_score" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      TextAnalysis.lmScoreAgainst(
+        d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0))
+        .orderBy(col("doc_id"))
+    },
+    // Statistics-based memorization scrub: df < 3 tokens → sentinel; the
+    // rebuilt text itself is hashed, so token order must survive exactly.
+    "q_suppress_rare" -> ((s, dir) =>
+      TextAnalysis.suppressRareTokens(Tables(s, dir).documents, minDf = 3)
+        .orderBy(col("doc_id"))),
     // Ordered-step conversion funnel over events (strictly-after times).
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(Tables(s, dir).events, FunnelSteps)
@@ -3092,6 +3105,37 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_hit
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_lm_score" ->
+      s"""$ToksCte,
+         |rt AS (SELECT doc_id, unnest(toks) AS tok FROM toks WHERE doc_id % 4 <> 0),
+         |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM rt GROUP BY 1),
+         |cs AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS t_ref,
+         |              CAST(COUNT(*) AS BIGINT) AS v_ref FROM vocab),
+         |tt AS (SELECT doc_id, unnest(toks) AS tok FROM toks WHERE doc_id % 4 = 0),
+         |j AS (SELECT t.doc_id, v.cnt FROM tt t LEFT JOIN vocab v USING (tok)),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |             CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS cnt_sum
+         |      FROM j GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov, cnt_sum,
+         |       CAST((1000000000::HUGEINT * (cnt_sum + n_tokens))
+         |            // (n_tokens::HUGEINT * (t_ref + v_ref)) AS BIGINT) AS score_ppb,
+         |       CAST((1000000::HUGEINT * n_oov) // n_tokens AS BIGINT) AS oov_ppm
+         |FROM a, cs ORDER BY doc_id""".stripMargin,
+    "q_suppress_rare" ->
+      s"""$ToksCte,
+         |x AS (SELECT doc_id, unnest(toks) AS tok,
+         |             generate_subscripts(toks, 1) AS pos FROM toks),
+         |dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM x GROUP BY 1),
+         |y AS (SELECT doc_id, pos,
+         |             CASE WHEN df < 3 THEN '<rare>' ELSE tok END AS tok_out,
+         |             CASE WHEN df < 3 THEN 1 ELSE 0 END AS masked
+         |      FROM x JOIN dfreq USING (tok))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(masked) AS BIGINT) AS n_masked,
+         |       STRING_AGG(tok_out, ' ' ORDER BY pos) AS masked_text
+         |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ngram_diversity" ->
       s"""$ToksCte,
          |g AS (SELECT d.source AS source,

@@ -999,4 +999,104 @@ object TextAnalysis {
         aggregate(slice(col("cs"), lit(1), m),
           lit(0L), (a, x) => a + x).as("lowk_count_sum"))
   }
+
+  /** Cross-corpus unigram-LM likelihood scoring — the CCNet-style filter
+    * (Wenzek et al. 2019, arXiv:1911.00359: a LM trained on a trusted
+    * REFERENCE corpus ranks a crawl; head/middle/tail buckets by score).
+    * Unlike [[unigramScores]] (model trained ON the scored corpus, an
+    * in-distribution quality signal) the model here is add-one-smoothed
+    * unigram counts from `ref`, applied to `target` — the distribution-
+    * shift signal: gibberish, wrong-language, and boilerplate documents
+    * score low against a clean reference even when self-consistent.
+    *
+    * Checked columns are exact integers: n_tokens, n_oov (target tokens
+    * absent from the reference vocabulary), cnt_sum = Σ reference counts
+    * of the doc's tokens (OOV → 0), and the two rational surrogates —
+    * score_ppb = ⌊10^9·(cnt_sum + n)/(n·(T + V))⌋, the add-one mean token
+    * probability (Σ(cnt+1)/(T+V) over tokens, ÷ n), and
+    * oov_ppm = ⌊10^6·n_oov/n⌋ — both DECIMAL(38,0) products + `div` (the
+    * q_dsir pattern), so scores and any ranking on them replay
+    * bit-for-bit cross-engine; no logarithm touches a checked value.
+    * cnt_sum is an exact BIGINT under the same documented envelope as
+    * [[unigramScores]]' c_sum. Documents with no tokens are absent
+    * (no likelihood is defined for them).
+    *
+    * Scale shape: one reference explode into a token-keyed partial-agg
+    * vocabulary, one target explode joined to it on the token key (a
+    * hash join both sides partition by — never a broadcast of a
+    * corpus-sized vocabulary), one doc-keyed aggregation; T and V ride
+    * along as a broadcast 1-row aggregate.
+    */
+  def lmScoreAgainst(ref: DataFrame, target: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val vocab = ref
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val consts = vocab.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("t_ref"),
+      count(lit(1)).as("v_ref"))
+    target
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        coalesce(sum(col("cnt")), lit(0L)).as("cnt_sum"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("cnt_sum"),
+        call_function("div",
+          lit(1000000000L).cast(d38) *
+            (col("cnt_sum") + col("n_tokens")).cast(d38),
+          col("n_tokens").cast(d38) *
+            (col("t_ref") + col("v_ref")).cast(d38)).as("score_ppb"),
+        call_function("div",
+          lit(1000000L).cast(d38) * col("n_oov").cast(d38),
+          col("n_tokens").cast(d38)).as("oov_ppm"))
+  }
+
+  /** Rare-token suppression — the memorization-mitigation scrub: tokens
+    * whose corpus document frequency is below `minDf` are replaced by a
+    * sentinel, because ultra-rare strings (serials, keys, one-off names)
+    * are exactly what a model can only reproduce by memorizing (the
+    * k-anonymity intuition: a token seen in ≥ minDf documents is not an
+    * individual secret). Complements [[Curate.redact]]'s pattern-based
+    * PII scrub with a statistics-based one that needs no pattern list.
+    *
+    * Output per surviving document: n_tokens, n_masked, and the masked
+    * text rebuilt in original token order with single-space joins (the
+    * tokenizer's whitespace normalization — documented contract, and the
+    * oracle rebuilds the identical string). Documents with no tokens are
+    * absent. Deterministic: position-keyed reassembly via
+    * sort_array-of-(pos, token) structs, never an order-dependent
+    * collect_list alone.
+    *
+    * Scale shape: one posexplode into a (doc, token) distinct + token-
+    * keyed df aggregation, one token-keyed equi-join back (both sides
+    * hash-partition on the token — the rare TAIL of the vocabulary is
+    * huge, so no broadcast), one doc-keyed reassembly aggregation. The
+    * df join is skew-safe by construction: a stopword's df row is one
+    * row joined to many postings (hash join build side is the df table).
+    */
+  def suppressRareTokens(
+      docs: DataFrame, minDf: Long, sentinel: String = "<rare>"): DataFrame = {
+    require(minDf >= 1, "minDf must be at least 1")
+    val exploded = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val dfreq = exploded.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    exploded
+      .join(dfreq, Seq("token"))
+      .select(col("doc_id"), col("pos"),
+        when(col("df") < minDf, lit(sentinel)).otherwise(col("token")).as("tok_out"),
+        when(col("df") < minDf, lit(1L)).otherwise(lit(0L)).as("masked"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("masked")).as("n_masked"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok_out")))),
+            s => s.getField("tok_out")), " ").as("masked_text"))
+  }
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_recall", // embeds q_topk_cosine's brute-force exact baseline
     "q_dedup_pair_pr", // crossJoin of three 1-row count aggregates
     "q_dedup_pair_pr_sampled", // same three 1-row aggregates, sampled corpus
-    "q_dsir") // two 1-row token-total aggregates crossJoined into the D-row ratio table
+    "q_dsir", // two 1-row token-total aggregates crossJoined into the D-row ratio table
+    "q_lm_score") // 1-row (T, V) reference-constants aggregate crossJoined per doc
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"

@@ -1127,6 +1127,42 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length === 1)
   }
 
+  test("lmScoreAgainst scores a target corpus under the reference add-one unigram LM") {
+    val ref = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    // ref: cnt(a)=3, cnt(b)=1, cnt(c)=1 → T=5, V=3
+    val tgt = Seq((10L, "a b"), (11L, "z z a"), (12L, "q")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreAgainst(ref, tgt).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 10: n=2, oov=0, cnt_sum=4, score_ppb = 1e9*(4+2)/(2*8)=375000000
+    // doc 11: n=3, oov=2, cnt_sum=3, score_ppb = 1e9*6/24 = 250000000, oov=666666
+    // doc 12: n=1, oov=1, cnt_sum=0, score_ppb = 1e9*1/8  = 125000000, oov=1000000
+    assert(out === Seq(
+      (10L, 2L, 0L, 4L, 375000000L, 0L),
+      (11L, 3L, 2L, 3L, 250000000L, 666666L),
+      (12L, 1L, 1L, 0L, 125000000L, 1000000L)))
+    // the LM is the reference's: a self-scored clean doc outranks an
+    // OOV-heavy one even though both are internally consistent
+    assert(out(0)._5 > out(1)._5 && out(1)._5 > out(2)._5)
+  }
+
+  test("suppressRareTokens masks below-df tokens preserving order; spacing normalized") {
+    val d = Seq(
+      (1L, "the secret key the"), (2L, "the  cat"), (3L, "the cat sat"))
+      .toDF("doc_id", "text")
+    // df: the=3, cat=2, secret=1, key=1, sat=1
+    val out = TextAnalysis.suppressRareTokens(d, minDf = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 2L, "the <rare> <rare> the"),
+      (2L, 2L, 0L, "the cat"), // double space normalized by the tokenizer
+      (3L, 3L, 1L, "the cat <rare>")))
+    // minDf = 1 masks nothing and reproduces the normalized text
+    val none = TextAnalysis.suppressRareTokens(d, minDf = 1).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(none.map(_._3).forall(_ == 0L))
+    assert(none.map(_._4) === Seq("the secret key the", "the cat", "the cat sat"))
+  }
+
   test("bm25PerQuery weighted mode multiplies each term's weight by its query multiplicity") {
     val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
       .toDF("doc_id", "text")
