@@ -358,7 +358,18 @@ object ScaleProbe {
         operators.TextAnalysis.bm25PerQuery(d, qs, 10)
       },
       "bigram diversity per source" ->
-        (d => operators.TextAnalysis.ngramDiversity(d, 2)))
+        (d => operators.TextAnalysis.ngramDiversity(d, 2)),
+      "cross-corpus LM score (3/4 ref)" -> (d => operators.TextAnalysis
+        .lmScoreAgainst(d.filter(col("doc_id") % 4 =!= 0),
+          d.filter(col("doc_id") % 4 === 0))),
+      "rare-token suppression (df<3)" ->
+        (d => operators.TextAnalysis.suppressRareTokens(d, minDf = 3)),
+      "bm25 weighted per-query (qtf)" -> { d =>
+        import spark.implicits._
+        val qs = Seq(1L -> Seq("vector", "vector", "stream"),
+          2L -> Seq("window", "window", "batch")).toDF("query_id", "terms")
+        operators.TextAnalysis.bm25PerQuery(d, qs, 10, weighted = true)
+      })
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents
