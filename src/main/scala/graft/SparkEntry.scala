@@ -1105,6 +1105,26 @@ object SparkEntry {
       Similarity.mutualKnn(emb, cents, k = 3)
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // Prototypicality: each vector's cosine to its OWN learned centroid
+    // (SemDeDup keep-policy score / embedding-space quality filter).
+    // Checked as floor-ppm: DuckDB's list_dot_product over a CONSTANT
+    // vector sums in a different kernel order than over table columns
+    // (measured 2-4 ulp drift on every constant shape — subscripted
+    // literal, VALUES row, inline literal under a column-selected CASE,
+    // unrolled scalar chain), so the raw double can't hash cross-engine
+    // here; the ppm floor absorbs last-ulp drift (flip needs a value
+    // within ~1e-9 of a ppm boundary), the same robustness class as the
+    // assignment argmax. The full-precision cosine stays engine-side.
+    "q_cell_outliers" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      cellOutStash = Some(cents)
+      Similarity.cellOutliers(emb, cents, tau = 0.2)
+        .select(col("vec_id"), col("cell"),
+          floor(col("proto_cosine") * lit(1000000.0)).as("proto_ppm"),
+          col("outlier"))
+        .orderBy(col("vec_id"))
+    },
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).
     "q_hll" -> ((s, dir) =>
@@ -1429,6 +1449,9 @@ object SparkEntry {
   /** Centroids stashed by the q_cell_stats run — same contract. */
   @volatile private var cellStatsStash: Option[Array[Array[Double]]] = None
 
+  /** Centroids stashed by the q_cell_outliers run — same contract. */
+  @volatile private var cellOutStash: Option[Array[Array[Double]]] = None
+
   /** Shortest round-trip double literal — DuckDB parses Java's toString
     * form (incl. scientific notation) back to the identical IEEE bits.
     */
@@ -1500,6 +1523,7 @@ object SparkEntry {
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
       mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
       cellStatsStash.map(c => "q_cell_stats" -> cellStatsOracleSql(c)).toMap ++
+      cellOutStash.map(c => "q_cell_outliers" -> cellOutliersOracleSql(c)).toMap ++
       clsWeightsStash.map(w => "q_quality_classifier" -> classifierOracleSql(w)).toMap ++
       staticOracleSql
 
@@ -1569,6 +1593,48 @@ object SparkEntry {
        |SELECT asg.vec_id, cell, drp.vec_id IS NULL AS kept
        |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
        |ORDER BY asg.vec_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.cellOutliers]] with
+    * the learned centroids as literals: same cell assignment as
+    * [[semDedupOracleSql]], then the cosine to the OWN cell's centroid —
+    * `list_dot_product` + `sqrt` reproduce the engine's left-fold dot and
+    * driver norm bit-for-bit, so the doubles and the τ-flag hash-match.
+    */
+  private def cellOutliersOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    // Checked value = floor(10^6 · cosine): DuckDB's list_dot_product
+    // over a CONSTANT vector does not reproduce the engine's left-fold
+    // summation order (measured 2-4 ulp drift on every constant shape —
+    // subscripted nested literal, VALUES row, inline literal under a
+    // column-selected CASE, unrolled scalar chain), so the raw double
+    // cannot be hashed here; the ppm floor absorbs last-ulp drift.
+    // ‖centroid‖ ships as the DRIVER-computed double literal — the
+    // identical bits Spark's lit() uses.
+    val cases = cents.zipWithIndex.map { case (c, i) =>
+      val clit = c.map(dbl).mkString("[", ",", "]")
+      val nc = dbl(math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      s"WHEN $i THEN list_dot_product($clit::DOUBLE[], d) / ($nc * nrm)"
+    }.mkString("\n         ")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, d, nrm, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, d, nrm, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1),
+       |sc AS (SELECT vec_id, cell,
+       |         CASE cell
+       |         $cases
+       |         END AS proto_cosine
+       |       FROM asg)
+       |SELECT vec_id, cell,
+       |       CAST(FLOOR(proto_cosine * 1000000.0) AS BIGINT) AS proto_ppm,
+       |       proto_cosine < 0.2 AS outlier
+       |FROM sc ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Similarity.mutualKnn]] with the

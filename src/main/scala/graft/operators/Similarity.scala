@@ -807,6 +807,45 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** Distance-to-centroid prototypicality scoring — the SemDeDup paper's
+    * third readout (alongside the dedup sweep and the drift signal):
+    * each vector's cosine to its OWN cell centroid measures how
+    * prototypical it is of its semantic cluster. Low scores are either
+    * novel content (keep for diversity) or embedding-space noise (drop);
+    * both of the paper's keep policies (keep-nearest, keep-farthest)
+    * read exactly this score, and it is the standard embedding-space
+    * quality filter over a learned index.
+    *
+    * Determinism: score = dot(centroid, v) / (‖centroid‖·‖v‖) with the
+    * strict left-fold [[dot]] and a left-fold driver norm — within the
+    * engine the doubles are exactly reproducible. Cross-engine they are
+    * checked through a floor-ppm surrogate (q_cell_outliers): DuckDB
+    * sums dots against CONSTANT vectors in a different kernel order than
+    * against table columns (measured 2-4 ulp drift on every constant
+    * shape), so raw doubles hash only when both dot operands are table
+    * columns — here one side is a literal centroid, hence the surrogate.
+    * Scale shape: one narrow pass over
+    * plan-time literal centroids (the k dots per row are already the
+    * assignment cost) — no joins, no shuffle beyond the caller's sort.
+    */
+  def cellOutliers(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      tau: Double): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cos = element_at(
+      array(centroids.map { c =>
+        val nrmC = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+        dot(typedLit(c.toSeq), col("embedding")) / (lit(nrmC) * col("nrm"))
+      }: _*),
+      col("cell") + 1)
+    withNorm(embeddings)
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .withColumn("proto_cosine", cos)
+      .select(col("vec_id"), col("cell"), col("proto_cosine"),
+        (col("proto_cosine") < tau).as("outlier"))
+  }
+
   // ------------------------------------------------- index persistence
 
   /** Persist a trained IVF index as parquet tables so it outlives the

@@ -351,6 +351,30 @@ class TextOpsSpec extends SparkSpec {
     assert(mkUnvalved.nonEmpty)
   }
 
+  test("cellOutliers scores cosine to the OWN cell centroid; flag below tau") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val tau = 0.3
+    val out = Similarity.cellOutliers(emb, cents, tau)
+      .as[(Long, Int, Double, Boolean)].collect().toSeq
+    assert(out.size === emb.count())
+    assert(out.map(_._1).distinct.size === out.size) // each vector once
+    // driver replay with the identical left-fold operation order
+    def fold(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    out.foreach { case (id, cell, cos, flag) =>
+      val v = vecs(id)
+      val c = cents(cell).toSeq
+      val expect = fold(c, v) / (math.sqrt(fold(c, c)) * math.sqrt(fold(v, v)))
+      assert(cos === expect, s"vec $id") // bit-exact, not approx
+      assert(flag === (cos < tau))
+    }
+    // the score separates: both classes present at this tau on testdata
+    assert(out.exists(_._4) && out.exists(!_._4))
+  }
+
   test("cellStats merges exactly and refreshes centroids toward the member means") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
