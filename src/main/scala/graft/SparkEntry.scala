@@ -518,6 +518,11 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Asymmetric near-dup: distinctive-shingle containment ≥ 0.5 on
+    // either side — the quote/wholesale-inclusion pairs Jaccard dilutes.
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir).documents, tauPpm = 500000L, maxDf = 64L)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(Tables(s, dir).documents)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -2028,6 +2033,26 @@ object SparkEntry {
          |         AS jaccard
          |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
          |WHERE jaccard >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment_pairs" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |p AS (SELECT doc_id, unnest(sh) AS s FROM s2),
+         |k AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM p GROUP BY 1)
+         |      WHERE df <= 64),
+         |kp AS (SELECT doc_id, s FROM p JOIN k USING (s)),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kp GROUP BY 1),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM kp a JOIN kp b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |r AS (SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |        CAST((1000000::HUGEINT * inter) // sa.n AS BIGINT) AS cont_a_ppm,
+         |        CAST((1000000::HUGEINT * inter) // sb.n AS BIGINT) AS cont_b_ppm
+         |      FROM i JOIN sz sa ON i.doc_a = sa.doc_id
+         |             JOIN sz sb ON i.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, inter, n_a, n_b, cont_a_ppm, cont_b_ppm
+         |FROM r WHERE greatest(cont_a_ppm, cont_b_ppm) >= 500000
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""$ToksCte,

@@ -755,6 +755,59 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
 
+  /** Exact shingle-containment pairs — the ASYMMETRIC near-dup measure
+    * (Broder 1997's containment vs resemblance): containment(A→B) =
+    * |A∩B| / |A| stays high when a small document sits wholesale inside
+    * a larger one (quotes, aggregator pages, versioned expansions),
+    * exactly the pairs Jaccard misses because the big document's size
+    * dilutes the union. The complement of [[ngramJaccardPairs]]
+    * (symmetric resemblance) and [[substringDedup]] (contiguous spans —
+    * containment also catches scattered inclusion).
+    *
+    * Distinctive-overlap semantics: shingles in more than `maxDf`
+    * documents are boilerplate (headers, license blocks) and are
+    * excluded from BOTH the intersection and the set sizes — shared
+    * boilerplate must not manufacture containment (the MOSS noise rule),
+    * and the df cap is simultaneously the skew valve: each surviving
+    * shingle contributes ≤ maxDf² pairs, so the equi-join is bounded
+    * linear in the posting table, never quadratic in a hot shingle.
+    * Documents whose every shingle is boilerplate drop out.
+    *
+    * All checked values are exact integers: inter, n_a, n_b, and the
+    * ppm ratios via DECIMAL div (the q_dsir pattern) — rankings and
+    * threshold decisions replay bit-for-bit cross-engine. A pair
+    * surfaces when max(cont_a, cont_b) ≥ tauPpm.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      tauPpm: Long = 500000L,
+      maxDf: Long = 64L): DataFrame = {
+    require(tauPpm >= 1 && tauPpm <= 1000000L, "tauPpm in [1, 1e6]")
+    require(maxDf >= 1, "maxDf must be positive")
+    val d38 = "decimal(38,0)"
+    val posting = shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // sh is per-doc distinct, so count(*) per shingle IS the document df
+    val keptShingles = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val kept = posting.join(keptShingles, Seq("s"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def ppm(inter: Column, n: Column): Column =
+      call_function("div", lit(1000000L).cast(d38) * inter.cast(d38), n.cast(d38))
+    kept.select(col("s"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        ppm(col("inter"), col("n_a")).as("cont_a_ppm"),
+        ppm(col("inter"), col("n_b")).as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= tauPpm)
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

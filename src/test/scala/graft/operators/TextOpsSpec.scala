@@ -1151,6 +1151,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length === 1)
   }
 
+  test("containmentPairs finds asymmetric inclusion; boilerplate shingles excluded") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), // B: 4 shingles
+      (2L, "w2 w3 w4 w5"), // A ⊂ B: 2 shingles, both in B
+      (3L, "z1 z2 z3 z4"), // unrelated
+      (10L, "c1 c2 c3"), (11L, "c1 c2 c3"), (12L, "c1 c2 c3")) // boilerplate
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, tauPpm = 600000L, maxDf = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // A fully contained in B: cont_a(2→1) = 2/2 = 1e6 ppm surfaces the
+    // pair even though Jaccard = 2/4 and cont on B's side is 500000;
+    // the df=3 boilerplate shingle is excluded, so docs 10-12 (whose
+    // ONLY shingle is boilerplate) produce no pairs at all
+    assert(out === Seq((1L, 2L, 2L, 4L, 2L, 500000L, 1000000L)))
+    // without the valve the boilerplate trio is fully mutually contained
+    val unvalved = Dedup.containmentPairs(d, tauPpm = 600000L, maxDf = 100L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(unvalved.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
   test("lmScoreAgainst scores a target corpus under the reference add-one unigram LM") {
     val ref = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     // ref: cnt(a)=3, cnt(b)=1, cnt(c)=1 → T=5, V=3
