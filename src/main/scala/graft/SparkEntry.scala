@@ -939,6 +939,16 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables(s, dir).documents, Bm25Terms, k = 25)
         .orderBy(col("score").desc, col("doc_id"))),
+    // The lexical index lifecycle (q_ivf_stored's retrieval twin): build
+    // postings + doclen once, persist to parquet, reload, serve — the
+    // brute-force corpus oracle gates the whole store→load→serve path.
+    "q_bm25_stored" -> { (s, dir) =>
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextAnalysis.saveBm25Index(s, wd, Tables(s, dir).documents)
+      val (postings, doclen) = TextAnalysis.loadBm25Index(s, wd)
+      TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25)
+        .orderBy(col("score").desc, col("doc_id"))
+    },
     // Batch retrieval: top-10 per query for a table of term-bag queries,
     // salted per-query top-k (decontamination-by-retrieval shape).
     "q_bm25_multi" -> { (s, dir) =>
@@ -3106,6 +3116,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df FROM r
          |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "q_bm25" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+         |             CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM w GROUP BY 1)
+         |SELECT doc_id, score, n_hit FROM s
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // Stored-index serving must reproduce the corpus-scan BM25 exactly.
+    "q_bm25_stored" ->
       s"""$ToksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -870,6 +870,71 @@ object TextAnalysis {
     .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     .localCheckpoint()
 
+  // ------------------------------------------------- BM25 index lifecycle
+
+  /** The persistent lexical-retrieval index: (tok, doc_id, tf) postings
+    * plus the (doc_id, dl) length table — together the COMPLETE state
+    * the BM25 scorer needs (df = postings per tok, N/A from dl), and the
+    * simplest possible mergeable state: disjoint document batches merge
+    * by plain UNION, since each document's postings and length live in
+    * exactly one batch. The lexical twin of [[Similarity.saveIvfIndex]]:
+    * build once, persist, and every later query job serves from the
+    * stored tables without re-tokenizing the corpus — the latency story
+    * changes from corpus-scan to postings-lookup. The dl table keeps
+    * zero-token documents (they count toward N and the average), so
+    * serving is EXACTLY [[bm25TopK]] on the original corpus.
+    */
+  def buildBm25Index(docs: DataFrame): (DataFrame, DataFrame) = {
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    (postings, docLengths(docs))
+  }
+
+  /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen`
+    * parquet (BIGINT/VARCHAR only — trivially engine-portable). At scale
+    * the postings table is the corpus-sized artifact; writing it once
+    * per corpus version is the standard inverted-index trade.
+    */
+  def saveBm25Index(
+      spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
+    val (postings, dl) = buildBm25Index(docs)
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    dl.unpersist(blocking = false)
+  }
+
+  /** Reload a [[saveBm25Index]] store: (postings, doclen). */
+  def loadBm25Index(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/doclen"))
+
+  /** [[bm25TopK]] served from a prebuilt/reloaded index instead of the
+    * raw corpus: identical integer weighting, identical output (the
+    * round-trip spec asserts row equality), but the corpus explode is
+    * replaced by a pushed-down `tok IN terms` filter on the postings
+    * scan — only matching postings are read, nothing re-tokenizes.
+    */
+  def bm25TopKFromIndex(
+      postings: DataFrame, doclen: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val stats = doclen.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+    val tf = postings.filter(col("tok").isin(terms: _*))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(doclen, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25Weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The per-posting integer BM25 weight (see [[bm25TopK]] scaladoc for
     * the formula and bounds); expects columns tf, df, dl, n_docs,
     * a_tokens in scope.

@@ -1208,6 +1208,28 @@ class TextOpsSpec extends SparkSpec {
     assert(none.map(_._4) === Seq("the secret key the", "the cat", "the cat sat"))
   }
 
+  test("BM25 index lifecycle: build → save → load → serve equals the corpus scan") {
+    val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
+      .toDF("doc_id", "text")
+    val direct = TextAnalysis.bm25TopK(d, Seq("x", "q"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wd = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.saveBm25Index(spark, wd, d)
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, wd)
+    val served = TextAnalysis.bm25TopKFromIndex(postings, doclen, Seq("x", "q"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === direct)
+    // the index is union-mergeable over disjoint doc batches: the
+    // concatenated per-batch indexes serve the identical top-k
+    val (p1, l1) = TextAnalysis.buildBm25Index(d.filter(col("doc_id") <= 2))
+    val (p2, l2) = TextAnalysis.buildBm25Index(d.filter(col("doc_id") > 2))
+    val merged = TextAnalysis.bm25TopKFromIndex(
+      p1.unionByName(p2), l1.unionByName(l2), Seq("x", "q"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === direct)
+    Seq(l1, l2).foreach(_.unpersist(blocking = false))
+  }
+
   test("bm25PerQuery weighted mode multiplies each term's weight by its query multiplicity") {
     val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
       .toDF("doc_id", "text")
