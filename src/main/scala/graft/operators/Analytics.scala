@@ -147,25 +147,23 @@ object Analytics {
       .select(lit(i.toLong + 1L).as("step"),
         lit(steps(i)).as("event_type"), col("n_users"))
     val pins = Seq.newBuilder[DataFrame]
-    var frontier = events
+    var frontier = Pins.pin(events
       .filter(col("event_type") === steps.head)
       .groupBy(col("user_id"))
-      .agg(min(col("ts")).as("t"))
-      .localCheckpoint()
+      .agg(min(col("ts")).as("t")))
     pins += frontier
     var out = stepRow(0, frontier)
     for (i <- 1 until steps.length) {
-      frontier = events
+      frontier = Pins.pin(events
         .filter(col("event_type") === steps(i))
         .join(frontier, Seq("user_id"))
         .filter(col("ts") > col("t"))
         .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("t"))
-        .localCheckpoint()
+        .agg(min(col("ts")).as("t")))
       pins += frontier
       out = out.unionByName(stepRow(i, frontier))
     }
-    val res = out.localCheckpoint() // eager: consume the pins, then release
+    val res = Pins.pin(out) // eager: consume the pins, then release
     pins.result().foreach(_.unpersist(blocking = false))
     res
   }
@@ -259,11 +257,10 @@ object Analytics {
       case None => batch.select(col("user_id"), col("ts").as("t")).limit(0)
     }
     val pins = Seq.newBuilder[DataFrame]
-    var frontier = stepState(0)
+    var frontier = Pins.pin(stepState(0)
       .unionByName(batch.filter(col("event_type") === steps.head)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t")))
-      .groupBy(col("user_id")).agg(min(col("t")).as("t"))
-      .localCheckpoint()
+      .groupBy(col("user_id")).agg(min(col("t")).as("t")))
     pins += frontier
     var out = frontier.select(col("user_id"), lit(1L).as("step"), col("t"))
     for (i <- 1 until steps.length) {
@@ -271,14 +268,13 @@ object Analytics {
         .join(frontier.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
         .filter(col("ts") > col("t_prev"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      frontier = stepState(i).unionByName(advanced)
-        .groupBy(col("user_id")).agg(min(col("t")).as("t"))
-        .localCheckpoint()
+      frontier = Pins.pin(stepState(i).unionByName(advanced)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t")))
       pins += frontier
       out = out.unionByName(
         frontier.select(col("user_id"), lit((i + 1).toLong).as("step"), col("t")))
     }
-    val res = out.localCheckpoint()
+    val res = Pins.pin(out)
     pins.result().foreach(_.unpersist(blocking = false))
     res
   }

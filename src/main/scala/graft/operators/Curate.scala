@@ -792,10 +792,10 @@ object Curate {
     val rawB = buckets(raw)
     // checkpoint the D-row models: each is read twice (per-bucket join +
     // total), and without the pin each read would re-tokenize its corpus
-    val tc = buckets(target).groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c_tgt")).localCheckpoint()
-    val rc = rawB.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c_raw")).localCheckpoint()
+    val tc = Pins.pin(buckets(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_tgt")))
+    val rc = Pins.pin(rawB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_raw")))
     val ratio = tc
       .join(rc, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(

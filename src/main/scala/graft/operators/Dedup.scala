@@ -402,9 +402,8 @@ object Dedup {
     // CacheManager pin would leak one minhash table PAIR per call for the
     // session lifetime (the streaming-crawl shape calls this per batch);
     // checkpoint blocks release via the context cleaner once unreachable
-    def prep(input: DataFrame): DataFrame = shingleSets(input)
-      .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes))
-      .localCheckpoint()
+    def prep(input: DataFrame): DataFrame = Pins.pin(shingleSets(input)
+      .withColumn("mh", minHashSignature(baseHashes(col("sh")), numHashes)))
     def banded(sets: DataFrame, idAs: String, szAs: String) = sets
       .select(col("doc_id").as(idAs), size(col("sh")).as(szAs),
         explode(bandSignatures(col("mh"), bands, r)).as("bs"))

@@ -125,7 +125,7 @@ object Multimodal {
     // samples (~0.6 s at sf0.1) were flattered by that leaked cache
     // (CacheManager matches by canonical plan, so later passes read pass
     // 1's entry); ~1.6 s is the honest per-run cost, not a regression.
-    val kept = frames.join(rare, Seq("frame_md5")).localCheckpoint()
+    val kept = Pins.pin(frames.join(rare, Seq("frame_md5")))
     kept.as("a")
       .join(kept.as("b"),
         col("a.frame_md5") === col("b.frame_md5") &&

@@ -640,9 +640,14 @@ object Similarity {
     * its ga column-block, and the equi-join on (cell, ga, gb) lands
     * every ordered pair in EXACTLY one block — (ga(x), gb(y)) — so the
     * output pair set is identical to the plain cell join (no re-verify
-    * or dedup needed) while per-task work is bounded by maxCellSize²
-    * regardless of skew. Normal-size cells have s = 1 and degenerate to
-    * the unvalved single-block join.
+    * or dedup needed) while per-task work drops from |cell|² to
+    * ~maxCellSize². The bound is IN EXPECTATION: rows land in groups by
+    * h60(vec_id) hash, so group sizes concentrate tightly around
+    * |cell|/s (Chernoff) but an adversarial id set could exceed it — a
+    * hard guarantee would need a row_number round-robin split, i.e. an
+    * extra per-cell window shuffle, not worth it for a skew VALVE whose
+    * job is turning one |cell|²-task into s² comparable ones. Normal-size
+    * cells have s = 1 and degenerate to the unvalved single-block join.
     *
     * Input: one row per vector with (vec_id, cell, embedding, nrm).
     * Output: the ordered-pair join frame (cell, vec_a, emb_a, nrm_a,
@@ -824,24 +829,27 @@ object Similarity {
     * against table columns (measured 2-4 ulp drift on every constant
     * shape), so raw doubles hash only when both dot operands are table
     * columns — here one side is a literal centroid, hence the surrogate.
-    * Scale shape: one narrow pass over
-    * plan-time literal centroids (the k dots per row are already the
-    * assignment cost) — no joins, no shuffle beyond the caller's sort.
+    * Scale shape: one narrow pass over plan-time literal centroids — the
+    * k dots per row are computed ONCE: the score array that decides the
+    * assignment is materialized as its own projection (multi-referenced
+    * non-cheap expressions survive CollapseProject) and its argmax struct
+    * yields both the cell and the winning dot, which a literal-norm
+    * lookup turns into the cosine. No joins, no shuffle beyond the
+    * caller's sort. Arithmetic is unchanged vs. scoring separately:
+    * same DotFold value, same nrmC·nrm-then-divide order.
     */
   def cellOutliers(
       embeddings: DataFrame,
       centroids: Array[Array[Double]],
       tau: Double): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val cos = element_at(
-      array(centroids.map { c =>
-        val nrmC = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
-        dot(typedLit(c.toSeq), col("embedding")) / (lit(nrmC) * col("nrm"))
-      }: _*),
-      col("cell") + 1)
+    val normsC = centroids.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
     withNorm(embeddings)
-      .withColumn("cell", nearestCell(col("embedding"), centroids))
-      .withColumn("proto_cosine", cos)
+      .withColumn("best", array_max(cellScores(col("embedding"), centroids)))
+      .withColumn("cell", col("best").getField("i"))
+      .withColumn("proto_cosine",
+        col("best").getField("s") /
+          (element_at(typedLit(normsC.toSeq), col("cell") + 1) * col("nrm")))
       .select(col("vec_id"), col("cell"), col("proto_cosine"),
         (col("proto_cosine") < tau).as("outlier"))
   }

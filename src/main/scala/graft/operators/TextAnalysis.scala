@@ -654,7 +654,7 @@ object TextAnalysis {
     val consts = c2.agg(
       countDistinct(col("w2")).as("v_right"),
       sum(col("c2")).as("n_bigrams"))
-    val out = tf2
+    val out = Pins.pin(tf2
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(consts))
@@ -672,7 +672,7 @@ object TextAnalysis {
             log(col("c1").cast("double") + col("v_right").cast("double")))) /
           sum(col("tf")).cast("double")).as("avg_logprob"))
       .withColumn("ppl", exp(-col("avg_logprob")))
-      .localCheckpoint() // eager: consume the caches, then release them
+    ) // eager pin: consume the caches, then release them
     tf2.unpersist(blocking = false)
     c2.unpersist(blocking = false)
     out
@@ -810,7 +810,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val out = tf
+    val out = Pins.pin(tf
       .join(dl, Seq("doc_id"))
       .join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(stats))
@@ -819,7 +819,7 @@ object TextAnalysis {
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-      .localCheckpoint() // eager: consume the dl checkpoint, then release it
+    ) // eager pin: consume the dl checkpoint, then release it
     dl.unpersist(blocking = false)
     out
   }
@@ -865,10 +865,9 @@ object TextAnalysis {
   /** Checkpointed (doc_id, dl) table — one tokenize pass feeds both the
     * corpus stats and the per-doc join without a re-tokenize.
     */
-  private def docLengths(docs: DataFrame): DataFrame = docs
+  private def docLengths(docs: DataFrame): DataFrame = Pins.pin(docs
     .select(col("doc_id"), tokens(col("text")).as("toks"))
-    .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    .localCheckpoint()
+    .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
 
   // ------------------------------------------------- BM25 index lifecycle
 
@@ -883,6 +882,13 @@ object TextAnalysis {
     * changes from corpus-scan to postings-lookup. The dl table keeps
     * zero-token documents (they count toward N and the average), so
     * serving is EXACTLY [[bm25TopK]] on the original corpus.
+    *
+    * CALLER OBLIGATION: the returned doclen table is an eager
+    * localCheckpoint (one tokenize pass feeds both its uses) whose
+    * storage blocks the caller must release with
+    * `dl.unpersist(blocking = false)` once consumed — [[saveBm25Index]]
+    * and the round-trip spec do; a caller that drops the reference
+    * without unpersisting leaks executor storage until driver GC.
     */
   def buildBm25Index(docs: DataFrame): (DataFrame, DataFrame) = {
     val postings = docs
@@ -895,7 +901,9 @@ object TextAnalysis {
   /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen`
     * parquet (BIGINT/VARCHAR only — trivially engine-portable). At scale
     * the postings table is the corpus-sized artifact; writing it once
-    * per corpus version is the standard inverted-index trade.
+    * per corpus version is the standard inverted-index trade. The
+    * `spark` parameter is kept only for API symmetry with
+    * [[loadBm25Index]] (both writes go through the DataFrame API).
     */
   def saveBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
@@ -988,11 +996,10 @@ object TextAnalysis {
     require(salts > 0, "salts must be positive")
     val posting = queries
       .select(col("query_id"), explode(col("terms")).as("tok"))
-    val qt = (if (weighted)
+    val qt = Pins.pin(if (weighted)
         posting.groupBy(col("query_id"), col("tok"))
           .agg(count(lit(1)).as("qtf"))
       else posting.distinct().withColumn("qtf", lit(1L)))
-      .localCheckpoint()
     val terms = qt.select(col("tok")).distinct()
     val dl = docLengths(docs)
     val stats = dl.agg(
@@ -1017,12 +1024,12 @@ object TextAnalysis {
       // In the unweighted default qtf ≡ 1 and this reduces to Σw.
       .agg(sum(col("w").cast("decimal(20,0)") * col("qtf").cast("decimal(18,0)"))
         .cast("long").as("score"), count(lit(1)).as("n_hit"))
-    val out = Diagnostics.twoStageTopK(scored, col("query_id"),
+    val out = Pins.pin(Diagnostics.twoStageTopK(scored, col("query_id"),
         pmod(h60(col("doc_id").cast("string")), lit(salts.toLong)),
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("ts_rank").cast("long").as("rnk"),
         col("doc_id"), col("score"), col("n_hit"))
-      .localCheckpoint() // eager, then release the qt/dl pins
+    ) // eager pin, then release the qt/dl pins
     qt.unpersist(blocking = false)
     dl.unpersist(blocking = false)
     out
@@ -1094,6 +1101,12 @@ object TextAnalysis {
     */
   def lmScoreAgainst(ref: DataFrame, target: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
+    // fail loudly on an empty reference (T + V = 0 would otherwise yield
+    // null scores under non-ANSI Spark and a divide error in a DuckDB
+    // replay) — the limit(1) probe short-circuits after the first token,
+    // mirroring the "PQ training set is empty" check
+    require(!ref.select(explode(tokens(col("text"))).as("token")).isEmpty,
+      "reference corpus has no tokens — the add-one LM is undefined (T + V = 0)")
     val vocab = ref
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))

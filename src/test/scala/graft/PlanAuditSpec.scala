@@ -5,6 +5,15 @@ package graft
   * for the properties the humans audit by eye. A regression that
   * reintroduces a cartesian product or an unbounded nested-loop join
   * fails CI instead of waiting for a reader.
+  *
+  * Plans are built under [[graft.operators.Pins.withAuditView]]: an
+  * operator's trailing/mid-pipeline localCheckpoints otherwise truncate
+  * the audited plan to a `LogicalRDD` scan, silently exempting the whole
+  * join tree below (the round-7 vacuity: bm25TopK's checkpoint hid the
+  * 1-row cross join its non-checkpointed stored twin was flagged for).
+  * Iterative per-round truncation ([[graft.operators.Iterate]], the
+  * pagerank loop) stays real even in the audit view — those plans are
+  * legitimately RDD-rooted.
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -29,17 +38,45 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_pair_pr", // crossJoin of three 1-row count aggregates
     "q_dedup_pair_pr_sampled", // same three 1-row aggregates, sampled corpus
     "q_dsir", // two 1-row token-total aggregates crossJoined into the D-row ratio table
-    "q_lm_score") // 1-row (T, V) reference-constants aggregate crossJoined per doc
+    "q_lm_score", // 1-row (T, V) reference-constants aggregate crossJoined per doc
+    // the bm25 family: 1-row (n_docs, a_tokens) corpus-stats aggregate
+    // crossJoined per posting (visible since the audit view sees through
+    // their trailing pins)
+    "q_bm25", "q_bm25_multi", "q_bm25_weighted", "q_bm25_stored")
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"
-    Plans.Names.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
-      if (!BnljExempt(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop join")
+    operators.Pins.withAuditView {
+      Plans.Names.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+        if (!BnljExempt(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans a nested-loop join")
+      }
+    }
+  }
+
+  /** The mechanism that un-blinds the audit: a cartesian planted UNDER a
+    * trailing pin is invisible to a naive executedPlan walk (the
+    * checkpoint truncates it to a LogicalRDD scan) and caught under the
+    * audit view. Guards against a future operator re-hiding its join
+    * tree behind a bare localCheckpoint — new trailing pins must go
+    * through Pins.pin.
+    */
+  test("audit view sees through trailing pins — a planted cartesian is caught") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    def planted = operators.Pins.pin(a.crossJoin(b))
+      .queryExecution.executedPlan.toString
+    def nested(p: String) =
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+    assert(!nested(planted),
+      "a bare checkpoint should truncate the plan — the blindness being tested")
+    operators.Pins.withAuditView {
+      assert(nested(planted), "audit view failed to expose the planted join")
     }
   }
 
