@@ -1,0 +1,225 @@
+package graft.operators
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.DataFrame
+
+/** A live HTTP listener over [[ApiFacade]] — the reference's two gin
+  * servers rebuilt on the JDK's built-in `com.sun.net.httpserver` (the
+  * one HTTP server this zero-egress build can host):
+  *
+  *   - Indexer API routes (indexer-api/lib/server.go:139-163):
+  *     GET  /exact/:coll/:id
+  *     POST /all/:coll                        {"ids": […]}
+  *     GET  /range/:coll/:brokerId            ?from&to&limit&offset
+  *     POST /query/:coll                      {"filters": […]}?limit&offset
+  *   - Resubmitter routes (resubmitter-api/lib/resubmitter/server.go:176-194):
+  *     POST /resubmit/:coll                   {"ids": […]}?topic
+  *     POST /range/:coll                      {"broker_id", "lb"?, "ub"?}?topic
+  *     POST /query/:coll                      {"filters": […]}?topic
+  *
+  * The two route sets collide on /range and /query because the reference
+  * runs them as SEPARATE processes on separate ports — mirrored here as a
+  * per-instance [[ApiServer.Role]].
+  *
+  * Contract fidelity:
+  *   - status/message/data come verbatim from the facade (which carries
+  *     the handler.go mapping ApiFacadeSpec pins down);
+  *   - responses serialize as `{"message": …, "data": [row-objects…]}`,
+  *     row objects via Spark's own JSON encoder (`df.toJSON`) — data
+  *     frames at this layer are ≤(limit)-row pages or resubmit plans, so
+  *     the collect is bounded by construction;
+  *   - filter bodies accept the reference's Mongo wire shape: a filter
+  *     map value is either a scalar (equality) or a single-operator
+  *     object `{"$gte": v}` with $-prefixed Mongo operators
+  *     (mongo.go:222 passes them straight through as `{"$or": filters}`);
+  *   - malformed JSON or a missing required field binds to the facade's
+  *     `None` body → the same 400 a gin bind failure produces;
+  *   - the reference's ReadHeaderTimeout (server.go:36-42, default 2 s)
+  *     maps to the JDK server's `sun.net.httpserver.maxReqTime` — a
+  *     JVM-GLOBAL system property read at server creation, set by the
+  *     caller/launcher, not per-instance (documented limitation);
+  *   - graceful drain: [[stop]] delays up to `drainSec` for in-flight
+  *     exchanges, the analog of the reference's waitGroup-then-5s
+  *     shutdown (server.go:180-196).
+  *
+  * Port 0 binds an ephemeral port ([[boundPort]] reports it) so specs can
+  * run hermetically in parallel.
+  */
+final class ApiServer(
+    facade: ApiFacade,
+    role: ApiServer.Role,
+    port: Int = 0) {
+  import ApiFacade._
+  import ApiServer._
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (exchange: HttpExchange) => handle(exchange))
+  // one worker pool, not a thread per request; the facade itself is
+  // thread-safe (immutable routing maps over lazy frames)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  def start(): Unit = server.start()
+  def boundPort: Int = server.getAddress.getPort
+  def stop(drainSec: Int = 5): Unit = server.stop(drainSec)
+
+  private def handle(x: HttpExchange): Unit =
+    try {
+      val segs = x.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
+      val q = queryParams(x.getRequestURI.getRawQuery)
+      val method = x.getRequestMethod
+      val resp: Option[ApiResponse] = (role, method, segs) match {
+        case (Indexer, "GET", Seq("exact", coll, id)) =>
+          Some(facade.getUnique(GetUniqueRequest(coll, id)))
+        case (Indexer, "POST", Seq("all", coll)) =>
+          Some(facade.getAll(GetAllRequest(coll, parseIds(body(x)))))
+        case (Indexer, "GET", Seq("range", coll, brokerId)) =>
+          Some(facade.getRange(GetRangeRequest(coll, brokerId,
+            from = q.get("from"), to = q.get("to"),
+            limit = q.get("limit"), offset = q.get("offset"))))
+        case (Indexer, "POST", Seq("query", coll)) =>
+          Some(facade.getQueried(GetQueriedRequest(coll,
+            parseFilters(body(x)),
+            limit = q.get("limit"), offset = q.get("offset"))))
+        case (Resubmitter, "POST", Seq("resubmit", coll)) =>
+          Some(facade.resubmitIds(ResubmitIdsRequest(coll,
+            parseIds(body(x)), topic = q.get("topic"))))
+        case (Resubmitter, "POST", Seq("range", coll)) =>
+          val b = body(x)
+          Some(facade.resubmitInterval(ResubmitIntervalRequest(coll,
+            brokerId = b.flatMap(n => textField(n, "broker_id")),
+            lb = b.flatMap(n => textField(n, "lb")),
+            ub = b.flatMap(n => textField(n, "ub")),
+            topic = q.get("topic"))))
+        case (Resubmitter, "POST", Seq("query", coll)) =>
+          Some(facade.resubmitQuery(ResubmitQueryRequest(coll,
+            parseFilters(body(x)), topic = q.get("topic"))))
+        case _ => None
+      }
+      resp match {
+        case Some(r) => reply(x, r.status, render(r.message, r.data))
+        case None => reply(x, 404, """{"message":"not found"}""")
+      }
+    } catch {
+      // a handler crash must produce a well-formed 500, never a hung socket
+      case e: Exception =>
+        reply(x, 500, render(ApiFacade.OnFailureMessage, None))
+    } finally x.close()
+
+  private def render(message: String, data: Option[DataFrame]): String = {
+    val m = Json.writeValueAsString(message)
+    data match {
+      case None => s"""{"message":$m}"""
+      case Some(df) =>
+        // bounded by construction: a ≤limit-row page or a resubmit plan
+        s"""{"message":$m,"data":[${df.toJSON.collect().mkString(",")}]}"""
+    }
+  }
+
+  private def reply(x: HttpExchange, status: Int, bodyStr: String): Unit = {
+    val bytes = bodyStr.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(status, bytes.length.toLong)
+    val os = x.getResponseBody
+    try os.write(bytes)
+    finally os.close()
+  }
+
+  private def body(x: HttpExchange): Option[JsonNode] =
+    try {
+      val raw = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      if (raw.trim.isEmpty) None else Some(Json.readTree(raw))
+    } catch { case _: Exception => None } // malformed JSON → bind failure
+}
+
+object ApiServer {
+
+  /** Which of the reference's two API processes this instance plays. */
+  sealed trait Role
+  case object Indexer extends Role
+  case object Resubmitter extends Role
+
+  private[operators] val Json = new ObjectMapper()
+
+  /** `{"ids": […]}` → Some(ids); anything else is a bind failure (None),
+    * matching gin's `binding:"required"` on the ids field
+    * (handler.go:55-69).
+    */
+  private[operators] def parseIds(body: Option[JsonNode]): Option[Seq[String]] =
+    body.flatMap { n =>
+      val ids = n.get("ids")
+      if (ids == null || !ids.isArray) None
+      else {
+        val it = ids.elements()
+        val out = Seq.newBuilder[String]
+        var ok = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.isTextual) out += e.asText() else ok = false
+        }
+        if (ok) Some(out.result()) else None
+      }
+    }
+
+  /** `{"filters": [{k: v | {"$op": v}}…]}` → facade filter maps. Scalars
+    * bind as equality; a single-field object binds as the $-prefixed
+    * Mongo comparison the reference forwards verbatim
+    * (GetQueriedRequestBody handler.go:116-118 → mongo.go:222). Any other
+    * shape is a bind failure.
+    */
+  private[operators] def parseFilters(
+      body: Option[JsonNode]): Option[Seq[Map[String, FilterValue]]] =
+    body.flatMap { n =>
+      val fs = n.get("filters")
+      if (fs == null || !fs.isArray) None
+      else {
+        val out = Seq.newBuilder[Map[String, FilterValue]]
+        val it = fs.elements()
+        var ok = true
+        while (it.hasNext && ok) {
+          val el = it.next()
+          if (!el.isObject) ok = false
+          else {
+            val m = Map.newBuilder[String, FilterValue]
+            val fields = el.fields()
+            while (fields.hasNext && ok) {
+              val entry = fields.next()
+              val v = entry.getValue
+              if (v.isValueNode) m += entry.getKey -> Eq(v.asText())
+              else if (v.isObject && v.size() == 1) {
+                val op = v.fieldNames().next()
+                val inner = v.get(op)
+                if (op.startsWith("$") && inner.isValueNode)
+                  m += entry.getKey -> Cmp(op.substring(1), inner.asText())
+                else ok = false
+              } else ok = false
+            }
+            if (ok) out += m.result()
+          }
+        }
+        if (ok) Some(out.result()) else None
+      }
+    }
+
+  private[operators] def textField(n: JsonNode, name: String): Option[String] = {
+    val v = n.get(name)
+    if (v != null && v.isValueNode) Some(v.asText()) else None
+  }
+
+  private[operators] def queryParams(rawQuery: String): Map[String, String] =
+    if (rawQuery == null || rawQuery.isEmpty) Map.empty
+    else rawQuery.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(java.net.URLDecoder.decode(k, UTF_8) ->
+            java.net.URLDecoder.decode(v, UTF_8))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, UTF_8) -> "")
+        case _ => None
+      }
+    }.toMap
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** End-to-end exercise of the REAL socket path: [[ApiServer]] bound on an
+  * ephemeral localhost port, driven with the JDK HTTP client, asserting
+  * the same status matrix ApiFacadeSpec pins at the facade layer — the
+  * round-trip proof that the HTTP listener (the last unreproduced
+  * reference surface, indexer-api/lib/server.go:111-163 +
+  * resubmitter-api/lib/resubmitter/server.go:176-194) serves the
+  * contract over a wire, not just in-process.
+  */
+class ApiServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val fixedNow = ts("2024-02-01 00:00:00")
+
+  // the ApiFacadeSpec fixture: 30 rows across 3 brokers, record store with
+  // a hole at i=7 so id_007 resubmissions go partial
+  private lazy val index = {
+    val rows = (1 to 30).map { i =>
+      (s"b${i % 3}", s"m$i", f"id_$i%03d", s"bsk${i % 2}", s"bok$i", "src",
+        if (i % 4 == 0) "" else s"u$i", s"${i * 7 % 100}",
+        Map("k" -> s"${i * 7 % 100}"), s"blob-${i / 10}", (i % 10 + 1).toLong,
+        ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+        ts(f"2024-01-${i % 28 + 1}%02d 00:00:01"), true)
+    }
+    rows.toDF(graft.model.IndexModel.Columns: _*)
+  }
+  private lazy val records =
+    (1 to 30).filter(_ != 7)
+      .map(i => (s"blob-${i / 10}", (i % 10 + 1).toLong, s"payload-$i"))
+      .toDF("location_key", "location_position", "payload")
+
+  private lazy val facade = ApiFacade(
+    Map("meta" -> QueryService(index)),
+    now = () => fixedNow,
+    resubmitters = Map("meta" -> Resubmitter(QueryService(index), records)),
+    envTopic = Some("env-topic"))
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(base: String, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(base: String, path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def dataRows(body: String): Int = {
+    val n = ApiServer.Json.readTree(body).get("data")
+    if (n == null) -1 else n.size()
+  }
+
+  private def withServer(role: ApiServer.Role)(f: String => Unit): Unit = {
+    val srv = new ApiServer(facade, role)
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.boundPort}")
+    finally srv.stop(0)
+  }
+
+  test("indexer routes serve the facade's status matrix over a real socket") {
+    withServer(ApiServer.Indexer) { base =>
+      // GET /exact: hit, miss, bad collection
+      val hit = get(base, "/exact/meta/id_007")
+      assert(hit.statusCode() == 200)
+      assert(hit.body().contains("\"unique_id\":\"id_007\""))
+      assert(get(base, "/exact/meta/id_999").statusCode() == 400)
+      assert(get(base, "/exact/nope/id_007").statusCode() == 400)
+
+      // POST /all: bound ids, malformed body 400, unknown collection 500
+      val all = post(base, "/all/meta", """{"ids":["id_001","id_010"]}""")
+      assert(all.statusCode() == 200 && dataRows(all.body()) == 2)
+      assert(post(base, "/all/meta", """{"ids":"id_001"}""").statusCode() == 400)
+      assert(post(base, "/all/meta", """not json at all""").statusCode() == 400)
+      assert(post(base, "/all/nope", """{"ids":["id_001"]}""").statusCode() == 500)
+
+      // GET /range: defaults, pagination, Atoi fallback, malformed bounds
+      val full = get(base, "/range/meta/b1")
+      assert(full.statusCode() == 200 && dataRows(full.body()) == 10)
+      val page = get(base, "/range/meta/b1?limit=4&offset=4")
+      assert(dataRows(page.body()) == 4)
+      val fallback = get(base, "/range/meta/b1?limit=abc&offset=-3")
+      assert(fallback.statusCode() == 200 && dataRows(fallback.body()) == 10)
+      val narrowed =
+        get(base, "/range/meta/b1?from=2024-01-05T00:00:00Z&to=2024-01-10T00:00:00Z")
+      assert(narrowed.statusCode() == 200)
+      assert(get(base, "/range/meta/b1?from=01%2F05%2F2024").statusCode() == 400)
+      assert(get(base, "/range/meta/b1?to=2999-01-01T00:00:00Z").statusCode() == 400)
+      assert(get(base, "/range/nope/b1").statusCode() == 500)
+
+      // POST /query: the Mongo wire shape, whitelist 400s, default limit 20
+      val q = post(base, "/query/meta",
+        """{"filters":[{"broker_id":"b1","meta_k":{"$gte":"50"}}]}""")
+      assert(q.statusCode() == 200)
+      val wide = post(base, "/query/meta",
+        """{"filters":[{"broker_id":{"$ne":"zzz"}}]}""")
+      assert(dataRows(wide.body()) == 20)
+      assert(post(base, "/query/meta",
+        """{"filters":[{"no_such_attr":"x"}]}""").statusCode() == 400)
+      assert(post(base, "/query/meta",
+        """{"filters":[{"publish_time":{"$gte":"not-a-time"}}]}""").statusCode() == 400)
+      assert(post(base, "/query/meta", """{"nope":1}""").statusCode() == 400)
+      // multi-operator objects and non-$ operators are bind failures
+      assert(post(base, "/query/meta",
+        """{"filters":[{"meta_k":{"$gte":"1","$lte":"2"}}]}""").statusCode() == 400)
+
+      // unknown route
+      assert(get(base, "/nope/meta/x").statusCode() == 404)
+      // resubmitter routes are NOT served by the indexer process
+      assert(post(base, "/resubmit/meta", """{"ids":["id_001"]}""").statusCode() == 404)
+    }
+  }
+
+  test("resubmitter routes run the composed pipeline and report 200/206/400") {
+    withServer(ApiServer.Resubmitter) { base =>
+      // clean resubmit by ids → 200 with the publish plan
+      val clean = post(base, "/resubmit/meta", """{"ids":["id_001","id_002"]}""")
+      assert(clean.statusCode() == 200 && dataRows(clean.body()) == 2)
+      assert(clean.body().contains("resubmission successful"))
+      // the record hole at id_007 → 206 partial
+      val partial = post(base, "/resubmit/meta", """{"ids":["id_007","id_008"]}""")
+      assert(partial.statusCode() == 206 && dataRows(partial.body()) == 1)
+      // unbindable body / unknown collection → 400
+      assert(post(base, "/resubmit/meta", """{}""").statusCode() == 400)
+      assert(post(base, "/resubmit/nope", """{"ids":["id_001"]}""").statusCode() == 400)
+      // topic routing: explicit param over env; empty falls back to env
+      assert(post(base, "/resubmit/meta?topic=t2",
+        """{"ids":["id_001"]}""").statusCode() == 200)
+      assert(post(base, "/resubmit/meta?topic=",
+        """{"ids":["id_001"]}""").statusCode() == 200)
+
+      // interval mode: required broker_id, defaulted bounds
+      val b2 = post(base, "/range/meta", """{"broker_id":"b2"}""")
+      assert(b2.statusCode() == 200 && dataRows(b2.body()) == 10)
+      val b1 = post(base, "/range/meta", """{"broker_id":"b1"}""")
+      assert(b1.statusCode() == 206) // the i=7 hole lives in b1
+      assert(post(base, "/range/meta", """{}""").statusCode() == 400)
+      assert(post(base, "/range/meta",
+        """{"broker_id":"b1","lb":"01/05/2024"}""").statusCode() == 400)
+
+      // query mode: whitelist 400, clean empty drain 200
+      val q = post(base, "/query/meta", """{"filters":[{"broker_id":"b2"}]}""")
+      assert(q.statusCode() == 200 && dataRows(q.body()) == 10)
+      assert(post(base, "/query/meta",
+        """{"filters":[{"no_such_attr":"x"}]}""").statusCode() == 400)
+      val empty = post(base, "/query/meta", """{"filters":[{"broker_id":"zzz"}]}""")
+      assert(empty.statusCode() == 200 && dataRows(empty.body()) == 0)
+
+      // indexer-only routes are absent in this role
+      assert(get(base, "/exact/meta/id_001").statusCode() == 404)
+    }
+  }
+
+  test("a handler crash surfaces as a well-formed 500, not a hung socket") {
+    // a facade whose collection frame is broken (missing columns) → the
+    // eager /exact path throws inside the handler
+    val broken = ApiFacade(
+      Map("meta" -> QueryService(Seq(("x", 1)).toDF("a", "b"))),
+      now = () => fixedNow)
+    val srv = new ApiServer(broken, ApiServer.Indexer)
+    srv.start()
+    try {
+      val r = get(s"http://127.0.0.1:${srv.boundPort}", "/exact/meta/id_001")
+      assert(r.statusCode() == 500)
+      assert(r.body().contains(ApiFacade.OnFailureMessage))
+    } finally srv.stop(0)
+  }
+}
