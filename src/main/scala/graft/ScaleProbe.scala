@@ -473,6 +473,24 @@ object ScaleProbe {
         val c = operators.Similarity.kmeansCentroids(
           e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
         operators.Similarity.cellStats(e, c)
+      },
+      // the all-corpus kNN-join sweep (broadcastQueries=false, queries =
+      // half the corpus): plain cell equi-join vs the bipartite block
+      // valve — under a skew-free quantizer the valve's overhead should
+      // be noise; its worth shows in the mega-cell spec, this row proves
+      // it does not tax the healthy case
+      "kNN-join sweep (nprobe=1)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.ivfTopKWithCentroids(e, col("vec_id") % 2 === 0,
+          k = 3, c, nprobe = 1, broadcastQueries = false,
+          maxCellSize = Int.MaxValue)
+      },
+      "kNN-join sweep (nprobe=1, valve 256)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.ivfTopKWithCentroids(e, col("vec_id") % 2 === 0,
+          k = 3, c, nprobe = 1, broadcastQueries = false, maxCellSize = 256)
       })
     simOps.foreach { case (name, op) =>
       val cells = embDirs.map { case (f, dir) =>

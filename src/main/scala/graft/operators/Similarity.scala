@@ -308,10 +308,12 @@ object Similarity {
       numCells: Int = 16,
       iters: Int = 2,
       nprobe: Int = 4,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      maxCellSize: Int = 4096): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "nprobe must be in [1, numCells]")
     val cents = kmeansCentroids(embeddings, numCells, iters)
-    ivfTopKWithCentroids(embeddings, queryPred, k, cents, nprobe, broadcastQueries)
+    ivfTopKWithCentroids(
+      embeddings, queryPred, k, cents, nprobe, broadcastQueries, maxCellSize)
   }
 
   /** [[ivfTopKKmeans]]' serving half against an ALREADY-TRAINED (or
@@ -326,7 +328,8 @@ object Similarity {
       k: Int,
       cents: Array[Array[Double]],
       nprobe: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      maxCellSize: Int = 4096): DataFrame = {
     require(cents.nonEmpty, "centroids must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
     val e = withNorm(embeddings).cache()
@@ -341,9 +344,14 @@ object Similarity {
           slice(reverse(array_sort(cellScores(col("embedding"), cents))), 1, nprobe),
           s => s.getField("i"))).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
+    val joined =
+      if (broadcastQueries) corpus.join(broadcast(queries), Seq("cell"))
+      // the kNN-join sweep gets semDedup's skew treatment: a mega-cell
+      // (both sides corpus-sized under a duplicate-heavy quantizer) fans
+      // out over the 2-D block grid instead of one |cell|·|probes| task
+      else blockedCellJoin(corpus, "neighbor_id", queries, "query_id", maxCellSize)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus
-      .join(if (broadcastQueries) broadcast(queries) else queries, Seq("cell"))
+    joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -677,6 +685,43 @@ object Similarity {
       col("grp").as("gb"),
       col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("cell", "ga", "gb")).drop("ga", "gb")
+  }
+
+  /** Bipartite twin of [[blockedCellPairs]] for two-table cell equi-joins
+    * (the kNN-join sweep of [[ivfTopKWithCentroids]]): each side's cell
+    * membership splits into `⌈|cell side|/maxCellSize⌉` hash groups, side
+    * a replicates across b's group range and vice versa, and the
+    * (cell, ga, gb) equi-join lands every cross pair in exactly one
+    * block — output identical to the plain `join(..., Seq("cell"))`,
+    * per-task work ~maxCellSize² in expectation (same softened bound as
+    * the self-join valve). The per-side split histograms are
+    * numCells-sized broadcasts. Cells present on only one side drop out
+    * of the histogram inner joins exactly as they would from the plain
+    * equi-join.
+    */
+  private def blockedCellJoin(
+      a: DataFrame, aId: String,
+      b: DataFrame, bId: String,
+      maxCellSize: Int): DataFrame = {
+    require(maxCellSize >= 1, "maxCellSize must be at least 1")
+    import graft.functions.TextFunctions.h60
+    def splitsOf(df: DataFrame, name: String) = df
+      .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .select(col("cell"),
+        call_function("div",
+          col("cn") + lit(maxCellSize.toLong - 1L),
+          lit(maxCellSize.toLong)).as(name))
+    val sa = splitsOf(a, "nsa")
+    val sb = splitsOf(b, "nsb")
+    val aa = a.join(broadcast(sa), Seq("cell")).join(broadcast(sb), Seq("cell"))
+      .withColumn("bga", pmod(h60(col(aId).cast("string")), col("nsa")))
+      .withColumn("bgb", explode(sequence(lit(0L), col("nsb") - 1L)))
+      .drop("nsa", "nsb")
+    val bb = b.join(broadcast(sa), Seq("cell")).join(broadcast(sb), Seq("cell"))
+      .withColumn("bgb", pmod(h60(col(bId).cast("string")), col("nsb")))
+      .withColumn("bga", explode(sequence(lit(0L), col("nsa") - 1L)))
+      .drop("nsa", "nsb")
+    aa.join(bb, Seq("cell", "bga", "bgb")).drop("bga", "bgb")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents whose

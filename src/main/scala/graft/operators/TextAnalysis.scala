@@ -913,6 +913,32 @@ object TextAnalysis {
     dl.unpersist(blocking = false)
   }
 
+  /** Per-micro-batch maintenance of a [[saveBm25Index]] store — the
+    * streaming twin of the one-shot build, in the house foreachBatch
+    * shape (boilerplate-df / corpus-card / HLL maintenance): each batch's
+    * postings and doc-length rows APPEND to the stored parquet tables.
+    * Because every document lives in exactly one batch, each (doc_id,
+    * tok) posting and (doc_id, dl) row exists exactly once across
+    * appends — the accreted files ARE the union-merged state, no
+    * compaction read-modify-write — so serving [[bm25TopKFromIndex]]
+    * from the store is identical to one-shot indexing of every document
+    * seen (StreamingOpsSpec asserts the equality per batch).
+    *
+    * Contract: batches are DISJOINT document sets (the append-only-crawl
+    * shape, same contract the TextOpsSpec union-merge case proves); a
+    * REPLAYED batch would double-count its documents' tf and dl — run
+    * under foreachBatch with batch-id idempotence (write each batch to a
+    * `v<id>` path and skip existing, as the maintenance specs do) or
+    * dedup redeliveries upstream for at-least-once sources.
+    */
+  def appendBm25Index(
+      spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
+    val (postings, dl) = buildBm25Index(batch)
+    postings.write.mode("append").parquet(s"$dir/postings")
+    dl.write.mode("append").parquet(s"$dir/doclen")
+    dl.unpersist(blocking = false)
+  }
+
   /** Reload a [[saveBm25Index]] store: (postings, doclen). */
   def loadBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =

@@ -253,8 +253,12 @@ class TextOpsSpec extends SparkSpec {
         emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3,
         broadcastQueries = bc).queryExecution.executedPlan.toString
       assert(plan(true).contains("BroadcastHashJoin"))
-      assert(!plan(false).contains("BroadcastHashJoin"),
-        "kNN-join mode must not force a broadcast of a corpus-sized query side")
+      // the sweep's PAIR join must be a shuffle join (both corpus-sized
+      // sides hash-partition); the only forced broadcasts in its plan are
+      // the numCells-row split histograms of the skew valve
+      val sweepPlan = plan(false)
+      assert(sweepPlan.contains("SortMergeJoin") || sweepPlan.contains("ShuffledHashJoin"),
+        "kNN-join mode must shuffle the pair join, not force a corpus broadcast")
       def pqPlan(bc: Boolean) = Similarity.pqTopKWithBooks(
         emb, col("vec_id") % 10 === 0, k = 3, books, rerank = 200,
         broadcastQueries = bc).queryExecution.executedPlan.toString
@@ -349,6 +353,36 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(mkValved === mkUnvalved)
     assert(mkUnvalved.nonEmpty)
+  }
+
+  test("kNN-join sweep survives a mega-cell: valved ≡ unvalved ≡ broadcast mode") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    // a 2-centroid quantizer concentrates ~half the corpus into each cell
+    // — the sweep's worst case is one duplicate-heavy cell holding most
+    // vectors on BOTH sides (queries = corpus slice); with cap = 50 the
+    // bipartite valve must fan each such cell over its 2-D block grid
+    // with the output pair set (and thus every top-k row) unchanged
+    val s = 1.0 / math.sqrt(Similarity.Dim.toDouble)
+    val two = Array(
+      Array.fill(Similarity.Dim)(s),
+      Array.tabulate(Similarity.Dim)(d => if (d % 2 == 0) s else -s))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val pred = col("vec_id") % 4 === 0 // corpus-sized probe set: the sweep shape
+    val unvalved = keys(Similarity.ivfTopKWithCentroids(
+      emb, pred, k = 5, two, nprobe = 1,
+      broadcastQueries = false, maxCellSize = Int.MaxValue))
+    val valvedDf = Similarity.ivfTopKWithCentroids(
+      emb, pred, k = 5, two, nprobe = 1,
+      broadcastQueries = false, maxCellSize = 50)
+    assert(valvedDf.queryExecution.executedPlan.toString.contains("Generate"),
+      "valved sweep plan shows no block fan-out")
+    assert(keys(valvedDf) === unvalved)
+    // and the broadcast (query-serving) mode agrees with both
+    assert(keys(Similarity.ivfTopKWithCentroids(
+      emb, pred, k = 5, two, nprobe = 1)) === unvalved)
+    assert(unvalved.nonEmpty)
   }
 
   test("cellOutliers scores cosine to the OWN cell centroid; flag below tau") {

@@ -816,6 +816,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.contains((w1, 3L, 1L))) // u1 active in week 4
   }
 
+  test("streaming BM25 maintenance: per-batch index append equals the one-shot corpus scan") {
+    import graft.operators.TextAnalysis
+    import java.nio.file.Files
+    // an append-only crawl in 3 disjoint batches; the postings/doclen
+    // store accretes per micro-batch (appendBm25Index) and the SERVED
+    // ranking must equal both the one-shot corpus scan and the one-shot
+    // stored index — no batch boundary may leak into df/N/avgdl
+    val all = Seq(
+      (1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"),
+      (5L, "x x q p"), (6L, ""))
+    val batches = Seq(Seq(all(0), all(1)), Seq(all(2), all(5)), Seq(all(3), all(4)))
+    val dir = Files.createTempDirectory("graft-bm25stream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.appendBm25Index(spark, s"$dir/store", batch)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, s"$dir/store")
+    val served = TextAnalysis.bm25TopKFromIndex(postings, doclen, Seq("x", "q"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = TextAnalysis.bm25TopK(all.toDF("doc_id", "text"), Seq("x", "q"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === direct)
+    // the zero-token document counted toward N through the doclen store
+    assert(doclen.count() === all.size)
+    assert(doclen.filter(col("dl") === 0L).count() === 1)
+  }
+
   test("compaction consolidates micro-batch small files, preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate 10 micro-batches: each writes its own batch_id slice with
