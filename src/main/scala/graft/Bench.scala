@@ -17,7 +17,20 @@ import org.apache.spark.sql.SparkSession
   * contract) and to `bench_out.json` (immune to sbt log noise).
   */
 object Bench {
+
+  /** 1-minute load average at a point in time — stamped into the output
+    * (before and after the run) so a reader can tell a quiet run from a
+    * contention-inflated one (build-notes convention: totals inflate 2-3x
+    * under hypervisor load; trust round-over-round comparisons only when
+    * the stamps are ≈ 0... aside from Spark's own 32 worker threads).
+    */
+  private def loadavg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -91,7 +104,8 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(timings)},""" +
         s""""runs":$runs,"pass_totals":$passTotals,"queries_median":${obj(medians)},""" +
-        s""""errors":$errJson,"n_failed":${errors.size},"sf":${q(sfDir)}}"""
+        s""""errors":$errJson,"n_failed":${errors.size},"sf":${q(sfDir)},""" +
+        s""""loadavg_before":$loadBefore,"loadavg_after":${loadavg()}}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
     spark.stop()

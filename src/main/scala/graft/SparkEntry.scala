@@ -971,6 +971,15 @@ object SparkEntry {
     "q_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables(s, dir).documents, n = 2)
         .orderBy(col("source"))),
+    // Per-source tokenizer fertility (chars/token, exact integer ppm).
+    "q_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(Tables(s, dir).documents)
+        .orderBy(col("source"))),
+    // Per-source unigram drift vs the corpus (hashed-bucket TV distance,
+    // exact integer ppm) — the mixture-planning ranking.
+    "q_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables(s, dir).documents, dim = 64)
+        .orderBy(col("source"))),
     // CCNet-style cross-corpus likelihood: LM trained on the 3/4
     // reference split scores the held-out 1/4 — integer-ratio scores.
     "q_lm_score" -> { (s, dir) =>
@@ -1139,6 +1148,17 @@ object SparkEntry {
           floor(col("proto_cosine") * lit(1000000.0)).as("proto_ppm"),
           col("outlier"))
         .orderBy(col("vec_id"))
+    },
+    // Hard-negative mining: per anchor, the top-5 most-similar same-cell
+    // vectors BELOW the dup threshold — served from the same shared
+    // quantizer as the rest of the cell family; centroids replayed as
+    // literals, cosines column⋈column (bit-exact cross-engine).
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = semdCentroids(s, dir)
+      hardNegStash = Some(cents)
+      Similarity.hardNegatives(emb, cents, tauDup = 0.4, k = 5)
+        .orderBy(col("anchor_id"), col("rank"))
     },
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).
@@ -1485,6 +1505,9 @@ object SparkEntry {
   /** Centroids stashed by the q_cell_outliers run — same contract. */
   @volatile private var cellOutStash: Option[Array[Array[Double]]] = None
 
+  /** Centroids stashed by the q_hard_negatives run — same contract. */
+  @volatile private var hardNegStash: Option[Array[Array[Double]]] = None
+
   /** Shortest round-trip double literal — DuckDB parses Java's toString
     * form (incl. scientific notation) back to the identical IEEE bits.
     */
@@ -1555,6 +1578,7 @@ object SparkEntry {
     pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
       mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
+      hardNegStash.map(c => "q_hard_negatives" -> hardNegativesOracleSql(c)).toMap ++
       cellStatsStash.map(c => "q_cell_stats" -> cellStatsOracleSql(c)).toMap ++
       cellOutStash.map(c => "q_cell_outliers" -> cellOutliersOracleSql(c)).toMap ++
       clsWeightsStash.map(w => "q_quality_classifier" -> classifierOracleSql(w)).toMap ++
@@ -1699,6 +1723,35 @@ object SparkEntry {
        |FROM top x JOIN top y ON x.vec_a = y.vec_b AND x.vec_b = y.vec_a
        |WHERE x.vec_a < x.vec_b
        |ORDER BY x.vec_a, x.vec_b""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.hardNegatives]]: same
+    * cell assignment as [[semDedupOracleSql]], same-cell pairs filtered
+    * to cosine < tauDup (column⋈column dots — bit-exact cross-engine),
+    * per-anchor top-5 by cosine desc with negative-id tiebreak.
+    */
+  private def hardNegativesOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, d, nrm, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, d, nrm, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1),
+       |sc AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+       |              list_dot_product(a.d, b.d) / (a.nrm * b.nrm) AS cosine
+       |       FROM asg a JOIN asg b
+       |         ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |       WHERE list_dot_product(a.d, b.d) / (a.nrm * b.nrm) < 0.4)
+       |SELECT anchor_id, negative_id, cosine, rank FROM (
+       |  SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |           ORDER BY cosine DESC, negative_id) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY anchor_id, rank""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Similarity.cellStats]]: same cell
@@ -3292,6 +3345,44 @@ object SparkEntry {
          |       CAST((1000000::HUGEINT * COUNT(DISTINCT g)) // COUNT(*) AS BIGINT)
          |         AS ttr_ppm
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_fertility" ->
+      s"""$ToksCte,
+         |f AS (SELECT d.source AS source, d.n_chars AS n_chars,
+         |             CAST(len(t.toks) AS BIGINT) AS n_toks
+         |      FROM toks t JOIN documents d USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+         |       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS sum_tokens,
+         |       CASE WHEN COALESCE(SUM(n_toks), 0) = 0 THEN NULL
+         |            ELSE CAST((1000000::HUGEINT * CAST(SUM(n_chars) AS HUGEINT))
+         |                        // CAST(SUM(n_toks) AS HUGEINT) AS BIGINT) END
+         |         AS cpt_ppm
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q_source_divergence" ->
+      s"""$ToksCte,
+         |tok AS (SELECT source, ${h60Sql("t")} % 64 AS bucket FROM (
+         |          SELECT d.source AS source, unnest(tk.toks) AS t
+         |          FROM toks tk JOIN documents d USING (doc_id))),
+         |sc AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c_sb
+         |       FROM tok GROUP BY 1, 2),
+         |corpus AS (SELECT bucket, CAST(SUM(c_sb) AS BIGINT) AS c_b
+         |           FROM sc GROUP BY 1),
+         |totals AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS t_s
+         |           FROM sc GROUP BY 1),
+         |consts AS (SELECT CAST(SUM(c_b) AS BIGINT) AS t_all FROM corpus),
+         |j AS (SELECT g.source, g.t_s, g.c_b, COALESCE(sc.c_sb, 0) AS c_sb, consts.t_all
+         |      FROM (SELECT totals.source, totals.t_s, corpus.bucket, corpus.c_b
+         |            FROM totals CROSS JOIN corpus) g
+         |      LEFT JOIN sc ON sc.source = g.source AND sc.bucket = g.bucket
+         |      CROSS JOIN consts)
+         |SELECT source, MAX(t_s) AS n_tokens,
+         |       CAST(SUM(CASE WHEN c_sb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_buckets_hit,
+         |       CAST(SUM(ABS(
+         |           CAST((1000000::HUGEINT * c_sb) // t_s AS BIGINT)
+         |           - CAST((1000000::HUGEINT * c_b) // t_all AS BIGINT)))
+         |         AS BIGINT) AS tv2_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |              date_trunc('microseconds', ts) AS ts FROM events),

@@ -857,6 +857,53 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training data — the batch-
+    * construction step of DPR (Karpukhin et al. 2020, arXiv:2004.04906)
+    * and the triplet-selection intuition of FaceNet's "semi-hard"
+    * negatives (Schroff et al. 2015, arXiv:1503.03832): for each anchor
+    * vector, the k most-similar SAME-CELL vectors whose cosine is BELOW
+    * the duplicate threshold `tauDup` — near enough to be informative
+    * negatives, far enough not to be latent positives (the semDedup
+    * threshold re-appears as the exclusion bound: anything ≥ tauDup is a
+    * near-duplicate, poison in a negative set). Within-cell only, by the
+    * same cost model as [[semDedup]]/[[mutualKnn]]: the informative
+    * negatives ARE the same-cell neighbors — cross-cell vectors are the
+    * easy negatives random sampling already provides for free.
+    *
+    * Output (anchor_id, negative_id, cosine, rank), rank 1..≤k per
+    * anchor (anchors whose cell holds fewer than k sub-threshold
+    * neighbors yield fewer rows; singleton cells yield none), ties by
+    * negative id — fully deterministic.
+    *
+    * Scale shape: [[mutualKnn]] minus the reciprocity join — one
+    * [[blockedCellPairs]] enumeration (mega-cells valved at
+    * maxCellSize²-expected per-task work), one per-anchor top-k window
+    * (group ≤ cell size, never global).
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      tauDup: Double,
+      k: Int,
+      maxCellSize: Int = 4096): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    blockedCellPairs(e, maxCellSize)
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a").as("anchor_id"), col("vec_b").as("negative_id"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
+      .filter(col("cosine") < tauDup)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine").desc, col("negative_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Distance-to-centroid prototypicality scoring — the SemDeDup paper's
     * third readout (alongside the dedup sweep and the drift signal):
     * each vector's cosine to its OWN cell centroid measures how

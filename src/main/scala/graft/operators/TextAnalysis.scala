@@ -1159,6 +1159,89 @@ object TextAnalysis {
           col("n_tokens").cast(d38)).as("oov_ppm"))
   }
 
+  /** Per-source tokenizer-fertility readout: characters per token — the
+    * tokenizer-efficiency signal a curation run reads per source before
+    * committing a token budget (Rust et al. 2021, arXiv:2012.15613 call
+    * this fertility; low chars/token on prose-like text flags a source
+    * the tokenizer fragments, very high values flag unsegmentable junk —
+    * minified code, base64 blobs, CJK without spaces). All checked values
+    * are exact integers: doc/char/token sums plus
+    * cpt_ppm = ⌊10^6·Σchars/Σtokens⌋ via the DECIMAL(38,0)+div pattern
+    * (10^6·Σchars passes int64 at corpus scale). A source whose every
+    * document tokenizes to zero tokens reports NULL cpt_ppm on both
+    * engines (no fertility is defined), never a divide error.
+    *
+    * Scale shape: one narrow per-row projection (no explode — size() on
+    * the token array) and one source-keyed aggregation, map-side
+    * combinable; output is dimension-sized (one row per source).
+    */
+  def fertility(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    docs
+      .select(col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("sum_tokens"))
+      .withColumn("cpt_ppm",
+        when(col("sum_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * col("sum_chars").cast(d38),
+            col("sum_tokens").cast(d38))))
+  }
+
+  /** Per-source distribution drift vs the whole corpus — the
+    * mixture-planning readout that ranks sources by how far their
+    * unigram distribution sits from the corpus average (the CCNet/DSIR
+    * importance-weighting signal lifted from per-document to per-source
+    * granularity): tokens hash into `dim` buckets (the [[Curate]] DSIR
+    * model shape), and each source's bucket histogram is compared to the
+    * corpus-wide histogram by total-variation distance over the hashed
+    * buckets. The emitted `tv2_ppm` = Σ_b |⌊10^6·c_sb/T_s⌋ −
+    * ⌊10^6·c_b/T⌋| is exactly 2·TV·10^6 up to per-bucket floor rounding
+    * — an integer in [0, 2·10^6], monotone in drift, bit-replayable
+    * cross-engine (each term a DECIMAL(38,0) floor division; no float
+    * touches a checked value). The corpus histogram INCLUDES the source
+    * itself (drift vs the published mixture, the quantity a reweighting
+    * actually changes); sources with zero tokens are absent.
+    *
+    * Scale shape: one explode into a (source, bucket)-keyed partial
+    * aggregation — the only corpus-sized pass; everything after operates
+    * on the (sources × dim)-row histogram: the corpus histogram and
+    * per-source totals derive from it (pinned once), the zero-bucket
+    * scaffold is a totals × broadcast(dim-row histogram) product, and
+    * the 1-row corpus total rides a broadcast. Output is one row per
+    * source.
+    */
+  def sourceDivergence(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 1, "dim must be at least 1")
+    val d38 = "decimal(38,0)"
+    val sc = Pins.pin(docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("source"), pmod(h60(col("t")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c_sb")))
+    val corpus = sc.groupBy(col("bucket")).agg(sum(col("c_sb")).as("c_b"))
+    val totals = sc.groupBy(col("source")).agg(sum(col("c_sb")).as("t_s"))
+    val consts = corpus.agg(coalesce(sum(col("c_b")), lit(0L)).as("t_all"))
+    def ppm(c: Column, t: Column): Column = call_function("div",
+      lit(1000000L).cast(d38) * c.cast(d38), t.cast(d38))
+    totals
+      .crossJoin(broadcast(corpus)) // dim-row build side: the zero-bucket scaffold
+      .join(sc, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("source"), col("t_s"),
+        coalesce(col("c_sb"), lit(0L)).as("c_sb"), col("c_b"), col("t_all"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("t_s")).as("n_tokens"),
+        sum(when(col("c_sb") > 0L, 1L).otherwise(0L)).as("n_buckets_hit"),
+        sum(abs(ppm(col("c_sb"), col("t_s")) - ppm(col("c_b"), col("t_all"))))
+          .cast("long").as("tv2_ppm"))
+  }
+
   /** Rare-token suppression — the memorization-mitigation scrub: tokens
     * whose corpus document frequency is below `minDf` are replaced by a
     * sentinel, because ultra-rare strings (serials, keys, one-off names)

@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     // the bm25 family: 1-row (n_docs, a_tokens) corpus-stats aggregate
     // crossJoined per posting (visible since the audit view sees through
     // their trailing pins)
-    "q_bm25", "q_bm25_multi", "q_bm25_weighted", "q_bm25_stored")
+    "q_bm25", "q_bm25_multi", "q_bm25_weighted", "q_bm25_stored",
+    // dim-row bucket-scaffold product + 1-row corpus-total broadcast
+    "q_source_divergence")
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"

@@ -385,6 +385,86 @@ class TextOpsSpec extends SparkSpec {
     assert(unvalved.nonEmpty)
   }
 
+  test("hardNegatives mines top-k same-cell sub-threshold neighbors, dup-free and deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val tau = 0.4
+    val k = 3
+    val out = Similarity.hardNegatives(emb, cents, tau, k)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // no near-duplicate leaks into the negative set; ranks contiguous from 1
+    assert(out.forall(_._3 < tau))
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._4).sorted == (1L to rows.size.toLong), s"anchor $a ranks")
+    }
+    // naive driver replay: same-cell, sub-threshold, cosine-desc/id-asc top-k
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def d(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+    // bit-identical to the engine: dot / (nrm_a * nrm_b) with each norm
+    // its own sqrt — sqrt(x)·sqrt(y) differs from sqrt(x·y) at ulp level
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    def cell(v: Seq[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).foldLeft(0.0) { case (s, (p, q)) => s + p * q }, i)
+      }.max._2
+    val byCell = vecs.groupBy(v => cell(v._2))
+    val expect: Set[(Long, Long, Double, Long)] = byCell.values.toSeq.flatMap {
+      vs: Array[(Long, Seq[Float])] =>
+        vs.toSeq.flatMap { case (id, v) =>
+          vs.toSeq
+            .collect { case (id2, v2) if id2 != id => (id2, cos(v, v2)) }
+            .filter { case (_, c) => c < tau }
+            .sortBy { case (id2, c) => (-c, id2) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((n, c), i) => (id, n, c, i.toLong + 1L) }
+        }
+    }.toSet
+    assert(out.toSet === expect)
+    assert(out.nonEmpty, "tau too low: test exercises nothing")
+  }
+
+  test("fertility reports exact per-source char/token sums; zero-token source gets NULL cpt") {
+    val d = Seq(
+      (1L, "ab cd", "s1", 5L), (2L, "x", "s1", 1L),
+      (3L, "hello world", "s2", 11L),
+      (4L, "", "s3", 0L), (5L, "  ", "s3", 2L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.fertility(d).orderBy("source")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      ("s1", 2L, 6L, 3L, Some(2000000L)),  // 6 chars / 3 tokens
+      ("s2", 1L, 11L, 2L, Some(5500000L)), // 11 / 2
+      ("s3", 2L, 2L, 0L, None)))           // tokenizes to nothing
+  }
+
+  test("sourceDivergence: zero for a distribution-matching source, large for a disjoint one") {
+    // s_same mirrors the corpus-dominant tokens; s_diff is disjoint junk
+    val base = (1L to 20L).map(i => (i, "aa bb cc dd", "s_a"))
+    val same = (21L to 40L).map(i => (i, "aa bb cc dd", "s_b"))
+    val diff = (41L to 44L).map(i => (i, "zz yy xx ww", "s_diff"))
+    val d = (base ++ same ++ diff).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.sourceDivergence(d, dim = 64)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("s_a")._2 === 80L) // 20 docs × 4 tokens
+    // tv2 bounded by 2e6 and ordered: matching sources drift far less
+    // than the disjoint one (whose mass sits wholly off the corpus mode)
+    assert(out.forall(_._4 <= 2000000L))
+    assert(m("s_a")._4 === m("s_b")._4) // identical distributions, equal drift
+    assert(m("s_diff")._4 > m("s_a")._4 * 5)
+    // a single-source corpus has zero drift by construction (p ≡ q)
+    val solo = TextAnalysis.sourceDivergence(
+      base.toDF("doc_id", "text", "source"), dim = 16)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(solo === Seq(("s_a", 80L, solo.head._3, 0L)))
+  }
+
   test("cellOutliers scores cosine to the OWN cell centroid; flag below tau") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
