@@ -1160,6 +1160,22 @@ object SparkEntry {
       Similarity.hardNegatives(emb, cents, tauDup = 0.4, k = 5)
         .orderBy(col("anchor_id"), col("rank"))
     },
+    // Per-cell label purity: majority label + share ppm per learned cell.
+    "q_cell_purity" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = semdCentroids(s, dir)
+      cellPurityStash = Some(cents)
+      Similarity.cellPurity(emb, cents).orderBy(col("cell"))
+    },
+    // kNN label audit: same-cell top-5 neighbor vote vs own label — the
+    // mislabel-suspect review queue.
+    "q_label_audit" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = semdCentroids(s, dir)
+      labelAuditStash = Some(cents)
+      Similarity.knnLabelAudit(emb, cents, k = 5)
+        .orderBy(col("vec_id"))
+    },
     // HyperLogLog register table — pure integer arithmetic, replayed
     // bit-for-bit; the float estimate stays engine-side (spec-bounded).
     "q_hll" -> ((s, dir) =>
@@ -1508,6 +1524,12 @@ object SparkEntry {
   /** Centroids stashed by the q_hard_negatives run — same contract. */
   @volatile private var hardNegStash: Option[Array[Array[Double]]] = None
 
+  /** Centroids stashed by the q_cell_purity run — same contract. */
+  @volatile private var cellPurityStash: Option[Array[Array[Double]]] = None
+
+  /** Centroids stashed by the q_label_audit run — same contract. */
+  @volatile private var labelAuditStash: Option[Array[Array[Double]]] = None
+
   /** Shortest round-trip double literal — DuckDB parses Java's toString
     * form (incl. scientific notation) back to the identical IEEE bits.
     */
@@ -1579,6 +1601,8 @@ object SparkEntry {
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
       mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
       hardNegStash.map(c => "q_hard_negatives" -> hardNegativesOracleSql(c)).toMap ++
+      cellPurityStash.map(c => "q_cell_purity" -> cellPurityOracleSql(c)).toMap ++
+      labelAuditStash.map(c => "q_label_audit" -> labelAuditOracleSql(c)).toMap ++
       cellStatsStash.map(c => "q_cell_stats" -> cellStatsOracleSql(c)).toMap ++
       cellOutStash.map(c => "q_cell_outliers" -> cellOutliersOracleSql(c)).toMap ++
       clsWeightsStash.map(w => "q_quality_classifier" -> classifierOracleSql(w)).toMap ++
@@ -1752,6 +1776,81 @@ object SparkEntry {
        |           ORDER BY cosine DESC, negative_id) AS rank
        |  FROM sc) WHERE rank <= 5
        |ORDER BY anchor_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.cellPurity]]: literal-
+    * centroid assignment, (cell, label) counts, per-cell argmax with the
+    * smaller-label tiebreak, purity as HUGEINT floor division.
+    */
+  private def cellPurityOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1),
+       |lab AS (SELECT a.cell, em.label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM asg a JOIN embeddings em USING (vec_id) GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n FROM lab GROUP BY 1)
+       |SELECT l.cell, t.n, l.label AS majority_label, l.cnt AS majority_cnt,
+       |       CAST((1000000::HUGEINT * l.cnt) // t.n AS BIGINT) AS purity_ppm
+       |FROM (SELECT lab.*, ROW_NUMBER() OVER (PARTITION BY cell
+       |              ORDER BY cnt DESC, label) AS rn FROM lab) l
+       |JOIN tot t USING (cell)
+       |WHERE l.rn = 1 ORDER BY l.cell""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.knnLabelAudit]]: same
+    * cell assignment and same-cell top-5-by-cosine as
+    * [[mutualKnnOracleSql]] (column⋈column dots — bit-exact), then the
+    * neighbor-label vote with the smaller-label tiebreak and the
+    * own-votes left join.
+    */
+  private def labelAuditOracleSql(cents: Array[Array[Double]]): String = {
+    val lit2 = cents.map(_.map(dbl).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""$EmbCte,
+       |ct AS (SELECT $lit2::DOUBLE[][] AS cs),
+       |asg AS (
+       |  SELECT vec_id, d, nrm, CAST(i - 1 AS INT) AS cell FROM (
+       |    SELECT vec_id, d, nrm, i,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY list_dot_product(cs[CAST(i AS INT)], d) DESC, i DESC) AS rn
+       |    FROM e CROSS JOIN ct CROSS JOIN range(1, ${cents.length + 1}) t(i))
+       |  WHERE rn = 1),
+       |sc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |              list_dot_product(a.d, b.d) / (a.nrm * b.nrm) AS cosine
+       |       FROM asg a JOIN asg b
+       |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |top AS (SELECT vec_a, vec_b FROM (
+       |          SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY vec_a
+       |                   ORDER BY cosine DESC, vec_b) AS rnk
+       |          FROM sc) WHERE rnk <= 5),
+       |votes AS (SELECT t.vec_a, em.label AS lbl_b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM top t JOIN embeddings em ON em.vec_id = t.vec_b
+       |          GROUP BY 1, 2),
+       |tot AS (SELECT vec_a, CAST(SUM(cnt) AS BIGINT) AS n_votes
+       |        FROM votes GROUP BY 1),
+       |win AS (SELECT vec_a, lbl_b AS pred_label, cnt AS pred_votes FROM (
+       |          SELECT votes.*, ROW_NUMBER() OVER (PARTITION BY vec_a
+       |                   ORDER BY cnt DESC, lbl_b) AS rn
+       |          FROM votes) WHERE rn = 1),
+       |own AS (SELECT v.vec_a, v.cnt AS own_votes
+       |        FROM votes v JOIN embeddings em
+       |          ON em.vec_id = v.vec_a AND em.label = v.lbl_b)
+       |SELECT w.vec_a AS vec_id, em.label, w.pred_label, t.n_votes,
+       |       w.pred_votes, COALESCE(o.own_votes, 0) AS own_votes,
+       |       (w.pred_label <> em.label) AS suspect
+       |FROM win w
+       |JOIN embeddings em ON em.vec_id = w.vec_a
+       |JOIN tot t ON t.vec_a = w.vec_a
+       |LEFT JOIN own o ON o.vec_a = w.vec_a
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Similarity.cellStats]]: same cell

@@ -946,6 +946,110 @@ object Similarity {
         (col("proto_cosine") < tau).as("outlier"))
   }
 
+  /** Per-cell label purity — the clustering-vs-labels agreement readout
+    * (the homogeneity half of V-measure, Rosenberg & Hirschberg 2007,
+    * reported per cell instead of corpus-averaged so the IMPURE cells are
+    * actionable): for each learned cell, its size, majority label, and
+    * majority share in exact integer ppm. Low-purity cells localize
+    * label noise or genuinely mixed semantic regions — the slices a
+    * curation run sends to [[knnLabelAudit]] / review first. Ties break
+    * to the SMALLER label (deterministic). Expects a `label` column.
+    *
+    * Scale shape: one narrow assignment pass, one (cell, label)-keyed
+    * count, one per-cell argmax window over ≤ |labels| rows per cell —
+    * output is numCells rows.
+    */
+  def cellPurity(
+      embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val counts = embeddings
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("cnt").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n"),
+        col("label").as("majority_label"), col("cnt").as("majority_cnt"),
+        call_function("div",
+          lit(1000000L).cast(d38) * col("cnt").cast(d38),
+          col("n").cast(d38)).cast("long").as("purity_ppm"))
+  }
+
+  /** kNN label audit — Confident-Learning-flavored label-error detection
+    * (Northcutt et al. 2019, arXiv:1911.00068's intuition on an exact
+    * neighborhood vote): each vector's k nearest SAME-CELL neighbors by
+    * cosine vote with their labels; a vector whose own label loses the
+    * vote is a mislabel suspect (or sits on a genuine class boundary) —
+    * the review queue a labeled-data curation pass works through.
+    * Deterministic end to end: neighbor top-k ties break by neighbor id,
+    * vote ties by the SMALLER label. Vectors with no same-cell neighbor
+    * are absent (no vote is defined). Output per vector: label,
+    * pred_label, n_votes (≤ k), pred_votes, own_votes, suspect.
+    *
+    * Scale shape: one [[blockedCellPairs]] enumeration (mega-cells
+    * valved), one per-anchor top-k window, one (anchor, label)-keyed
+    * count, one per-anchor argmax window — every window keyed by the
+    * anchor, never global.
+    */
+  def knnLabelAudit(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      maxCellSize: Int = 4096): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+      .withColumn("cell", nearestCell(col("embedding"), centroids))
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"), col("nrm"))
+    // blockedCellPairs carries (vec_id, embedding, nrm) per side; labels
+    // rejoin afterwards on the (tiny) id->label map to keep the valve
+    // helper's contract unchanged
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val top = blockedCellPairs(e, maxCellSize)
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_a"))
+          .orderBy(col("cosine").desc, col("vec_b"))))
+      .filter(col("rnk") <= k)
+    val votes = top
+      .join(labels.select(col("vec_id").as("vec_b"), col("label").as("lbl_b")),
+        Seq("vec_b"))
+      .groupBy(col("vec_a"), col("lbl_b"))
+      .agg(count(lit(1)).as("cnt"))
+    val tallied = votes
+      .withColumn("n_votes", sum(col("cnt")).over(
+        Window.partitionBy(col("vec_a"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_a"))
+          .orderBy(col("cnt").desc, col("lbl_b"))))
+    // votes the anchor's OWN label received (absent → 0, not a lost row)
+    val ownVotes = votes
+      .join(labels.select(col("vec_id").as("vec_a"), col("label")), Seq("vec_a"))
+      .filter(col("lbl_b") === col("label"))
+      .select(col("vec_a").as("vec_id"), col("cnt").as("own_votes"))
+    tallied
+      .filter(col("rn") === 1)
+      .select(col("vec_a").as("vec_id"), col("lbl_b").as("pred_label"),
+        col("cnt").as("pred_votes"), col("n_votes"))
+      .join(labels, Seq("vec_id"))
+      .join(ownVotes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("n_votes"), col("pred_votes"),
+        coalesce(col("own_votes"), lit(0L)).as("own_votes"),
+        (col("pred_label") =!= col("label")).as("suspect"))
+  }
+
   // ------------------------------------------------- index persistence
 
   /** Persist a trained IVF index as parquet tables so it outlives the

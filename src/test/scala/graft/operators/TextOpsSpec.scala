@@ -427,6 +427,84 @@ class TextOpsSpec extends SparkSpec {
     assert(out.nonEmpty, "tau too low: test exercises nothing")
   }
 
+  test("cellPurity reports per-cell majority label and exact ppm share, smaller-label ties") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val out = Similarity.cellPurity(emb, cents)
+      .as[(Int, Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._1).distinct.size === out.size) // one row per cell
+    assert(out.map(_._2).sum === emb.count())        // cells partition the corpus
+    // driver replay of counts + argmax
+    val vecs = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cell(v: Seq[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).foldLeft(0.0) { case (s, (p, q)) => s + p * q }, i)
+      }.max._2
+    val expect = vecs.groupBy(v => cell(v._2)).map { case (c, vs) =>
+      val byLabel = vs.groupBy(_._3).map { case (l, g) => (l, g.size.toLong) }
+      val (ml, mc) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (c, vs.size.toLong, ml, mc, 1000000L * mc / vs.size)
+    }.toSet
+    assert(out.toSet === expect)
+    // explicit tie case: two labels at equal count → smaller label wins
+    val tie = Seq(
+      (1L, Seq.fill(4)(1.0f), 7), (2L, Seq.fill(4)(1.0f), 3),
+      (3L, Seq.fill(4)(1.0f), 7), (4L, Seq.fill(4)(1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val one = Array(Array.fill(4)(0.5))
+    val t = Similarity.cellPurity(tie, one)
+      .as[(Int, Long, Int, Long, Long)].collect().toSeq
+    assert(t === Seq((0, 4L, 3, 2L, 500000L)))
+  }
+
+  test("knnLabelAudit flags vectors whose same-cell neighbor vote disagrees with their label") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
+    val k = 5
+    val out = Similarity.knnLabelAudit(emb, cents, k)
+      .as[(Long, Int, Int, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1).distinct.size === out.size)
+    assert(out.forall(r => r._4 <= k && r._5 >= 1 && r._5 <= r._4 && r._6 <= r._4))
+    assert(out.forall(r => r._7 === (r._2 != r._3)))
+    // driver replay: same-cell cosine top-k, label vote, smaller-label tie
+    val vecs = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def d(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    def cell(v: Seq[Float]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).foldLeft(0.0) { case (s, (p, q)) => s + p * q }, i)
+      }.max._2
+    val expect: Set[(Long, Int, Int, Long, Long, Long, Boolean)] =
+      vecs.groupBy(v => cell(v._2)).values.toSeq.flatMap {
+        vs: Array[(Long, Seq[Float], Int)] =>
+          vs.toSeq.flatMap { case (id, v, lbl) =>
+            val neigh = vs.toSeq
+              .collect { case (id2, v2, l2) if id2 != id => (id2, cos(v, v2), l2) }
+              .sortBy { case (id2, c, _) => (-c, id2) }
+              .take(k)
+            if (neigh.isEmpty) None
+            else {
+              val byLabel = neigh.groupBy(_._3).map { case (l, g) => (l, g.size.toLong) }
+              val (pl, pv) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+              Some((id, lbl, pl, neigh.size.toLong, pv,
+                byLabel.getOrElse(lbl, 0L), pl != lbl))
+            }
+          }
+      }.toSet
+    assert(out.toSet === expect)
+    assert(out.exists(_._7), "no suspects found: audit exercises nothing")
+    // the synthetic labels are (near-)independent of embedding geometry,
+    // so self-agreement sits near the 1/|labels| random-vote floor — the
+    // audit must still find SOME agreement, and flag most rows suspect
+    assert(out.exists(!_._7), "no self-agreement at all")
+    assert(out.count(_._7) > out.size / 2,
+      "uncorrelated labels should make most rows suspects")
+  }
+
   test("fertility reports exact per-source char/token sums; zero-token source gets NULL cpt") {
     val d = Seq(
       (1L, "ab cd", "s1", 5L), (2L, "x", "s1", 1L),
