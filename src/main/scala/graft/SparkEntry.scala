@@ -1181,6 +1181,17 @@ object SparkEntry {
     "q_hll" -> ((s, dir) =>
       Sketches.hllRegisters(Tables(s, dir).events, col("user_id"), p = 9)
         .orderBy(col("bucket"))),
+    // Cross-corpus overlap state: HLL registers of the two doc-id-parity
+    // halves keyed by TEXT (shared duplicate texts are the true
+    // intersection) — the dedup-planning readout; registers pure integer,
+    // estimates engine-side (spec-bounded).
+    "q_hll_overlap" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sketches.hllOverlapRegisters(
+        d.filter(col("doc_id") % 2 === 0), col("text"),
+        d.filter(col("doc_id") % 2 === 1), col("text"), p = 9)
+        .orderBy(col("bucket"))
+    },
     // Per-key z-score outliers over events.value (deterministic moments).
     "q_outliers" -> ((s, dir) =>
       Diagnostics.outliers(Tables(s, dir).events,
@@ -3669,6 +3680,27 @@ object SparkEntry {
          |      FROM s)
          |SELECT bucket, MAX(rho) AS rho_max FROM r
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_hll_overlap" ->
+      s"""WITH ha AS (SELECT ${h60Sql("text")} & 4294967295 AS h32
+         |            FROM documents WHERE doc_id % 2 = 0),
+         |sa AS (SELECT h32 >> 23 AS bucket, h32 & 8388607 AS suffix FROM ha),
+         |ra AS (SELECT bucket,
+         |         MAX(CAST(CASE WHEN suffix = 0 THEN 24
+         |             ELSE 23 - (length(bin(suffix)) - 1) END AS BIGINT)) AS rho_a
+         |       FROM sa GROUP BY 1),
+         |hb AS (SELECT ${h60Sql("text")} & 4294967295 AS h32
+         |            FROM documents WHERE doc_id % 2 = 1),
+         |sb AS (SELECT h32 >> 23 AS bucket, h32 & 8388607 AS suffix FROM hb),
+         |rb AS (SELECT bucket,
+         |         MAX(CAST(CASE WHEN suffix = 0 THEN 24
+         |             ELSE 23 - (length(bin(suffix)) - 1) END AS BIGINT)) AS rho_b
+         |       FROM sb GROUP BY 1)
+         |SELECT COALESCE(ra.bucket, rb.bucket) AS bucket,
+         |       COALESCE(rho_a, 0) AS rho_a,
+         |       COALESCE(rho_b, 0) AS rho_b,
+         |       GREATEST(COALESCE(rho_a, 0), COALESCE(rho_b, 0)) AS rho_union
+         |FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket
+         |ORDER BY bucket""".stripMargin,
     "q_outliers" ->
       """WITH m AS (
         |  SELECT event_type AS etype, COUNT(*) AS n,

@@ -214,6 +214,48 @@ object Sketches {
     * harmonic-mean estimate with the standard small-range linear-counting
     * correction (empty buckets counted against 2^p).
     */
+  /** Cross-corpus overlap state — the dedup-planning readout: BEFORE
+    * paying a cross-dedup run between two corpora, estimate |A|, |B|,
+    * |A∪B| and (by inclusion–exclusion) |A∩B| from HLL register tables
+    * each side can maintain per micro-batch (merge = per-bucket max, the
+    * [[hllRegistersBy]] contract). One row per bucket present in either
+    * side: (bucket, rho_a, rho_b, rho_union) with the absent side's
+    * register 0 (the empty-register value, exactly what a dense HLL
+    * stores) — pure mergeable integers, engine-portable; the float
+    * cardinality estimates derive via [[hllOverlapEstimate]] and are
+    * spec-bounded like every HLL estimate.
+    *
+    * Scale shape: two corpus-sized passes collapse into ≤ 2^p-row
+    * register tables before the full-outer equi-join — the join moves
+    * sketch rows, never corpus rows.
+    */
+  def hllOverlapRegisters(
+      a: DataFrame, keyA: Column,
+      b: DataFrame, keyB: Column, p: Int = 9): DataFrame = {
+    val ra = hllRegisters(a, keyA, p)
+      .select(col("bucket"), col("rho_max").as("rho_a"))
+    val rb = hllRegisters(b, keyB, p)
+      .select(col("bucket"), col("rho_max").as("rho_b"))
+    ra.join(rb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("rho_a"), lit(0L)).as("rho_a"),
+        coalesce(col("rho_b"), lit(0L)).as("rho_b"),
+        greatest(coalesce(col("rho_a"), lit(0L)), coalesce(col("rho_b"), lit(0L)))
+          .as("rho_union"))
+  }
+
+  /** (est_a, est_b, est_union, est_intersect) from an
+    * [[hllOverlapRegisters]] table; intersect = max(0, a + b − union).
+    * Inclusion–exclusion compounds the three estimates' error — treat a
+    * small intersect on large corpora as "≈ disjoint", not a count.
+    */
+  def hllOverlapEstimate(regs: DataFrame, p: Int = 9): (Double, Double, Double, Double) = {
+    def est(c: String) = hllEstimate(
+      regs.select(col("bucket"), col(c).as("rho_max")).filter(col("rho_max") > 0), p)
+    val (ea, eb, eu) = (est("rho_a"), est("rho_b"), est("rho_union"))
+    (ea, eb, eu, math.max(0.0, ea + eb - eu))
+  }
+
   def hllEstimate(registers: DataFrame, p: Int = 9): Double = {
     val m = 1 << p
     val rows = registers.select(col("bucket"), col("rho_max"))

@@ -112,6 +112,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The stored-BM25 serving claim, asserted mechanically: the postings
+    * scan must carry the query terms as a pushed-down In filter — the
+    * whole point of the index lifecycle is that serving reads matching
+    * postings, not the corpus. A regression that re-tokenizes or lifts
+    * the filter above the scan fails here, not in a bench diff.
+    */
+  test("stored BM25 serves via a pushed-down postings In-filter") {
+    val plan = operators.Pins.withAuditView {
+      SparkEntry.queries("q_bm25_stored")(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(tok")),
+      "postings scan lost the term pushdown")
+  }
+
   /** q_top_customers_per_nation must keep the two-stage salted top-k shape:
     * a partial rank within (key, salt) — spreading a hot nation across
     * `salts` tasks — before the bounded final rank. The scratch columns

@@ -479,6 +479,35 @@ class CurateSpec extends SparkSpec {
     assert(Curate.capPerKey(tiny, col("src"), col("id"), 10, "t").count() === 2)
   }
 
+  test("hllOverlapRegisters estimates |A|, |B|, |A∪B|, |A∩B| from mergeable registers") {
+    // two corpora with a KNOWN overlap: ids 0..5999 vs 4000..9999 →
+    // |A| = |B| = 6000, |A∪B| = 10000, |A∩B| = 2000
+    val a = (0L until 6000L).toDF("k")
+    val b = (4000L until 10000L).toDF("k")
+    val regs = Sketches.hllOverlapRegisters(a, col("k"), b, col("k"), p = 9).cache()
+    // union registers are the per-bucket max by construction
+    assert(regs.filter(
+      col("rho_union") =!= greatest(col("rho_a"), col("rho_b"))).count() === 0)
+    // side registers match the standalone sketches (sparse rows coalesce to 0)
+    val ra = Sketches.hllRegisters(a, col("k"), 9)
+    assert(regs.filter(col("rho_a") > 0).select(col("bucket"), col("rho_a").as("rho_max"))
+      .exceptAll(ra).count() === 0)
+    val (ea, eb, eu, ei) = Sketches.hllOverlapEstimate(regs, p = 9)
+    assert(math.abs(ea - 6000) / 6000 < 0.10, s"est |A| $ea")
+    assert(math.abs(eb - 6000) / 6000 < 0.10, s"est |B| $eb")
+    assert(math.abs(eu - 10000) / 10000 < 0.10, s"est |A∪B| $eu")
+    // inclusion-exclusion compounds error: allow 3 sketch sigmas (~1.04/√m
+    // each side) on the TRUE union scale, not the intersect scale
+    assert(math.abs(ei - 2000) < 3 * 1.04 / math.sqrt(512.0) * 10000,
+      s"est |A∩B| $ei")
+    // disjoint corpora: intersect estimate clamps at >= 0 and stays small
+    val dj = Sketches.hllOverlapRegisters(
+      (0L until 3000L).toDF("k"), col("k"),
+      (100000L until 103000L).toDF("k"), col("k"), p = 9)
+    val (_, _, _, di) = Sketches.hllOverlapEstimate(dj, p = 9)
+    assert(di >= 0.0 && di < 600.0, s"disjoint intersect $di")
+  }
+
   test("hll registers merge by max and the estimate lands within 10%") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("user_id"))
