@@ -997,6 +997,11 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(Tables(s, dir).events, FunnelSteps)
         .orderBy(col("step"))),
+    // First-order event-transition matrix (per-user lag pairing, exact
+    // integer row-normalized ppm).
+    "q_transitions" -> ((s, dir) =>
+      Analytics.transitions(Tables(s, dir).events)
+        .orderBy(col("from_type"), col("to_type"))),
     // Weekly retention cohort matrix (first-event week × active week).
     "q_retention_cohorts" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables(s, dir).events)
@@ -3493,6 +3498,21 @@ object SparkEntry {
          |           - CAST((1000000::HUGEINT * c_b) // t_all AS BIGINT)))
          |         AS BIGINT) AS tv2_ppm
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |             LEAD(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |      FROM ev),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |       CAST((1000000::HUGEINT * c.n) // t.n_from AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |              date_trunc('microseconds', ts) AS ts FROM events),

@@ -123,6 +123,39 @@ object Analytics {
         col("value").as("c_acctbal"), col("rank").as("rnk"))
       .orderBy(col("c_nationkey"), col("rnk"))
 
+  /** First-order event-transition matrix — the Markov flow readout of
+    * product analytics ("after X, users most often do Y") and the
+    * behavioral-sequence statistic a session-modeling pipeline trains
+    * on: per user, events ordered by (ts, event_id) — a total order, so
+    * the lag pairing is deterministic; each consecutive pair contributes
+    * one (from_type, to_type) count; p_ppm = ⌊10^6·n/n_from⌋ is the
+    * exact-integer row-normalized transition probability (the q_dsir
+    * div pattern, so the whole matrix replays cross-engine).
+    *
+    * Scale shape: one user-keyed window (group = that user's events —
+    * the sessionize shape; per-user volumes are human-bounded, unlike
+    * per-type), one (from, to)-keyed count (map-side combinable,
+    * |types|² rows), one broadcast join against the |types|-row totals.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        call_function("div",
+          lit(1000000L).cast(d38) * col("n").cast(d38),
+          col("n_from").cast(d38)).cast("long").as("p_ppm"))
+  }
+
   /** Ordered-step funnel over the events table: how many users reach each
     * stage, where stage i counts only events STRICTLY after that user's
     * stage-(i−1) time (earliest-completion semantics — the standard

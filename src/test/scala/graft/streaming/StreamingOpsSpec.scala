@@ -708,6 +708,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(sq === bq)
   }
 
+  test("transitions builds the per-user lag-paired Markov matrix with exact ppm rows") {
+    import graft.operators.Analytics
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: A→B→A ; u2: A→B ; u3: single event (no pair); the same-instant
+    // tie at u1's (B@2, A@2) breaks by event_id — a total order
+    val ev = Seq(
+      (1L, 10L, "A", ts(1)), (1L, 11L, "B", ts(2)), (1L, 12L, "A", ts(2)),
+      (2L, 20L, "A", ts(5)), (2L, 21L, "B", ts(6)),
+      (3L, 30L, "A", ts(9)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Analytics.transitions(ev).orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", "B", 2L, 2L, 1000000L),  // A always moves to B
+      ("B", "A", 1L, 1L, 1000000L))) // u1's B@2 → A@2 via the id tiebreak
+    // row-normalization: per from_type the ppm masses sum to ~1e6
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    assert(bySrc.values.forall(s => s > 999990L && s <= 1000000L))
+  }
+
   test("streaming funnel maintenance: per-batch frontier advance equals the one-shot funnel") {
     import graft.operators.Analytics
     import java.nio.file.{Files, Paths}
