@@ -1002,6 +1002,11 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       Analytics.transitions(Tables(s, dir).events)
         .orderBy(col("from_type"), col("to_type"))),
+    // Copied-span localization: best fingerprint diagonal per overlapping
+    // pair (MOSS alignment step) — offsets, match counts, char extents.
+    "q_winnow_spans" -> ((s, dir) =>
+      Dedup.winnowSpanPairs(Tables(s, dir).documents)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // Weekly retention cohort matrix (first-event week × active week).
     "q_retention_cohorts" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables(s, dir).events)
@@ -2739,6 +2744,39 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= n - 5 + 1 - 3
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, len(text) AS n, text,
+        |         unnest(range(1, len(text) - 5 + 2)) AS pos
+        |  FROM documents WHERE len(text) >= 8),
+        |h AS (SELECT doc_id, n, pos,
+        |             CAST('0x' || substr(md5(substr(text, CAST(pos AS INT), 5)), 1, 15)
+        |                  AS BIGINT) AS h
+        |      FROM g),
+        |wm AS (SELECT doc_id, pos AS s, n,
+        |              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |       FROM h),
+        |wmv AS (SELECT * FROM wm WHERE s <= n - 5 + 1 - 3),
+        |selpos AS (SELECT w.doc_id, w.s, w.fp, MAX(h2.pos) AS pos
+        |           FROM wmv w JOIN h h2 ON h2.doc_id = w.doc_id AND h2.h = w.fp
+        |             AND h2.pos >= w.s AND h2.pos <= w.s + 3
+        |           GROUP BY 1, 2, 3),
+        |sel AS (SELECT DISTINCT doc_id, pos, fp FROM selpos),
+        |rare AS (SELECT fp FROM sel GROUP BY fp
+        |         HAVING COUNT(DISTINCT doc_id) <= 16),
+        |kept AS (SELECT sel.* FROM sel JOIN rare USING (fp)),
+        |dg AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              a.pos - b.pos AS diag, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |              MIN(a.pos) AS lo_a, MAX(a.pos) AS hi_a
+        |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, diag, n_matches, lo_a, hi_a,
+        |       hi_a - lo_a + 5 AS span_chars
+        |FROM (SELECT dg.*, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+        |             ORDER BY n_matches DESC, diag) AS rn FROM dg)
+        |WHERE rn = 1 AND n_matches >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_winnow_overlap" ->
       """WITH g AS (
         |  SELECT doc_id, len(text) AS n, text,

@@ -754,6 +754,58 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
 
+  /** Copied-SPAN localization — the alignment step MOSS runs after
+    * [[winnowOverlapPairs]] flags a pair (Schleimer et al. §5: matching
+    * fingerprints are plotted by position; a run of matches along one
+    * DIAGONAL pos_a − pos_b = const IS a contiguous copied region,
+    * because a verbatim span shifts every shared fingerprint by the same
+    * offset). For each candidate pair this reports the best diagonal:
+    * its alignment offset, how many shared fingerprints sit on it, and
+    * the char extent [lo_a, hi_a] (+k−1 covers the final k-gram) of the
+    * aligned region on the a side — the evidence a reviewer opens the
+    * two documents at, instead of a bare count. Best diagonal =
+    * (most matches, then smaller offset) — deterministic; pairs whose
+    * best diagonal has fewer than `minMatches` aligned fingerprints are
+    * noise (isolated shared k-grams) and are dropped.
+    *
+    * Scale shape: the positional fingerprint table is zero-shuffle
+    * ([[TextAnalysis.winnowFingerprintsPos]]); the `maxDf` boilerplate
+    * rule doubles as the skew valve exactly as in
+    * [[winnowOverlapPairs]] (≤ maxDf² pairs per surviving fingerprint);
+    * the diagonal aggregation keys on (doc_a, doc_b, diag) and the
+    * best-diagonal window on the pair — both bounded by a pair's shared
+    * fingerprints, never corpus-sized.
+    */
+  def winnowSpanPairs(
+      docs: DataFrame,
+      minMatches: Long = 3L,
+      maxDf: Long = 16L,
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(minMatches > 0 && maxDf > 0, "minMatches/maxDf must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val fps = Pins.pin(TextAnalysis.winnowFingerprintsPos(docs, k, w))
+    val keptFp = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(keptFp, "fp")
+    kept.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos_a")).as("lo_a"), max(col("pos_a")).as("hi_a"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"))
+          .orderBy(col("n_matches").desc, col("diag"))))
+      .filter(col("rn") === 1 && col("n_matches") >= minMatches)
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("n_matches"),
+        col("lo_a"), col("hi_a"),
+        (col("hi_a") - col("lo_a") + k).as("span_chars"))
+  }
+
   /** Exact shingle-containment pairs — the ASYMMETRIC near-dup measure
     * (Broder 1997's containment vs resemblance): containment(A→B) =
     * |A∩B| / |A| stays high when a small document sits wholesale inside

@@ -255,6 +255,67 @@ object TextAnalysis {
       .toDF("doc_id", "fp")
   }
 
+  /** Positional winnowing (the form the winnowing paper actually
+    * specifies — §4 of Schleimer et al. records (min, position) pairs):
+    * like [[winnowFingerprints]] but each selected fingerprint carries
+    * the 1-based char position of its k-gram, with the RIGHTMOST minimum
+    * selected per window (the paper's robust-winnowing tie rule, which
+    * minimizes re-selections as the window slides). Positions are what
+    * turn overlap COUNTS into overlap LOCATIONS — the
+    * [[Dedup.winnowSpanPairs]] diagonal alignment consumes this table.
+    * Portable-hash only (the positional selection must replay in the
+    * oracle). Output: distinct (doc_id, pos, fp) — the same fingerprint
+    * CAN recur at several positions; same zero-shuffle per-row loop as
+    * the positionless form.
+    */
+  def winnowFingerprintsPos(
+      docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k/w must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = docs.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), col("text"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    in.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h60Of(text: String, i: Int): Long = {
+          md.reset()
+          val d = md.digest(
+            text.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val top =
+            ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          top >>> 4
+        }
+        it.flatMap { r =>
+          val id = r.get(0)
+          val text = r.getString(1)
+          val m = text.length - k + 1
+          val hs = new Array[Long](m)
+          var i = 0
+          while (i < m) { hs(i) = h60Of(text, i); i += 1 }
+          val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+          var s = 0
+          while (s <= m - w) {
+            var mn = hs(s)
+            var mp = s
+            var j = 1
+            // <= so a later equal value wins: the rightmost minimum
+            while (j < w) { if (hs(s + j) <= mn) { mn = hs(s + j); mp = s + j }; j += 1 }
+            sel += ((mp, mn))
+            s += 1
+          }
+          sel.iterator.map { case (p, f) => Row(id, (p + 1).toLong, f) }
+        }
+      }(Encoders.row(outSchema))
+      .toDF("doc_id", "pos", "fp")
+  }
+
   /** One learned BPE merge: rank order, the two symbols joined, and the
     * corpus-weighted count that won the rank.
     */

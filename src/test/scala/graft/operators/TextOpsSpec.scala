@@ -908,6 +908,55 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).size < shared.length + 10)
   }
 
+  test("positional winnowing selects the rightmost window minimum with its 1-based position") {
+    val d = Seq((1L, "abcdefghabcdefgh")).toDF("doc_id", "text")
+    val pos = TextAnalysis.winnowFingerprintsPos(d, k = 5, w = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every selected position addresses a real k-gram, fp = h60 of it
+    val text = "abcdefghabcdefgh"
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    pos.foreach { case (_, p, f) =>
+      assert(p >= 1 && p <= text.length - 5 + 1)
+      assert(f === h60(text.substring(p.toInt - 1, p.toInt + 4)), s"pos $p")
+    }
+    // driver replay of the rightmost-min selection
+    val hs = (0 until text.length - 4).map(i => h60(text.substring(i, i + 5)))
+    val expect = (0 to hs.length - 4).map { s =>
+      val win = (s until s + 4)
+      val mn = win.map(hs).min
+      val mp = win.filter(j => hs(j) == mn).max // rightmost
+      (1L, (mp + 1).toLong, mn)
+    }.distinct.toSet
+    assert(pos.toSet === expect)
+    // the positionless form's fingerprint SET is reproduced exactly
+    val flat = TextAnalysis.winnowFingerprints(d, 5, 4)
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(pos.map(_._3).toSet === flat)
+  }
+
+  test("winnowSpanPairs localizes a planted copied span on one diagonal") {
+    val span = "the rain in spain falls mainly on the plain!"
+    val a = s"0123 ze*ro pre&amble $span post one"
+    val b = s"completely other lead-in text .. $span tail@"
+    val c = "unrelated content with no overlap at all 999"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.winnowSpanPairs(d, minMatches = 3, maxDf = 16)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1L, 2L))) // only the copied pair
+    val (_, _, diag, n, lo, hi, spanChars) = out.head
+    // the alignment offset is exactly the difference of the span starts
+    assert(diag === (a.indexOf(span) - b.indexOf(span)).toLong)
+    assert(n >= 3L)
+    // the aligned extent sits inside the planted span on the a side
+    assert(lo >= a.indexOf(span) + 1 && hi <= a.indexOf(span) + span.length)
+    assert(spanChars === hi - lo + 5)
+    assert(spanChars <= span.length)
+  }
+
   test("fast winnowing mode keeps the shared-substring guarantee") {
     // the polynomial-hash path must give the same structural guarantee as
     // the portable mode: any k-gram hash works for winnowing, only the
