@@ -17,7 +17,8 @@ class RegistrySpec extends AnyFunSuite {
     */
   private val stashBacked =
     Set("q_pq_topk", "q_semdedup", "q_quality_classifier", "q_mutual_knn",
-      "q_cell_stats", "q_cell_outliers")
+      "q_cell_stats", "q_cell_outliers",
+      "q_hard_negatives", "q_cell_purity", "q_label_audit")
 
   test("every query has an oracle (stash-backed ones after a run); no dangling oracles") {
     val q = SparkEntry.queries.keySet
