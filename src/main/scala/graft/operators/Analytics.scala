@@ -139,7 +139,6 @@ object Analytics {
     */
   def transitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d38 = "decimal(38,0)"
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val counts = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -147,6 +146,81 @@ object Analytics {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+    transitionsFromState(counts)
+  }
+
+  /** Per-user LAST event (by the (ts, event_id) total order) — the
+    * boundary state behind [[transitionsAdvance]]. Merge of two lasts
+    * tables is the per-user argmax: commutative AND idempotent, so this
+    * half of the state tolerates any batch order/replay; only the count
+    * half carries the in-order contract.
+    */
+  def transitionLasts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Merge two [[transitionLasts]] tables (per-user argmax). */
+  def mergeTransitionLasts(a: DataFrame, b: DataFrame): DataFrame =
+    transitionLasts(a.unionByName(b))
+
+  /** Per-micro-batch maintenance of the [[transitions]] readout — the
+    * streaming twin in the [[funnelAdvance]] family. State is a PAIR of
+    * tables: the (from_type, to_type, n) counts (merge = sum — the
+    * at-least-once caveat of every counter store: replayed batches
+    * double-count; run under foreachBatch batch-id idempotence) and the
+    * per-user last-event table (argmax merge — any order). REQUIRES
+    * batches drained in event-time order per user (the append-only-log
+    * shape, [[funnelAdvance]]'s contract): each batch contributes its
+    * within-batch lag pairs plus one BOUNDARY pair per user continuing
+    * from the stored last event into the batch's first. Under that
+    * contract the accumulated counts equal the one-shot [[transitions]]
+    * counts of everything drained; [[transitionsFromState]] finishes the
+    * readout (StreamingOpsSpec asserts equality).
+    */
+  def transitionsAdvance(
+      state: Option[(DataFrame, DataFrame)],
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ordered = batch.select(
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val inner = ordered
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val batchLasts = transitionLasts(ordered)
+    state match {
+      case None => (inner, batchLasts)
+      case Some((counts, lasts)) =>
+        val firsts = ordered
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("to_type"))
+        val boundary = lasts
+          .select(col("user_id"), col("event_type").as("from_type"))
+          .join(firsts, Seq("user_id"))
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val mergedCounts = counts.unionByName(inner).unionByName(boundary)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("n"))
+        (mergedCounts, mergeTransitionLasts(lasts, batchLasts))
+    }
+  }
+
+  /** [[transitions]]' readout from a maintained counts table: totals +
+    * exact ppm (identical arithmetic to the one-shot operator).
+    */
+  def transitionsFromState(counts: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
     val totals = counts.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"))
     counts.join(broadcast(totals), Seq("from_type"))

@@ -728,6 +728,68 @@ class StreamingOpsSpec extends SparkSpec {
     assert(bySrc.values.forall(s => s > 999990L && s <= 1000000L))
   }
 
+  test("streaming transitions maintenance: per-batch advance + boundary pairs equals one-shot") {
+    import graft.operators.Analytics
+    import java.nio.file.{Files, Paths}
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // event-time-ordered batches; u1 spans ALL THREE batches (two boundary
+    // pairs), u2 spans batches 1+3 (a boundary across the gap), u3 lives
+    // in one batch only (within-batch pairs only)
+    val all = Seq(
+      (1L, 10L, "A", ts(1)), (1L, 11L, "B", ts(2)),   // batch 1
+      (2L, 20L, "A", ts(3)),
+      (1L, 12L, "C", ts(11)), (3L, 30L, "A", ts(12)), // batch 2
+      (3L, 31L, "B", ts(13)),
+      (1L, 13L, "A", ts(21)), (2L, 21L, "B", ts(22))) // batch 3
+    val batches = Seq(all.take(3), all.slice(3, 6), all.drop(6))
+    val dir = Files.createTempDirectory("graft-transtream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    def latest(kind: String): Option[String] = {
+      val d = Paths.get(s"$dir/$kind")
+      if (!Files.exists(d)) None
+      else {
+        val s = Files.list(d)
+        try s.map[String](_.toString).sorted(Ordering[String].reverse)
+          .findFirst().map[Option[String]](Some(_)).orElse(None)
+        finally s.close()
+      }
+    }
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val prev = (latest("counts"), latest("lasts")) match {
+          case (Some(c), Some(l)) =>
+            Some((spark.read.parquet(c), spark.read.parquet(l)))
+          case _ => None
+        }
+        val (counts, lasts) = Analytics.transitionsAdvance(prev, batch)
+        counts.write.parquet(f"$dir/counts/v$id%05d")
+        lasts.write.parquet(f"$dir/lasts/v$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = Analytics
+      .transitionsFromState(spark.read.parquet(latest("counts").get))
+      .as[(String, String, Long, Long, Long)].collect().sorted.toSeq
+    val oneShot = Analytics
+      .transitions(all.toDF("user_id", "event_id", "event_type", "ts"))
+      .as[(String, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed === oneShot)
+    // the cross-batch pairs actually exist: u1 B@2→C@11, C@11→A@21 and
+    // u2's gap-spanning A@3→B@22 are only derivable via the lasts state
+    assert(streamed.exists(r => r._1 == "B" && r._2 == "C"))
+    assert(streamed.exists(r => r._1 == "C" && r._2 == "A"))
+    val ab = streamed.find(r => r._1 == "A" && r._2 == "B").get
+    assert(ab._3 === 3L) // u1 in-batch + u2 boundary + u3 in-batch
+  }
+
   test("streaming funnel maintenance: per-batch frontier advance equals the one-shot funnel") {
     import graft.operators.Analytics
     import java.nio.file.{Files, Paths}
