@@ -885,6 +885,71 @@ object TextAnalysis {
     out
   }
 
+  /** Phrase-filtered BM25 — the positional-index extension every serving
+    * stack adds to bag-of-words retrieval (exact-phrase operators in
+    * Lucene/Elasticsearch; Manning et al. IR ch. 2's positional
+    * postings): documents containing the EXACT consecutive phrase,
+    * ranked by the BM25 score of the phrase's distinct terms (the
+    * standard filter-by-phrase / score-by-terms decomposition), with the
+    * occurrence count carried. Same integer-exact weighting as
+    * [[bm25TopK]] — ranking and hash replay cross-engine; the phrase
+    * test is pure integer position arithmetic (occurrences = positions p
+    * of term 1 with p+i in term i+1's position set for every i).
+    *
+    * Scale shape: the postings table gains a sorted per-(doc, term)
+    * position list — the positional-postings layout, O(tf) ints per
+    * posting, built in the SAME one explode + one keyed aggregation as
+    * the tf table (positions ride the aggregation; no extra shuffle).
+    * The phrase check runs per candidate document (those containing ALL
+    * distinct terms — a |terms|-way within-doc check, no join fan-out),
+    * and the final top-k is a bounded sort over phrase-matching docs.
+    */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    require(k > 0, "k must be positive")
+    val terms = phrase.distinct
+    val dl = docLengths(docs)
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+    val post = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("ps"))
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc term→positions map; docs missing any distinct term cannot match
+    val pmap = post
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("ps")))).as("m"),
+        count(lit(1)).as("n_present"))
+      .filter(col("n_present") === terms.size)
+    val phraseCount = size(filter(
+      element_at(col("m"), phrase.head),
+      p => phrase.zipWithIndex.tail
+        .map { case (t, i) => array_contains(element_at(col("m"), lit(t)), p + i) }
+        .reduce(_ && _))).cast("long")
+    val hits = pmap
+      .select(col("doc_id"), phraseCount.as("n_phrase"))
+      .filter(col("n_phrase") >= 1L)
+    val scored = post
+      .select(col("doc_id"), col("tok"), col("tf"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25Weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    val out = Pins.pin(hits
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("n_phrase"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    ) // eager pin: consume the dl checkpoint, then release it
+    dl.unpersist(blocking = false)
+    out
+  }
+
   /** Per-source n-gram diversity (type/token ratio): distinct n-grams /
     * total n-grams, the mixture-planning readout that flags templated or
     * SEO-spam sources (low diversity → boilerplate factory, prime

@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     // crossJoined per posting (visible since the audit view sees through
     // their trailing pins)
     "q_bm25", "q_bm25_multi", "q_bm25_weighted", "q_bm25_stored",
+    "q_phrase_bm25",
     // dim-row bucket-scaffold product + 1-row corpus-total broadcast
     "q_source_divergence")
 

@@ -1471,6 +1471,32 @@ class TextOpsSpec extends SparkSpec {
     Seq(l1, l2).foreach(_.unpersist(blocking = false))
   }
 
+  test("phraseTopK matches exact consecutive phrases only, counting occurrences") {
+    val d = Seq(
+      (1L, "a b c a b"),   // "a b" twice, "a b c" once
+      (2L, "b a"),          // both terms, wrong order
+      (3L, "a x b"),        // both terms, not adjacent
+      (4L, "c c c"),        // missing terms
+      (5L, "a a a"))        // repeated-term phrase fodder
+      .toDF("doc_id", "text")
+    val ab = TextAnalysis.phraseTopK(d, Seq("a", "b"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ab.map(_._1) === Seq(1L)) // only the true phrase match
+    assert(ab.head._2 === 2L)        // both occurrences counted
+    // 3-term phrase: the second "a b" has no trailing c
+    val abc = TextAnalysis.phraseTopK(d, Seq("a", "b", "c"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(abc.map(r => (r._1, r._2)) === Seq((1L, 1L)))
+    // repeated-term phrase: consecutive equal tokens
+    val aa = TextAnalysis.phraseTopK(d, Seq("a", "a"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(aa.map(r => (r._1, r._2)) === Seq((5L, 2L)))
+    // score equals the plain BM25 score of the same terms for that doc
+    val plainScores = TextAnalysis.bm25TopK(d, Seq("a", "b"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab.head._3 === plainScores(1L))
+  }
+
   test("bm25PerQuery weighted mode multiplies each term's weight by its query multiplicity") {
     val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
       .toDF("doc_id", "text")
