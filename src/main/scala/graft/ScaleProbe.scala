@@ -369,7 +369,21 @@ object ScaleProbe {
         val qs = Seq(1L -> Seq("vector", "vector", "stream"),
           2L -> Seq("window", "window", "batch")).toDF("query_id", "terms")
         operators.TextAnalysis.bm25PerQuery(d, qs, 10, weighted = true)
-      })
+      },
+      "phrase bm25 top-20 (2 terms)" -> (d => operators.TextAnalysis
+        .phraseTopK(d, Seq("stream", "window"), 20)),
+      // the winnow-overlap char-k-gram caveat above applies: renamed
+      // replicas demote most cross-replica spans via the df rule — read
+      // runtime scaling
+      "winnow span pairs (≥3 aligned)" ->
+        (d => operators.Dedup.winnowSpanPairs(d)),
+      "fertility per source" -> (d => operators.TextAnalysis.fertility(d)),
+      "source divergence (64 buckets)" ->
+        (d => operators.TextAnalysis.sourceDivergence(d, 64)),
+      "hll overlap (odd vs even docs)" -> (d => operators.Sketches
+        .hllOverlapRegisters(
+          d.filter(col("doc_id") % 2 === 0), col("text"),
+          d.filter(col("doc_id") % 2 === 1), col("text"), p = 9)))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents
@@ -491,6 +505,21 @@ object ScaleProbe {
           e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
         operators.Similarity.ivfTopKWithCentroids(e, col("vec_id") % 2 === 0,
           k = 3, c, nprobe = 1, broadcastQueries = false, maxCellSize = 256)
+      },
+      "hard negatives (k=3, tau=0.4)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.hardNegatives(e, c, tauDup = 0.4, k = 3)
+      },
+      "kNN label audit (k=3)" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.knnLabelAudit(e, c, k = 3)
+      },
+      "cell purity" -> { (e, f) =>
+        val c = operators.Similarity.kmeansCentroids(
+          e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
+        operators.Similarity.cellPurity(e, c)
       })
     simOps.foreach { case (name, op) =>
       val cells = embDirs.map { case (f, dir) =>

@@ -140,12 +140,14 @@ object Analytics {
   def transitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val counts = events
+    // pinned: the readout's totals and join both read the counts table —
+    // unpinned, each reference re-runs the corpus window pass
+    val counts = Pins.pin(events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     transitionsFromState(counts)
   }
 

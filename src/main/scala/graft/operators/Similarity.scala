@@ -1022,11 +1022,14 @@ object Similarity {
         Window.partitionBy(col("vec_a"))
           .orderBy(col("cosine").desc, col("vec_b"))))
       .filter(col("rnk") <= k)
-    val votes = top
+    // pinned: the winner argmax and the own-votes lookup both read the
+    // vote table — unpinned, each reference would re-run the whole pair
+    // enumeration (identical agg subtrees get zero ReusedExchange)
+    val votes = Pins.pin(top
       .join(labels.select(col("vec_id").as("vec_b"), col("label").as("lbl_b")),
         Seq("vec_b"))
       .groupBy(col("vec_a"), col("lbl_b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val tallied = votes
       .withColumn("n_votes", sum(col("cnt")).over(
         Window.partitionBy(col("vec_a"))))

@@ -865,11 +865,14 @@ object TextAnalysis {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
-    val tf = docs
+    // pinned: df derivation and scoring both read the tf table — without
+    // the pin each reference re-tokenizes the corpus (the bigramScores
+    // lesson: identical agg subtrees get zero ReusedExchange)
+    val tf = Pins.pin(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val out = Pins.pin(tf
       .join(dl, Seq("doc_id"))
@@ -880,8 +883,9 @@ object TextAnalysis {
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-    ) // eager pin: consume the dl checkpoint, then release it
+    ) // eager pin: consume the dl/tf checkpoints, then release them
     dl.unpersist(blocking = false)
+    tf.unpersist(blocking = false)
     out
   }
 
@@ -912,11 +916,13 @@ object TextAnalysis {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
-    val post = docs
+    // pinned: the df table, the phrase map, and the scorer all read the
+    // positional postings — unpinned, each reference would re-tokenize
+    val post = Pins.pin(docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("ps"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("ps")))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc term→positions map; docs missing any distinct term cannot match
     val pmap = post
@@ -945,8 +951,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_phrase"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-    ) // eager pin: consume the dl checkpoint, then release it
+    ) // eager pin: consume the dl/post checkpoints, then release them
     dl.unpersist(blocking = false)
+    post.unpersist(blocking = false)
     out
   }
 
@@ -1157,11 +1164,13 @@ object TextAnalysis {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
-    val tf = docs
+    // pinned like bm25TopK's tf: df derivation and scoring each reference
+    // it, and an unpinned table would re-tokenize the corpus per reference
+    val tf = Pins.pin(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .join(broadcast(terms), Seq("tok"))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(dl, Seq("doc_id"))
@@ -1181,9 +1190,10 @@ object TextAnalysis {
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("ts_rank").cast("long").as("rnk"),
         col("doc_id"), col("score"), col("n_hit"))
-    ) // eager pin, then release the qt/dl pins
+    ) // eager pin, then release the qt/dl/tf pins
     qt.unpersist(blocking = false)
     dl.unpersist(blocking = false)
+    tf.unpersist(blocking = false)
     out
   }
 
