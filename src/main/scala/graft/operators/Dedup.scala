@@ -220,7 +220,10 @@ object Dedup {
       // capped index: pair discovery misses hot shingles, so |A∩B| must
       // come from the FULL sets — a DF cap affects which pairs are
       // considered, never their scores
-      val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // pinned: both sides of the collision self-join read this index, and
+      // a self-join gets zero ReusedExchange — unpinned, the explode and
+      // anti-join would run once per side
+      val inv = Pins.pin(inv0.join(broadcast(hot), Seq("shingle"), "left_anti"))
       val cand = inv
         .as("a")
         .join(inv.as("b"),
@@ -248,7 +251,10 @@ object Dedup {
       // |A| rides the same per-doc window shuffle as the rank — no extra
       // join against a set-size table
       val sz = count(lit(1)).over(byDoc)
-      val pre = inv
+      // pinned: both sides of the prefix self-join read this index, and a
+      // self-join gets zero ReusedExchange — unpinned, the df join and the
+      // two per-doc windows (rank + size) would run once per side
+      val pre = Pins.pin(inv
         .join(dfs, "shingle")
         .withColumn("rn", rn)
         .withColumn("sz", sz)
@@ -259,7 +265,7 @@ object Dedup {
         // by 1e-9 can only LENGTHEN the prefix (more candidates, never
         // fewer), so exactness is preserved.
         .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-        .select("doc_id", "shingle", "sz", "rn")
+        .select("doc_id", "shingle", "sz", "rn"))
       // PPJoin positional filter (Xiao et al., WWW'08): at a collision on
       // the same shingle at ranks (i, j) of the common global order, the
       // shared shingles before it number ≤ min(i−1, j−1) and after it
@@ -739,7 +745,10 @@ object Dedup {
     val keptFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
-    val kept = fps.join(keptFp, "fp")
+    // pinned: both sides of the fp self-join read the filtered table —
+    // unpinned, the df join reruns per side (self-joins get no
+    // ReusedExchange)
+    val kept = Pins.pin(fps.join(keptFp, "fp"))
     val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
       .filter(col("doc_a") < col("doc_b"))
@@ -789,7 +798,8 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
-    val kept = fps.join(keptFp, "fp")
+    // pinned: both sides of the fp self-join read the filtered table
+    val kept = Pins.pin(fps.join(keptFp, "fp"))
     kept.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), "fp")
       .filter(col("doc_a") < col("doc_b"))
@@ -842,7 +852,10 @@ object Dedup {
     val keptShingles = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("s")
-    val kept = posting.join(keptShingles, Seq("s"))
+    // pinned: the size table and both join sides read the kept postings —
+    // a self-join gets zero ReusedExchange, so unpinned the explode +
+    // df-filter join would run three times
+    val kept = Pins.pin(posting.join(keptShingles, Seq("s")))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     def ppm(inter: Column, n: Column): Column =
       call_function("div", lit(1000000L).cast(d38) * inter.cast(d38), n.cast(d38))

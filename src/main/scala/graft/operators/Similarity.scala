@@ -839,7 +839,12 @@ object Similarity {
     val e = withNorm(embeddings)
       .withColumn("cell", nearestCell(col("embedding"), centroids))
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-    val top = blockedCellPairs(e, maxCellSize)
+    // pinned: BOTH sides of the reciprocity self-join read the top-k
+    // table, and a self-join gets zero ReusedExchange (measured: 8
+    // Generate nodes in the unpinned plan — the whole blocked pair
+    // enumeration ran twice); the pin is N·k rows, the enumeration it
+    // saves is Σ|cell|²
+    val top = Pins.pin(blockedCellPairs(e, maxCellSize)
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
@@ -848,7 +853,7 @@ object Similarity {
         Window.partitionBy(col("vec_a"))
           .orderBy(col("cosine").desc, col("vec_b"))))
       .filter(col("rnk") <= k)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cosine")))
     top.as("x")
       .join(top.as("y"),
         col("x.vec_a") === col("y.vec_b") && col("x.vec_b") === col("y.vec_a"))
