@@ -818,6 +818,10 @@ object SparkEntry {
     },
     "q_curated" -> ((s, dir) =>
       Curate.curated(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // Provenance audit: every doc labeled with its FIRST failing gate
+    // (lang → min_tokens → stopword_ratio → duplicate → kept).
+    "q_curation_audit" -> ((s, dir) =>
+      Curate.curationAudit(Tables(s, dir).documents).orderBy(col("doc_id"))),
     "q_split_assign" -> ((s, dir) =>
       Curate.assignSplit(Tables(s, dir).documents, col("doc_id"), "v1",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -3109,6 +3113,40 @@ object SparkEntry {
          |SELECT doc_id, n_chars, n_tokens, stopword_ratio, guessed_lang
          |FROM d WHERE doc_id = canonical_id
          |ORDER BY doc_id""".stripMargin,
+    "q_curation_audit" ->
+      s"""$ToksCte,
+         |q AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    len(list_filter(toks, t -> list_contains($StopEn, t)))::DOUBLE
+         |      / len(toks)::DOUBLE
+         |  ELSE 0.0 END AS stopword_ratio,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopEn, t))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopEs, t))) AS BIGINT) AS es_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopDe, t))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(toks, t -> list_contains($StopFr, t))) AS BIGINT) AS fr_hits
+         |  FROM toks),
+         |g AS (SELECT q.*,
+         |  CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+         |       WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+         |       WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END AS guessed_lang
+         |  FROM q),
+         |c AS (SELECT g.*,
+         |  (guessed_lang = 'en' AND n_tokens >= 10 AND stopword_ratio >= 0.02)
+         |    AS passes,
+         |  min(CASE WHEN guessed_lang = 'en' AND n_tokens >= 10
+         |                AND stopword_ratio >= 0.02 THEN g.doc_id END)
+         |    OVER (PARTITION BY md5(doc.text)) AS canonical_id
+         |  FROM g JOIN documents doc USING (doc_id))
+         |SELECT doc_id, guessed_lang, n_tokens, en_hits,
+         |  CASE WHEN guessed_lang <> 'en' THEN 'lang'
+         |       WHEN n_tokens < 10 THEN 'min_tokens'
+         |       WHEN stopword_ratio < 0.02 THEN 'stopword_ratio'
+         |       WHEN doc_id <> canonical_id THEN 'duplicate'
+         |       ELSE 'kept' END AS gate
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       """SELECT CASE
         |  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 15)

@@ -670,6 +670,67 @@ object Curate {
       .select("doc_id", "n_chars", "n_tokens", "stopword_ratio", "guessed_lang")
   }
 
+  /** Provenance audit of the [[curated]] pipeline — the per-document
+    * "why was this dropped" readout every production curation run
+    * publishes alongside its survivors (and the input to the per-gate
+    * loss accounting a mixture planner reads): every document, labeled
+    * with the FIRST gate it fails in the documented order
+    * `lang` → `min_tokens` → `stopword_ratio` → `duplicate` → `kept`.
+    * Gate predicates are IDENTICAL to [[curated]]'s (same tokenization,
+    * same double comparison for the stopword ratio, same min-id canonical
+    * among fully-gated docs), so `gate = 'kept'` selects exactly the
+    * [[curated]] survivor set — the spec asserts the equivalence.
+    *
+    * Scale shape: the same one-materialized-tokenization projection as
+    * [[curated]]; the duplicate window runs over md5(text) like the
+    * pipeline's own shuffle, with the min restricted to gate-passing
+    * docs via a conditional aggregate (no second pass, no join).
+    */
+  def curationAudit(
+      docs: DataFrame,
+      lang: String = "en",
+      minTokens: Long = 10,
+      minStopwordRatio: Double = 0.02): DataFrame = {
+    import TextAnalysis._
+    val toks = col("toks")
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words: _*))).cast("long")
+    val nTok = size(toks).cast("double")
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        when(nTok > 0, hits(StopwordsEn).cast("double") / nTok)
+          .otherwise(lit(0.0)).as("stopword_ratio"),
+        hits(StopwordsEn).as("en_hits"), hits(StopwordsEs).as("es_hits"),
+        hits(StopwordsDe).as("de_hits"), hits(StopwordsFr).as("fr_hits"))
+      .withColumn("guessed_lang",
+        when(col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") === 0, lit("und"))
+          .when(col("en_hits") >= greatest(col("es_hits"), col("de_hits"), col("fr_hits")), lit("en"))
+          .when(col("es_hits") >= greatest(col("de_hits"), col("fr_hits")), lit("es"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .withColumn("passes_gates",
+        col("guessed_lang") === lang &&
+          col("n_tokens") >= minTokens &&
+          col("stopword_ratio") >= minStopwordRatio)
+    base
+      // canonical among GATE-PASSING twins only, exactly like curated's
+      // window over its filtered input — a conditional min avoids a
+      // second pass over the pre-filter frame
+      .withColumn("canonical_id",
+        min(when(col("passes_gates"), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), col("guessed_lang"), col("n_tokens"), col("en_hits"),
+        when(col("guessed_lang") =!= lang, lit("lang"))
+          .when(col("n_tokens") < minTokens, lit("min_tokens"))
+          .when(col("stopword_ratio") < minStopwordRatio, lit("stopword_ratio"))
+          .when(col("doc_id") =!= col("canonical_id"), lit("duplicate"))
+          .otherwise(lit("kept")).as("gate"))
+  }
+
   /** PII patterns for [[redact]] — the engine-portable regex subset (ASCII
     * classes, bounded repetition, alternation) that Java regex and RE2
     * evaluate identically, so the DuckDB oracle replays the redaction

@@ -479,6 +479,33 @@ class CurateSpec extends SparkSpec {
     assert(Curate.capPerKey(tiny, col("src"), col("id"), 10, "t").count() === 2)
   }
 
+  test("curationAudit labels every doc with its first failing gate; kept == curated survivors") {
+    // real corpus: the audit's kept set must be exactly the pipeline's
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    val audit = Curate.curationAudit(docs).cache()
+    assert(audit.count() === docs.count()) // every doc accounted for
+    val kept = audit.filter(col("gate") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    val survivors = Curate.curated(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept === survivors)
+    // hand case: one doc per gate, in the documented order
+    val en = "the a of and to in is it the a" // 10 tokens, all stopwords
+    val hand = Seq(
+      (1L, s"$en extra words here"),      // kept (canonical of its group)
+      (2L, s"$en extra words here"),      // duplicate of 1
+      (3L, "el la de que y en un es el la"), // lang: es
+      (4L, "the cat"),                     // min_tokens (< 10)
+      (5L, "cat dog bird fish cow horse goat sheep pig hen the" + " x" * 40))
+      .toDF("doc_id", "text")              // stopword_ratio: 1/51 < 0.02
+    val g = Curate.curationAudit(hand).orderBy("doc_id")
+      .select("doc_id", "gate").as[(Long, String)].collect().toSeq
+    assert(g === Seq((1L, "kept"), (2L, "duplicate"), (3L, "lang"),
+      (4L, "min_tokens"), (5L, "stopword_ratio")))
+    // gate order: doc 3 is ALSO too short in en-stopword terms, but lang
+    // fires first; doc 4 is en and fails min_tokens before the ratio
+    audit.unpersist()
+  }
+
   test("hllOverlapRegisters estimates |A|, |B|, |A∪B|, |A∩B| from mergeable registers") {
     // two corpora with a KNOWN overlap: ids 0..5999 vs 4000..9999 →
     // |A| = |B| = 6000, |A∪B| = 10000, |A∩B| = 2000
