@@ -822,6 +822,13 @@ object SparkEntry {
     // (lang → min_tokens → stopword_ratio → duplicate → kept).
     "q_curation_audit" -> ((s, dir) =>
       Curate.curationAudit(Tables(s, dir).documents).orderBy(col("doc_id"))),
+    // Token-denominated mixture plan: per-source mass, target tokens, and
+    // keep ratio from integer ppm weights (capacity bound by the scarcest
+    // weighted source) — all exact DECIMAL arithmetic.
+    "q_token_mix_plan" -> ((s, dir) =>
+      Curate.tokenMixPlan(Tables(s, dir).documents,
+        Map("src0" -> 500000L, "src1" -> 250000L, "src2" -> 250000L))
+        .orderBy(col("source"))),
     "q_split_assign" -> ((s, dir) =>
       Curate.assignSplit(Tables(s, dir).documents, col("doc_id"), "v1",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -3113,6 +3120,25 @@ object SparkEntry {
          |SELECT doc_id, n_chars, n_tokens, stopword_ratio, guessed_lang
          |FROM d WHERE doc_id = canonical_id
          |ORDER BY doc_id""".stripMargin,
+    "q_token_mix_plan" ->
+      s"""$ToksCte,
+         |m AS (SELECT d.source AS source,
+         |             CAST(COALESCE(SUM(len(t.toks)), 0) AS BIGINT) AS n_tokens
+         |      FROM toks t JOIN documents d USING (doc_id) GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 250000),
+         |                            ('src2', 250000)) v(source, w_ppm)),
+         |j AS (SELECT m.source, m.n_tokens, w.w_ppm
+         |      FROM m LEFT JOIN w USING (source)),
+         |cap AS (SELECT MIN((1000000::HUGEINT * n_tokens) // w_ppm) AS cap
+         |        FROM j WHERE w_ppm IS NOT NULL)
+         |SELECT j.source, j.n_tokens, CAST(COALESCE(j.w_ppm, 0) AS BIGINT) AS w_ppm,
+         |       CAST(COALESCE((j.w_ppm::HUGEINT * cap.cap) // 1000000, 0)
+         |            AS BIGINT) AS target_tokens,
+         |       CASE WHEN j.n_tokens = 0 THEN 0
+         |            ELSE CAST((1000000::HUGEINT *
+         |                       COALESCE((j.w_ppm::HUGEINT * cap.cap) // 1000000, 0))
+         |                      // j.n_tokens AS BIGINT) END AS keep_ppm
+         |FROM j CROSS JOIN cap ORDER BY j.source""".stripMargin,
     "q_curation_audit" ->
       s"""$ToksCte,
          |q AS (SELECT doc_id,

@@ -226,6 +226,63 @@ object Curate {
     sampleStratified(df, key, source, fracs, salt)
   }
 
+  /** Token-denominated mixture planner — [[mixToTarget]]'s arithmetic
+    * lifted from documents to TOKENS, the unit training budgets are
+    * actually written in ("1 T tokens at 30% web / 30% code / ..."):
+    * given integer ppm target weights, the per-source token masses bound
+    * the total mix capacity at C = min_s ⌊10^6·T_s / w_s⌋ (the scarcest
+    * weighted source binds, exactly like the doc-count mixer), and each
+    * source's plan row reports its mass, target token count
+    * ⌊w_s·C / 10^6⌋, and realized keep ratio ⌊10^6·target_s/T_s⌋ — all
+    * DECIMAL(38,0) floor arithmetic, so the WHOLE plan replays
+    * bit-for-bit cross-engine (no float weight normalization anywhere:
+    * callers pass ppm weights that sum to ≤ 10^6 by construction).
+    * Executing the plan is [[tokenBudget]] per source with target_tokens
+    * as the budget — the planner/executor split a real pipeline has.
+    * Sources without a weight get target 0 (dropped from the mix);
+    * weighted sources with zero token mass fail loudly ([[mixToTarget]]'s
+    * rule: nothing can satisfy the mix).
+    *
+    * Scale shape: one narrow size(tokens) projection + source-keyed
+    * aggregation; everything after runs on the dimension-sized
+    * (source, mass) table with the 1-row capacity aggregate broadcast.
+    */
+  def tokenMixPlan(
+      docs: DataFrame, weightsPpm: Map[String, Long]): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(weightsPpm.nonEmpty, "weights must be non-empty")
+    require(weightsPpm.values.forall(_ > 0), "target weights must be positive")
+    require(weightsPpm.values.sum <= 1000000L, "ppm weights must sum to <= 10^6")
+    val d38 = "decimal(38,0)"
+    val masses = Pins.pin(docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens")))
+    val w = docs.sparkSession.createDataFrame(
+      weightsPpm.toSeq.map(p => (p._1, p._2))).toDF("source", "w_ppm")
+    val joined = masses.join(broadcast(w), Seq("source"), "left")
+    // a weighted source with zero mass (or absent entirely) → loud failure
+    val weighted = joined.filter(col("w_ppm").isNotNull)
+    val present = weighted.filter(col("n_tokens") > 0)
+      .select("source").collect().map(_.getString(0)).toSet
+    weightsPpm.keys.foreach(s => require(present(s),
+      s"target source '$s' has no tokens"))
+    val cap = weighted.agg(min(call_function("div",
+      lit(1000000L).cast(d38) * col("n_tokens").cast(d38),
+      col("w_ppm").cast(d38))).as("cap"))
+    joined.crossJoin(broadcast(cap))
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("w_ppm"), lit(0L)).as("w_ppm"),
+        coalesce(call_function("div",
+          col("w_ppm").cast(d38) * col("cap"),
+          lit(1000000L).cast(d38)).cast("long"), lit(0L)).as("target_tokens"))
+      .withColumn("keep_ppm",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(call_function("div",
+            lit(1000000L).cast(d38) * col("target_tokens").cast(d38),
+            col("n_tokens").cast(d38)).cast("long")))
+  }
+
   /** Temperature-scaled source mixing (the multilingual/domain-balance
     * recipe of mC4/PaLM-style training mixes): target share of source i
     * ∝ p_i^τ where p_i is its natural share — τ = 1 keeps the natural

@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25", "q_bm25_multi", "q_bm25_weighted", "q_bm25_stored",
     "q_phrase_bm25",
     // dim-row bucket-scaffold product + 1-row corpus-total broadcast
-    "q_source_divergence")
+    "q_source_divergence",
+    "q_token_mix_plan") // 1-row capacity aggregate crossJoined into the plan table
 
   test("no headline plan contains a cartesian product; nested loops only where exempt") {
     val dir = "/root/testdata/sf0.001"

@@ -479,6 +479,33 @@ class CurateSpec extends SparkSpec {
     assert(Curate.capPerKey(tiny, col("src"), col("id"), 10, "t").count() === 2)
   }
 
+  test("tokenMixPlan: scarcest weighted source binds capacity; unweighted sources get 0") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j", "web"),   // 10 tokens
+      (2L, "a b c d e f g h i j", "web"),   // web: 20 total
+      (3L, "a b c d e", "code"),            // code: 5 total
+      (4L, "x y z", "junk"))                // unweighted
+      .toDF("doc_id", "text", "source")
+    // weights 50/50: capacity = min(1e6*20/5e5, 1e6*5/5e5) = min(40, 10) = 10
+    val plan = Curate.tokenMixPlan(d,
+      Map("web" -> 500000L, "code" -> 500000L))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(plan === Seq(
+      ("code", 5L, 500000L, 5L, 1000000L), // binding source: keeps all
+      ("junk", 3L, 0L, 0L, 0L),            // unweighted → dropped
+      ("web", 20L, 500000L, 5L, 250000L))) // downsampled to match
+    // target masses realize the requested 50/50 mix exactly here
+    // a weighted source with no tokens fails loudly
+    intercept[IllegalArgumentException] {
+      Curate.tokenMixPlan(d, Map("web" -> 500000L, "nope" -> 500000L))
+    }
+    // weights must be positive and sum within 1e6
+    intercept[IllegalArgumentException] {
+      Curate.tokenMixPlan(d, Map("web" -> 600000L, "code" -> 600000L))
+    }
+  }
+
   test("curationAudit labels every doc with its first failing gate; kept == curated survivors") {
     // real corpus: the audit's kept set must be exactly the pipeline's
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
