@@ -50,7 +50,10 @@ object Config {
   }
 
   /** Parse the TOML subset. Fails loudly (Left) on lines outside it —
-    * a config typo must not silently become a default.
+    * a config typo must not silently become a default. One deliberate
+    * divergence from full TOML: a key assigned twice takes the LAST
+    * value instead of erroring (the same most-specific-wins direction as
+    * the env override layer above it); full TOML rejects duplicates.
     */
   def parseToml(text: String): Either[String, TomlDoc] = {
     val out = Map.newBuilder[String, TomlValue]
