@@ -978,6 +978,12 @@ object SparkEntry {
         weighted = true)
         .orderBy(col("query_id"), col("rnk"))
     },
+    // Forward skip-gram co-occurrence (window 3, count floor 100) — the
+    // word2vec training-pair statistic.
+    "q_skipgram" -> ((s, dir) =>
+      TextAnalysis.skipgramCounts(Tables(s, dir).documents,
+        window = 3, minCount = 100L)
+        .orderBy(col("w1"), col("w2"))),
     // Phrase-filtered BM25 over positional postings: exact consecutive
     // "stream window", scored by the terms, occurrence count carried.
     "q_phrase_bm25" -> ((s, dir) =>
@@ -3431,6 +3437,17 @@ object SparkEntry {
          |      FROM w GROUP BY 1)
          |SELECT doc_id, score, n_hit FROM s
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "q_skipgram" ->
+      s"""$ToksCte,
+         |p0 AS (SELECT doc_id, toks,
+         |              unnest(range(1, len(toks) + 1)) AS i FROM toks),
+         |p1 AS (SELECT toks[CAST(i AS INT)] AS w1,
+         |              unnest(list_slice(toks, CAST(i + 1 AS INT),
+         |                                CAST(i + 3 AS INT))) AS w2
+         |       FROM p0)
+         |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p1 GROUP BY 1, 2 HAVING COUNT(*) >= 100
+         |ORDER BY w1, w2""".stripMargin,
     "q_phrase_bm25" ->
       s"""$ToksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),

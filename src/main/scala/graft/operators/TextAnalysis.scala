@@ -995,6 +995,35 @@ object TextAnalysis {
         col("n_grams").cast(d38)))
   }
 
+  /** Forward skip-gram co-occurrence counts — the training-pair
+    * statistic embedding models consume (word2vec's context windows,
+    * Mikolov et al. 2013, arXiv:1301.3781) and the window generalization
+    * of adjacent-only [[collocations]]: every ordered pair (w1, w2) with
+    * w1 preceding w2 within `window` tokens, counted over the corpus,
+    * gated at `minCount` (the standard vocabulary floor that also bounds
+    * the output: ≤ vocab² rows before the gate, far fewer after).
+    * Symmetric-window consumers read the forward table from both sides
+    * (count(w2 after w1) at distance d IS count(w1 before w2) at d).
+    *
+    * Scale shape: the pair fan-out happens per row as array HOFs over
+    * the materialized token array (zero shuffle, ≤ window·|tokens| pairs
+    * per doc); the only shuffle is the (w1, w2)-keyed count, map-side
+    * combinable into the vocab²-bounded table.
+    */
+  def skipgramCounts(
+      docs: DataFrame, window: Int = 3, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(minCount >= 1, "minCount must be at least 1")
+    docs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(flatten(transform(col("toks"), (t, i) =>
+        transform(slice(col("toks"), i + 2, lit(window)),
+          u => struct(t.as("w1"), u.as("w2")))))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Checkpointed (doc_id, dl) table — one tokenize pass feeds both the
     * corpus stats and the per-doc join without a re-tokenize.
     */

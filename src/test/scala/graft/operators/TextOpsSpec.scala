@@ -1471,6 +1471,22 @@ class TextOpsSpec extends SparkSpec {
     Seq(l1, l2).foreach(_.unpersist(blocking = false))
   }
 
+  test("skipgramCounts emits forward pairs within the window with exact counts") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    // window 2: doc1 → (a,b),(a,c),(b,c),(b,d),(c,d); doc2 → (a,b)
+    val out = TextAnalysis.skipgramCounts(d, window = 2, minCount = 1)
+      .orderBy("w1", "w2").as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 2L), ("a", "c", 1L),
+      ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L)))
+    // the count floor gates the tail; window 1 degenerates to bigrams
+    assert(TextAnalysis.skipgramCounts(d, window = 2, minCount = 2)
+      .as[(String, String, Long)].collect().toSeq === Seq(("a", "b", 2L)))
+    val bigrams = TextAnalysis.skipgramCounts(d, window = 1, minCount = 1)
+      .orderBy("w1", "w2").as[(String, String, Long)].collect().toSeq
+    assert(bigrams === Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "d", 1L)))
+  }
+
   test("phraseTopK matches exact consecutive phrases only, counting occurrences") {
     val d = Seq(
       (1L, "a b c a b"),   // "a b" twice, "a b c" once
