@@ -141,9 +141,15 @@ object Config {
         errors += s"$path: expected an integer, got `${other.render}`"; default
       case None => default
     }
-    /** Go-duration ("30s", "1m30s", "500ms") or bare integer seconds. */
+    /** Go-duration ("30s", "1m30s", "500ms") or bare integer seconds —
+      * accepted in BOTH value forms (a bare `30` in the file parses as
+      * TLong; the same override arriving via env is a string), so file
+      * and env spellings of one value never diverge.
+      */
     def durationSec(path: String, default: Long): Long = raw(path) match {
       case Some(TLong(n)) => n
+      case Some(TStr(s)) if IntRe.matches(s.trim) =>
+        s.trim.replace("_", "").toLong
       case Some(TStr(s)) => parseGoDurationSec(s) match {
         case Some(sec) => sec
         case None => errors += s"$path: unparseable duration `$s`"; default

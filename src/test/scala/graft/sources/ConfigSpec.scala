@@ -76,6 +76,11 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.reader.kafkaAddress == "other:9092")
     assert(c.batch.batchSize == 100L)
     assert(c.batch.batchTimeoutSec == 90L)
+    // a BARE-integer duration override parses as seconds, matching the
+    // file spelling — env and file forms of one value never diverge
+    val bare = Config.loadPersistor(persistorToml,
+      env = Map("BATCHSETTINGS_BATCHTIMEOUT" -> "45")).toOption.get
+    assert(bare.batch.batchTimeoutSec == 45L)
   }
 
   test("unsupported lines and bad coercions fail loudly, not silently") {
