@@ -273,7 +273,7 @@ object Analytics {
       out = out.unionByName(stepRow(i, frontier))
     }
     val res = Pins.pin(out) // eager: consume the pins, then release
-    pins.result().foreach(_.unpersist(blocking = false))
+    pins.result().foreach(Pins.release)
     res
   }
 
@@ -384,7 +384,7 @@ object Analytics {
         frontier.select(col("user_id"), lit((i + 1).toLong).as("step"), col("t")))
     }
     val res = Pins.pin(out)
-    pins.result().foreach(_.unpersist(blocking = false))
+    pins.result().foreach(Pins.release)
     res
   }
 

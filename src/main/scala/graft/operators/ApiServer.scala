@@ -68,7 +68,25 @@ final class ApiServer(
   def boundPort: Int = server.getAddress.getPort
   def stop(drainSec: Int = 5): Unit = server.stop(drainSec)
 
-  private def handle(x: HttpExchange): Unit =
+  private def handle(x: HttpExchange): Unit = {
+    // Set (conservatively, just before sendResponseHeaders) so a crash
+    // AFTER the status line is on the wire — e.g. the socket write of a
+    // rendered body failing mid-stream — does not attempt a second
+    // reply: sendResponseHeaders throws once headers are sent, and the
+    // secondary exception would escape into the executor thread. The
+    // client then sees a truncated body, the only honest option left;
+    // the well-formed 500 is reserved for crashes BEFORE headers, which
+    // render() pre-materialization makes the overwhelmingly common case.
+    var headersSent = false
+    def reply(status: Int, bodyStr: String): Unit = {
+      val bytes = bodyStr.getBytes(UTF_8)
+      x.getResponseHeaders.set("Content-Type", "application/json")
+      headersSent = true
+      x.sendResponseHeaders(status, bytes.length.toLong)
+      val os = x.getResponseBody
+      try os.write(bytes)
+      finally os.close()
+    }
     try {
       val segs = x.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
       val q = queryParams(x.getRequestURI.getRawQuery)
@@ -102,14 +120,20 @@ final class ApiServer(
         case _ => None
       }
       resp match {
-        case Some(r) => reply(x, r.status, render(r.message, r.data))
-        case None => reply(x, 404, """{"message":"not found"}""")
+        // render() runs to completion (including the bounded collect)
+        // BEFORE reply() touches the exchange, so a facade/Spark crash
+        // lands in the catch with headers still unsent
+        case Some(r) => reply(r.status, render(r.message, r.data))
+        case None => reply(404, """{"message":"not found"}""")
       }
     } catch {
-      // a handler crash must produce a well-formed 500, never a hung socket
-      case e: Exception =>
-        reply(x, 500, render(ApiFacade.OnFailureMessage, None))
+      // a handler crash must produce a well-formed 500, never a hung
+      // socket — unless the status line already went out (see above)
+      case _: Exception if !headersSent =>
+        reply(500, render(ApiFacade.OnFailureMessage, None))
+      case _: Exception => ()
     } finally x.close()
+  }
 
   private def render(message: String, data: Option[DataFrame]): String = {
     val m = Json.writeValueAsString(message)
@@ -119,15 +143,6 @@ final class ApiServer(
         // bounded by construction: a ≤limit-row page or a resubmit plan
         s"""{"message":$m,"data":[${df.toJSON.collect().mkString(",")}]}"""
     }
-  }
-
-  private def reply(x: HttpExchange, status: Int, bodyStr: String): Unit = {
-    val bytes = bodyStr.getBytes(UTF_8)
-    x.getResponseHeaders.set("Content-Type", "application/json")
-    x.sendResponseHeaders(status, bytes.length.toLong)
-    val os = x.getResponseBody
-    try os.write(bytes)
-    finally os.close()
   }
 
   private def body(x: HttpExchange): Option[JsonNode] =

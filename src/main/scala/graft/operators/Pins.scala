@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.DynamicVariable
+
 import org.apache.spark.sql.DataFrame
 
 /** Eager-materialization pins — the house discipline for NON-iterative
@@ -21,6 +23,13 @@ import org.apache.spark.sql.DataFrame
   * physical plan keeps the full join tree; results are unchanged (a pin
   * is a pure materialization) — only eager-release timing differs, which
   * a plan-only audit never observes.
+  *
+  * Releasing a pin: `Dataset.unpersist` does NOT free a checkpoint (it is
+  * a CacheManager lookup, and a localCheckpoint never registers there —
+  * the blocks belong to the underlying RDD). Call [[release]] instead,
+  * which unpersists the checkpointed RDD behind the pin's `LogicalRDD`
+  * scan; without it the blocks live until the ContextCleaner notices the
+  * RDD is unreachable (driver-GC-bounded, not prompt).
   */
 object Pins {
 
@@ -28,21 +37,34 @@ object Pins {
     * (PlanAuditSpec / the Plans dump); never enable for executing
     * workloads — the checkpoints exist to release upstream storage
     * eagerly and to keep repeated passes honest (no leaked caches).
+    * Thread-local (a DynamicVariable), so an audit running concurrently
+    * with an executing workload cannot strip the workload's pins.
     */
-  @volatile private[graft] var inlineForAudit: Boolean = false
+  private val inlineForAudit = new DynamicVariable[Boolean](false)
 
   /** Eagerly checkpoint `df` — or, under a plan audit, return it as-is so
     * the audited plan keeps the full pre-checkpoint tree.
     */
   def pin(df: DataFrame): DataFrame =
-    if (inlineForAudit) df else df.localCheckpoint()
+    if (inlineForAudit.value) df else df.localCheckpoint()
+
+  /** Promptly free the storage blocks behind a [[pin]]: unpersist the
+    * checkpointed RDD under the frame's `LogicalRDD` plan. A no-op when
+    * the frame was never pinned (e.g. built under [[withAuditView]],
+    * where [[pin]] is the identity) — release is then either unnecessary
+    * or the ContextCleaner's job.
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false); ()
+    case _ => ()
+  }
 
   /** Run `body` with pins inlined (plan-audit view), restoring the normal
-    * checkpointing discipline afterwards.
+    * checkpointing discipline afterwards. Scoped to the calling thread:
+    * plans must be built (not just declared) inside `body` on this
+    * thread for the view to apply.
     */
-  private[graft] def withAuditView[A](body: => A): A = {
-    inlineForAudit = true
-    try body
-    finally inlineForAudit = false
-  }
+  private[graft] def withAuditView[A](body: => A): A =
+    inlineForAudit.withValue(true)(body)
 }

@@ -884,8 +884,8 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     ) // eager pin: consume the dl/tf checkpoints, then release them
-    dl.unpersist(blocking = false)
-    tf.unpersist(blocking = false)
+    Pins.release(dl)
+    Pins.release(tf)
     out
   }
 
@@ -952,8 +952,8 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     ) // eager pin: consume the dl/post checkpoints, then release them
-    dl.unpersist(blocking = false)
-    post.unpersist(blocking = false)
+    Pins.release(dl)
+    Pins.release(post)
     out
   }
 
@@ -1045,12 +1045,14 @@ object TextAnalysis {
     * zero-token documents (they count toward N and the average), so
     * serving is EXACTLY [[bm25TopK]] on the original corpus.
     *
-    * CALLER OBLIGATION: the returned doclen table is an eager
-    * localCheckpoint (one tokenize pass feeds both its uses) whose
-    * storage blocks the caller must release with
-    * `dl.unpersist(blocking = false)` once consumed — [[saveBm25Index]]
-    * and the round-trip spec do; a caller that drops the reference
-    * without unpersisting leaks executor storage until driver GC.
+    * The returned doclen table is an eager localCheckpoint (one tokenize
+    * pass feeds both its uses). Callers should free its storage blocks
+    * promptly via [[Pins.release]] once consumed ([[saveBm25Index]]
+    * does); a caller that merely drops the reference still gets the
+    * blocks back, but only when the ContextCleaner sees the RDD become
+    * unreachable — driver-GC-paced, not prompt. (`Dataset.unpersist` is
+    * NOT a release here: it is a CacheManager lookup and a checkpoint
+    * never registers there.)
     */
   def buildBm25Index(docs: DataFrame): (DataFrame, DataFrame) = {
     val postings = docs
@@ -1072,7 +1074,7 @@ object TextAnalysis {
     val (postings, dl) = buildBm25Index(docs)
     postings.write.mode("overwrite").parquet(s"$dir/postings")
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
-    dl.unpersist(blocking = false)
+    Pins.release(dl)
   }
 
   /** Per-micro-batch maintenance of a [[saveBm25Index]] store — the
@@ -1098,7 +1100,7 @@ object TextAnalysis {
     val (postings, dl) = buildBm25Index(batch)
     postings.write.mode("append").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/doclen")
-    dl.unpersist(blocking = false)
+    Pins.release(dl)
   }
 
   /** Reload a [[saveBm25Index]] store: (postings, doclen). */
@@ -1220,9 +1222,9 @@ object TextAnalysis {
       .select(col("query_id"), col("ts_rank").cast("long").as("rnk"),
         col("doc_id"), col("score"), col("n_hit"))
     ) // eager pin, then release the qt/dl/tf pins
-    qt.unpersist(blocking = false)
-    dl.unpersist(blocking = false)
-    tf.unpersist(blocking = false)
+    Pins.release(qt)
+    Pins.release(dl)
+    Pins.release(tf)
     out
   }
 

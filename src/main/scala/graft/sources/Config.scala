@@ -100,6 +100,10 @@ object Config {
   }
 
   private val IntRe = """-?[0-9][0-9_]*""".r
+
+  // Go strconv.ParseBool's exact accept sets (strconv/atob.go)
+  private val ParseBoolTrue = Set("1", "t", "T", "TRUE", "true", "True")
+  private val ParseBoolFalse = Set("0", "f", "F", "FALSE", "false", "False")
   private def parseValue(s: String): Option[TomlValue] = s match {
     case "" => None
     case _ if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
@@ -126,10 +130,16 @@ object Config {
       case Some(v) => v.render
       case None => default
     }
+    /** String forms (env overrides) accept exactly Go strconv.ParseBool's
+      * token set — the reference's fig loader parses env booleans with it
+      * (config/vars.go), so a deployment-style `INDEXERENABLED=1` must
+      * bind. Go's set is "1 t T TRUE true True / 0 f F FALSE false
+      * False" — note NOT arbitrary-case ("tRuE" is rejected there too).
+      */
     def bool(path: String, default: Boolean = false): Boolean = raw(path) match {
       case Some(TBool(b)) => b
-      case Some(TStr("true")) => true
-      case Some(TStr("false")) => false
+      case Some(TStr(s)) if ParseBoolTrue(s) => true
+      case Some(TStr(s)) if ParseBoolFalse(s) => false
       case Some(other) =>
         errors += s"$path: expected a boolean, got `${other.render}`"; default
       case None => default

@@ -17,47 +17,79 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  /** Queries allowed a BroadcastNestedLoopJoin — each has a BOUNDED
-    * build side by construction, not a pair enumeration:
-    *   - q_topk_cosine: the intentional brute-force baseline (broadcast
-    *     QUERY side);
-    *   - q_unigram_lm / q_keywords / q_collocations / q_bigram_lm /
-    *     q_quality_buckets: 1-row scalar broadcasts
-    *     (`crossJoin(broadcast(agg))` for a corpus total N);
-    * The exemption is per-query, so a NEW unbounded join sneaking into
-    * one of these would pass — keep their join structure in view when
-    * touching them. (q_range_bounds left the list when its rank join
-    * became a broadcast equi-join on driver-computed target ranks.)
-    */
-  private val BnljExempt = Set(
-    "q_topk_cosine", "q_unigram_lm", "q_keywords",
-    "q_collocations", "q_bigram_lm", "q_quality_buckets",
-    "q_log_hist_quantiles", // 3-row quantile table vs ≤ ~64·2^subBits registers
-    "q_corpus_card", // embeds the same bounded quantile-table walk
-    "q_ann_recall", // embeds q_topk_cosine's brute-force exact baseline
-    "q_dedup_pair_pr", // crossJoin of three 1-row count aggregates
-    "q_dedup_pair_pr_sampled", // same three 1-row aggregates, sampled corpus
-    "q_dsir", // two 1-row token-total aggregates crossJoined into the D-row ratio table
-    "q_lm_score", // 1-row (T, V) reference-constants aggregate crossJoined per doc
-    // the bm25 family: 1-row (n_docs, a_tokens) corpus-stats aggregate
-    // crossJoined per posting (visible since the audit view sees through
-    // their trailing pins)
-    "q_bm25", "q_bm25_multi", "q_bm25_weighted", "q_bm25_stored",
-    "q_phrase_bm25",
-    // dim-row bucket-scaffold product + 1-row corpus-total broadcast
-    "q_source_divergence",
-    "q_token_mix_plan") // 1-row capacity aggregate crossJoined into the plan table
+  import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 
-  test("no headline plan contains a cartesian product; nested loops only where exempt") {
+  /** Every node in the plan, descending through the AQE wrapper (its
+    * `children` is empty — the real tree hangs off `inputPlan`) and into
+    * subquery plans.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      case other => other.children.flatMap(flatten)
+    }
+    (p +: below) ++ p.subqueries.flatMap(flatten)
+  }
+
+  /** A nested-loop join is acceptable exactly when its BUILD (broadcast)
+    * side is a scalar: a grouping-free aggregate — 1 row by construction,
+    * whatever the probe side's size (`crossJoin(broadcast(corpusStats))`,
+    * the house scalar-broadcast shape). Checked structurally per BNLJ
+    * node, so a genuinely unbounded nested loop sneaking into a query
+    * that also carries a legitimate scalar broadcast FAILS — the round-8
+    * whole-query name exemption could not tell them apart. A build side
+    * behind a ReusedExchange passes: exchange reuse only fires when an
+    * identical exchange exists elsewhere in the same plan, where this
+    * predicate already vetted it.
+    */
+  private def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val side = if (j.buildSide == BuildLeft) j.left else j.right
+    flatten(side).exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: ReusedExchangeExec => true
+      case _ => false
+    }
+  }
+
+  /** The few queries whose BNLJ build side is bounded by CONSTRUCTION
+    * rather than by a grouping-free aggregate the structural check can
+    * see — each documented, each still subject to the no-cartesian
+    * assertion:
+    *   - q_topk_cosine / q_ann_recall: the intentional brute-force
+    *     baseline broadcasts the (≤k-row, filtered) QUERY side;
+    *   - q_log_hist_quantiles / q_corpus_card: a 3-row quantile target
+    *     table walked against ≤ ~64·2^subBits histogram registers;
+    *   - q_source_divergence: a dim-row bucket-scaffold product (range
+    *     literals × source dims) under the 1-row corpus-total broadcast.
+    */
+  private val BnljBoundedBuild = Set(
+    "q_topk_cosine", "q_ann_recall",
+    "q_log_hist_quantiles", "q_corpus_card",
+    "q_source_divergence")
+
+  test("no headline plan contains a cartesian product; nested loops only on a scalar or bounded build side") {
     val dir = "/root/testdata/sf0.001"
     operators.Pins.withAuditView {
       Plans.Names.foreach { name =>
-        val plan = SparkEntry.queries(name)(spark, dir)
-          .queryExecution.executedPlan.toString
-        assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
-        if (!BnljExempt(name))
-          assert(!plan.contains("BroadcastNestedLoopJoin"),
-            s"$name plans a nested-loop join")
+        val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        val planStr = exec.toString
+        assert(!planStr.contains("CartesianProduct"), s"$name plans a cartesian product")
+        val bnljs = flatten(exec).collect { case j: BroadcastNestedLoopJoinExec => j }
+        // the structural walk and the printed plan must agree — a future
+        // wrapper the walk doesn't descend would silently blind the audit
+        assert(bnljs.nonEmpty == planStr.contains("BroadcastNestedLoopJoin"),
+          s"$name: plan-walk/plan-string disagreement — flatten() missed a node")
+        if (!BnljBoundedBuild(name))
+          bnljs.foreach { j =>
+            assert(scalarBuild(j),
+              s"$name plans a nested-loop join whose build side is not a " +
+                s"grouping-free (1-row) aggregate:\n$j")
+          }
       }
     }
   }

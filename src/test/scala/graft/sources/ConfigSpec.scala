@@ -167,6 +167,20 @@ class ConfigSpec extends AnyFunSuite {
       .contains("Dead letter topic is enabled but SENDER_DEADLETTERTOPIC is missing"))
   }
 
+  test("env booleans bind Go strconv.ParseBool's token set, exactly (vars.go → fig)") {
+    def enabled(v: String): Option[Boolean] =
+      Config.loadPersistor(persistorToml, env = Map("INDEXERENABLED" -> v))
+        .toOption.map(_.indexerEnabled)
+    // the deployment-style spellings the reference's ParseBool accepts
+    Seq("1", "t", "T", "TRUE", "true", "True").foreach(v =>
+      assert(enabled(v).contains(true), s"`$v` should bind true"))
+    Seq("0", "f", "F", "FALSE", "false", "False").foreach(v =>
+      assert(enabled(v).contains(false), s"`$v` should bind false"))
+    // …and only that set: Go rejects mixed case / yes-no too
+    Seq("tRuE", "yes", "no", "2", "").foreach(v =>
+      assert(enabled(v).isEmpty, s"`$v` should be rejected"))
+  }
+
   test("indexer disabled clears a stray sender topic with a warning") {
     val c = Config.loadPersistor(persistorToml,
       env = Map("INDEXERENABLED" -> "false")).toOption.get
