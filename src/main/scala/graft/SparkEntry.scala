@@ -417,6 +417,13 @@ object SparkEntry {
         key = "user_id", leftTs = "purchase_ts", rightTs = "click_ts")
         .orderBy(col("purchase_id"))
     },
+    // Last-touch attribution: purchases credit the latest strictly-earlier
+    // click/view by the same user within a 6 h lookback; per-type tally.
+    "q_attribution" -> ((s, dir) =>
+      Analytics.lastTouchAttribution(Tables(s, dir).events,
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSec = 6L * 3600L)
+        .orderBy(col("attr_type"))),
     // Interval join (batch mode of the stream-stream operator): every
     // click within 1 day before each purchase by the same user.
     "q_recent_context" -> { (s, dir) =>
@@ -613,6 +620,11 @@ object SparkEntry {
       Dedup.winnowOverlapPairs(Tables(s, dir).documents,
         minShared = 3L, maxDf = 16L)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Source-level exact shingle-Jaccard matrix — which FEEDS duplicate
+    // each other, read before any document-level mining is spent on them.
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables(s, dir).documents)
+        .orderBy(col("src_a"), col("src_b"))),
     // -- similarity search over embeddings ---------------------------------
     "q_topk_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
@@ -652,6 +664,17 @@ object SparkEntry {
       Similarity.ivfTopKWithCentroids(emb, col("vec_id") % 50 === 0, 5,
         Similarity.loadIvfCentroids(s, wd), nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
+    },
+    // Truncated-dimension (matryoshka) acceptance gate: recall@5 of the
+    // first-32-of-64-dims ranking vs the full-dimension exact baseline —
+    // the q_ann_recall measurement for the dimension-cut scale lever.
+    "q_matryoshka_recall" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val pred = col("vec_id") % 50 === 0
+      Similarity.recallAtK(
+        Similarity.truncatedTopK(emb, pred, 5, dims = 32),
+        Similarity.bruteForceTopK(emb, pred, 5), 5)
+        .orderBy(col("query_id"))
     },
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
@@ -984,6 +1007,19 @@ object SparkEntry {
       TextAnalysis.skipgramCounts(Tables(s, dir).documents,
         window = 3, minCount = 100L)
         .orderBy(col("w1"), col("w2"))),
+    // PPMI collocations on the skip-gram table: exact integer ratio
+    // (monotone surrogate of PPMI — ln-free, so near-tie ranks replay).
+    "q_ppmi" -> ((s, dir) =>
+      TextAnalysis.ppmiPairs(Tables(s, dir).documents,
+        window = 3, minCount = 30L, topK = 50)),
+    // Curriculum interleave: NTILE(4) difficulty buckets over the bigram
+    // LM score, round-robined into one global 0-based training order.
+    "q_curriculum" -> ((s, dir) =>
+      Diagnostics.curriculumInterleave(
+        TextAnalysis.bigramScores(Tables(s, dir).documents)
+          .select(col("doc_id"), col("n_pairs"), col("mean_pair_prob")),
+        Seq(col("mean_pair_prob").desc, col("doc_id")), 4)
+        .orderBy(col("pos"))),
     // Phrase-filtered BM25 over positional postings: exact consecutive
     // "stream window", scored by the terms, occurrence count carried.
     "q_phrase_bm25" -> ((s, dir) =>
@@ -2161,6 +2197,31 @@ object SparkEntry {
         |                                     ORDER BY event_id) AS BIGINT) AS pos
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // last-touch credit via aligned-null last_value IGNORE NULLS over the
+    // strictly-preceding frame; lag in exact integer microseconds
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN ts END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+        |  FROM events),
+        |c AS (SELECT *, CAST(date_diff('microsecond', t_ts, ts) AS BIGINT) AS lag_us
+        |      FROM t WHERE event_type = 'purchase'),
+        |a AS (SELECT CASE WHEN t_ts IS NOT NULL AND t_ts < ts
+        |                       AND lag_us <= 21600000000
+        |                  THEN t_type ELSE '(none)' END AS attr_type,
+        |             value, lag_us FROM c)
+        |SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conv,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |       CAST(SUM(CASE WHEN attr_type <> '(none)' THEN lag_us ELSE 0 END)
+        |            AS BIGINT) AS sum_lag_us
+        |FROM a GROUP BY 1 ORDER BY attr_type""".stripMargin,
     "q_sessionize" ->
       """WITH b AS (
         |  SELECT user_id, ts, value,
@@ -2277,6 +2338,23 @@ object SparkEntry {
          |SELECT doc_a, doc_b, inter, n_a, n_b, cont_a_ppm, cont_b_ppm
          |FROM r WHERE greatest(cont_a_ppm, cont_b_ppm) >= 500000
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // source-level distinct-shingle postings → pairwise exact Jaccard
+    "q_source_overlap" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |p AS (SELECT DISTINCT d.source, ${h60Sql("u.sh")} AS h
+         |      FROM s2 JOIN documents d USING (doc_id), unnest(s2.sh) AS u(sh)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+         |c AS (SELECT a.source AS src_a, b.source AS src_b,
+         |             CAST(COUNT(*) AS BIGINT) AS n_common
+         |      FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |       CAST((1000000::HUGEINT * n_common)
+         |            // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_ppm
+         |FROM c JOIN sz sa ON c.src_a = sa.source
+         |       JOIN sz sb ON c.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""$ToksCte,
          |$ShinglesCte,
@@ -2543,6 +2621,40 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY query_id
          |             ORDER BY list_dot_product(dq, d) / (nq * nrm) DESC, c.vec_id) AS rnk
          |    FROM c JOIN q ON query_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         |hits AS (SELECT se.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM se JOIN sa ON se.query_id = sa.query_id
+         |                        AND se.neighbor_id = sa.neighbor_id
+         |         GROUP BY se.query_id)
+         |SELECT u.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM se) u
+         |LEFT JOIN hits h ON u.query_id = h.query_id
+         |ORDER BY u.query_id""".stripMargin,
+    // approx = the first-32-dims ranking (list slice of the SAME table
+    // column — the column⋈column dot path, never a literal), exact =
+    // q_topk_cosine's full-dimension scan; recall@5 per query
+    "q_matryoshka_recall" ->
+      s"""$EmbCte,
+         |tr AS (SELECT vec_id, d[1:32] AS dt,
+         |              sqrt(list_dot_product(d[1:32], d[1:32])) AS nt FROM e),
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq
+         |      FROM e WHERE vec_id % 50 = 0),
+         |qt AS (SELECT vec_id AS query_id, dt AS dqt, nt AS nqt
+         |       FROM tr WHERE vec_id % 50 = 0),
+         |sa AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, tr.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY list_dot_product(dqt, dt) / (nqt * nt) DESC,
+         |                      tr.vec_id) AS rnk
+         |    FROM tr JOIN qt ON query_id <> tr.vec_id)
+         |  WHERE rnk <= 5),
+         |se AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY list_dot_product(dq, d) / (nq * nrm) DESC,
+         |                      e.vec_id) AS rnk
+         |    FROM e JOIN q ON query_id <> e.vec_id)
          |  WHERE rnk <= 5),
          |hits AS (SELECT se.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
          |         FROM se JOIN sa ON se.query_id = sa.query_id
@@ -3448,6 +3560,56 @@ object SparkEntry {
          |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p1 GROUP BY 1, 2 HAVING COUNT(*) >= 100
          |ORDER BY w1, w2""".stripMargin,
+    // ratio surrogate of PPMI: n·T·1e6 // (m1·m2), HUGEINT == DECIMAL div;
+    // marginals over the minCount-thresholded pair table (both engines)
+    "q_ppmi" ->
+      s"""$ToksCte,
+         |p0 AS (SELECT doc_id, toks,
+         |              unnest(range(1, len(toks) + 1)) AS i FROM toks),
+         |p1 AS (SELECT toks[CAST(i AS INT)] AS w1,
+         |              unnest(list_slice(toks, CAST(i + 1 AS INT),
+         |                                CAST(i + 3 AS INT))) AS w2
+         |       FROM p0),
+         |pr AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM p1 GROUP BY 1, 2 HAVING COUNT(*) >= 30),
+         |mm1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS m1 FROM pr GROUP BY 1),
+         |mm2 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS m2 FROM pr GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pr),
+         |r AS (SELECT w1, w2, n, m1, m2,
+         |        CAST((n::HUGEINT * t * 1000000)
+         |             // (m1::HUGEINT * m2) AS BIGINT) AS ratio_ppm
+         |      FROM pr JOIN mm1 USING (w1) JOIN mm2 USING (w2), tt)
+         |SELECT w1, w2, n, m1, m2, ratio_ppm FROM r WHERE ratio_ppm > 1000000
+         |ORDER BY ratio_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+    // NTILE(4) buckets + within-bucket row_number replay the closed-form
+    // interleave: pos = (rank_in_bucket − 1)·4 + (bucket − 1)
+    "q_curriculum" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+         |tf2 AS (
+         |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i+1 AS INT)] AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tk, unnest(range(1, len(toks))) t(i)
+         |  GROUP BY doc_id, w1, w2),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
+         |       FROM tf2 GROUP BY w1, w2),
+         |tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n_bigrams FROM c2),
+         |pd AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(tf) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(tf * c2) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+         |      / CAST((SELECT n_bigrams FROM tot) AS DOUBLE) AS mean_pair_prob
+         |  FROM tf2 JOIN c2 USING (w1, w2)
+         |  GROUP BY doc_id),
+         |r AS (SELECT doc_id, n_pairs, mean_pair_prob,
+         |        ROW_NUMBER() OVER (ORDER BY mean_pair_prob DESC, doc_id) AS rn,
+         |        CAST(NTILE(4) OVER (ORDER BY mean_pair_prob DESC, doc_id)
+         |             AS BIGINT) AS bucket
+         |      FROM pd)
+         |SELECT doc_id, n_pairs, mean_pair_prob, bucket,
+         |       CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY rn) - 1) * 4
+         |            + (bucket - 1) AS BIGINT) AS pos
+         |FROM r ORDER BY pos""".stripMargin,
     "q_phrase_bm25" ->
       s"""$ToksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),

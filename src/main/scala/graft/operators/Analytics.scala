@@ -151,6 +151,63 @@ object Analytics {
     transitionsFromState(counts)
   }
 
+  /** Last-touch attribution: each conversion event credits the LATEST
+    * strictly-earlier touch event by the same user within `lookbackSec`
+    * seconds, and the readout is the per-touch-type conversion tally —
+    * the marketing-analytics question behind [[funnel]] asked the other
+    * way around (which entry point do completions trace back to?).
+    *
+    * One window pass over (user_id, (ts, event_id)) — the [[transitions]]
+    * shape, partitioned by user so no global sort — where each row's
+    * carried state is the last non-null touch among STRICTLY PRECEDING
+    * rows (`rowsBetween(…, -1)`: a touch and conversion sharing a
+    * timestamp never self-attribute; the strict `t_ts < ts` filter then
+    * also drops same-ts earlier-id touches, so the tie rule is "strictly
+    * earlier in TIME", not in tuple order — engine-replayable without
+    * relying on intra-timestamp ordering). The three touch columns are
+    * null-aligned (all set iff the row is a touch), so per-column
+    * last-ignore-nulls picks one consistent row, the cross-engine-safe
+    * spelling of `last(struct)`.
+    *
+    * Output: one row per touch type (plus `(none)` for conversions with
+    * no in-window touch) — n_conv, exact DECIMAL-summed conversion value
+    * (the house float rule), and the exact summed attribution lag in
+    * MICROSECONDS (integer both engines; avoid epoch-seconds floors).
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      convType: String,
+      touchTypes: Seq[String],
+      lookbackSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(touchTypes.nonEmpty, "touchTypes required")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    val attributed = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("t_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .withColumn("lag_us",
+        unix_micros(col("ts")) - unix_micros(col("t_ts")))
+      .withColumn("attr_type",
+        when(col("t_ts").isNotNull && col("t_ts") < col("ts") &&
+          col("lag_us") <= lit(lookbackSec * 1000000L), col("t_type"))
+          .otherwise(lit("(none)")))
+    attributed
+      .groupBy(col("attr_type"))
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+        sum(when(col("attr_type") =!= "(none)", col("lag_us"))
+          .otherwise(lit(0L))).as("sum_lag_us"))
+  }
+
   /** Per-user LAST event (by the (ts, event_id) total order) — the
     * boundary state behind [[transitionsAdvance]]. Merge of two lasts
     * tables is the per-user argmax: commutative AND idempotent, so this

@@ -872,6 +872,53 @@ object Dedup {
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= tauPpm)
   }
 
+  /** Pairwise SOURCE-overlap matrix: exact shingle Jaccard between every
+    * pair of corpus sources — the corpus-composition readout that tells a
+    * curation run which feeds are near-copies of each other (two crawls
+    * of the same site, a dataset republished under a new name) before
+    * any document-level mining spends compute on them. Document-level
+    * twins: [[ngramJaccardPairs]] (resemblance) / [[containmentPairs]]
+    * (asymmetric); this is the same statistic lifted to the source level,
+    * where the matrix is small enough to eyeball.
+    *
+    * Scale shape: one distinct-shuffle builds the (source, shingle-hash)
+    * posting table — the source-level shingle SET, h60-hashed so the join
+    * keys are 8 bytes, not shingle text. The self-join enumerates
+    * ≤ C(s, 2) pairs per shingle where s ≤ |sources| — sources are a
+    * DIMENSION (a pipeline has hundreds, not millions), so unlike the
+    * document-level miners no df valve is needed: worst case every
+    * shingle appears in all S sources and the join emits |shingles|·C(S,2)
+    * rows, all collapsed map-side by the (src_a, src_b) partial count
+    * into the ≤ S² output matrix. All values exact integers; Jaccard as
+    * ppm via the DECIMAL div pattern (q_dsir rule) so thresholds replay
+    * cross-engine.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // tokens in their OWN projection (the shingleSets HOF-inlining rule)
+    val post = Pins.pin(docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(shingles3(col("toks"))).as("s"))
+      .select(col("source"), h60(col("s")).as("h"))
+      .distinct())
+    // pinned: the size table and both self-join sides read the postings —
+    // unpinned, the tokenize+shingle explode would run three times
+    val sizes = post.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = post.select(col("h"), col("source").as("src_a"))
+      .join(post.select(col("h"), col("source").as("src_b")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // sizes is |sources| rows — no forced hint, AQE broadcasts it
+    common
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        call_function("div", lit(1000000L).cast(d38) * col("n_common").cast(d38),
+          (col("n_a") + col("n_b") - col("n_common")).cast(d38)).as("jaccard_ppm"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

@@ -154,6 +154,77 @@ object Diagnostics {
     */
   def ntileExact(df: DataFrame, order: Seq[Column], n: Int): DataFrame = {
     require(n > 0, "n must be positive")
+    val (ranked, total, release) = exactRanked(df, order)
+    // NTILE rule on the 0-based rank: the first m = N mod n buckets hold
+    // q+1 = ⌈N/n⌉ rows, the rest hold q (greatest(q,1) keeps the unused
+    // branch well-defined when N < n)
+    val q = total / n
+    val m = total % n
+    val out = ranked
+      .withColumn("bucket",
+        when(col("nt_rank") < lit(m * (q + 1)), col("nt_rank") / lit(q + 1))
+          .otherwise(lit(m) + (col("nt_rank") - lit(m * (q + 1))) / lit(math.max(q, 1L)))
+          .cast("long") + lit(1L))
+      .drop("nt_rank")
+      // eager: the persist is SEMANTIC here (the counts job and the rank
+      // job must see identical partitioning), so pin the finished result
+      // and release the corpus-sized sort cache instead of holding both
+      .localCheckpoint()
+    release()
+    out
+  }
+
+  /** Curriculum interleave over a TOTAL order: NTILE(n) difficulty
+    * buckets (identical rule to [[ntileExact]]) round-robined into one
+    * global training order — position p serves bucket (p mod n) + 1's
+    * next-ranked row, so every n consecutive documents cover the whole
+    * difficulty spectrum (anti-curriculum shuffling of a quality-sorted
+    * corpus: no long easy-only or hard-only stretch, while each bucket
+    * is still consumed easiest-first). `pos` is 0-based, unique, dense
+    * in [0, N) except for the tail where short (q-row) buckets run out —
+    * an ORDER BY pos is the training order.
+    *
+    * Everything is arithmetic on the same distributed exact rank that
+    * powers [[ntileExact]] — no new shuffle beyond the one range
+    * partition, no per-bucket window (a `Window.partitionBy(bucket)`
+    * would put a corpus/n slice on one task; rank-within-bucket is
+    * instead the global rank minus the bucket's closed-form start).
+    */
+  def curriculumInterleave(df: DataFrame, order: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val (ranked, total, release) = exactRanked(df, order)
+    val q = total / n
+    val m = total % n
+    val qq = math.max(q, 1L)
+    val inFirst = col("nt_rank") < lit(m * (q + 1))
+    val bucket0 =
+      when(inFirst, col("nt_rank") / lit(q + 1))
+        .otherwise(lit(m) + (col("nt_rank") - lit(m * (q + 1))) / lit(qq))
+        .cast("long")
+    val rankIn0 =
+      when(inFirst, col("nt_rank") % lit(q + 1))
+        .otherwise((col("nt_rank") - lit(m * (q + 1))) % lit(qq))
+        .cast("long")
+    val out = ranked
+      .withColumn("bucket", bucket0 + lit(1L))
+      .withColumn("pos", rankIn0 * lit(n.toLong) + bucket0)
+      .drop("nt_rank")
+      .localCheckpoint() // same semantic-persist rule as ntileExact
+    release()
+    out
+  }
+
+  /** The shared distributed exact-rank kernel: range-repartition on the
+    * order key, per-partition counts → prefix offsets (one long per
+    * partition to the driver), each partition stamps 0-based global
+    * ranks as `nt_rank`. Returns (ranked frame, total rows, release
+    * thunk); callers must materialize their result (localCheckpoint)
+    * BEFORE calling release — the persist is semantic (the counts job
+    * and the rank job must see identical partitioning, and
+    * repartitionByRange re-samples boundaries on recompute).
+    */
+  private def exactRanked(
+      df: DataFrame, order: Seq[Column]): (DataFrame, Long, () => Unit) = {
     require(order.nonEmpty, "order columns required")
     require(!df.columns.contains("bucket") && !df.columns.contains("nt_rank"),
       "input must not already contain 'bucket'/'nt_rank' columns")
@@ -179,23 +250,7 @@ object Diagnostics {
           val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r); r += 1; out
         }
       }, schema)
-    // NTILE rule on the 0-based rank: the first m = N mod n buckets hold
-    // q+1 = ⌈N/n⌉ rows, the rest hold q (greatest(q,1) keeps the unused
-    // branch well-defined when N < n)
-    val q = total / n
-    val m = total % n
-    val out = ranked
-      .withColumn("bucket",
-        when(col("nt_rank") < lit(m * (q + 1)), col("nt_rank") / lit(q + 1))
-          .otherwise(lit(m) + (col("nt_rank") - lit(m * (q + 1))) / lit(math.max(q, 1L)))
-          .cast("long") + lit(1L))
-      .drop("nt_rank")
-      // eager: the persist is SEMANTIC here (the counts job and the rank
-      // job must see identical partitioning), so pin the finished result
-      // and release the corpus-sized sort cache instead of holding both
-      .localCheckpoint()
-    sorted.unpersist(blocking = false)
-    out
+    (ranked, total, () => { sorted.unpersist(blocking = false); () })
   }
 
   /** Corpus card: the per-source summary a curation run publishes with a

@@ -94,6 +94,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Matryoshka-style truncated-dimension top-k: [[bruteForceTopK]] run
+    * on only the FIRST `dims` coordinates of every vector. With
+    * MRL-trained embeddings the information-dense prefix preserves most
+    * of the ranking at dims/Dim of the dot-product cost and memory
+    * bandwidth — the cheapest scale lever an embedding sweep has (a 4×
+    * dimension cut is a 4× FLOP cut on every one of the corpus × query
+    * dots, before any indexing). Gate a truncation with
+    * [[recallAtK]] against the full-dimension baseline exactly like an
+    * IVF index (q_ann_recall) before a corpus-wide sweep trusts it.
+    * The slice is a per-row projection (zero shuffle added); everything
+    * downstream — broadcast query side, per-query window — is the
+    * baseline's plan on shorter arrays.
+    */
+  def truncatedTopK(
+      embeddings: DataFrame, queryPred: Column, k: Int, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be at least 1")
+    bruteForceTopK(
+      embeddings.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      queryPred, k)
+  }
+
   /** IVF-style top-k: identical contract but each query only scans its
     * coarse cell. The cell is the SRP code over `cellBits` hyperplanes —
     * a real quantizer assignment (not a data label), derived from the

@@ -1024,6 +1024,54 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** PPMI collocation mining over the forward skip-gram counts: the
+    * top-k (w1, w2) pairs whose co-occurrence beats independence,
+    * scored by the RATIO n(w1,w2)·T / (n(w1,·)·n(·,w2)) in parts-per-
+    * million — PPMI = ln(ratio), and ln is monotone, so ranking by the
+    * exact integer ratio IS the PPMI ranking without a transcendental
+    * that could reorder near-ties cross-engine (the BM25 rational-idf
+    * rule). Marginals are the skip-gram table's own row/column sums
+    * (standard PPMI normalization), so the operator is self-contained
+    * on [[skipgramCounts]] output. `ratio_ppm > 1e6` ⇔ PPMI > 0.
+    *
+    * Scale shape: the pair table is vocab²-bounded (already map-side
+    * combined); marginals are two keyed aggs of it; the total is a 1-row
+    * aggregate crossJoined broadcast (the scalar-build BNLJ the audit
+    * admits structurally). Products run in DECIMAL(38,0) (n·T·1e6
+    * overflows BIGINT at corpus scale) with `div`, result cast BIGINT.
+    * The pair table is pinned: three aggregations and the final join all
+    * read it, and a self-referenced derived table gets zero
+    * ReusedExchange.
+    */
+  def ppmiPairs(
+      docs: DataFrame,
+      window: Int = 3,
+      minCount: Long = 2L,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val d38 = "decimal(38,0)"
+    val pairs = Pins.pin(skipgramCounts(docs, window, minCount))
+    val left = pairs.groupBy(col("w1")).agg(sum(col("n")).as("m1"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("n")).as("m2"))
+    val tot = pairs.agg(sum(col("n")).as("t"))
+    val out = Pins.pin(pairs
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio_ppm",
+        call_function("div",
+          col("n").cast(d38) * col("t").cast(d38) * lit(1000000L).cast(d38),
+          col("m1").cast(d38) * col("m2").cast(d38)).cast("long"))
+      .filter(col("ratio_ppm") > 1000000L)
+      .select(col("w1"), col("w2"), col("n"), col("m1"), col("m2"),
+        col("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+    ) // eager pin: consume the pair-table checkpoint, then release it
+    Pins.release(pairs)
+    out
+  }
+
   /** Checkpointed (doc_id, dl) table — one tokenize pass feeds both the
     * corpus stats and the per-doc join without a re-tokenize.
     */

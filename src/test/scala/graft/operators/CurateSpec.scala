@@ -217,6 +217,31 @@ class CurateSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("curriculumInterleave equals NTILE + within-bucket row_number round-robin") {
+    import org.apache.spark.sql.expressions.Window
+    // remainder (10, 3), exact (9, 3), N < n (2, 3), and a larger mix
+    for ((total, n) <- Seq((10, 3), (9, 3), (2, 3), (30, 4))) {
+      val df = (1 to total).map(i => (i.toLong, (i * 37 % 11).toLong))
+        .toDF("id", "score").repartition(4)
+      val got = Diagnostics
+        .curriculumInterleave(df, Seq(col("score"), col("id")), n)
+        .select("id", "bucket", "pos").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      val w = Window.orderBy(col("score"), col("id"))
+      val want = df
+        .withColumn("bucket", ntile(n).over(w).cast("long"))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy(col("bucket"))
+            .orderBy(col("score"), col("id"))) - 1).cast("long") * n +
+            col("bucket") - 1)
+        .select("id", "bucket", "pos").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"total=$total n=$n")
+      // positions are unique (a total training order)
+      assert(got.map(_._3).distinct.length === got.length)
+    }
+  }
+
   test("heavyHitters ranks keys by count with exact shares") {
     import graft.operators.Diagnostics
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")

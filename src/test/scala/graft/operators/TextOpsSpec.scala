@@ -184,6 +184,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Array(1L, 3L, 2L))
   }
 
+  test("truncatedTopK ranks by prefix-dimension cosine — tail dimensions stop mattering") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // query
+      (1L, Array(0.6f, 0.1f, 9f, 9f)), // full-dim cosine ruined by the tail
+      (2L, Array(0.5f, 0.5f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    // dims=2 sees (0.6,0.1) ≈ the best prefix alignment → id 1 first
+    val trunc = Similarity.truncatedTopK(e, col("vec_id") === 0, 3, dims = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(trunc === Array(1L, 2L, 3L))
+    // the full-dimension baseline demotes id 1 (tail mass dominates)
+    val full = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(full === Array(2L, 1L, 3L))
+    // at dims == full width the truncation is the identity
+    val all = Similarity.truncatedTopK(e, col("vec_id") === 0, 3, dims = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(all === full)
+  }
+
   test("srpBit agrees with a driver-side dot-product sign computation") {
     val emb = Array.tabulate(Similarity.Dim)(i => (math.sin(i + 1)).toFloat)
     val expected = (0 until 8).map { p =>
@@ -1485,6 +1505,42 @@ class TextOpsSpec extends SparkSpec {
     val bigrams = TextAnalysis.skipgramCounts(d, window = 1, minCount = 1)
       .orderBy("w1", "w2").as[(String, String, Long)].collect().toSeq
     assert(bigrams === Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "d", 1L)))
+  }
+
+  test("sourceOverlap computes exact pairwise shingle Jaccard; disjoint sources emit no row") {
+    val d = Seq(
+      (1L, "a b c d", "A"),  // shingles {a b c, b c d}
+      (2L, "a b c", "B"),    // {a b c}
+      (3L, "b c d", "B"),    // {b c d} → B = {a b c, b c d}
+      (4L, "x y z", "C"),    // {x y z} — disjoint from A and B
+      (5L, "a b", "D"))      // <3 tokens → no shingles, D absent entirely
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // A∩B = {a b c, b c d} → J = 2/2; C shares nothing → no A-C/B-C row
+    assert(out === Seq(("A", "B", 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("ppmiPairs ranks by the exact co-occurrence ratio with self-contained marginals") {
+    val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // window 1 pairs: (a,b)×2, (b,a)×1 → T=3; m1(a)=2 m1(b)=1, m2(b)=2 m2(a)=1
+    // ratio(b,a) = 1·3·1e6/(1·1) = 3e6;  ratio(a,b) = 2·3·1e6/(2·2) = 1.5e6
+    val out = TextAnalysis.ppmiPairs(d, window = 1, minCount = 1L, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("b", "a", 1L, 1L, 1L, 3000000L),
+      ("a", "b", 2L, 2L, 2L, 1500000L)))
+    // independence floor: all four (a|b)×(a|b) pairs once each → every
+    // ratio is exactly 1·4·1e6/(2·2) = 1e6 (PPMI == 0), filtered out
+    val uniform = Seq((1L, "a a"), (2L, "a b"), (3L, "b a"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.ppmiPairs(uniform, window = 1, minCount = 1L, topK = 10)
+      .count() === 0L)
+    // topK truncates on the (ratio, w1, w2) total order
+    assert(TextAnalysis.ppmiPairs(d, window = 1, minCount = 1L, topK = 1)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      === Seq(("b", "a", 1L, 1L, 1L, 3000000L)))
   }
 
   test("phraseTopK matches exact consecutive phrases only, counting occurrences") {

@@ -1048,6 +1048,33 @@ class StreamingOpsSpec extends SparkSpec {
       (3L, "click", 1L), (4L, "purchase", 1L)))
   }
 
+  test("lastTouchAttribution: latest in-window touch wins; same-ts and stale touches do not") {
+    val e = Seq(
+      // user 1: click then view then purchase — the LATER view gets credit
+      (1L, 10L, "click", 100L, 0.0), (1L, 11L, "view", 200L, 0.0),
+      (1L, 12L, "purchase", 300L, 10.0),
+      // user 2: touch outside the 1000 s lookback → (none)
+      (2L, 20L, "click", 100L, 0.0), (2L, 21L, "purchase", 1200L, 20.0),
+      // user 3: touch at the SAME instant as the purchase → (none)
+      (3L, 30L, "view", 500L, 0.0), (3L, 31L, "purchase", 500L, 30.0),
+      // user 4: no touch at all → (none)
+      (4L, 40L, "purchase", 700L, 40.0),
+      // user 5: touch AFTER the purchase → (none); error events never credit
+      (5L, 50L, "error", 100L, 0.0), (5L, 51L, "purchase", 200L, 50.0),
+      (5L, 52L, "click", 250L, 0.0))
+      .toDF("user_id", "event_id", "event_type", "secs", "value")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("secs")).as("ts"), col("value"))
+    val out = graft.operators.Analytics
+      .lastTouchAttribution(e, "purchase", Seq("click", "view"), lookbackSec = 1000L)
+      .orderBy("attr_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("(none)", 4L, 140.0, 0L),          // users 2, 3, 4, 5
+      ("view", 1L, 10.0, 100L * 1000000L) // user 1: 100 s lag in µs
+    ))
+  }
+
   test("retentionCohorts: Monday-week cohorts, exact offsets, distinct weeks") {
     // 2024-01-01 and 2024-01-08 are Mondays
     val e = Seq(
