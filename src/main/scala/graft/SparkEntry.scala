@@ -676,6 +676,12 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, pred, 5), 5)
         .orderBy(col("query_id"))
     },
+    // kNN pseudo-labeling: non-seed vectors take the majority label of
+    // their 5 nearest seed vectors (every 5th id) in their SRP cell.
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables(s, dir).embeddings,
+        col("vec_id") % 5 === 0, k = 5)
+        .orderBy(col("vec_id"))),
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -2631,6 +2637,36 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM se) u
          |LEFT JOIN hits h ON u.query_id = h.query_id
          |ORDER BY u.query_id""".stripMargin,
+    // probes join seeds in the same 4-bit SRP cell; majority of the top-5
+    // seed votes, ties to the smaller label; cell-less probes absent
+    "q_knn_classify" ->
+      s"""$EmbCte,
+         |c AS (SELECT vec_id, d, nrm,
+         |             CAST(list_sum(list_transform(range(0, 4),
+         |                 p -> bits[p+1] << p)) AS BIGINT) AS cell
+         |      FROM e),
+         |sd AS (SELECT c.vec_id AS seed_id, em.label AS seed_label,
+         |              cell, d AS ds, nrm AS ns
+         |       FROM c JOIN embeddings em ON em.vec_id = c.vec_id
+         |       WHERE c.vec_id % 5 = 0),
+         |pr AS (SELECT vec_id, cell, d AS dp, nrm AS np
+         |       FROM c WHERE vec_id % 5 <> 0),
+         |top AS (SELECT vec_id, seed_label FROM (
+         |    SELECT pr.vec_id, sd.seed_label, sd.seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY pr.vec_id
+         |             ORDER BY list_dot_product(dp, ds) / (np * ns) DESC,
+         |                      sd.seed_id) AS rnk
+         |    FROM pr JOIN sd USING (cell))
+         |  WHERE rnk <= 5),
+         |v AS (SELECT vec_id, seed_label, CAST(COUNT(*) AS BIGINT) AS votes
+         |      FROM top GROUP BY 1, 2),
+         |t AS (SELECT vec_id, seed_label, votes,
+         |        CAST(SUM(votes) OVER (PARTITION BY vec_id) AS BIGINT) AS n_votes,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                           ORDER BY votes DESC, seed_label) AS rn
+         |      FROM v)
+         |SELECT vec_id, seed_label AS pred_label, votes, n_votes
+         |FROM t WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // approx = the first-32-dims ranking (list slice of the SAME table
     // column — the column⋈column dot path, never a literal), exact =
     // q_topk_cosine's full-dimension scan; recall@5 per query

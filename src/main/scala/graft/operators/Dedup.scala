@@ -894,16 +894,34 @@ object Dedup {
     * cross-engine.
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val d38 = "decimal(38,0)"
-    // tokens in their OWN projection (the shingleSets HOF-inlining rule)
-    val post = Pins.pin(docs
-      .select(col("source"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(shingles3(col("toks"))).as("s"))
-      .select(col("source"), h60(col("s")).as("h"))
-      .distinct())
     // pinned: the size table and both self-join sides read the postings —
     // unpinned, the tokenize+shingle explode would run three times
+    val post = Pins.pin(sourceShinglePostings(docs))
+    // eager pin of the S²-bounded matrix, then release the posting pin
+    val out = Pins.pin(sourceOverlapFromPostings(post))
+    Pins.release(post)
+    out
+  }
+
+  /** The distinct (source, shingle-h60) posting table behind
+    * [[sourceOverlap]] — and its STREAMING STATE: postings of disjoint
+    * document batches merge by union + distinct (set union — commutative,
+    * idempotent, any batch order/replay works, the retentionState rule),
+    * so a crawl can accrete this table per micro-batch and serve
+    * [[sourceOverlapFromPostings]] at any point, identical to one-shot
+    * indexing of every document seen.
+    */
+  def sourceShinglePostings(docs: DataFrame): DataFrame = docs
+    // tokens in their OWN projection (the shingleSets HOF-inlining rule)
+    .select(col("source"), tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 3)
+    .select(col("source"), explode(shingles3(col("toks"))).as("s"))
+    .select(col("source"), h60(col("s")).as("h"))
+    .distinct()
+
+  /** [[sourceOverlap]]'s readout over a (deduplicated) posting state. */
+  def sourceOverlapFromPostings(post: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
     val sizes = post.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val common = post.select(col("h"), col("source").as("src_a"))
       .join(post.select(col("h"), col("source").as("src_b")), Seq("h"))

@@ -1079,6 +1079,59 @@ object Similarity {
         (col("pred_label") =!= col("label")).as("suspect"))
   }
 
+  /** kNN pseudo-labeling: every NON-seed vector takes the majority label
+    * of its k nearest SEED vectors in its SRP cell (ties: fewest-votes
+    * loses, then smallest label) — the auto-labeling step that turns a
+    * small hand-labeled seed set into weak supervision for the whole
+    * corpus. The bipartite sibling of [[knnLabelAudit]] (which audits
+    * EXISTING labels against same-corpus neighbors): here probes carry
+    * no label and only seeds vote.
+    *
+    * Scale shape: the probe⋈seed candidate join is the IVF cell
+    * equi-join (nprobe=1 — the standard pseudo-labeler trade; raise
+    * recall with more cell bits, not a wider probe), run through
+    * [[blockedCellJoin]] so a skewed cell splits 2-D into ≤ maxCellSize²
+    * per-task work. A probe whose cell holds no seed is ABSENT from the
+    * output (unlabelable at this granularity) rather than guessed.
+    * Votes and tallies are exact integers; the only float is the
+    * column⋈column cosine inside the per-probe top-k window.
+    */
+  def knnClassify(
+      embeddings: DataFrame,
+      seedPred: Column,
+      k: Int,
+      cellBits: Int = 4,
+      maxCellSize: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val cells = withNorm(embeddings)
+      .withColumn("cell", srpCode(col("embedding"), 0, cellBits))
+    val probes = cells.filter(!seedPred)
+      .select(col("vec_id"), col("cell"),
+        col("embedding").as("emb_p"), col("nrm").as("nrm_p"))
+    val seeds = cells.filter(seedPred)
+      .select(col("vec_id").as("seed_id"), col("label").as("seed_label"),
+        col("cell"), col("embedding").as("emb_s"), col("nrm").as("nrm_s"))
+    val top = blockedCellJoin(probes, "vec_id", seeds, "seed_id", maxCellSize)
+      .withColumn("cosine",
+        dot(col("emb_p"), col("emb_s")) / (col("nrm_p") * col("nrm_s")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("seed_id"))))
+      .filter(col("rnk") <= k)
+    top
+      .groupBy(col("vec_id"), col("seed_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("n_votes", sum(col("votes")).over(
+        Window.partitionBy(col("vec_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("votes").desc, col("seed_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_label").as("pred_label"),
+        col("votes"), col("n_votes"))
+  }
+
   // ------------------------------------------------- index persistence
 
   /** Persist a trained IVF index as parquet tables so it outlives the

@@ -375,6 +375,42 @@ class TextOpsSpec extends SparkSpec {
     assert(mkUnvalved.nonEmpty)
   }
 
+  test("knnClassify pseudo-labels probes from same-cell seed majority; valve preserves output") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val out = Similarity.knnClassify(emb, col("vec_id") % 5 === 0, k = 5)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.nonEmpty)
+    // a tight cap forces the bipartite 2-D block split; output unchanged
+    val valved = Similarity.knnClassify(emb, col("vec_id") % 5 === 0, k = 5,
+      maxCellSize = 20)
+    assert(valved.queryExecution.executedPlan.toString.contains("Generate"),
+      "valved plan shows no block fan-out")
+    assert(valved.as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq === out)
+    // driver-side reference: same cells, strict left-to-right double dots
+    val cells = emb.select(col("vec_id"), col("label"),
+        Similarity.srpCode(col("embedding"), 0, 4).as("cell"), col("embedding"))
+      .as[(Long, Int, Long, Array[Float])].collect()
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+    val seeds = cells.filter(_._1 % 5 == 0)
+    val probes = cells.filter(_._1 % 5 != 0)
+    val want = probes.toSeq.flatMap { case (pid, _, pc, pe) =>
+      val cands = seeds.filter(_._3 == pc).map { case (sid, sl, _, se) =>
+        (dotd(pe, se) / (math.sqrt(dotd(pe, pe)) * math.sqrt(dotd(se, se))), sid, sl)
+      }.sortBy { case (cos, sid, _) => (-cos, sid) }.take(5).toSeq
+      if (cands.isEmpty) None
+      else {
+        val votes = cands.groupBy(_._3).view.mapValues(_.length.toLong).toSeq
+        val (pl, pv) = votes.sortBy { case (l, v) => (-v, l) }.head
+        Some((pid, pl, pv, cands.length.toLong))
+      }
+    }.sortBy(_._1)
+    assert(out === want)
+    // some probe must sit in a seedless cell OR every probe is covered —
+    // either way the output never exceeds the probe count
+    assert(out.length <= probes.length)
+  }
+
   test("kNN-join sweep survives a mega-cell: valved ≡ unvalved ≡ broadcast mode") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     // a 2-centroid quantizer concentrates ~half the corpus into each cell

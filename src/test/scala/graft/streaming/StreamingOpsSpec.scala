@@ -934,6 +934,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(doclen.filter(col("dl") === 0L).count() === 1)
   }
 
+  test("streaming source-overlap maintenance: distinct-union posting merge equals the one-shot matrix") {
+    import graft.operators.Dedup
+    import java.nio.file.Files
+    // a crawl in 3 batches; the (source, shingle-h60) posting state is a
+    // SET (merge = union + distinct — commutative, idempotent), so the
+    // served matrix must equal the one-shot readout even though batches
+    // repeat postings (doc 1 and doc 4 share source+shingles)
+    val all = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c", "B"), (3L, "b c d", "B"),
+      (4L, "a b c d e", "A"), (5L, "x y z", "C"), (6L, "a b", "D"))
+    val batches = Seq(Seq(all(0), all(1)), Seq(all(2), all(3)), Seq(all(4), all(5)))
+    val dir = Files.createTempDirectory("graft-srcoverlap").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text", "source").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.sourceShinglePostings(batch)
+          .write.mode("append").parquet(s"$dir/store")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val served = m(Dedup.sourceOverlapFromPostings(
+      spark.read.parquet(s"$dir/store").distinct()))
+    val oneShot = m(Dedup.sourceOverlap(all.toDF("doc_id", "text", "source")))
+    assert(served === oneShot)
+    assert(served.nonEmpty)
+  }
+
   test("compaction consolidates micro-batch small files, preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate 10 micro-batches: each writes its own batch_id slice with
