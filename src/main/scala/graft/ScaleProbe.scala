@@ -98,6 +98,9 @@ object ScaleProbe {
             .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts")),
           key = "user_id", leftTs = "pts", rightTs = "cts", lookback = "1 day")
       },
+      "last-touch attribution (6 h)" -> ((s, d) =>
+        operators.Analytics.lastTouchAttribution(Tables(s, d).events,
+          "purchase", Seq("click", "view"), lookbackSec = 6L * 3600L)),
       // sketches/monitors: one keyed aggregation each, output size is
       // FIXED (d·w cells / 2^p registers) regardless of input scale
       "count-min sketch (d=4, w=1024)" -> ((s, d) =>
@@ -378,6 +381,18 @@ object ScaleProbe {
       "winnow span pairs (≥3 aligned)" ->
         (d => operators.Dedup.winnowSpanPairs(d)),
       "fertility per source" -> (d => operators.TextAnalysis.fertility(d)),
+      // pairs per shingle bounded by the source DIMENSION (C(S,2)), so
+      // the matrix cost tracks the posting table ~linearly
+      "source overlap matrix" -> (d => operators.Dedup.sourceOverlap(d)),
+      // vocab²-bounded pair table + two keyed marginals: ~linear in docs
+      "ppmi pairs (top-50)" -> (d =>
+        operators.TextAnalysis.ppmiPairs(d, window = 3, minCount = 30L, topK = 50)),
+      // the exact-rank kernel: range partition + prefix sums, ~linear
+      "curriculum interleave (4 buckets)" -> (d =>
+        operators.Diagnostics.curriculumInterleave(
+          operators.TextAnalysis.bigramScores(d)
+            .select(col("doc_id"), col("n_pairs"), col("mean_pair_prob")),
+          Seq(col("mean_pair_prob").desc, col("doc_id")), 4)),
       "source divergence (64 buckets)" ->
         (d => operators.TextAnalysis.sourceDivergence(d, 64)),
       "hll overlap (odd vs even docs)" -> (d => operators.Sketches
@@ -520,6 +535,16 @@ object ScaleProbe {
         val c = operators.Similarity.kmeansCentroids(
           e, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1, salt = "sc")
         operators.Similarity.cellPurity(e, c)
+      },
+      // bipartite cell join valved at 256: probes×seeds per SRP cell
+      "kNN pseudo-label (k=5, 20% seeds)" -> { (e, _) =>
+        operators.Similarity.knnClassify(e, col("vec_id") % 5 === 0,
+          k = 5, maxCellSize = 256)
+      },
+      // the dimension-cut lever: the brute force at half the dot width
+      "matryoshka top-3 (32 of 64 dims)" -> { (e, _) =>
+        operators.Similarity.truncatedTopK(e, col("vec_id") % 2 === 0,
+          k = 3, dims = 32)
       })
     simOps.foreach { case (name, op) =>
       val cells = embDirs.map { case (f, dir) =>

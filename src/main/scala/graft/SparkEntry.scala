@@ -954,7 +954,7 @@ object SparkEntry {
     // Bigram-LM perplexity scoring; integer-exact surrogates hashed, the
     // float avg_logprob/ppl stay engine-side (the unigram_lm convention).
     "q_bigram_lm" -> ((s, dir) =>
-      TextAnalysis.bigramScores(Tables(s, dir).documents)
+      bigramScoresShared(s, dir)
         .select("doc_id", "n_pairs", "sum_c2", "min_c2", "n_hapax",
           "mean_pair_prob")
         .orderBy(col("doc_id"))),
@@ -962,7 +962,7 @@ object SparkEntry {
     // (no one-task global window — ranks via range-partition prefix sums).
     "q_quality_buckets" -> ((s, dir) =>
       Diagnostics.ntileExact(
-        TextAnalysis.bigramScores(Tables(s, dir).documents)
+        bigramScoresShared(s, dir)
           .select(col("doc_id"), col("n_pairs"), col("mean_pair_prob")),
         Seq(col("mean_pair_prob").desc, col("doc_id")), 3)
         .orderBy(col("doc_id"))),
@@ -1022,7 +1022,7 @@ object SparkEntry {
     // LM score, round-robined into one global 0-based training order.
     "q_curriculum" -> ((s, dir) =>
       Diagnostics.curriculumInterleave(
-        TextAnalysis.bigramScores(Tables(s, dir).documents)
+        bigramScoresShared(s, dir)
           .select(col("doc_id"), col("n_pairs"), col("mean_pair_prob")),
         Seq(col("mean_pair_prob").desc, col("doc_id")), 4)
         .orderBy(col("pos"))),
@@ -1583,6 +1583,23 @@ object SparkEntry {
     semdCentCache.computeIfAbsent(dir, d =>
       Similarity.kmeansCentroids(
         Tables(s, d).embeddings, numCells = 8, iters = 2, salt = "semd"))
+
+  /** One bigram-LM scoring pass serving three consumers (q_bigram_lm,
+    * q_quality_buckets, q_curriculum) — the lexical twin of the shared
+    * semd quantizer: score once, rank/bucket/order many times. The
+    * memoized frame is the operator's own eager pin, so later consumers
+    * read a materialized table instead of re-running the corpus bigram
+    * aggregation. Plan audits BYPASS the stash ([[operators.Pins.auditing]]):
+    * a pinned frame's plan is a LogicalRDD scan, and whichever mode
+    * populated the cache first would otherwise decide what the audit sees.
+    */
+  private val bigramScoresCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def bigramScoresShared(s: SparkSession, dir: String): DataFrame =
+    if (operators.Pins.auditing)
+      TextAnalysis.bigramScores(Tables(s, dir).documents)
+    else bigramScoresCache.computeIfAbsent(dir, d =>
+      TextAnalysis.bigramScores(Tables(s, d).documents))
 
   /** Learned k-means centroids stashed by the q_semdedup run — same
     * replay contract as [[pqBooksStash]].

@@ -48,6 +48,15 @@ object Pins {
   def pin(df: DataFrame): DataFrame =
     if (inlineForAudit.value) df else df.localCheckpoint()
 
+  /** True while the calling thread is inside [[withAuditView]]. Shared
+    * memoized frames (the SparkEntry stashes) consult this to BYPASS
+    * their cache under an audit: a stashed frame is pinned (plan = a
+    * LogicalRDD scan), so serving it to a plan audit would hide the join
+    * tree the audit exists to inspect — and which mode populated the
+    * cache first would silently decide what later audits see.
+    */
+  private[graft] def auditing: Boolean = inlineForAudit.value
+
   /** Promptly free the storage blocks behind a [[pin]]: unpersist the
     * checkpointed RDD under the frame's `LogicalRDD` plan. A no-op when
     * the frame was never pinned (e.g. built under [[withAuditView]],
