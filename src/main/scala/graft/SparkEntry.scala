@@ -1039,6 +1039,16 @@ object SparkEntry {
     "q_fertility" -> ((s, dir) =>
       TextAnalysis.fertility(Tables(s, dir).documents)
         .orderBy(col("source"))),
+    // Per-source top-5 signature bigrams (template/SEO-feed readout),
+    // via the salted two-stage top-k — no single-task source window.
+    "q_source_phrases" -> ((s, dir) =>
+      TextAnalysis.sourcePhrases(Tables(s, dir).documents, k = 5)
+        .orderBy(col("source"), col("rnk"))),
+    // Per-source OOV rate vs the corpus top-20 vocabulary (tokenizer
+    // coverage; exact integer ppm).
+    "q_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables(s, dir).documents, vocabSize = 20)
+        .orderBy(col("source"))),
     // Per-source unigram drift vs the corpus (hashed-bucket TV distance,
     // exact integer ppm) — the mixture-planning ranking.
     "q_source_divergence" -> ((s, dir) =>
@@ -1177,6 +1187,14 @@ object SparkEntry {
       semCentStash = Some(cents)
       Similarity.semDedup(emb, cents, tau = 0.4).orderBy(col("vec_id"))
     },
+    // Per-dimension embedding moments (n, Σv, Σv² in exact DECIMAL
+    // micro-units): the mergeable normalization/drift state.
+    "q_emb_moments" -> ((s, dir) =>
+      Similarity.embeddingMoments(Tables(s, dir).embeddings)
+        .select(col("dim"), col("n"),
+          (col("s") * 1000000).cast("long").as("s_micro"),
+          (col("s2") * 1000000).cast("long").as("s2_micro"))
+        .orderBy(col("dim"))),
     // Mergeable per-cell assignment state (counts + exact-DECIMAL
     // coordinate sums): the incremental-IVF maintenance table a streaming
     // ingest keeps current per micro-batch.
@@ -2654,6 +2672,18 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM se) u
          |LEFT JOIN hits h ON u.query_id = h.query_id
          |ORDER BY u.query_id""".stripMargin,
+    // per-dim moment state: double-exact widening, v² exact in double,
+    // DECIMAL(27,6) sums ×1e6 → BIGINT micro-units (the cellStats rule)
+    "q_emb_moments" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS d FROM embeddings)
+        |SELECT CAST(j - 1 AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(d[CAST(j AS INT)] AS DECIMAL(27,6))) * 1000000
+        |            AS BIGINT) AS s_micro,
+        |       CAST(SUM(CAST(d[CAST(j AS INT)] * d[CAST(j AS INT)]
+        |                     AS DECIMAL(27,6))) * 1000000
+        |            AS BIGINT) AS s2_micro
+        |FROM e CROSS JOIN range(1, 65) u(j)
+        |GROUP BY j ORDER BY dim""".stripMargin,
     // probes join seeds in the same 4-bit SRP cell; majority of the top-5
     // seed votes, ties to the smaller label; cell-less probes absent
     "q_knn_classify" ->
@@ -3613,6 +3643,39 @@ object SparkEntry {
          |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p1 GROUP BY 1, 2 HAVING COUNT(*) >= 100
          |ORDER BY w1, w2""".stripMargin,
+    // per-source bigram head: counts + the (n DESC, gram ASC) total order
+    "q_source_phrases" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+         |g AS (SELECT d.source,
+         |             tk.toks[CAST(i AS INT)] || ' ' ||
+         |             tk.toks[CAST(i+1 AS INT)] AS gram
+         |      FROM tk JOIN documents d USING (doc_id),
+         |           unnest(range(1, len(tk.toks))) t(i)),
+         |c AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM g GROUP BY 1, 2),
+         |r AS (SELECT source, gram, n,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |                           ORDER BY n DESC, gram ASC) AS rnk
+         |      FROM c)
+         |SELECT source, CAST(rnk AS BIGINT) AS rnk, gram, n
+         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // corpus top-20 vocabulary by (count DESC, token ASC); OOV ppm exact
+    "q_oov_rate" ->
+      s"""$ToksCte,
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |tf AS (SELECT d.source, token, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM ex JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |vb AS (SELECT token FROM (
+         |         SELECT token, SUM(n) AS tot FROM tf GROUP BY 1
+         |         ORDER BY tot DESC, token LIMIT 20)),
+         |a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM vb)
+         |                      THEN n ELSE 0 END) AS BIGINT) AS n_oov
+         |      FROM tf GROUP BY 1)
+         |SELECT source, n_tokens, n_oov,
+         |       CAST((1000000::HUGEINT * n_oov) // n_tokens AS BIGINT) AS oov_ppm
+         |FROM a ORDER BY source""".stripMargin,
     // ratio surrogate of PPMI: n·T·1e6 // (m1·m2), HUGEINT == DECIMAL div;
     // marginals over the minCount-thresholded pair table (both engines)
     "q_ppmi" ->

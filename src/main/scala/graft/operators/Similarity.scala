@@ -825,6 +825,37 @@ object Similarity {
       .groupBy(col("cell"), col("dim"))
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
 
+  /** Per-dimension first and second moments of the embedding column —
+    * the feature-normalization / drift-monitoring state (mean and
+    * variance per coordinate derive on read: μ = s/n,
+    * σ² = s2/n − μ²). Same exactness discipline as [[cellStats]]: each
+    * float widens to double EXACTLY, v² is exact in double too (24-bit
+    * significands square into ≤48 bits), and both sum as DECIMAL(27,6)
+    * so the state is order-independent and engine-portable. Mergeable
+    * by construction ([[mergeMoments]]: counts and sums add), so a
+    * streaming ingest maintains it per micro-batch and a scheduled job
+    * diffs it against a released snapshot for drift.
+    *
+    * Scale shape: one posexplode into a (dim)-keyed aggregation —
+    * dims×N narrow rows through a map-side-combinable sum, output is
+    * `dims` rows. No window, no join.
+    */
+  def embeddingMoments(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast("decimal(27,6)")).as("s"),
+        sum((col("v").cast("double") * col("v").cast("double"))
+          .cast("decimal(27,6)")).as("s2"))
+
+  /** Merge two [[embeddingMoments]] tables (counts and sums add). */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("s2")).as("s2"))
+
   /** Refreshed centroid coordinates from a [[cellStats]] table: the mean
     * of the members seen so far, one double division per (cell, dim).
     */

@@ -1024,6 +1024,73 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Per-source top-k signature bigrams — the template/boilerplate
+    * readout per FEED: a source whose head phrases dominate its token
+    * mass is a generated/SEO feed, and the phrases themselves tell a
+    * curator what the template is. One per-row bigram fan-out (zero
+    * shuffle) into a (source, gram)-keyed count, then the per-source
+    * head via the salted two-stage top-k — never a bare
+    * `Window.partitionBy(source)` (a hot source would pull its whole
+    * gram table through one task; the house skew rule).
+    */
+  def sourcePhrases(docs: DataFrame, k: Int = 5, salts: Int = 8): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val grams = docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    Diagnostics.saltedTopKPerKey(
+      grams.select(col("source"), col("n"), col("gram")),
+      col("source"), col("n"), col("gram"), k, salts)
+      .select(col("key").as("source"), col("rank").as("rnk"),
+        col("tiebreak").as("gram"), col("value").as("n"))
+  }
+
+  /** Per-source out-of-vocabulary rate against the corpus's own top-N
+    * token vocabulary — the tokenizer-coverage readout ([[fertility]]'s
+    * complement): a source whose token mass falls outside the shared
+    * vocabulary either needs tokenizer retraining or is noise. The
+    * vocabulary boundary is deterministic (count DESC, token ASC, top
+    * `vocabSize`), rates are exact integer ppm, so keep decisions
+    * replay cross-engine.
+    *
+    * Scale shape: one (source, token) count (map-side combinable,
+    * vocab×sources-bounded), the vocab head via sort-limit (a
+    * `TakeOrderedAndProject`, vocabSize rows to the driver-side limit),
+    * one equi-join of the tf table against the vocabSize-row list (AQE
+    * broadcasts it), one source-keyed sum. The tf table is pinned: the
+    * vocab derivation and the join both read it.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be at least 1")
+    val d38 = "decimal(38,0)"
+    val tf = Pins.pin(docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n")))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    val out = Pins.pin(tf
+      .join(vocab, Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        call_function("div", lit(1000000L).cast(d38) * col("n_oov").cast(d38),
+          col("n_tokens").cast(d38)).as("oov_ppm"))
+    ) // eager pin of the |sources|-row readout, then release the tf pin
+    Pins.release(tf)
+    out
+  }
+
   /** PPMI collocation mining over the forward skip-gram counts: the
     * top-k (w1, w2) pairs whose co-occurrence beats independence,
     * scored by the RATIO n(w1,w2)·T / (n(w1,·)·n(·,w2)) in parts-per-

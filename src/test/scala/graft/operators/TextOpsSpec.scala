@@ -1543,6 +1543,57 @@ class TextOpsSpec extends SparkSpec {
     assert(bigrams === Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "d", 1L)))
   }
 
+  test("embeddingMoments: exact per-dim micro-unit sums; merge equals one-shot") {
+    val e = Seq(
+      (1L, Array(1f, 2f)),
+      (2L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    def micro(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("dim"), col("n"),
+        (col("s") * 1000000).cast("long").as("sm"),
+        (col("s2") * 1000000).cast("long").as("s2m"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = micro(Similarity.embeddingMoments(e))
+    assert(got === Seq(
+      (0, 2L, 4000000L, 10000000L),  // 1+3, 1+9
+      (1, 2L, 6000000L, 20000000L))) // 2+4, 4+16
+    // mergeable: per-half moments merge into the one-shot state
+    val merged = micro(Similarity.mergeMoments(
+      Similarity.embeddingMoments(e.filter(col("vec_id") === 1)),
+      Similarity.embeddingMoments(e.filter(col("vec_id") === 2))))
+    assert(merged === got)
+  }
+
+  test("sourcePhrases ranks per-source bigrams by (count desc, gram asc) through the salt valve") {
+    val d = Seq(
+      (1L, "a b a b", "A"), // grams: "a b"×2, "b a"×1
+      (2L, "c d", "A"),     // "c d"×1
+      (3L, "x y", "B"),     // "x y"×1
+      (4L, "z", "B"))       // <2 tokens → no grams
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourcePhrases(d, k = 3)
+      .orderBy("source", "rnk")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", 1L, "a b", 2L), ("A", 2L, "b a", 1L), ("A", 3L, "c d", 1L),
+      ("B", 1L, "x y", 1L)))
+  }
+
+  test("oovRate: deterministic vocab boundary, exact ppm; all-OOV source hits 1e6") {
+    val d = Seq(
+      (1L, "a a a a a b b b", "S1"), // a×5, b×3 — both in the top-2 vocab
+      (2L, "c c", "S2"))             // c — outside
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.oovRate(d, vocabSize = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("S1", 8L, 0L, 0L), ("S2", 2L, 2L, 1000000L)))
+    // boundary tie: with vocabSize=1 only 'a' survives; b becomes OOV
+    val cut = TextAnalysis.oovRate(d, vocabSize = 1)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(cut === Seq(("S1", 8L, 3L, 375000L), ("S2", 2L, 2L, 1000000L)))
+  }
+
   test("sourceOverlap computes exact pairwise shingle Jaccard; disjoint sources emit no row") {
     val d = Seq(
       (1L, "a b c d", "A"),  // shingles {a b c, b c d}
