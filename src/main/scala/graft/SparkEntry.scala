@@ -682,6 +682,13 @@ object SparkEntry {
       Similarity.knnClassify(Tables(s, dir).embeddings,
         col("vec_id") % 5 === 0, k = 5)
         .orderBy(col("vec_id"))),
+    // Two-round synchronous label propagation: round 1 = knnClassify,
+    // round 2 re-votes each probe over its 5 nearest LABELED neighbors'
+    // current labels (seeds clamped).
+    "q_label_prop" -> ((s, dir) =>
+      Similarity.labelPropagate(Tables(s, dir).embeddings,
+        col("vec_id") % 5 === 0, k = 5)
+        .orderBy(col("vec_id"))),
     "q_near_dup_embeddings" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir).embeddings, 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -2714,6 +2721,59 @@ object SparkEntry {
          |      FROM v)
          |SELECT vec_id, seed_label AS pred_label, votes, n_votes
          |FROM t WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // r1 = q_knn_classify's vote; r2 re-ranks each probe over same-cell
+    // LABELED neighbors (seeds ∪ r1), majority with the same tie rule
+    "q_label_prop" ->
+      s"""$EmbCte,
+         |c AS (SELECT vec_id, d, nrm,
+         |             CAST(list_sum(list_transform(range(0, 4),
+         |                 p -> bits[p+1] << p)) AS BIGINT) AS cell
+         |      FROM e),
+         |sd AS (SELECT c.vec_id AS seed_id, em.label AS seed_label,
+         |              cell, d AS ds, nrm AS ns
+         |       FROM c JOIN embeddings em ON em.vec_id = c.vec_id
+         |       WHERE c.vec_id % 5 = 0),
+         |pr AS (SELECT vec_id, cell, d AS dp, nrm AS np
+         |       FROM c WHERE vec_id % 5 <> 0),
+         |t1 AS (SELECT vec_id, seed_label FROM (
+         |    SELECT pr.vec_id, sd.seed_label, sd.seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY pr.vec_id
+         |             ORDER BY list_dot_product(dp, ds) / (np * ns) DESC,
+         |                      sd.seed_id) AS rnk
+         |    FROM pr JOIN sd USING (cell))
+         |  WHERE rnk <= 5),
+         |v1 AS (SELECT vec_id, seed_label, COUNT(*) AS votes
+         |       FROM t1 GROUP BY 1, 2),
+         |r1 AS (SELECT vec_id, seed_label AS lbl FROM (
+         |    SELECT vec_id, seed_label,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY votes DESC, seed_label) AS rn
+         |    FROM v1) WHERE rn = 1),
+         |lab1 AS (SELECT vec_id, label AS lbl FROM embeddings WHERE vec_id % 5 = 0
+         |         UNION ALL SELECT vec_id, lbl FROM r1),
+         |p2 AS (SELECT pr.vec_id, cb.vec_id AS nb,
+         |              list_dot_product(dp, cb.d) / (np * cb.nrm) AS cosine
+         |       FROM pr JOIN c cb USING (cell) WHERE pr.vec_id <> cb.vec_id),
+         |t2 AS (SELECT vec_id, lbl FROM (
+         |    SELECT p2.vec_id, l.lbl, p2.nb,
+         |           ROW_NUMBER() OVER (PARTITION BY p2.vec_id
+         |                              ORDER BY p2.cosine DESC, p2.nb) AS rnk
+         |    FROM p2 JOIN lab1 l ON l.vec_id = p2.nb)
+         |  WHERE rnk <= 5),
+         |v2 AS (SELECT vec_id, lbl, CAST(COUNT(*) AS BIGINT) AS votes
+         |       FROM t2 GROUP BY 1, 2),
+         |r2 AS (SELECT vec_id, lbl, votes, n_votes FROM (
+         |    SELECT vec_id, lbl, votes,
+         |           CAST(SUM(votes) OVER (PARTITION BY vec_id) AS BIGINT) AS n_votes,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY votes DESC, lbl) AS rn
+         |    FROM v2) WHERE rn = 1)
+         |SELECT vec_id, label AS lbl, 'seed' AS origin,
+         |       CAST(0 AS BIGINT) AS votes, CAST(0 AS BIGINT) AS n_votes
+         |FROM embeddings WHERE vec_id % 5 = 0
+         |UNION ALL
+         |SELECT vec_id, lbl, 'prop' AS origin, votes, n_votes FROM r2
+         |ORDER BY vec_id""".stripMargin,
     // approx = the first-32-dims ranking (list slice of the SAME table
     // column — the column⋈column dot path, never a literal), exact =
     // q_topk_cosine's full-dimension scan; recall@5 per query

@@ -1163,6 +1163,75 @@ object Similarity {
         col("votes"), col("n_votes"))
   }
 
+  /** Two-round synchronous label propagation: round 1 is
+    * [[knnClassify]] (probes vote among SEEDS in their SRP cell);
+    * round 2 re-votes every probe over its k nearest LABELED neighbors'
+    * current labels — seeds AND round-1-labeled probes — so labels flow
+    * along the within-cell density (the semi-supervised refinement a
+    * one-hop pseudo-labeler misses: a probe deep in an unlabeled
+    * cluster inherits the cluster's consensus, not just the nearest
+    * seed's vote). Seeds are CLAMPED (they never re-vote); update is
+    * synchronous (round 2 reads only round-1 labels, so batch order
+    * cannot leak in). A probe in a seedless cell stays absent both
+    * rounds — unlabelable at this cell granularity, never guessed.
+    *
+    * Output: one row per labeled vector — (vec_id, lbl, origin
+    * 'seed'|'prop', votes, n_votes); seed rows carry (0, 0) votes.
+    *
+    * Scale shape: round 1 is the bipartite [[blockedCellJoin]]; round 2
+    * is one [[blockedCellPairs]] sweep (the knnLabelAudit shape, valve
+    * included) whose neighbor side inner-joins the labels1 table before
+    * the per-probe top-k window — integer votes, column⋈column cosines.
+    */
+  def labelPropagate(
+      embeddings: DataFrame,
+      seedPred: Column,
+      k: Int,
+      cellBits: Int = 4,
+      maxCellSize: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val seeds = embeddings.filter(seedPred)
+      .select(col("vec_id"), col("label").cast("int").as("lbl"))
+    val round1 = knnClassify(embeddings, seedPred, k, cellBits, maxCellSize)
+      .select(col("vec_id"), col("pred_label").cast("int").as("lbl"))
+    // pinned: the round-2 vote join reads labels1 once per reference and
+    // round 1 itself is a full bipartite sweep — never recompute it
+    val labels1 = Pins.pin(seeds.unionByName(round1))
+    val cells = withNorm(embeddings)
+      .withColumn("cell", srpCode(col("embedding"), 0, cellBits))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    val probeIds = embeddings.filter(!seedPred).select(col("vec_id"))
+    val round2 = blockedCellPairs(cells, maxCellSize)
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a").as("vec_id"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
+      .join(probeIds, Seq("vec_id"), "left_semi")
+      // only LABELED neighbors may vote — filter before the rank window
+      .join(labels1.select(col("vec_id").as("vec_b"), col("lbl")), Seq("vec_b"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("vec_b"))))
+      .filter(col("rnk") <= k)
+      .groupBy(col("vec_id"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("n_votes", sum(col("votes")).over(
+        Window.partitionBy(col("vec_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("votes").desc, col("lbl"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("lbl"), lit("prop").as("origin"),
+        col("votes"), col("n_votes"))
+    val out = Pins.pin(seeds
+      .select(col("vec_id"), col("lbl"), lit("seed").as("origin"),
+        lit(0L).as("votes"), lit(0L).as("n_votes"))
+      .unionByName(round2))
+    Pins.release(labels1)
+    out
+  }
+
   // ------------------------------------------------- index persistence
 
   /** Persist a trained IVF index as parquet tables so it outlives the

@@ -411,6 +411,61 @@ class TextOpsSpec extends SparkSpec {
     assert(out.length <= probes.length)
   }
 
+  test("labelPropagate: seeds clamp, round 2 re-votes over round-1 labels, valve neutral") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val pred = col("vec_id") % 5 === 0
+    val out = Similarity.labelPropagate(emb, pred, k = 5)
+      .as[(Long, Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // seeds are clamped to their original labels with zero votes
+    val trueLabels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val (seedRows, propRows) = out.partition(_._3 == "seed")
+    assert(seedRows.nonEmpty && propRows.nonEmpty)
+    seedRows.foreach { case (id, l, _, v, nv) =>
+      assert(id % 5 == 0 && l == trueLabels(id) && v == 0L && nv == 0L)
+    }
+    propRows.foreach { case (id, _, _, v, nv) =>
+      assert(id % 5 != 0 && v >= 1L && v <= nv && nv <= 5L)
+    }
+    // the tight valve must not change a single row
+    val valved = Similarity.labelPropagate(emb, pred, k = 5, maxCellSize = 20)
+      .as[(Long, Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(valved === out)
+    // driver-side two-round reference (strict left-to-right double dots)
+    val cells = emb.select(col("vec_id"), col("label"),
+        Similarity.srpCode(col("embedding"), 0, 4).as("cell"), col("embedding"))
+      .as[(Long, Int, Long, Array[Float])].collect()
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    def majority(cands: Seq[(Double, Long, Int)]): Option[(Int, Long, Long)] = {
+      val top = cands.sortBy { case (c, id, _) => (-c, id) }.take(5)
+      if (top.isEmpty) None
+      else {
+        val votes = top.groupBy(_._3).view.mapValues(_.length.toLong).toSeq
+        val (l, v) = votes.sortBy { case (l0, v0) => (-v0, l0) }.head
+        Some((l, v, top.length.toLong))
+      }
+    }
+    val seeds = cells.filter(_._1 % 5 == 0)
+    val probes = cells.filter(_._1 % 5 != 0)
+    val lab1: Map[Long, Int] = seeds.map(s => s._1 -> s._2).toMap ++
+      probes.flatMap { case (pid, _, pc, pe) =>
+        majority(seeds.filter(_._3 == pc).toSeq
+          .map { case (sid, sl, _, se) => (cos(pe, se), sid, sl) })
+          .map { case (l, _, _) => pid -> l }
+      }.toMap
+    val want = seeds.toSeq.map(s => (s._1, s._2, "seed", 0L, 0L)) ++
+      probes.toSeq.flatMap { case (pid, _, pc, pe) =>
+        val labeled = cells.filter(x => x._3 == pc && x._1 != pid)
+          .toSeq.flatMap { case (nid, _, _, ne) =>
+            lab1.get(nid).map(l => (cos(pe, ne), nid, l))
+          }
+        majority(labeled).map { case (l, v, nv) => (pid, l, "prop", v, nv) }
+      }
+    assert(out === want.sortBy(_._1))
+  }
+
   test("kNN-join sweep survives a mega-cell: valved ≡ unvalved ≡ broadcast mode") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     // a 2-centroid quantizer concentrates ~half the corpus into each cell
