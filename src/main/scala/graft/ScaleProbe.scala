@@ -545,6 +545,11 @@ object ScaleProbe {
       "matryoshka top-3 (32 of 64 dims)" -> { (e, _) =>
         operators.Similarity.truncatedTopK(e, col("vec_id") % 2 === 0,
           k = 3, dims = 32)
+      },
+      // two valved cell sweeps (bipartite round 1 + pairwise round 2)
+      "label propagation (2 rounds, k=5)" -> { (e, _) =>
+        operators.Similarity.labelPropagate(e, col("vec_id") % 5 === 0,
+          k = 5, maxCellSize = 256)
       })
     simOps.foreach { case (name, op) =>
       val cells = embDirs.map { case (f, dir) =>

@@ -934,6 +934,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(doclen.filter(col("dl") === 0L).count() === 1)
   }
 
+  test("streaming embedding-moments maintenance: per-batch merge equals the one-shot state") {
+    import graft.operators.Similarity
+    import java.nio.file.Files
+    // vectors arrive in 3 disjoint batches; the per-dim (n, Σv, Σv²)
+    // state accretes by append and merges by sum — any batch order
+    val all = Seq(
+      (1L, Array(1f, 2f)), (2L, Array(3f, 4f)), (3L, Array(-1f, 0.5f)),
+      (4L, Array(0f, 0f)), (5L, Array(2.5f, -3f)))
+    val batches = Seq(Seq(all(0), all(1)), Seq(all(2)), Seq(all(3), all(4)))
+    val dir = Files.createTempDirectory("graft-moments").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.embeddingMoments(batch)
+          .write.mode("append").parquet(s"$dir/store")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("dim"), col("n"),
+        (col("s") * 1000000).cast("long"), (col("s2") * 1000000).cast("long"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // merging the accreted per-batch rows = the sum-merge readout
+    val store = spark.read.parquet(s"$dir/store")
+    val served = m(store.groupBy(col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("s2")).as("s2")))
+    val oneShot = m(Similarity.embeddingMoments(all.toDF("vec_id", "embedding")))
+    assert(served === oneShot)
+    assert(served.map(_._2).forall(_ == all.size.toLong))
+  }
+
   test("streaming source-overlap maintenance: distinct-union posting merge equals the one-shot matrix") {
     import graft.operators.Dedup
     import java.nio.file.Files
