@@ -625,6 +625,27 @@ object SparkEntry {
     "q_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(Tables(s, dir).documents)
         .orderBy(col("src_a"), col("src_b"))),
+    // The sketch twin: k-min-values per source (k=128), pairwise Jaccard
+    // ESTIMATES from sketches alone — the constant-state form of the
+    // exact matrix above; gate one against the other at test scale.
+    "q_source_kmv" -> ((s, dir) =>
+      Dedup.kmvOverlap(Dedup.sourceKmv(Tables(s, dir).documents, 128), 128)
+        .orderBy(col("src_a"), col("src_b"))),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-25
+    // (Bm25Terms) with the cosine top-25 around anchor vec 0 — integer
+    // ppm contributions so the fused ORDER replays cross-engine.
+    "q_rrf_fusion" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // ≤ 25-row result of bm25TopK: the global rank window is bounded
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = TextAnalysis.bm25TopK(t.documents, Bm25Terms, k = 25)
+        .withColumn("rank", row_number().over(wLex).cast("long"))
+      val sem = Similarity.bruteForceTopK(t.embeddings, col("vec_id") === 0, 25)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lex, sem, "doc_id", kRrf = 60, topK = 10)
+        .orderBy(col("fused_rank"))
+    },
     // -- similarity search over embeddings ---------------------------------
     "q_topk_cosine" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir).embeddings, col("vec_id") % 50 === 0, 5)
@@ -1083,6 +1104,18 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       Analytics.transitions(Tables(s, dir).events)
         .orderBy(col("from_type"), col("to_type"))),
+    // Freshness-weighted event mass: per-day counts halved once per
+    // elapsed 7-day half-life as-of 2024-02-01 (the power-of-two decay
+    // surrogate — exact integer arithmetic, replayable cross-engine).
+    "q_decayed_counts" -> ((s, dir) =>
+      Analytics.decayedCounts(Tables(s, dir).events,
+        asOf = "2024-02-01", halflifeDays = 7)
+        .orderBy(col("event_type"))),
+    // Robust per-type daily-volume anomaly flags (lower-median/MAD, k=3)
+    // — the broken-feed / crawler-loop monitor; all-BIGINT comparisons.
+    "q_volume_anomaly" -> ((s, dir) =>
+      Analytics.volumeAnomaly(Tables(s, dir).events, k = 3L)
+        .orderBy(col("event_type"), col("day"))),
     // Copied-span localization: best fingerprint diagonal per overlapping
     // pair (MOSS alignment step) — offsets, match counts, char extents.
     "q_winnow_spans" -> ((s, dir) =>
@@ -2403,6 +2436,90 @@ object SparkEntry {
          |FROM c JOIN sz sa ON c.src_a = sa.source
          |       JOIN sz sb ON c.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
+    // KMV sketch (k=128): per-source 128 smallest distinct shingle h60s;
+    // pairwise Ĵ = shared-in-top-128-of-union / 128 — all integer
+    "q_source_kmv" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |p AS (SELECT DISTINCT d.source, ${h60Sql("u.sh")} AS h
+         |      FROM s2 JOIN documents d USING (doc_id), unnest(s2.sh) AS u(sh)),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |                ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+         |         FROM p) WHERE r <= 128),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b
+         |       FROM srcs a JOIN srcs b ON a.source < b.source),
+         |u AS (SELECT src_a, src_b, h,
+         |             MAX(in_a) AS in_a, MAX(in_b) AS in_b
+         |      FROM (SELECT pr.src_a, pr.src_b, sk.h,
+         |                   1 AS in_a, 0 AS in_b
+         |            FROM pr JOIN sk ON sk.source = pr.src_a
+         |            UNION ALL
+         |            SELECT pr.src_a, pr.src_b, sk.h, 0, 1
+         |            FROM pr JOIN sk ON sk.source = pr.src_b)
+         |      GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+         |                                    ORDER BY h) AS r FROM u)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_used,
+         |       CAST(SUM(in_a * in_b) AS BIGINT) AS n_shared,
+         |       CAST((1000000 * SUM(in_a * in_b)) // COUNT(*) AS BIGINT)
+         |         AS jaccard_est_ppm
+         |FROM rk WHERE r <= 128 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // RRF fusion of the q_bm25 lexical ranking with the cosine ranking
+    // around anchor vec 0; contributions 10^6 DIV (60 + rank), BIGINT
+    "q_rrf_fusion" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |bm AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+         |       FROM w GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25),
+         |lex AS (SELECT doc_id,
+         |               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |                 AS BIGINT) AS rank_a
+         |        FROM bm),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS d,
+         |             sqrt(list_dot_product(embedding::DOUBLE[],
+         |                                   embedding::DOUBLE[])) AS nrm
+         |      FROM embeddings),
+         |q AS (SELECT d AS dq, nrm AS nq FROM e WHERE vec_id = 0),
+         |sem AS (SELECT neighbor_id AS doc_id, rank AS rank_b FROM (
+         |          SELECT e.vec_id AS neighbor_id,
+         |                 CAST(ROW_NUMBER() OVER (
+         |                   ORDER BY list_dot_product(dq, d) / (nq * nrm) DESC,
+         |                            e.vec_id) AS BIGINT) AS rank
+         |          FROM e, q WHERE e.vec_id <> 0) WHERE rank <= 25),
+         |f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         |             COALESCE(rank_a, 0) AS rank_a,
+         |             COALESCE(rank_b, 0) AS rank_b
+         |      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+         |g AS (SELECT doc_id, rank_a, rank_b,
+         |             CAST((CASE WHEN rank_a > 0
+         |                        THEN 1000000 // (60 + rank_a) ELSE 0 END)
+         |                + (CASE WHEN rank_b > 0
+         |                        THEN 1000000 // (60 + rank_b) ELSE 0 END)
+         |               AS BIGINT) AS rrf_ppm
+         |      FROM f)
+         |SELECT * FROM (
+         |  SELECT doc_id, rank_a, rank_b, rrf_ppm,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id)
+         |           AS BIGINT) AS fused_rank
+         |  FROM g)
+         |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""$ToksCte,
          |$ShinglesCte,
@@ -4006,6 +4123,51 @@ object SparkEntry {
         |       CAST((1000000::HUGEINT * c.n) // t.n_from AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // per-day counts halved once per elapsed 7-day half-life as-of
+    // 2024-02-01 — BIGINT shifts both engines (shift capped at 62:
+    // DuckDB raises past 63), future days excluded
+    "q_decayed_counts" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, n,
+        |             date_diff('day', day, DATE '2024-02-01') AS age
+        |      FROM d WHERE day <= DATE '2024-02-01')
+        |SELECT event_type,
+        |       CAST(SUM(n >> CAST(LEAST(age // 7, 62) AS INT)) AS BIGINT)
+        |         AS decayed_mass,
+        |       CAST(SUM(n) AS BIGINT) AS n_total,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lower-median/MAD daily-volume flags: med = value at row_number
+    // (n_days+1) DIV 2 under the (value, day) total order — both engines
+    // rank identically; every comparison BIGINT
+    "q_volume_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT d.*,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY n, day) AS rn,
+        |             COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM d),
+        |m AS (SELECT event_type, MAX(CASE WHEN rn = (nd + 1) // 2 THEN n END)
+        |               AS med
+        |      FROM r GROUP BY 1),
+        |dv AS (SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS dev
+        |       FROM d JOIN m USING (event_type)),
+        |r2 AS (SELECT dv.*,
+        |              ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                 ORDER BY dev, day) AS rn,
+        |              COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |       FROM dv),
+        |m2 AS (SELECT event_type, MAX(CASE WHEN rn = (nd + 1) // 2 THEN dev END)
+        |                AS mad
+        |       FROM r2 GROUP BY 1)
+        |SELECT dv.event_type, dv.day, dv.n, dv.med, m2.mad, dv.dev,
+        |       dv.dev > m2.mad * 3 AS anomaly
+        |FROM dv JOIN m2 USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     "q_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |              date_trunc('microseconds', ts) AS ts FROM events),

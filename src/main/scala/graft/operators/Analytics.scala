@@ -462,4 +462,112 @@ object Analytics {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
       .orderBy(col("step"))
   }
+
+  // -- freshness-weighted counts (half-life decay) -------------------------
+
+  /** Per-(event_type, day) event counts — the mergeable state behind
+    * [[decayedCounts]] and [[volumeAnomaly]]. Day is the UTC calendar date
+    * of `ts` (the session pins UTC, so `to_date` matches the oracle's
+    * `CAST(ts AS DATE)`). One keyed count, map-side combinable; the state
+    * is (types × days) rows — calendar-bounded, never corpus-sized.
+    * Merge = sum by (event_type, day): commutative, so any batch order
+    * works; like every counter store it is NOT idempotent — replayed
+    * batches double-count, run under foreachBatch batch-id idempotence.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge two [[dailyCounts]] states (sum per key). */
+  def mergeDailyCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Freshness-weighted event mass per type, read from a [[dailyCounts]]
+    * state: each day's count is halved once per elapsed `halflifeDays`
+    * (floor semantics — the power-of-two surrogate for exponential decay,
+    * exact in integer arithmetic where a float `exp(-λ·age)` would not
+    * replay cross-engine):
+    *
+    *   decayed = Σ_day  n(day) >> min(62, (asOf − day) DIV halflife)
+    *
+    * The recency prior a crawl scheduler or mixture planner applies to
+    * per-source volume ("weight last week's crawl 4× last month's") —
+    * [[graft.operators.Sketches]]' windowed-HLL discipline applied to
+    * plain counts: the state keeps per-day resolution so ANY asOf replays
+    * exactly from the same store; decay happens at read time, never
+    * destructively in the state. Days after `asOf` are excluded (their
+    * age is negative — a readout as-of T must not see the future). The
+    * shift is capped at 62 (a BIGINT count shifted 62 is already 0 for
+    * any realistic mass; DuckDB raises past 63). Output per event_type:
+    * decayed mass, raw total, day span — all BIGINT.
+    */
+  def decayedFromState(state: DataFrame, asOf: String, halflifeDays: Int): DataFrame = {
+    require(halflifeDays >= 1, "halflifeDays must be at least 1")
+    state
+      .withColumn("age", datediff(lit(java.sql.Date.valueOf(asOf)), col("day")))
+      .filter(col("age") >= 0)
+      .withColumn("shift",
+        least(expr(s"age DIV $halflifeDays"), lit(62)).cast("int"))
+      .withColumn("decayed", expr("shiftright(n, shift)"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("decayed")).as("decayed_mass"),
+        sum(col("n")).as("n_total"),
+        count(lit(1)).cast("long").as("n_days"))
+  }
+
+  /** One-shot [[decayedFromState]] over raw events. */
+  def decayedCounts(events: DataFrame, asOf: String, halflifeDays: Int): DataFrame =
+    decayedFromState(dailyCounts(events), asOf, halflifeDays)
+
+  // -- daily-volume anomaly detection (median/MAD) -------------------------
+
+  /** Robust per-type daily-volume anomaly flags — the ops readout that
+    * catches a broken feed (volume collapse) or a crawler loop (volume
+    * spike) before bad data enters a training mix. Per event_type over
+    * its [[dailyCounts]] days:
+    *
+    *   med  = lower median of n   (value at row_number (n_days+1) DIV 2
+    *          under the (n, day) total order — exact, deterministic)
+    *   mad  = lower median of |n − med|  (same rank rule over (dev, day))
+    *   flag = dev > k·mad   (mad = 0 collapses to "any deviation flags" —
+    *          the right failure mode for a constant-volume feed)
+    *
+    * Median/MAD instead of mean/σ: ONE anomalous day inflates σ enough to
+    * mask a second anomaly, while the median breaks down only past 50%
+    * contamination. Everything is BIGINT comparisons — no float enters.
+    *
+    * Scale shape: two window passes partitioned by event_type — partition
+    * size is the type's DAY COUNT (calendar-bounded: a year is 365 rows),
+    * never event volume; the heavy lifting happened in [[dailyCounts]]'
+    * map-side-combined count. The per-type medians join back onto the
+    * (types × days) table, AQE-broadcast. Output one row per
+    * (event_type, day) with n, med, mad, dev, anomaly.
+    */
+  def volumeAnomaly(events: DataFrame, k: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be at least 1")
+    val daily = dailyCounts(events)
+    def lowerMedian(df: DataFrame, value: Column, outName: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(value, col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      df.withColumn("va_rn", row_number().over(w))
+        .withColumn("va_nd", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("va_rn") === expr("(va_nd + 1) DIV 2"), value))
+          .as(outName))
+    }
+    val med = lowerMedian(daily, col("n"), "med")
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, col("dev"), "mad")
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("med"),
+        col("mad"), col("dev"),
+        (col("dev") > col("mad") * lit(k)).as("anomaly"))
+  }
 }

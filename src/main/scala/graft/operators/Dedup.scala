@@ -937,6 +937,98 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast(d38)).as("jaccard_ppm"))
   }
 
+  // -- k-min-values source sketches ----------------------------------------
+
+  /** Per-source k-min-values (KMV) sketch over the shingle space — the
+    * SKETCH twin of [[sourceOverlap]]: where the exact matrix keeps every
+    * distinct (source, shingle-h60) posting, the KMV state keeps only the
+    * k SMALLEST h60 values per source (Bar-Yossef et al., RANDOM'02;
+    * Beyer et al., SIGMOD'07 — "distinct sampling"). At 100 TB the exact
+    * posting table is corpus-sized; the sketch is k·|sources| rows
+    * forever, and pairwise overlap estimates come from sketches alone.
+    *
+    * Streaming-mergeable the strong way: min-k of a distinct union is
+    * commutative AND idempotent (the retentionState rule — unlike a
+    * counter, replaying a batch cannot change a min), so any batch
+    * order/replay yields the same state; see [[mergeKmv]].
+    *
+    * Scale shape: the posting distinct is the only corpus-sized shuffle;
+    * the per-source k-smallest selection runs as the salted two-stage
+    * rank ([[Diagnostics.twoStageTopK]] — sources are few, so a plain
+    * per-source window would funnel each source through ONE task).
+    */
+  def sourceKmv(docs: DataFrame, k: Int): DataFrame =
+    kmvCompact(sourceShinglePostings(docs), k)
+
+  /** Keep the k smallest h per source of a distinct (source, h) table. */
+  def kmvCompact(post: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    Diagnostics.twoStageTopK(
+      post, col("source"), pmod(col("h"), lit(32L)), Seq(col("h").asc), k)
+      .select(col("source"), col("h"))
+  }
+
+  /** Merge two KMV states: distinct union, re-compact to k per source.
+    * Commutative + idempotent — any micro-batch order or replay works.
+    */
+  def mergeKmv(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    kmvCompact(a.unionByName(b).distinct(), k)
+
+  /** Pairwise source-overlap ESTIMATES from a [[sourceKmv]] state: for
+    * each source pair, take the k smallest values of the union of the
+    * two sketches (itself a valid KMV sketch of the union of the two
+    * shingle sets) and count how many of them appear in BOTH sketches —
+    * an unbiased Jaccard estimator (Beyer et al., SIGMOD'07 §4):
+    *
+    *   Ĵ = |topk(A ∪ B) ∩ A ∩ B| / |topk(A ∪ B)|
+    *
+    * reported as exact-integer ppm so thresholds replay cross-engine.
+    * Gate the sketch against the exact matrix ([[sourceOverlap]]) at
+    * test scale, then run only the sketch at corpus scale.
+    *
+    * Scale shape: the source list is a DIMENSION (bounded collect, the
+    * per-source-counts rule), so pair enumeration is a driver-built
+    * ≤ C(S,2)-row literal table equi-joined twice against the sketch —
+    * no cartesian, no non-equi join. Each union ranking partitions on
+    * (src_a, src_b) with ≤ 2k rows per partition — bounded by the sketch
+    * contract, never by corpus size.
+    */
+  def kmvOverlap(sketchIn: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = sketchIn.sparkSession
+    import spark.implicits._
+    // pinned: the source collect and both pair-join sides read the sketch —
+    // unpinned, the posting distinct + two-stage rank would run three times
+    val sketch = Pins.pin(sketchIn)
+    val srcs = sketch.select(col("source")).distinct()
+      .as[String].collect().sorted.toSeq // bounded: sources are a dimension
+    val pairs = (for { a <- srcs; b <- srcs if a < b } yield (a, b))
+      .toDF("src_a", "src_b")
+    val pa = pairs.join(sketch.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val pb = pairs.join(sketch.withColumnRenamed("source", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val u = pa.unionByName(pb)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val out = u.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_shared"))
+      // exact integer div: 10^6·k ≪ 2^63, no widening needed
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_shared"),
+        expr("(1000000L * n_shared) DIV k_used").as("jaccard_est_ppm"))
+    // eager pin of the ≤ C(S,2)-row matrix, then release the sketch pin
+    val pinned = Pins.pin(out)
+    Pins.release(sketch)
+    pinned
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is

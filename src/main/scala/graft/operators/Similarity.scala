@@ -1304,6 +1304,51 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Reciprocal-rank fusion of two top-k rankings — the hybrid-retrieval
+    * combiner (Cormack et al., SIGIR'09; the default fusion in every
+    * lexical+vector serving stack): a document's fused score is the sum
+    * of 1/(K + rank) over the lists that retrieved it, here in exact
+    * integer ppm — `1000000 DIV (K + rank)` per list — so the fused
+    * ORDER replays bit-for-bit cross-engine (the BM25 rule: a ranked
+    * readout must not let a last-ulp float reorder near-ties). RRF needs
+    * only ranks, never the incomparable raw scores (BIGINT BM25 vs
+    * float cosine), which is exactly why serving stacks default to it.
+    *
+    * Inputs are two rankings `(id, rank)` with unique ids and ranks
+    * 1..k. A document absent from one list contributes 0 from it and
+    * reports rank 0 (sentinel — avoids nullable columns in the hashed
+    * output). Output: id, rank_a, rank_b, rrf_ppm, fused_rank (dense
+    * 1..topK by (rrf_ppm DESC, id)).
+    *
+    * Scale shape: both inputs are top-k lists — ≤ k rows each BY
+    * CONTRACT — so the outer join and the single global fused-rank
+    * window run over ≤ 2k rows (bounded by construction, the
+    * exactN-survivor rule for global windows); all the heavy retrieval
+    * work happened upstream in the rankers.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(kRrf >= 1, "kRrf must be at least 1")
+    require(topK >= 1, "topK must be at least 1")
+    val ra = a.select(col(idCol), col("rank").cast("long").as("rank_a"))
+    val rb = b.select(col(idCol), col("rank").cast("long").as("rank_b"))
+    val w = Window.orderBy(col("rrf_ppm").desc, col(idCol))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"),
+        (coalesce(expr(s"1000000L DIV ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($kRrf + rank_b)"), lit(0L)))
+          .as("rrf_ppm"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+  }
+
   /** Restore [[savePqBooks]]' codebooks (dense, torn writes rejected). */
   def loadPqBooks(
       spark: org.apache.spark.sql.SparkSession,

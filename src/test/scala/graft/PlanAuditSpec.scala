@@ -70,6 +70,7 @@ class PlanAuditSpec extends SparkSpec {
   private val BnljBoundedBuild = Set(
     "q_topk_cosine", "q_ann_recall",
     "q_matryoshka_recall", // embeds the same broadcast-query brute force
+    "q_rrf_fusion", // semantic side is the same broadcast-query brute force
     "q_log_hist_quantiles", "q_corpus_card",
     "q_source_divergence")
 

@@ -1794,4 +1794,73 @@ class TextOpsSpec extends SparkSpec {
     // approx results → recall 0
     assert(out === Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
   }
+
+  test("rrfFuse: integer ppm contributions, absent-rank sentinel, fused order and cut") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(a, b, "doc_id", kRrf = 60, topK = 10)
+      .orderBy("fused_rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // contributions: rank1→1e6 DIV 61 = 16393, rank2→16129, rank3→15873
+    assert(out === Seq(
+      (11L, 2L, 1L, 16129L + 16393L, 1L), // both lists — fused to the top
+      (10L, 1L, 0L, 16393L, 2L),
+      (13L, 0L, 2L, 16129L, 3L),
+      (12L, 3L, 0L, 15873L, 4L)))
+    // topK truncates the fused list
+    assert(Similarity.rrfFuse(a, b, "doc_id", topK = 2).count() === 2L)
+  }
+
+  test("sourceKmv keeps the k smallest h per source; merge is commutative and idempotent") {
+    val k = 64
+    val post = Dedup.sourceShinglePostings(docs)
+    val oneShot = Dedup.kmvCompact(post, k)
+    // sketch == per-source min-k of the full posting set
+    val expected = post.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("r") <= k).select("source", "h")
+    assert(oneShot.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(oneShot).count() === 0L)
+    // split the corpus, sketch each half, merge — identical state either
+    // order; re-merging a batch (replay) changes nothing
+    val h1 = Dedup.sourceKmv(docs.filter(col("doc_id") % 2 === 0), k)
+    val h2 = Dedup.sourceKmv(docs.filter(col("doc_id") % 2 === 1), k)
+    val m12 = Dedup.mergeKmv(h1, h2, k)
+    val m21 = Dedup.mergeKmv(h2, h1, k)
+    val replay = Dedup.mergeKmv(m12, h1, k)
+    Seq(m12, m21, replay).foreach { m =>
+      assert(m.exceptAll(oneShot).count() === 0L)
+      assert(oneShot.exceptAll(m).count() === 0L)
+    }
+  }
+
+  test("kmvOverlap with k ≥ union size reproduces the exact source-overlap matrix") {
+    val k = 1 << 20 // larger than any per-source shingle set in the fixture
+    val est = Dedup.kmvOverlap(Dedup.sourceKmv(docs, k), k)
+      .select("src_a", "src_b", "n_shared", "jaccard_est_ppm")
+    val exact = Dedup.sourceOverlap(docs)
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("jaccard_ppm").cast("long"))
+    // every exact row must be reproduced verbatim; kmv additionally emits
+    // explicit zero rows for disjoint pairs (complete matrix)
+    val joined = est.join(exact, Seq("src_a", "src_b"), "full_outer").collect()
+    joined.foreach { r =>
+      val estShared = Option(r.getAs[java.lang.Long]("n_shared")).map(_.toLong)
+      val exShared = Option(r.getAs[java.lang.Long]("n_common")).map(_.toLong)
+      assert(estShared.isDefined, s"kmv missing pair ${r.getString(0)}-${r.getString(1)}")
+      assert(exShared.getOrElse(0L) === estShared.get, r.toString)
+      val estPpm = r.getAs[Long]("jaccard_est_ppm")
+      val exPpm = Option(r.getAs[java.lang.Long]("jaccard_ppm")).map(_.toLong)
+      assert(exPpm.getOrElse(0L) === estPpm, r.toString)
+    }
+    // small k: still a complete matrix, estimates within [0, 1e6]
+    val small = Dedup.kmvOverlap(Dedup.sourceKmv(docs, 8), 8).collect()
+    assert(small.length === joined.length)
+    small.foreach { r =>
+      val ppm = r.getAs[Long]("jaccard_est_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[Long]("k_used") <= 8L)
+    }
+  }
 }

@@ -1162,4 +1162,78 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 1L)))
   }
+
+  test("decayedCounts: power-of-two half-life, future days excluded, shift capped") {
+    import graft.operators.Analytics
+    def ev(n: Int, day: String): Seq[(Long, String)] =
+      (1 to n).map(i => (i.toLong, s"$day 12:00:00"))
+    // asOf 2024-02-01, half-life 7d: ages 0, 7, 15, 31 → shifts 0,1,2,4
+    val e = (ev(10, "2024-02-01") ++ ev(12, "2024-01-25") ++
+      ev(9, "2024-01-17") ++ ev(40, "2024-01-01") ++
+      ev(99, "2024-02-05")) // future: excluded
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"),
+        lit("click").as("event_type"))
+    val out = Analytics.decayedCounts(e, "2024-02-01", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10>>0 + 12>>1 + 9>>2 + 40>>4 = 10 + 6 + 2 + 2 = 20
+    assert(out.toSeq === Seq(("click", 20L, 71L, 4L)))
+    // cap: a 500-year-old day must shift by 62 (not raise), decaying to 0
+    val old = ev(1000, "1524-02-01")
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"),
+        lit("old").as("event_type"))
+    val capped = Analytics.decayedCounts(old, "2024-02-01", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(capped.toSeq === Seq(("old", 0L)))
+  }
+
+  test("streaming daily-count maintenance: sum-merged batches equal the one-shot readout") {
+    import graft.operators.Analytics
+    val all = events
+    val batches = Seq(
+      all.filter(col("event_id") % 3 === 0),
+      all.filter(col("event_id") % 3 === 1),
+      all.filter(col("event_id") % 3 === 2))
+    val state = batches.map(Analytics.dailyCounts)
+      .reduce(Analytics.mergeDailyCounts)
+    val streamed = Analytics.decayedFromState(state, "2024-02-01", 7)
+      .orderBy("event_type").collect().map(_.toSeq)
+    val oneShot = Analytics.decayedCounts(all, "2024-02-01", 7)
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq === oneShot.toSeq)
+  }
+
+  test("volumeAnomaly: lower median, MAD, k·mad flag; mad=0 flags any deviation") {
+    import graft.operators.Analytics
+    def ev(n: Int, day: Int, typ: String): Seq[(Long, String, String)] =
+      (1 to n).map(i => (i.toLong, f"2024-01-$day%02d 12:00:00", typ))
+    // type a: counts 10,10,11,12,40 over 5 days → med=11 (rank 3),
+    //         devs 1,1,0,1,29 → sorted 0,1,1,1,29 → mad=1 (rank 3);
+    //         flag iff dev > 3 → only the 40-day
+    // type b: constant 5,5,5,5 then one day of 6 → med=5, mad=0 → the
+    //         6-day flags (any deviation)
+    val e = (ev(10, 1, "a") ++ ev(10, 2, "a") ++ ev(11, 3, "a") ++
+      ev(12, 4, "a") ++ ev(40, 5, "a") ++
+      ev(5, 1, "b") ++ ev(5, 2, "b") ++ ev(5, 3, "b") ++ ev(5, 4, "b") ++
+      ev(6, 5, "b"))
+      .toDF("user_id", "s", "event_type")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_type"))
+    val out = Analytics.volumeAnomaly(e, k = 3L)
+      .orderBy("event_type", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq === Seq(
+      ("a", "2024-01-01", 10L, 11L, 1L, 1L, false),
+      ("a", "2024-01-02", 10L, 11L, 1L, 1L, false),
+      ("a", "2024-01-03", 11L, 11L, 1L, 0L, false),
+      ("a", "2024-01-04", 12L, 11L, 1L, 1L, false),
+      ("a", "2024-01-05", 40L, 11L, 1L, 29L, true),
+      ("b", "2024-01-01", 5L, 5L, 0L, 0L, false),
+      ("b", "2024-01-02", 5L, 5L, 0L, 0L, false),
+      ("b", "2024-01-03", 5L, 5L, 0L, 0L, false),
+      ("b", "2024-01-04", 5L, 5L, 0L, 0L, false),
+      ("b", "2024-01-05", 6L, 5L, 0L, 1L, true)))
+  }
 }
