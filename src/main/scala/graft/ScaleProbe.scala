@@ -150,6 +150,13 @@ object ScaleProbe {
           Seq("signup", "view", "click", "purchase"))),
       "retention cohorts (weekly)" -> ((s, d) =>
         operators.Analytics.retentionCohorts(Tables(s, d).events)),
+      // one (type, day) count — calendar-bounded state, read-time decay
+      "decayed counts (7d half-life)" -> ((s, d) =>
+        operators.Analytics.decayedCounts(Tables(s, d).events,
+          asOf = "2024-02-01", halflifeDays = 7)),
+      // two rank-median passes over day-count partitions
+      "volume anomaly (median/MAD)" -> ((s, d) =>
+        operators.Analytics.volumeAnomaly(Tables(s, d).events, k = 3L)),
       // the whole composed replay chain (mode 2): pushed-down interval
       // slice → positional join vs the persist run's written records →
       // repackage → ordered publish plan. broadcastIndex: an outage
@@ -398,7 +405,23 @@ object ScaleProbe {
       "hll overlap (odd vs even docs)" -> (d => operators.Sketches
         .hllOverlapRegisters(
           d.filter(col("doc_id") % 2 === 0), col("text"),
-          d.filter(col("doc_id") % 2 === 1), col("text"), p = 9)))
+          d.filter(col("doc_id") % 2 === 1), col("text"), p = 9)),
+      // posting distinct dominates; sketch + pair readout are k·S-bounded
+      "source kmv overlap (k=128)" -> (d =>
+        operators.Dedup.kmvOverlap(operators.Dedup.sourceKmv(d, 128), 128)),
+      // one count shuffle + one rank/cumsum kernel pass over the vocab
+      "vocab coverage curve (4 brackets)" -> (d =>
+        operators.TextAnalysis.vocabCurve(d, Seq(4L, 8L, 16L, 32L))),
+      // three slim rank-kernel passes + doc_id joins
+      "borda quality ensemble (top-50)" -> (d =>
+        operators.TextAnalysis.qualityEnsemble(d, 50)),
+      // keyed count + salted global top-m + 1-row bound
+      "heavy hitters state (m=16)" -> { d =>
+        import graft.functions.TextFunctions.tokens
+        val (kept, bound) = operators.Sketches.topMState(
+          d.select(explode(tokens(col("text"))).as("tok")), col("tok"), 16)
+        operators.Sketches.topMReadout(kept, bound)
+      })
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents

@@ -1082,6 +1082,27 @@ object SparkEntry {
     "q_source_divergence" -> ((s, dir) =>
       TextAnalysis.sourceDivergence(Tables(s, dir).documents, dim = 64)
         .orderBy(col("source"))),
+    // Vocabulary coverage curve: token mass covered by the V most
+    // frequent types, at V ∈ {4,8,16,32} (the synthetic corpus has ~31
+    // types; real brackets are 2^10..2^16) — exact ranks + running mass
+    // from one distributed kernel pass.
+    "q_vocab_curve" -> ((s, dir) =>
+      TextAnalysis.vocabCurve(Tables(s, dir).documents, Seq(4L, 8L, 16L, 32L))
+        .orderBy(col("vocab_size"))),
+    // Borda rank-blend of three integer quality signals (length,
+    // type-token ratio, stopword ratio) — corpus-wide rank aggregation,
+    // the whole-corpus sibling of q_rrf_fusion.
+    "q_quality_ensemble" -> ((s, dir) =>
+      TextAnalysis.qualityEnsemble(Tables(s, dir).documents, topK = 50)
+        .orderBy(col("borda"), col("doc_id"))),
+    // Deterministic heavy-hitters state: top-16 exact token counts +
+    // the truncation bound (est ≤ true ≤ est + b_bound for every key).
+    "q_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val (kept, bound) = Sketches.topMState(toks, col("tok"), m = 16)
+      Sketches.topMReadout(kept, bound).orderBy(col("rank"))
+    },
     // CCNet-style cross-corpus likelihood: LM trained on the 3/4
     // reference split scores the held-out 1/4 — integer-ratio scores.
     "q_lm_score" -> { (s, dir) =>
@@ -3853,6 +3874,77 @@ object SparkEntry {
          |SELECT source, n_tokens, n_oov,
          |       CAST((1000000::HUGEINT * n_oov) // n_tokens AS BIGINT) AS oov_ppm
          |FROM a ORDER BY source""".stripMargin,
+    // coverage at V = running mass at rank min(V, n_types) − 1 under the
+    // (count DESC, token ASC) total order; ppm via HUGEINT == DECIMAL div
+    "q_vocab_curve" ->
+      s"""$ToksCte,
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1),
+         |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1
+         |               AS BIGINT) AS rank0,
+         |             CAST(SUM(n) OVER (ORDER BY n DESC, tok
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM c),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         |             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_mass FROM c),
+         |b AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS vocab_size),
+         |bb AS (SELECT vocab_size, LEAST(vocab_size, n_types) AS used,
+         |              total_mass FROM b, t)
+         |SELECT bb.vocab_size, bb.used AS n_types_used,
+         |       CAST(COALESCE(r.cum, 0) AS BIGINT) AS covered_mass,
+         |       bb.total_mass,
+         |       CAST(CASE WHEN bb.total_mass > 0
+         |                 THEN (1000000::HUGEINT * COALESCE(r.cum, 0))
+         |                      // bb.total_mass
+         |                 ELSE 0 END AS BIGINT) AS coverage_ppm
+         |FROM bb LEFT JOIN r ON r.rank0 = bb.used - 1
+         |ORDER BY vocab_size""".stripMargin,
+    // Borda: three exact 0-based ranks (desc signal, doc_id tie-break),
+    // blend = rank sum ascending
+    "q_quality_ensemble" ->
+      s"""$ToksCte,
+         |sg AS (SELECT doc_id,
+         |          CAST(len(toks) AS BIGINT) AS s_len,
+         |          CAST(CASE WHEN len(toks) > 0
+         |               THEN (1000000 * len(list_distinct(toks))) // len(toks)
+         |               ELSE 0 END AS BIGINT) AS s_ttr,
+         |          CAST(CASE WHEN len(toks) > 0
+         |               THEN (1000000 * len(list_filter(toks, t -> t IN
+         |                 (${TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString(", ")}))))
+         |                 // len(toks)
+         |               ELSE 0 END AS BIGINT) AS s_stop
+         |       FROM toks),
+         |r AS (SELECT doc_id, s_len, s_ttr, s_stop,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY s_len DESC, doc_id) - 1
+         |           AS BIGINT) AS r_len,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY s_ttr DESC, doc_id) - 1
+         |           AS BIGINT) AS r_ttr,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY s_stop DESC, doc_id) - 1
+         |           AS BIGINT) AS r_stop
+         |      FROM sg)
+         |SELECT doc_id, s_len, s_ttr, s_stop, r_len, r_ttr, r_stop,
+         |       CAST(r_len + r_ttr + r_stop AS BIGINT) AS borda
+         |FROM r ORDER BY borda, doc_id LIMIT 50""".stripMargin,
+    // top-16 exact counts + the truncation bound: absent keys can tie,
+    // never beat, the 16th count — est ≤ true ≤ est + b_bound
+    "q_heavy_hitters" ->
+      s"""$ToksCte,
+         |c AS (SELECT tok AS k, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1),
+         |t AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_mass,
+         |             CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+         |kept AS (SELECT k, n, rank FROM (
+         |           SELECT k, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, k)
+         |             AS BIGINT) AS rank FROM c) WHERE rank <= 16),
+         |ka AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |              CAST(COALESCE(MIN(n), 0) AS BIGINT) AS mth FROM kept)
+         |SELECT kept.rank, kept.k, kept.n AS n_est,
+         |       CAST(CASE WHEN t.n_types > ka.n_kept THEN ka.mth ELSE 0 END
+         |         AS BIGINT) AS b_bound,
+         |       CAST(kept.n + CASE WHEN t.n_types > ka.n_kept THEN ka.mth
+         |                          ELSE 0 END AS BIGINT) AS n_max,
+         |       t.total_mass
+         |FROM kept, t, ka ORDER BY rank""".stripMargin,
     // ratio surrogate of PPMI: n·T·1e6 // (m1·m2), HUGEINT == DECIMAL div;
     // marginals over the minCount-thresholded pair table (both engines)
     "q_ppmi" ->

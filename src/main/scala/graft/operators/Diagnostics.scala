@@ -214,6 +214,76 @@ object Diagnostics {
     out
   }
 
+  /** Public exact-rank readout over the shared kernel: input + a 0-based
+    * dense global rank column under `order` (which must be a TOTAL order
+    * — include a unique id — or ranks within ties depend on partitioning
+    * and stop being replayable). The distributed twin of
+    * `ROW_NUMBER() OVER (ORDER BY …) − 1`, without the one-task global
+    * window: range-repartition + per-partition counts → prefix offsets
+    * (one long per partition to the driver). Result is pinned and the
+    * corpus-sized sort cache released, same as [[ntileExact]].
+    */
+  def rankColumn(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val (ranked, _, release) = exactRanked(df, order)
+    // bare checkpoint, not Pins.pin: the persist is SEMANTIC (recompute
+    // re-samples range boundaries) so the audit view must not inline it;
+    // the plan below is RDD-rooted either way (ntileExact rule)
+    val res = ranked.withColumnRenamed("nt_rank", out).localCheckpoint()
+    release()
+    res
+  }
+
+  /** Distributed exact rank AND inclusive running sum of `value` under
+    * `order` (a TOTAL order) — one kernel pass stamping both: range-
+    * repartition, per-partition (count, sum) pairs → prefix offsets
+    * (two longs per partition to the driver), each partition stamps
+    * 0-based ranks and the running total. The coverage-curve primitive:
+    * cum(r) = Σ value over ranks ≤ r with no single-task window and no
+    * second shuffle. Values must be non-negative BIGINTs (exact sums).
+    */
+  def rankAndCumSum(
+      df: DataFrame, order: Seq[Column], value: Column,
+      rankOut: String, cumOut: String): DataFrame = {
+    require(order.nonEmpty, "order columns required")
+    val scratch = Set("rc_v", rankOut, cumOut)
+    require(!df.columns.exists(scratch.contains),
+      s"input must not contain ${scratch.mkString("/")}")
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("rc_v", value.cast("long"))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex("rc_v")
+    val partStats = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; var s = 0L
+        it.foreach { r => n += 1; s += r.getLong(vIdx) }
+        Iterator.single((pid, n, s))
+      }
+      .collect().sortBy(_._1)
+    val rankOff = partStats.map(_._2).scanLeft(0L)(_ + _)
+    val sumOff = partStats.map(_._3).scanLeft(0L)(_ + _)
+    val offB = spark.sparkContext.broadcast((rankOff, sumOff))
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(rankOut, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(cumOut, org.apache.spark.sql.types.LongType)))
+    val stamped = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var r = offB.value._1(pid)
+        var run = offB.value._2(pid)
+        it.map { row =>
+          run += row.getLong(vIdx)
+          val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r :+ run)
+          r += 1; out
+        }
+      }, schema).drop("rc_v")
+    // bare checkpoint (semantic persist — the ntileExact rule)
+    val res = stamped.localCheckpoint()
+    sorted.unpersist(blocking = false)
+    res
+  }
+
   /** The shared distributed exact-rank kernel: range-repartition on the
     * order key, per-partition counts → prefix offsets (one long per
     * partition to the driver), each partition stamps 0-based global

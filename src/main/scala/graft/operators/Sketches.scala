@@ -279,4 +279,107 @@ object Sketches {
     if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
     else raw
   }
+
+  // -- deterministic truncated-count heavy hitters --------------------------
+
+  /** Heavy-hitters state: the m highest exact key counts by the
+    * (count DESC, key ASC) total order, plus a 1-row bound table —
+    * the deterministic, SQL-replayable cousin of Misra–Gries /
+    * SpaceSaving (whose per-element updates are order-dependent and so
+    * not engine-portable). The kept table IS exact for a single batch;
+    * truncation only loses tail types. The bound row carries
+    *
+    *   - `total_mass`: all key occurrences seen (exact, sum-merged);
+    *   - `b_bound`: an upper bound on how much TRUE count any key may
+    *     exceed its state estimate by (est = 0 when absent). For one
+    *     batch b_bound = the m-th kept count (an absent key could not
+    *     beat it); [[mergeTopM]] grows it by the merged m-th count plus
+    *     both inputs' bounds — the documented MG-style error growth.
+    *
+    * Invariant (spec-checked): est(k) ≤ true(k) ≤ est(k) + b_bound for
+    * EVERY key, under any merge tree. Fewer than m types ⇒ nothing was
+    * dropped and b_bound = 0.
+    *
+    * Scale shape: one map-side-combined keyed count, head via the salted
+    * two-stage top-k (never one global window task); the bound is a
+    * 1-row aggregate of the m-row kept table.
+    */
+  def topMState(df: DataFrame, key: Column, m: Int): (DataFrame, DataFrame) = {
+    require(m >= 1, "m must be at least 1")
+    // pinned: the truncation and the bound row both read the count table
+    val counts = Pins.pin(
+      df.select(key.as("k")).groupBy(col("k")).agg(count(lit(1)).as("n")))
+    val kept = Pins.pin(truncateTopM(counts, m))
+    val totals = counts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("total_mass"),
+      count(lit(1)).as("n_types"))
+    val bound = Pins.pin(boundRow(totals, kept, priorBound = lit(0L)))
+    Pins.release(counts)
+    (kept, bound)
+  }
+
+  /** Merge two heavy-hitters states: sum the kept estimates by key,
+    * re-truncate to m, add the inputs' bounds plus this merge's own
+    * truncation slack (the merged m-th count, when anything was
+    * dropped). Commutative; NOT idempotent (counter semantics — run
+    * under batch-id idempotence like every counter store).
+    */
+  def mergeTopM(
+      aKept: DataFrame, aBound: DataFrame,
+      bKept: DataFrame, bBound: DataFrame, m: Int): (DataFrame, DataFrame) = {
+    require(m >= 1, "m must be at least 1")
+    val summed = Pins.pin(
+      aKept.select(col("k"), col("n")).unionByName(bKept.select(col("k"), col("n")))
+        .groupBy(col("k")).agg(sum(col("n")).as("n")))
+    val kept = Pins.pin(truncateTopM(summed, m))
+    val priors = aBound
+      .select(col("total_mass").as("tm_a"), col("b_bound").as("bb_a"))
+      .crossJoin(bBound
+        .select(col("total_mass").as("tm_b"), col("b_bound").as("bb_b")))
+    val totals = summed.agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(priors))
+      .select((col("tm_a") + col("tm_b")).as("total_mass"), col("n_types"),
+        (col("bb_a") + col("bb_b")).as("prior"))
+    val bound = Pins.pin(boundRow(totals, kept, priorBound = col("prior")))
+    Pins.release(summed)
+    (kept, bound)
+  }
+
+  /** Readout: kept keys with their estimate, the state's bound, and the
+    * implied maximum true count, ranked. est ≤ true ≤ n_max everywhere.
+    * The streaming-mergeable twin of [[Diagnostics.heavyHitters]]' exact
+    * one-shot readout (q_key_skew) — same head, plus the error contract
+    * a truncated/merged state needs.
+    */
+  def topMReadout(kept: DataFrame, bound: DataFrame): DataFrame =
+    kept.crossJoin(broadcast(bound))
+      .select(col("rank"), col("k"), col("n").as("n_est"), col("b_bound"),
+        (col("n") + col("b_bound")).as("n_max"), col("total_mass"))
+
+  /** Top-m of an exact (k, n) table by the (n DESC, k ASC) total order —
+    * the salted two-stage global top-k (final window over ≤ salts·m
+    * rows, never the whole vocab through one task).
+    */
+  private def truncateTopM(counts: DataFrame, m: Int): DataFrame =
+    Diagnostics.twoStageTopK(
+      counts, lit(1), pmod(h60(col("k").cast("string")), lit(32L)),
+      Seq(col("n").desc, col("k").asc), m)
+      .select(col("k"), col("n"), col("ts_rank").cast("long").as("rank"))
+
+  /** The 1-row bound table: totals (with `total_mass`, `n_types`, and
+    * optionally the prior-bound column) × the kept table's (n_kept, mth)
+    * — b_bound grows by the m-th kept count exactly when this truncation
+    * dropped types (an absent key could tie, never beat, the m-th).
+    */
+  private def boundRow(
+      totals: DataFrame, kept: DataFrame, priorBound: Column): DataFrame = {
+    val ka = kept.agg(
+      count(lit(1)).as("n_kept"),
+      coalesce(min(col("n")), lit(0L)).as("mth"))
+    totals.crossJoin(broadcast(ka))
+      .select(
+        col("total_mass"),
+        (priorBound + when(col("n_types") > col("n_kept"), col("mth"))
+          .otherwise(lit(0L))).as("b_bound"))
+  }
 }

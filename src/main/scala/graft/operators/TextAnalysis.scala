@@ -1568,4 +1568,117 @@ object TextAnalysis {
             array_sort(collect_list(struct(col("pos"), col("tok_out")))),
             s => s.getField("tok_out")), " ").as("masked_text"))
   }
+
+  // -- vocabulary coverage curve --------------------------------------------
+
+  /** Vocabulary coverage curve: for each candidate vocab size V, the
+    * fraction of the corpus token MASS covered by the V most frequent
+    * token types — the readout a tokenizer-budget decision reads
+    * ("64 k types cover 99.2% of tokens; the tail is junk"). The
+    * complement at a fixed vocab is [[oovRate]]; this sweeps the whole
+    * frontier in one pass.
+    *
+    * Scale shape: one map-side-combined token count (the corpus-sized
+    * shuffle), then [[Diagnostics.rankAndCumSum]] stamps exact 0-based
+    * frequency ranks AND the running covered mass in ONE distributed
+    * kernel pass over the vocab-sized count table — no single-task
+    * global window (type counts at web scale are billions of rows).
+    * Each bracket then reads cum at rank min(V, |vocab|) − 1: a
+    * brackets-literal equi-join against the ≤ |brackets| boundary rows,
+    * with the 1-row totals crossJoin-broadcast (the scalar-build shape).
+    * Order is total — (count DESC, token ASC) — so ranks, boundaries,
+    * and ppm all replay cross-engine in exact integers.
+    */
+  def vocabCurve(
+      docs: DataFrame,
+      brackets: Seq[Long] = Seq(1L << 10, 1L << 12, 1L << 14, 1L << 16)): DataFrame = {
+    require(brackets.nonEmpty && brackets.forall(_ >= 1), "brackets must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = Diagnostics.rankAndCumSum(
+      counts, Seq(col("n").desc, col("tok").asc), col("n"), "rank0", "cum")
+    val totals = ranked.agg(
+      count(lit(1)).as("n_types"),
+      coalesce(max(col("cum")), lit(0L)).as("total_mass"))
+    val br = brackets.sorted.toDF("vocab_size")
+    // boundary row per bracket: rank0 == min(V, n_types) − 1
+    br.crossJoin(broadcast(totals))
+      .withColumn("boundary", least(col("vocab_size"), col("n_types")) - 1L)
+      .join(ranked.select(col("rank0"), col("cum")),
+        col("boundary") === col("rank0"), "left")
+      .select(
+        col("vocab_size"),
+        least(col("vocab_size"), col("n_types")).as("n_types_used"),
+        coalesce(col("cum"), lit(0L)).as("covered_mass"),
+        col("total_mass"),
+        // DECIMAL div (q_dsir rule): 10^6·mass overflows BIGINT at web scale
+        when(col("total_mass") > 0,
+          call_function("div",
+            lit(1000000L).cast("decimal(38,0)") *
+              coalesce(col("cum"), lit(0L)).cast("decimal(38,0)"),
+            col("total_mass").cast("decimal(38,0)")).cast("long"))
+          .otherwise(lit(0L)).as("coverage_ppm"))
+  }
+
+  // -- Borda rank-blend quality ensemble ------------------------------------
+
+  /** Borda-count ensemble over three integer quality signals — the
+    * rank-aggregation way to combine signals whose raw scales are
+    * incomparable (token count vs type-token ratio vs stopword ratio):
+    * each signal contributes its exact global 0-based rank (best = 0)
+    * and the ensemble order is the SUM of ranks ascending — the
+    * corpus-wide sibling of [[Similarity.rrfFuse]] (which fuses top-k
+    * lists; Borda ranks the whole corpus, e.g. to feed
+    * [[Diagnostics.curriculumInterleave]] or a head/tail quality cut).
+    * Signals, all exact integers from one tokenization:
+    *   - s_len  = token count                      (longer better)
+    *   - s_ttr  = 10^6·distinct DIV tokens         (more diverse better)
+    *   - s_stop = 10^6·stopword-hits DIV tokens    (more natural better)
+    * Ranks tie-break on doc_id, so the blend replays cross-engine.
+    *
+    * Scale shape: one narrow per-row signal pass, then three
+    * [[Diagnostics.rankColumn]] kernel passes over slim (doc_id, signal)
+    * projections — three range-shuffles of 2-column rows, never a
+    * one-task global window — joined back on doc_id. Zero-token docs
+    * rank by (0, 0, 0): worst of every signal, never dropped.
+    */
+  def qualityEnsemble(docs: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val sig = Pins.pin(docs
+      // toks in its OWN projection (the shingleSets HOF-inlining rule)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("s_len"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        size(filter(col("toks"), t => t.isin(StopwordsEn: _*)))
+          .cast("long").as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("s_len"),
+        when(col("s_len") > 0, expr("(1000000L * n_uniq) DIV s_len"))
+          .otherwise(lit(0L)).as("s_ttr"),
+        when(col("s_len") > 0, expr("(1000000L * n_stop) DIV s_len"))
+          .otherwise(lit(0L)).as("s_stop")))
+    def rk(c: String, out: String) = Diagnostics.rankColumn(
+      sig.select(col("doc_id"), col(c)),
+      Seq(col(c).desc, col("doc_id").asc), out)
+      .select(col("doc_id"), col(out))
+    val out = sig
+      .join(rk("s_len", "r_len"), Seq("doc_id"))
+      .join(rk("s_ttr", "r_ttr"), Seq("doc_id"))
+      .join(rk("s_stop", "r_stop"), Seq("doc_id"))
+      .withColumn("borda", col("r_len") + col("r_ttr") + col("r_stop"))
+      .orderBy(col("borda").asc, col("doc_id").asc)
+      .limit(topK)
+      .select("doc_id", "s_len", "s_ttr", "s_stop",
+        "r_len", "r_ttr", "r_stop", "borda")
+    val pinned = Pins.pin(out)
+    Pins.release(sig)
+    pinned
+  }
 }

@@ -882,4 +882,59 @@ class CurateSpec extends SparkSpec {
       Curate.dsirWeights(raw.withColumn("dsir_w", lit(1L)), target, dim)
     }
   }
+
+  test("rankAndCumSum stamps exact global ranks and inclusive running sums across partitions") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 23).map(i => (i.toLong, (i * 31 % 13).toLong, (i % 5).toLong))
+      .toDF("id", "key", "v").repartition(6)
+    val got = Diagnostics
+      .rankAndCumSum(df, Seq(col("key"), col("id")), col("v"), "r0", "cum")
+      .select("id", "r0", "cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val w = Window.orderBy(col("key"), col("id"))
+    val want = df
+      .withColumn("r0", row_number().over(w).cast("long") - 1L)
+      .withColumn("cum", sum(col("v")).over(w.rowsBetween(Long.MinValue, 0)))
+      .select("id", "r0", "cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // rankColumn agrees with the same window rank
+    val rc = Diagnostics.rankColumn(df, Seq(col("key"), col("id")), "r0")
+      .select("id", "r0").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rc.toSeq === want.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("vocabCurve reads coverage at each bracket; oversize brackets clamp to the full vocab") {
+    // counts: b=4, a=3, c=2, d=1 → total 10; order b,a,c,d
+    val d = Seq((1L, "b a b c"), (2L, "b a d"), (3L, "b a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCurve(d, Seq(1L, 2L, 3L, 99L))
+      .orderBy("vocab_size")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 4L, 10L, 400000L),
+      (2L, 2L, 7L, 10L, 700000L),
+      (3L, 3L, 9L, 10L, 900000L),
+      (99L, 4L, 10L, 10L, 1000000L)))
+    // empty corpus: zero masses, zero coverage
+    val empty = TextAnalysis.vocabCurve(
+      Seq((1L, "")).toDF("doc_id", "text"), Seq(4L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(empty === Seq((4L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("qualityEnsemble blends exact signal ranks; zero-token docs rank worst") {
+    // doc 1: 4 toks, 2 uniq, 2 stop → s=(4, 500000, 500000)
+    // doc 2: 2 toks, 2 uniq, 0 stop → s=(2, 1000000, 0)
+    // doc 3: 0 toks               → s=(0, 0, 0)
+    val d = Seq((1L, "the x the x"), (2L, "y z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityEnsemble(d, topK = 3)
+      .orderBy("borda", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // ranks (0-based, desc): len 1→0, 2→1, 3→2; ttr 2→0, 1→1, 3→2;
+    // stop 1→0, 2→1, 3→2 → borda 1: 0+1+0=1, 2: 1+0+1=2, 3: 2+2+2=6
+    assert(out === Seq(
+      (1L, 4L, 500000L, 500000L, 0L, 1L, 0L, 1L),
+      (2L, 2L, 1000000L, 0L, 1L, 0L, 1L, 2L),
+      (3L, 0L, 0L, 0L, 2L, 2L, 2L, 6L)))
+  }
 }

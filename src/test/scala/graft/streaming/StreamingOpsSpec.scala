@@ -1204,6 +1204,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.toSeq === oneShot.toSeq)
   }
 
+  test("heavy-hitters state: est ≤ true ≤ est + b_bound for every key, under any merge tree") {
+    import graft.operators.Sketches
+    val m = 4
+    // keys drawn from event_type × (user_id % 3): ~tens of types, counts
+    // skewed — truncation at m=4 genuinely drops types
+    val keyed = events.select(
+      concat(col("event_type"), lit(":"), (col("user_id") % 3).cast("string"))
+        .as("k"))
+    val exact = keyed.groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    val totalTrue = exact.values.sum
+    def checkState(kept: org.apache.spark.sql.DataFrame,
+                   bound: org.apache.spark.sql.DataFrame): Unit = {
+      val est = kept.select("k", "n").as[(String, Long)].collect().toMap
+      val Array((tm, bb)) = bound.select("total_mass", "b_bound")
+        .as[(Long, Long)].collect()
+      assert(tm === totalTrue, "total_mass must stay exact under merges")
+      assert(est.size <= m)
+      exact.foreach { case (k, t) =>
+        val e = est.getOrElse(k, 0L)
+        assert(e <= t, s"$k: est $e exceeds true $t")
+        assert(t <= e + bb, s"$k: true $t above est $e + bound $bb")
+      }
+    }
+    // one-shot
+    val (k0, b0) = Sketches.topMState(keyed, col("k"), m)
+    checkState(k0, b0)
+    // 3-batch merges, both trees
+    val batches = Seq(0, 1, 2).map(i =>
+      Sketches.topMState(events.filter(col("event_id") % 3 === i).select(
+        concat(col("event_type"), lit(":"), (col("user_id") % 3).cast("string"))
+          .as("k")), col("k"), m))
+    val m01 = Sketches.mergeTopM(batches(0)._1, batches(0)._2,
+      batches(1)._1, batches(1)._2, m)
+    val leftFold = Sketches.mergeTopM(m01._1, m01._2,
+      batches(2)._1, batches(2)._2, m)
+    checkState(leftFold._1, leftFold._2)
+    val m21 = Sketches.mergeTopM(batches(2)._1, batches(2)._2,
+      batches(1)._1, batches(1)._2, m)
+    val swapped = Sketches.mergeTopM(m21._1, m21._2,
+      batches(0)._1, batches(0)._2, m)
+    checkState(swapped._1, swapped._2)
+    // fewer types than m ⇒ nothing dropped: bound 0, estimates exact
+    val tiny = events.limit(50).select(col("event_type").as("k"))
+    val (kt, bt) = Sketches.topMState(tiny, col("k"), m = 64)
+    val Array((_, bbTiny)) = bt.select("total_mass", "b_bound")
+      .as[(Long, Long)].collect()
+    assert(bbTiny === 0L)
+    val tinyExact = tiny.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(kt.select("k", "n").as[(String, Long)].collect().toMap === tinyExact)
+  }
+
   test("volumeAnomaly: lower median, MAD, k·mad flag; mad=0 flags any deviation") {
     import graft.operators.Analytics
     def ev(n: Int, day: Int, typ: String): Seq[(Long, String, String)] =
