@@ -1095,6 +1095,22 @@ object SparkEntry {
     "q_quality_ensemble" -> ((s, dir) =>
       TextAnalysis.qualityEnsemble(Tables(s, dir).documents, topK = 50)
         .orderBy(col("borda"), col("doc_id"))),
+    // Max-min-fair token budget allocation across sources (water-filling,
+    // exact closed form): budget 25 000 lands mid-pack at sf0.01 — small
+    // feeds fully granted, the rest leveled with a deterministic spill.
+    "q_water_fill" -> ((s, dir) =>
+      Curate.tokenWaterFill(Tables(s, dir).documents, budget = 25000L)
+        .orderBy(col("key"))),
+    // Token frequency-rank drift between the doc-id-parity snapshot
+    // halves — appearing/disappearing vocabulary takes the end-of-table
+    // sentinel rank, topping the readout.
+    "q_rank_drift" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      TextAnalysis.rankDrift(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), topK = 50)
+        .orderBy(col("drift").desc, col("tok"))
+    },
     // Deterministic heavy-hitters state: top-16 exact token counts +
     // the truncation bound (est ≤ true ≤ est + b_bound for every key).
     "q_heavy_hitters" -> { (s, dir) =>
@@ -3925,6 +3941,62 @@ object SparkEntry {
          |SELECT doc_id, s_len, s_ttr, s_stop, r_len, r_ttr, r_stop,
          |       CAST(r_len + r_ttr + r_stop AS BIGINT) AS borda
          |FROM r ORDER BY borda, doc_id LIMIT 50""".stripMargin,
+    // water-filling closed form: filled prefix under (cap ASC, key ASC),
+    // level = remaining DIV K, first remaining MOD K spill +1 — HUGEINT
+    // predicate mirrors the Spark DECIMAL comparison
+    "q_water_fill" ->
+      s"""$ToksCte,
+         |caps AS (SELECT d.source AS key, CAST(SUM(len(toks)) AS BIGINT) AS cap
+         |         FROM toks JOIN documents d USING (doc_id) GROUP BY 1),
+         |r AS (SELECT key, cap,
+         |             CAST(ROW_NUMBER() OVER (ORDER BY cap, key) - 1
+         |               AS BIGINT) AS r0,
+         |             CAST(SUM(cap) OVER (ORDER BY cap, key
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM caps),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_keys FROM caps),
+         |fl AS (SELECT r.*, s.s_keys,
+         |              (cap::HUGEINT * (s_keys - r0))
+         |                <= (25000::HUGEINT - (cum - cap)) AS filled
+         |       FROM r CROSS JOIN s),
+         |f AS (SELECT CAST(COALESCE(SUM(CASE WHEN filled THEN 1 END), 0)
+         |               AS BIGINT) AS n_f,
+         |             CAST(COALESCE(MAX(CASE WHEN filled THEN cum END), 0)
+         |               AS BIGINT) AS cum_f
+         |      FROM fl)
+         |SELECT key, cap, filled,
+         |       CAST(CASE WHEN filled THEN cap
+         |                 ELSE (25000 - f.cum_f) // (fl.s_keys - f.n_f)
+         |                      + (CASE WHEN fl.r0 - f.n_f <
+         |                               (25000 - f.cum_f) % (fl.s_keys - f.n_f)
+         |                              THEN 1 ELSE 0 END)
+         |            END AS BIGINT) AS alloc
+         |FROM fl CROSS JOIN f ORDER BY key""".stripMargin,
+    // per-side exact frequency ranks (count DESC, token ASC), full outer
+    // on token, absent side → (0, that side's type count)
+    "q_rank_drift" ->
+      s"""$ToksCte,
+         |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_a
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks
+         |             WHERE doc_id % 2 = 0) GROUP BY 1),
+         |cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_b
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks
+         |             WHERE doc_id % 2 = 1) GROUP BY 1),
+         |ra AS (SELECT tok, n_a, CAST(ROW_NUMBER() OVER
+         |           (ORDER BY n_a DESC, tok) - 1 AS BIGINT) AS rank_a FROM ca),
+         |rb AS (SELECT tok, n_b, CAST(ROW_NUMBER() OVER
+         |           (ORDER BY n_b DESC, tok) - 1 AS BIGINT) AS rank_b FROM cb),
+         |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS types_a FROM ca),
+         |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS types_b FROM cb),
+         |j AS (SELECT COALESCE(ra.tok, rb.tok) AS tok,
+         |             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |             COALESCE(rank_a, ta.types_a) AS rank_a,
+         |             COALESCE(rank_b, tb.types_b) AS rank_b
+         |      FROM ra FULL OUTER JOIN rb ON ra.tok = rb.tok
+         |           CROSS JOIN ta CROSS JOIN tb)
+         |SELECT tok, n_a, n_b, rank_a, rank_b,
+         |       CAST(ABS(rank_a - rank_b) AS BIGINT) AS drift
+         |FROM j ORDER BY drift DESC, tok LIMIT 50""".stripMargin,
     // top-16 exact counts + the truncation bound: absent keys can tie,
     // never beat, the 16th count — est ≤ true ≤ est + b_bound
     "q_heavy_hitters" ->

@@ -957,4 +957,73 @@ object Curate {
     sampleByWeight(weighted, col("doc_id"),
       lit(frac) * col("dsir_mean_ppm").cast("double") / lit(1000000.0), salt)
   }
+
+  // -- water-filling budget allocation --------------------------------------
+
+  /** Water-filling allocation of a global token budget across keys with
+    * per-key capacities — the max-min-fair quota policy ("every domain
+    * gets an equal share of the budget, except domains too small to use
+    * theirs, whose surplus raises everyone else's level"): the allocation
+    * a crawl or mixture planner uses to keep one mega-domain from eating
+    * the budget, complementary to [[tokenMixPlan]]'s proportional-target
+    * scaling. Exact closed form, no iteration: under the (cap ASC, key
+    * ASC) total order a key is FULLY allocated iff
+    *
+    *   cap · keys_remaining ≤ budget − mass_before        (all BIGINT)
+    *
+    * (monotone in the sort order, so the fully-allocated set is a
+    * prefix); the rest receive the level L = remaining DIV K with the
+    * first `remaining MOD K` of them (in the same order) getting one
+    * extra token — Σ alloc == min(budget, Σ cap) exactly, and the whole
+    * allocation replays cross-engine. For an under-filled key
+    * cap·(S−r) > B − before ⇒ cap ≥ L+1, so the +1 spill never exceeds a
+    * capacity.
+    *
+    * Scale shape: keys may be millions of domains — ranks and running
+    * mass come from ONE [[Diagnostics.rankAndCumSum]] kernel pass, the
+    * scalars (S, cumF, nF) from grouping-free aggregates crossJoin-
+    * broadcast back (the scalar-build shape). Output per key: cap,
+    * filled (capacity fully granted), alloc.
+    */
+  def waterFill(caps: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(caps.columns.toSeq == Seq("key", "cap"),
+      "caps must be a (key, cap) table")
+    val ranked = Diagnostics.rankAndCumSum(
+      caps, Seq(col("cap").asc, col("key").asc), col("cap"), "r0", "cum")
+    val s = ranked.agg(count(lit(1)).as("s_keys"))
+    val flagged = ranked.crossJoin(broadcast(s))
+      // DECIMAL comparison: cap·keys overflows BIGINT at web scale
+      .withColumn("filled",
+        col("cap").cast("decimal(38,0)") *
+          (col("s_keys") - col("r0")).cast("decimal(38,0)") <=
+          (lit(budget) - (col("cum") - col("cap"))).cast("decimal(38,0)"))
+    val f = flagged.agg(
+      coalesce(sum(when(col("filled"), lit(1L))), lit(0L)).as("n_f"),
+      coalesce(max(when(col("filled"), col("cum"))), lit(0L)).as("cum_f"))
+    flagged.crossJoin(broadcast(f))
+      // lvl_k = keys above the water line; the unfilled branch never
+      // evaluates when lvl_k == 0 (then every row is filled — CASE
+      // branches are lazy per row on both engines)
+      .withColumn("lvl_k", col("s_keys") - col("n_f"))
+      .select(
+        col("key"), col("cap"), col("filled"),
+        when(col("filled"), col("cap"))
+          .otherwise(
+            expr(s"(${budget}L - cum_f) DIV lvl_k") +
+              when(col("r0") - col("n_f") <
+                expr(s"(${budget}L - cum_f) % lvl_k"), lit(1L))
+                .otherwise(lit(0L)))
+          .as("alloc"))
+  }
+
+  /** [[waterFill]] over per-source token mass. */
+  def tokenWaterFill(docs: DataFrame, budget: Long): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    waterFill(
+      docs.select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(coalesce(sum(col("nt")), lit(0L)).as("cap"))
+        .select(col("source").as("key"), col("cap")),
+      budget)
+  }
 }

@@ -1624,6 +1624,50 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("coverage_ppm"))
   }
 
+  // -- token frequency-rank drift --------------------------------------------
+
+  /** Token frequency-rank drift between two corpus snapshots: each side's
+    * tokens get an exact global 0-based frequency rank (count DESC, token
+    * ASC), and drift = |rank_A − rank_B| — the token-granular
+    * distribution-shift readout (a crawl template change, an injected
+    * spam vocabulary, a feed swap) that aggregate divergence scores
+    * ([[sourceDivergence]], corpusDiff's doc-level view) can't localize.
+    * A token absent from one side takes that side's type count as its
+    * rank (one past the end — the strongest possible movement) with
+    * count 0, so appearing/disappearing vocabulary tops the readout
+    * rather than silently dropping out of an inner join.
+    *
+    * Scale shape: two map-side-combined token counts, each ranked by one
+    * [[Diagnostics.rankColumn]] kernel pass (never a single-task global
+    * window over a web-scale vocab), a token-keyed full outer join, the
+    * two type counts crossJoin-broadcast as 1-row aggregates, and a
+    * TakeOrdered head. All integers.
+    */
+  def rankDrift(docsA: DataFrame, docsB: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    def ranked(d: DataFrame, nName: String, rName: String) =
+      Diagnostics.rankColumn(
+        d.select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as(nName)),
+        Seq(col(nName).desc, col("tok").asc), rName)
+    val a = ranked(docsA, "n_a", "rank_a")
+    val b = ranked(docsB, "n_b", "rank_b")
+    val ta = a.agg(count(lit(1)).as("types_a"))
+    val tb = b.agg(count(lit(1)).as("types_b"))
+    a.join(b, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(ta))
+      .crossJoin(broadcast(tb))
+      .select(
+        col("tok"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("rank_a"), col("types_a")).as("rank_a"),
+        coalesce(col("rank_b"), col("types_b")).as("rank_b"))
+      .withColumn("drift", abs(col("rank_a") - col("rank_b")))
+      .orderBy(col("drift").desc, col("tok").asc)
+      .limit(topK)
+  }
+
   // -- Borda rank-blend quality ensemble ------------------------------------
 
   /** Borda-count ensemble over three integer quality signals — the

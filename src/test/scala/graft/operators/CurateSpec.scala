@@ -921,6 +921,36 @@ class CurateSpec extends SparkSpec {
     assert(empty === Seq((4L, 0L, 0L, 0L, 0L)))
   }
 
+  test("waterFill: filled prefix, level, deterministic spill; sums to min(budget, capacity)") {
+    def wf(caps: Seq[(String, Long)], budget: Long) =
+      Curate.waterFill(caps.toDF("key", "cap"), budget)
+        .orderBy("key").as[(String, Long, Boolean, Long)].collect().toSeq
+    val caps = Seq(("a", 10L), ("b", 100L), ("c", 100L))
+    // budget 50: a filled (10·3 ≤ 50), remaining 40 over {b, c} → 20 each
+    assert(wf(caps, 50L) === Seq(
+      ("a", 10L, true, 10L), ("b", 100L, false, 20L), ("c", 100L, false, 20L)))
+    // budget 51: spill of 1 goes to the FIRST unfilled key in (cap, key) order
+    assert(wf(caps, 51L) === Seq(
+      ("a", 10L, true, 10L), ("b", 100L, false, 21L), ("c", 100L, false, 20L)))
+    // budget ≥ total capacity: everyone fully granted
+    assert(wf(caps, 1000L) === Seq(
+      ("a", 10L, true, 10L), ("b", 100L, true, 100L), ("c", 100L, true, 100L)))
+    // zero budget: zero-capacity keys count as filled, everyone gets 0
+    assert(wf(Seq(("a", 0L), ("b", 5L)), 0L) === Seq(
+      ("a", 0L, true, 0L), ("b", 5L, false, 0L)))
+    // exactness property on a skewed set, several budgets
+    val skewed = (1 to 40).map(i => (f"k$i%02d", (i.toLong * i) % 97 + 1))
+    val total = skewed.map(_._2).sum
+    for (b <- Seq(0L, 37L, 500L, total, total + 100)) {
+      val out = wf(skewed, b)
+      assert(out.map(_._4).sum === math.min(b, total), s"budget $b")
+      out.foreach { case (k, cap, filled, alloc) =>
+        assert(alloc <= cap, s"$k over-allocated at budget $b")
+        assert(!filled || alloc == cap)
+      }
+    }
+  }
+
   test("qualityEnsemble blends exact signal ranks; zero-token docs rank worst") {
     // doc 1: 4 toks, 2 uniq, 2 stop → s=(4, 500000, 500000)
     // doc 2: 2 toks, 2 uniq, 0 stop → s=(2, 1000000, 0)

@@ -1795,6 +1795,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
   }
 
+  test("rankDrift: per-side exact ranks, sentinel rank for absent vocabulary") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "y y z")).toDF("doc_id", "text")
+    // A: x(2)→0, y(1)→1, types 2; B: y(2)→0, z(1)→1, types 2
+    // x absent from B → rank_b = 2 (one past the end), n_b = 0
+    val out = TextAnalysis.rankDrift(a, b, topK = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("x", 2L, 0L, 0L, 2L, 2L),
+      ("y", 1L, 2L, 1L, 0L, 1L),
+      ("z", 0L, 1L, 2L, 1L, 1L)))
+    // identical snapshots: zero drift everywhere
+    val same = TextAnalysis.rankDrift(a, a, topK = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(same.forall(_._6 == 0L))
+  }
+
   test("rrfFuse: integer ppm contributions, absent-rank sentinel, fused order and cut") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
     val b = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rank")

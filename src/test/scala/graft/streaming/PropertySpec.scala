@@ -101,4 +101,32 @@ class PropertySpec extends SparkSpec {
     }
     assert(naive.nonEmpty)
   }
+
+  test("waterFill closed form equals greedy unit-by-unit max-min filling on random inputs") {
+    import graft.operators.Curate
+    val rnd = new scala.util.Random(11L)
+    for (trial <- 1 to 15) {
+      val n = rnd.nextInt(11) + 2
+      val caps = (0 until n).map(i => (f"k$i%02d", rnd.nextLong(60L)))
+      val budget = rnd.nextLong(caps.map(_._2).sum + 50L)
+      // greedy max-min spec: one token at a time to the unfilled key with
+      // the smallest (alloc, cap, key) — the DEFINITION of max-min
+      // fairness (the allocation MULTISET is tie-break-independent),
+      // sequenced under the operator's documented spill convention
+      // (remainder to the smallest-capacity unfilled keys first);
+      // independent of the closed form under test
+      val alloc = scala.collection.mutable.Map(caps.map(c => c._1 -> 0L): _*)
+      val capM = caps.toMap
+      var left = budget
+      var pool = caps.collect { case (k, c) if c > 0 => k }.toSet
+      while (left > 0 && pool.nonEmpty) {
+        val k = pool.minBy(k => (alloc(k), capM(k), k))
+        alloc(k) += 1; left -= 1
+        if (alloc(k) == capM(k)) pool -= k
+      }
+      val got = Curate.waterFill(caps.toDF("key", "cap"), budget)
+        .select("key", "alloc").as[(String, Long)].collect().toMap
+      assert(got === alloc.toMap, s"trial $trial caps=$caps budget=$budget")
+    }
+  }
 }
