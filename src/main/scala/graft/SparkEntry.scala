@@ -1111,6 +1111,25 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 1), topK = 50)
         .orderBy(col("drift").desc, col("tok"))
     },
+    // Gate calibration: confusion sweep of the cheap hapax-novelty score
+    // against the 2-rule length+TTR mini-gate — the readout that decides
+    // where a scored surrogate can replace an expensive filter.
+    "q_threshold_sweep" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val scored = TextAnalysis.bigramScores(d)
+        .select(col("doc_id"),
+          expr("(1000000L * n_hapax) DIV n_pairs").as("score_ppm"))
+      val labeled = d
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          (size(col("toks")).between(20, 90) &&
+            (size(array_distinct(col("toks"))) * 100 >=
+              size(col("toks")) * 40)).as("label"))
+      Classify.thresholdSweep(
+        scored.join(labeled, "doc_id"), col("score_ppm"), col("label"),
+        Seq(0L, 100000L, 250000L, 500000L, 750000L, 1000000L))
+        .orderBy(col("threshold"))
+    },
     // Deterministic heavy-hitters state: top-16 exact token counts +
     // the truncation bound (est ≤ true ≤ est + b_bound for every key).
     "q_heavy_hitters" -> { (s, dir) =>
@@ -3997,6 +4016,45 @@ object SparkEntry {
          |SELECT tok, n_a, n_b, rank_a, rank_b,
          |       CAST(ABS(rank_a - rank_b) AS BIGINT) AS drift
          |FROM j ORDER BY drift DESC, tok LIMIT 50""".stripMargin,
+    // confusion sweep of score ≥ t vs the mini-gate label; all counts and
+    // ppm exact integers
+    "q_threshold_sweep" ->
+      s"""$ToksCte,
+         |tk AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+         |tf2 AS (
+         |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i+1 AS INT)] AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tk, unnest(range(1, len(toks))) t(i)
+         |  GROUP BY doc_id, w1, w2),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
+         |       FROM tf2 GROUP BY w1, w2),
+         |sc AS (SELECT doc_id,
+         |         CAST((1000000 * SUM(CASE WHEN c2 = 1 THEN tf ELSE 0 END))
+         |              // SUM(tf) AS BIGINT) AS score_ppm
+         |       FROM tf2 JOIN c2 USING (w1, w2) GROUP BY doc_id),
+         |lb AS (SELECT doc_id,
+         |         (len(toks) BETWEEN 20 AND 90 AND
+         |          len(list_distinct(toks)) * 100 >= len(toks) * 40) AS label
+         |       FROM toks),
+         |j AS (SELECT score_ppm, label FROM sc JOIN lb USING (doc_id)),
+         |th AS (SELECT CAST(unnest([0, 100000, 250000, 500000, 750000,
+         |                           1000000]) AS BIGINT) AS threshold),
+         |cf AS (SELECT threshold,
+         |         CAST(SUM(CASE WHEN score_ppm >= threshold AND label
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN score_ppm >= threshold AND NOT label
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN score_ppm < threshold AND label
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(SUM(CASE WHEN score_ppm < threshold AND NOT label
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM th CROSS JOIN j GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |       CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)
+         |                 ELSE 0 END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn)
+         |                 ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM cf ORDER BY threshold""".stripMargin,
     // top-16 exact counts + the truncation bound: absent keys can tie,
     // never beat, the 16th count — est ≤ true ≤ est + b_bound
     "q_heavy_hitters" ->

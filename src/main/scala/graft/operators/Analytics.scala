@@ -548,10 +548,16 @@ object Analytics {
     * (types × days) table, AQE-broadcast. Output one row per
     * (event_type, day) with n, med, mad, dev, anomaly.
     */
-  def volumeAnomaly(events: DataFrame, k: Long = 3L): DataFrame = {
+  def volumeAnomaly(events: DataFrame, k: Long = 3L): DataFrame =
+    volumeAnomalyFromState(dailyCounts(events), k)
+
+  /** [[volumeAnomaly]]'s readout over a maintained [[dailyCounts]] state
+    * (same sum-merge contract as [[decayedFromState]]) — the monitor a
+    * streaming ingest serves per micro-batch without recounting history.
+    */
+  def volumeAnomalyFromState(daily: DataFrame, k: Long = 3L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be at least 1")
-    val daily = dailyCounts(events)
     def lowerMedian(df: DataFrame, value: Column, outName: String): DataFrame = {
       val w = Window.partitionBy(col("event_type")).orderBy(value, col("day"))
       val wAll = Window.partitionBy(col("event_type"))

@@ -98,4 +98,47 @@ object Classify {
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
       .withColumn("pred", col("margin") > lit(0.0))
   }
+
+  /** Threshold sweep — the gate-calibration readout that decides where a
+    * cheap score can replace an expensive gate (the distillation question
+    * every curation stack asks before swapping a heavyweight filter for a
+    * scored surrogate): confusion counts of the rule `score ≥ t` against
+    * a boolean reference label, for every candidate threshold, with
+    * precision/recall as exact integer ppm. Reading the sweep picks the
+    * operating point; a later corpus re-checks it with the same call.
+    *
+    * Scale shape: ONE map-side-combined grouping-free aggregation
+    * producing 4 conditional sums per threshold (4·|thresholds| longs in
+    * one reduction — never a thresholds× row blowup), then a driver-free
+    * `stack` unpivot of the 1-row result. Inputs must be non-null (a
+    * null score or label would silently vanish from all four cells —
+    * derive them with inner joins / coalesce upstream).
+    */
+  def thresholdSweep(
+      df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.distinct.size == thresholds.size, "duplicate thresholds")
+    val base = df.select(score.as("ts_score"), label.as("ts_label"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("ts_score") >= t && col("ts_label"), 1L).otherwise(0L)).as(s"tp_$i"),
+      sum(when(col("ts_score") >= t && !col("ts_label"), 1L).otherwise(0L)).as(s"fp_$i"),
+      sum(when(col("ts_score") < t && col("ts_label"), 1L).otherwise(0L)).as(s"fn_$i"),
+      sum(when(col("ts_score") < t && !col("ts_label"), 1L).otherwise(0L)).as(s"tn_$i"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex.map { case (t, i) =>
+      s"${t}L, tp_$i, fp_$i, fn_$i, tn_$i"
+    }.mkString(", ")
+    row
+      .select(expr(s"stack(${thresholds.size}, $stackArgs)" +
+        " as (threshold, tp, fp, fn, tn)"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(1000000L * tp) DIV (tp + fp)")).otherwise(lit(0L))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("(1000000L * tp) DIV (tp + fn)")).otherwise(lit(0L))
+          .as("recall_ppm"))
+  }
 }

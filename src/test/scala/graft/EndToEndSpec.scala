@@ -256,6 +256,72 @@ class EndToEndSpec extends SparkSpec {
       }
   }
 
+  test("hybrid-retrieval journey: stored BM25 index ⊕ cosine ANN → RRF fusion invariants") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val emb = Tables(spark, dir).embeddings // vec_id ≡ doc_id in this corpus
+    val terms = Seq("vector", "stream", "window")
+
+    // 1. lexical ranking SERVED FROM the persisted index lifecycle
+    val wd = java.nio.file.Files.createTempDirectory("e2e-bm25").toString
+    TextAnalysis.saveBm25Index(spark, wd, docs)
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, wd)
+    def rankOf(df: org.apache.spark.sql.DataFrame) = df.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val lex = rankOf(TextAnalysis.bm25TopKFromIndex(postings, doclen, terms, 25))
+    // stored serving ≡ direct corpus scoring, rank for rank
+    val direct = rankOf(TextAnalysis.bm25TopK(docs, terms, 25))
+    assert(lex.select("doc_id", "rank").as[(Long, Long)].collect().sorted.toSeq ===
+      direct.select("doc_id", "rank").as[(Long, Long)].collect().sorted.toSeq)
+
+    // 2. semantic ranking around anchor vec 0
+    val sem = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 25)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+
+    // 3. fuse; k=25 ⇒ a doc in BOTH lists contributes ≥ 2·(10^6 DIV 85) =
+    // 23528 > 16393 ≥ any single-list doc — both-list docs must occupy a
+    // strict prefix of the fused order
+    val fused = Similarity.rrfFuse(lex, sem, "doc_id", topK = 50)
+      .orderBy("fused_rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(fused.nonEmpty)
+    val inBothFlags = fused.map { case (_, ra, rb, _, _) => ra > 0 && rb > 0 }
+    assert(inBothFlags === inBothFlags.sorted(Ordering[Boolean].reverse),
+      "a single-list doc outranked a both-list doc")
+
+    // 4. self-fusion sanity: fusing a ranking with itself preserves it
+    // (contributions strictly decrease in rank for ranks ≤ 25)
+    val self = Similarity.rrfFuse(lex, lex, "doc_id", topK = 25)
+      .orderBy("fused_rank")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(self === lex.orderBy("rank").select("doc_id").as[Long].collect().toSeq)
+  }
+
+  test("ops-monitor journey: batch-maintained daily-count state serves decay and anomaly readouts") {
+    val events = Tables(spark, dir).events
+    val batches = Seq(0, 1, 2).map(i => events.filter(col("event_id") % 3 === i))
+    val state = batches.map(Analytics.dailyCounts).reduce(Analytics.mergeDailyCounts)
+    // both readouts off the merged store equal their one-shot forms
+    assert(Analytics.volumeAnomalyFromState(state, 3L)
+      .orderBy("event_type", "day").collect().toSeq ===
+      Analytics.volumeAnomaly(events, 3L)
+        .orderBy("event_type", "day").collect().toSeq)
+    val decayedNow = Analytics.decayedFromState(state, "2024-02-01", 7)
+      .select("event_type", "decayed_mass").as[(String, Long)].collect().toMap
+    assert(decayedNow ===
+      Analytics.decayedCounts(events, "2024-02-01", 7)
+        .select("event_type", "decayed_mass").as[(String, Long)].collect().toMap)
+    // a later as-of from the SAME store never increases any type's mass
+    // (every stored day predates the first as-of — sf0.001 events span
+    // January only — so the later readout adds no new days, only age)
+    val decayedLater = Analytics.decayedFromState(state, "2024-03-01", 7)
+      .select("event_type", "decayed_mass").as[(String, Long)].collect().toMap
+    decayedNow.foreach { case (t, m) =>
+      assert(decayedLater.getOrElse(t, 0L) <= m, s"$t mass grew as time passed")
+    }
+    assert(decayedNow.nonEmpty)
+  }
+
   test("facade point lookup agrees with the replayed record payload") {
     val wd = streaming.PersistPipeline.ensureRun(spark, dir)
     val index = store.IndexStore.materialized(spark, dir)

@@ -41,4 +41,21 @@ class ClassifySpec extends SparkSpec {
       scored.filter(col("label") === 0).count() / n)
     assert(acc > majority, s"classifier ($acc) no better than majority ($majority)")
   }
+
+  test("thresholdSweep: exact confusion cells, ppm ratios, degenerate-threshold edges") {
+    // scores 10/20/30/40 with labels T/F/T/F
+    val d = Seq((10L, true), (20L, false), (30L, true), (40L, false))
+      .toDF("s", "l")
+    val out = Classify.thresholdSweep(d, col("s"), col("l"),
+      Seq(0L, 25L, 100L))
+      .orderBy("threshold")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      // t=0: everyone predicted positive → tp=2 fp=2; precision 1/2, recall 1
+      (0L, 2L, 2L, 0L, 0L, 500000L, 1000000L),
+      // t=25: {30,40} positive → tp=1 fp=1 fn=1 tn=1
+      (25L, 1L, 1L, 1L, 1L, 500000L, 500000L),
+      // t=100: nobody positive → precision falls back to 0, recall 0/2
+      (100L, 0L, 0L, 2L, 2L, 0L, 0L)))
+  }
 }
