@@ -1188,6 +1188,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(capped.toSeq === Seq(("old", 0L)))
   }
 
+  test("real-stream daily-count maintenance: foreachBatch store accretion serves decay and anomaly") {
+    import graft.operators.Analytics
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-dcstream").toString
+    val ev = events.select("event_id", "event_type", "ts")
+    (0 until 3).foreach { i =>
+      ev.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val store = s"$dir/state"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val upd = Analytics.dailyCounts(batch)
+        // eager checkpoint BEFORE overwriting the store it reads from
+        val merged = (if (Files.exists(Paths.get(store)))
+          Analytics.mergeDailyCounts(spark.read.parquet(store), upd)
+        else upd).localCheckpoint()
+        merged.write.mode("overwrite").parquet(store)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val state = spark.read.parquet(store)
+    assert(Analytics.decayedFromState(state, "2024-02-01", 7)
+      .orderBy("event_type").collect().toSeq ===
+      Analytics.decayedCounts(ev, "2024-02-01", 7)
+        .orderBy("event_type").collect().toSeq)
+    assert(Analytics.volumeAnomalyFromState(state, 3L)
+      .orderBy("event_type", "day").collect().toSeq ===
+      Analytics.volumeAnomaly(ev, 3L)
+        .orderBy("event_type", "day").collect().toSeq)
+  }
+
   test("streaming daily-count maintenance: sum-merged batches equal the one-shot readout") {
     import graft.operators.Analytics
     val all = events
