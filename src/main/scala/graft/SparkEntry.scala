@@ -1111,6 +1111,23 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 1), topK = 50)
         .orderBy(col("drift").desc, col("tok"))
     },
+    // Token burstiness: variance-to-mean of per-doc occurrence counts
+    // over ALL docs (Church & Gale) — content/template words clump,
+    // function words sit at VMR ≈ 1.
+    "q_token_burstiness" -> ((s, dir) =>
+      TextAnalysis.tokenBurstiness(Tables(s, dir).documents, topK = 50)
+        .orderBy(col("vmr_ppm").desc, col("tok"))),
+    // Gini concentration of per-source token mass — the one-number
+    // corpus-imbalance datasheet metric.
+    "q_source_gini" -> ((s, dir) =>
+      Curate.sourceGini(Tables(s, dir).documents)),
+    // Deterministic unigram-proportional negative sampling for the
+    // skip-gram positives (inverse-CDF via hash position into the
+    // cumulative-mass intervals — rand()-free, oracle-replayable).
+    "q_neg_samples" -> ((s, dir) =>
+      TextAnalysis.negativeSamples(Tables(s, dir).documents,
+        window = 2, minCount = 50L, nNeg = 2)
+        .orderBy(col("w1"), col("w2"), col("i"))),
     // Gate calibration: confusion sweep of the cheap hapax-novelty score
     // against the 2-rule length+TTR mini-gate — the readout that decides
     // where a scored surrogate can replace an expensive filter.
@@ -4016,6 +4033,66 @@ object SparkEntry {
          |SELECT tok, n_a, n_b, rank_a, rank_b,
          |       CAST(ABS(rank_a - rank_b) AS BIGINT) AS drift
          |FROM j ORDER BY drift DESC, tok LIMIT 50""".stripMargin,
+    // VMR over all N docs, zeros through N alone; HUGEINT == DECIMAL div
+    "q_token_burstiness" ->
+      s"""$ToksCte,
+         |pd AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       GROUP BY 1, 2),
+         |pt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         |              CAST(SUM(c) AS BIGINT) AS s,
+         |              CAST(SUM(c * c) AS BIGINT) AS q
+         |       FROM pd GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT tok, df, s, q, n_docs,
+         |       CAST((1000000::HUGEINT *
+         |             (n_docs::HUGEINT * q - s::HUGEINT * s))
+         |            // (n_docs::HUGEINT * s) AS BIGINT) AS vmr_ppm
+         |FROM pt CROSS JOIN nn
+         |ORDER BY vmr_ppm DESC, tok LIMIT 50""".stripMargin,
+    // ascending-order Gini closed form; HUGEINT == DECIMAL div
+    "q_source_gini" ->
+      s"""$ToksCte,
+         |m AS (SELECT d.source AS key, CAST(SUM(len(toks)) AS BIGINT) AS mass
+         |      FROM toks JOIN documents d USING (doc_id) GROUP BY 1),
+         |r AS (SELECT mass, CAST(ROW_NUMBER() OVER (ORDER BY mass, key)
+         |               AS BIGINT) AS i FROM m)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |       CAST(COALESCE(SUM(mass), 0) AS BIGINT) AS total_mass,
+         |       CAST(CASE WHEN COUNT(*) > 0 AND COALESCE(SUM(mass), 0) > 0
+         |                 THEN (1000000::HUGEINT *
+         |                       (2::HUGEINT * SUM(i::HUGEINT * mass)
+         |                        - (COUNT(*) + 1)::HUGEINT * SUM(mass)))
+         |                      // (COUNT(*)::HUGEINT * SUM(mass))
+         |                 ELSE 0 END AS BIGINT) AS gini_ppm
+         |FROM r""".stripMargin,
+    // inverse-CDF negatives: cumulative-mass intervals under the
+    // (count DESC, token ASC) order, draw position = h60 mod total mass,
+    // containment join picks exactly one token per draw
+    "q_neg_samples" ->
+      s"""$ToksCte,
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1),
+         |iv AS (SELECT tok AS neg,
+         |              CAST(SUM(n) OVER w - n AS BIGINT) AS lo,
+         |              CAST(SUM(n) OVER w AS BIGINT) AS hi
+         |       FROM c WINDOW w AS (ORDER BY n DESC, tok
+         |                           ROWS UNBOUNDED PRECEDING)),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tm FROM c),
+         |p0 AS (SELECT doc_id, toks,
+         |              unnest(range(1, len(toks) + 1)) AS i FROM toks),
+         |p1 AS (SELECT toks[CAST(i AS INT)] AS w1,
+         |              unnest(list_slice(toks, CAST(i + 1 AS INT),
+         |                                CAST(i + 2 AS INT))) AS w2
+         |       FROM p0),
+         |pr AS (SELECT w1, w2 FROM p1 GROUP BY 1, 2 HAVING COUNT(*) >= 50),
+         |d AS (SELECT w1, w2, CAST(u.i AS BIGINT) AS i,
+         |             ${h60Sql("'neg|' || w1 || '|' || w2 || '|' || CAST(u.i AS VARCHAR)")}
+         |               % t.tm AS pos
+         |      FROM pr CROSS JOIN t, unnest([0, 1]) u(i))
+         |SELECT d.w1, d.w2, d.i, iv.neg, CAST(d.pos AS BIGINT) AS pos
+         |FROM d JOIN iv ON d.pos >= iv.lo AND d.pos < iv.hi
+         |ORDER BY w1, w2, i""".stripMargin,
     // confusion sweep of score ≥ t vs the mini-gate label; all counts and
     // ppm exact integers
     "q_threshold_sweep" ->

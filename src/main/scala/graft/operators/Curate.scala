@@ -1017,6 +1017,51 @@ object Curate {
           .as("alloc"))
   }
 
+  /** Gini concentration of a keyed mass table — the single-number
+    * corpus-imbalance readout a datasheet publishes next to the source
+    * card ("0 = every source contributes equally, → 1 = one source is
+    * the corpus"). Exact integer form over the ascending (mass, key)
+    * order with 1-based index i:
+    *
+    *   gini_ppm = 10^6 · (2·Σ i·xᵢ − (n+1)·Σx) DIV (n·Σx)
+    *
+    * in DECIMAL(38,0) products (i·xᵢ sums overflow BIGINT at scale).
+    * Ranks from the [[Diagnostics.rankAndCumSum]] kernel — keys may be
+    * millions of domains; the moment sums are one grouping-free
+    * aggregation. Output 1 row: n_keys, total_mass, gini_ppm
+    * (0 when the table is empty or massless).
+    */
+  def giniConcentration(masses: DataFrame): DataFrame = {
+    require(masses.columns.toSeq == Seq("key", "mass"),
+      "masses must be a (key, mass) table")
+    val d38 = "decimal(38,0)"
+    val ranked = Diagnostics.rankAndCumSum(
+      masses, Seq(col("mass").asc, col("key").asc), col("mass"), "r0", "cum")
+    ranked.agg(
+      count(lit(1)).as("n_keys"),
+      coalesce(sum(col("mass")), lit(0L)).as("total_mass"),
+      coalesce(sum((col("r0") + 1).cast(d38) * col("mass").cast(d38)),
+        lit(0L).cast(d38)).as("ixi"))
+      .select(col("n_keys"), col("total_mass"),
+        when(col("n_keys") > 0 && col("total_mass") > 0,
+          call_function("div",
+            lit(1000000L).cast(d38) *
+              (lit(2L).cast(d38) * col("ixi") -
+                (col("n_keys") + 1).cast(d38) * col("total_mass").cast(d38)),
+            col("n_keys").cast(d38) * col("total_mass").cast(d38))
+            .cast("long"))
+          .otherwise(lit(0L)).as("gini_ppm"))
+  }
+
+  /** [[giniConcentration]] over per-source token mass. */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    giniConcentration(
+      docs.select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(coalesce(sum(col("nt")), lit(0L)).as("mass"))
+        .select(col("source").as("key"), col("mass")))
+  }
+
   /** [[waterFill]] over per-source token mass. */
   def tokenWaterFill(docs: DataFrame, budget: Long): DataFrame = {
     import graft.functions.TextFunctions.tokens

@@ -1024,6 +1024,54 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Deterministic negative sampling for contrastive / word2vec-style
+    * training pairs: each positive skip-gram pair draws `nNeg` negatives
+    * from the corpus UNIGRAM distribution by inverse-CDF lookup — the
+    * token whose cumulative-mass interval contains the hash position
+    *
+    *   pos_i = h60(salt|w1|w2|i) mod total_mass
+    *
+    * Deterministic where `rand()` is not (a re-run, a retried task, or
+    * the DuckDB oracle draws the SAME negatives), yet distributed
+    * unigram-proportional: a token's chance of selection is exactly
+    * n(token)/total_mass per draw. Collisions with w1/w2 (or a true
+    * context word) are kept — the standard word2vec treatment; re-roll
+    * policies belong to the caller. Plain unigram mass; a tempered
+    * (n^0.75) variant would need integer-exact tempering and is
+    * deliberately out of scope.
+    *
+    * Scale shape: the cumulative-mass intervals come from ONE
+    * [[Diagnostics.rankAndCumSum]] kernel pass over the vocab-sized
+    * count table; the lookup is [[RangeJoin.byBucket]]'s bucketized
+    * range join (each draw lands in exactly one interval — the intervals
+    * partition [0, total) — so the join is equi-bucket + containment
+    * filter, never a nested loop). total_mass is a bounded 1-row
+    * collect (bucket-width choice only).
+    */
+  def negativeSamples(
+      docs: DataFrame, window: Int = 2, minCount: Long = 1L,
+      nNeg: Int = 2, salt: String = "neg"): DataFrame = {
+    require(nNeg >= 1, "nNeg must be at least 1")
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val iv = Diagnostics.rankAndCumSum(
+      counts, Seq(col("n").desc, col("tok").asc), col("n"), "rk", "cum")
+      .select(col("tok").as("neg"),
+        (col("cum") - col("n")).as("lo"), col("cum").as("hi"))
+    val total = iv.agg(coalesce(max(col("hi")), lit(0L)).as("tm"))
+      .collect()(0).getLong(0) // 1-row bounded collect: bucket sizing
+    val draws = skipgramCounts(docs, window, minCount)
+      .select(col("w1"), col("w2"))
+      .withColumn("i", explode(sequence(lit(0L), lit(nNeg - 1L))))
+      .withColumn("pos",
+        pmod(h60(concat_ws("|", lit(salt), col("w1"), col("w2"),
+          col("i").cast("string"))), lit(total)))
+    RangeJoin.byBucket(draws, "pos", iv, "lo", "hi",
+      bucketWidth = math.max(1L, total / 256L))
+      .select(col("w1"), col("w2"), col("i"), col("neg"), col("pos"))
+  }
+
   /** Per-source top-k signature bigrams — the template/boilerplate
     * readout per FEED: a source whose head phrases dominate its token
     * mass is a generated/SEO feed, and the phrases themselves tell a
@@ -1622,6 +1670,52 @@ object TextAnalysis {
               coalesce(col("cum"), lit(0L)).cast("decimal(38,0)"),
             col("total_mass").cast("decimal(38,0)")).cast("long"))
           .otherwise(lit(0L)).as("coverage_ppm"))
+  }
+
+  // -- token burstiness ------------------------------------------------------
+
+  /** Token burstiness: the variance-to-mean ratio (index of dispersion)
+    * of each token's per-document occurrence counts over ALL N docs —
+    * Church & Gale's burstiness statistic: ≈ 1 for Poisson scatter
+    * (function words spread evenly), ≫ 1 for content/template words
+    * that clump in few documents. The keyword/boilerplate separator a
+    * mixture planner reads next to document frequency:
+    *
+    *   vmr_ppm = 10^6 · (N·Σc² − (Σc)²) DIV (N·Σc)     (zeros included)
+    *
+    * in exact DECIMAL(38,0) products (N·Σc² overflows BIGINT at web
+    * scale — the q_dsir div rule), so the ranking replays cross-engine.
+    * Output: top-k by (vmr DESC, token), with doc frequency, total and
+    * squared-count sums carried.
+    *
+    * Scale shape: one (token, doc) count (map-side combined), one token
+    * aggregation, the 1-row corpus size crossJoin-broadcast, TakeOrdered
+    * head. Zero-count docs contribute through N alone — no explode of
+    * the token × doc zero matrix.
+    */
+  def tokenBurstiness(docs: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be at least 1")
+    val d38 = "decimal(38,0)"
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val perTok = perDoc.groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perTok.crossJoin(broadcast(n))
+      .select(col("tok"), col("df"), col("s"), col("q"), col("n_docs"),
+        call_function("div",
+          lit(1000000L).cast(d38) *
+            (col("n_docs").cast(d38) * col("q").cast(d38) -
+              col("s").cast(d38) * col("s").cast(d38)),
+          col("n_docs").cast(d38) * col("s").cast(d38))
+          .cast("long").as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("tok"))
+      .limit(topK)
   }
 
   // -- token frequency-rank drift --------------------------------------------

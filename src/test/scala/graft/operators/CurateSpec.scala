@@ -951,6 +951,21 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("giniConcentration: 0 for equal shares, (n−1)/n extreme, closed-form hand case") {
+    def gini(ms: Seq[(String, Long)]) =
+      Curate.giniConcentration(ms.toDF("key", "mass"))
+        .as[(Long, Long, Long)].collect().head
+    assert(gini(Seq(("a", 10L), ("b", 10L))) === ((2L, 20L, 0L)))
+    // all mass on one of two keys → G = 1/2
+    assert(gini(Seq(("a", 0L), ("b", 10L))) === ((2L, 10L, 500000L)))
+    // hand case: masses 1,2,3,4 asc → Σi·x = 1+4+9+16 = 30,
+    // G = (60 − 5·10)/(4·10) = 1/4
+    assert(gini(Seq(("a", 4L), ("b", 2L), ("c", 3L), ("d", 1L)))
+      === ((4L, 10L, 250000L)))
+    // empty and massless tables report 0 instead of dividing by zero
+    assert(gini(Seq(("a", 0L))) === ((1L, 0L, 0L)))
+  }
+
   test("qualityEnsemble blends exact signal ranks; zero-token docs rank worst") {
     // doc 1: 4 toks, 2 uniq, 2 stop → s=(4, 500000, 500000)
     // doc 2: 2 toks, 2 uniq, 0 stop → s=(2, 1000000, 0)

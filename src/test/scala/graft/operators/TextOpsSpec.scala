@@ -1795,6 +1795,50 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
   }
 
+  test("tokenBurstiness: VMR over all docs — clumped 10^6 ppm, evenly-spread 0") {
+    // doc1 "a a b", doc2 "b": a counts (2,0) → mean 1, var 1 → VMR 1;
+    // b counts (1,1) → var 0 → VMR 0
+    val d = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(d, topK = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, 2L, 4L, 2L, 1000000L),
+      ("b", 2L, 2L, 2L, 2L, 0L)))
+  }
+
+  test("negativeSamples: hash inverse-CDF picks the unigram interval, deterministically") {
+    // counts: a=3, b=1 → intervals a:[0,3), b:[3,4), total 4
+    val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.negativeSamples(d, window = 1, minCount = 1L, nNeg = 3)
+      .orderBy("w1", "w2", "i")
+      .as[(String, String, Long, String, Long)].collect().toSeq
+    // positives (window 1): (a,a), (a,b) — 3 draws each
+    assert(out.map(t => (t._1, t._2)).distinct === Seq(("a", "a"), ("a", "b")))
+    assert(out.size === 6)
+    out.foreach { case (w1, w2, i, neg, pos) =>
+      val expectPos = java.lang.Math.floorMod(
+        TextFunctions.h60Jvm(s"neg|$w1|$w2|$i"), 4L)
+      assert(pos === expectPos)
+      assert(neg === (if (pos < 3) "a" else "b"), s"pos $pos picked $neg")
+    }
+    // re-run draws the identical negatives (rand()-free)
+    val again = TextAnalysis.negativeSamples(d, window = 1, minCount = 1L, nNeg = 3)
+      .orderBy("w1", "w2", "i")
+      .as[(String, String, Long, String, Long)].collect().toSeq
+    assert(again === out)
+    // draws are unigram-proportional on the fixture corpus: over many
+    // draws, the head token must be sampled more often than a tail token
+    val many = TextAnalysis.negativeSamples(docs, window = 2, minCount = 1L, nNeg = 4)
+    val byNeg = many.groupBy("neg").count()
+      .as[(String, Long)].collect().toMap
+    val mass = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val head = mass.maxBy(_._2)._1
+    val tail = mass.minBy(_._2)._1
+    assert(byNeg.getOrElse(head, 0L) > byNeg.getOrElse(tail, 0L),
+      s"head '$head' drawn ${byNeg.getOrElse(head, 0L)}x vs tail '$tail' ${byNeg.getOrElse(tail, 0L)}x")
+  }
+
   test("rankDrift: per-side exact ranks, sentinel rank for absent vocabulary") {
     val a = Seq((1L, "x x y")).toDF("doc_id", "text")
     val b = Seq((2L, "y y z")).toDF("doc_id", "text")
