@@ -1133,7 +1133,7 @@ object SparkEntry {
     // where a scored surrogate can replace an expensive filter.
     "q_threshold_sweep" -> { (s, dir) =>
       val d = Tables(s, dir).documents
-      val scored = TextAnalysis.bigramScores(d)
+      val scored = bigramScoresShared(s, dir)
         .select(col("doc_id"),
           expr("(1000000L * n_hapax) DIV n_pairs").as("score_ppm"))
       val labeled = d
