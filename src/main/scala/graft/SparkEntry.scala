@@ -631,6 +631,17 @@ object SparkEntry {
     "q_source_kmv" -> ((s, dir) =>
       Dedup.kmvOverlap(Dedup.sourceKmv(Tables(s, dir).documents, 128), 128)
         .orderBy(col("src_a"), col("src_b"))),
+    // KMV's cardinality readout (k=16, saturated at sf0.01 so the
+    // estimator is live): distinct-shingle estimates per source in exact
+    // integer arithmetic — the estimate ITSELF replays cross-engine.
+    "q_kmv_cardinality" -> ((s, dir) =>
+      Dedup.kmvCardinality(Dedup.sourceKmv(Tables(s, dir).documents, 16), 16)
+        .orderBy(col("source"))),
+    // Dedup-savings datasheet: duplicate-cluster sizes bucketed by
+    // floor(log2), redundant-doc mass per bucket.
+    "q_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(Dedup.minHashLsh(Tables(s, dir).documents))
+        .orderBy(col("bucket"))),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-25
     // (Bm25Terms) with the cosine top-25 around anchor vec 0 — integer
     // ppm contributions so the fused ORDER replays cross-engine.
@@ -2539,6 +2550,39 @@ object SparkEntry {
          |       CAST((1000000 * SUM(in_a * in_b)) // COUNT(*) AS BIGINT)
          |         AS jaccard_est_ppm
          |FROM rk WHERE r <= 128 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // KMV cardinality: D̂ = (k−1)·2^60 DIV h_k when saturated, exact
+    // k_used when the sketch holds the whole set — HUGEINT == DECIMAL div
+    "q_kmv_cardinality" ->
+      s"""$ToksCte,
+         |$ShinglesCte,
+         |p AS (SELECT DISTINCT d.source, ${h60Sql("u.sh")} AS h
+         |      FROM s2 JOIN documents d USING (doc_id), unnest(s2.sh) AS u(sh)),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |                ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+         |         FROM p) WHERE r <= 16),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS k_used,
+         |             CAST(MAX(h) AS BIGINT) AS kth FROM sk GROUP BY 1)
+         |SELECT source, k_used, kth,
+         |       CAST(CASE WHEN k_used < 16 OR kth <= 0 THEN k_used
+         |                 ELSE ((k_used - 1)::HUGEINT
+         |                       * 1152921504606846976::HUGEINT) // kth
+         |            END AS BIGINT) AS est_distinct
+         |FROM a ORDER BY source""".stripMargin,
+    // cluster-size log2 buckets over the recursive-closure labels;
+    // length(bin(sz)) − 1 = floor(log2) on both engines
+    "q_dedup_savings" ->
+      s"""$ClustersCtes,
+         |cl AS (SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+         |       FROM reach GROUP BY doc_id),
+         |szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |        FROM cl GROUP BY 1),
+         |bk AS (SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket, sz
+         |       FROM szs)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |       CAST(SUM(sz - 1) AS BIGINT) AS n_redundant
+         |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
     // RRF fusion of the q_bm25 lexical ranking with the cosine ranking
     // around anchor vec 0; contributions 10^6 DIV (60 + rank), BIGINT
     "q_rrf_fusion" ->

@@ -1029,6 +1029,53 @@ object Dedup {
     pinned
   }
 
+  /** Per-source distinct-cardinality estimates from a [[sourceKmv]]
+    * state — KMV's other readout (Bar-Yossef et al.'s original use):
+    * with the k-th smallest of D uniform hashes in [0, 2^60) sitting
+    * near k·2^60/D, the estimator D̂ = (k−1)·2^60 DIV h_k (unbiased,
+    * σ ≈ D/√(k−2)) — here in exact integer arithmetic (DECIMAL product:
+    * (k−1)·2^60 overflows BIGINT) so the ESTIMATE itself replays
+    * cross-engine, unlike HLL's float register fold. An unsaturated
+    * sketch (fewer than k distinct values) holds the whole set, so the
+    * answer is k_used exactly, not an estimate. Pair with
+    * [[kmvOverlap]]: one k·|sources|-row state serves both cardinality
+    * and overlap where exact answers need the corpus posting table.
+    */
+  def kmvCardinality(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2 for the estimator")
+    val d38 = "decimal(38,0)"
+    sketch.groupBy(col("source"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      .select(col("source"), col("k_used"), col("kth"),
+        when(col("k_used") < k || col("kth") <= 0, col("k_used"))
+          .otherwise(call_function("div",
+            (col("k_used") - 1).cast(d38) * lit(1L << 60).cast(d38),
+            col("kth").cast(d38)).cast("long"))
+          .as("est_distinct"))
+  }
+
+  /** Dedup-savings datasheet: duplicate-cluster sizes bucketed by
+    * floor(log2) (the logHistogram bit-width trick — `length(bin(sz))−1`
+    * replays on both engines), with cluster count, member count, and the
+    * redundant-document count Σ(size − 1) per bucket — the "X% of the
+    * corpus is duplicate mass, mostly in pairs / mostly in one giant
+    * template cluster" readout a release publishes and a mixture planner
+    * reads before paying for canonical selection. Singletons never enter
+    * (they appear in no pair). Scale shape: the cluster sizes table is
+    * |clusters| rows (one keyed count over the CC labels), the bucket
+    * rollup ≤ 64 rows.
+    */
+  def dedupSavings(pairs: DataFrame): DataFrame =
+    clusters(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .select((length(call_function("bin", col("sz"))) - 1)
+        .cast("long").as("bucket"), col("sz"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_redundant"))
+
   /** SimHash near-dup pairs: 60-bit signatures, pairs with Hamming
     * distance ≤ maxDist. Signature computation is per-row and linear;
     * pair enumeration uses pigeonhole bit-chunk blocking: the signature is
