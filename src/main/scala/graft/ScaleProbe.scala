@@ -421,7 +421,16 @@ object ScaleProbe {
         val (kept, bound) = operators.Sketches.topMState(
           d.select(explode(tokens(col("text"))).as("tok")), col("tok"), 16)
         operators.Sketches.topMReadout(kept, bound)
-      })
+      },
+      // cumsum-interval build + bucketized containment join per draw
+      "negative samples (2 per pair)" -> (d =>
+        operators.TextAnalysis.negativeSamples(d, window = 2, minCount = 50L, nNeg = 2)),
+      // one (token, doc) count + token agg + scalar N
+      "token burstiness (top-50)" -> (d =>
+        operators.TextAnalysis.tokenBurstiness(d, 50)),
+      // CC labels → |clusters|-row sizes → ≤64-bucket rollup
+      "dedup savings histogram" -> (d =>
+        operators.Dedup.dedupSavings(operators.Dedup.minHashLsh(d))))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents
