@@ -1240,6 +1240,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.toSeq === oneShot.toSeq)
   }
 
+  test("real-stream KMV maintenance: foreachBatch min-k store accretion serves overlap and cardinality") {
+    import graft.operators.Dedup
+    import java.nio.file.{Files, Paths}
+    val k = 64
+    val dir = Files.createTempDirectory("graft-kmvstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val store = s"$dir/state"
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val upd = Dedup.sourceKmv(batch, k)
+        // eager checkpoint BEFORE overwriting the store it reads from;
+        // min-k distinct-union merge is idempotent, so a replayed batch
+        // would change nothing (unlike the counter stores)
+        val merged = (if (Files.exists(Paths.get(store)))
+          Dedup.mergeKmv(spark.read.parquet(store), upd, k)
+        else upd).localCheckpoint()
+        merged.write.mode("overwrite").parquet(store)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val state = spark.read.parquet(store)
+    val oneShot = Dedup.sourceKmv(docs, k)
+    assert(state.exceptAll(oneShot).count() === 0L)
+    assert(oneShot.exceptAll(state).count() === 0L)
+    // and both readouts off the streamed store equal the one-shot forms
+    assert(Dedup.kmvOverlap(state, k).orderBy("src_a", "src_b").collect().toSeq ===
+      Dedup.kmvOverlap(oneShot, k).orderBy("src_a", "src_b").collect().toSeq)
+    assert(Dedup.kmvCardinality(state, k).orderBy("source").collect().toSeq ===
+      Dedup.kmvCardinality(oneShot, k).orderBy("source").collect().toSeq)
+  }
+
   test("heavy-hitters state: est ≤ true ≤ est + b_bound for every key, under any merge tree") {
     import graft.operators.Sketches
     val m = 4
