@@ -555,7 +555,7 @@ object Analytics {
     * (same sum-merge contract as [[decayedFromState]]) — the monitor a
     * streaming ingest serves per micro-batch without recounting history.
     */
-  def volumeAnomalyFromState(daily: DataFrame, k: Long = 3L): DataFrame = {
+  def volumeAnomalyFromState(dailyIn: DataFrame, k: Long = 3L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be at least 1")
     def lowerMedian(df: DataFrame, value: Column, outName: String): DataFrame = {
@@ -567,13 +567,23 @@ object Analytics {
         .agg(max(when(col("va_rn") === expr("(va_nd + 1) DIV 2"), value))
           .as(outName))
     }
+    // pinned: `daily` feeds two subtrees (median + the dev join) and `dev`
+    // two more (MAD + the final join); multi-referenced derived tables get
+    // ZERO ReusedExchange, so unpinned the one-shot path re-executes the
+    // corpus-sized dailyCounts aggregation ~4× — the kmvOverlap pattern.
+    val daily = Pins.pin(dailyIn)
     val med = lowerMedian(daily, col("n"), "med")
-    val dev = daily.join(med, Seq("event_type"))
-      .withColumn("dev", abs(col("n") - col("med")))
+    val dev = Pins.pin(daily.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med"))))
     val mad = lowerMedian(dev, col("dev"), "mad")
-    dev.join(mad, Seq("event_type"))
+    val out = dev.join(mad, Seq("event_type"))
       .select(col("event_type"), col("day"), col("n"), col("med"),
         col("mad"), col("dev"),
         (col("dev") > col("mad") * lit(k)).as("anomaly"))
+    // eager pin of the (types × days)-sized result, then release inputs
+    val pinned = Pins.pin(out)
+    Pins.release(dev)
+    Pins.release(daily)
+    pinned
   }
 }
