@@ -26,6 +26,11 @@ import org.apache.spark.sql.DataFrame
   * runs them as SEPARATE processes on separate ports — mirrored here as a
   * per-instance [[ApiServer.Role]].
   *
+  * Both roles additionally serve `GET /metrics` — Prometheus text
+  * exposition of a wired [[MetricsRegistry]] (the reference's :2112
+  * metrics server, common/metrics.go:148-169) — when the caller passes
+  * one; unwired instances 404 the route.
+  *
   * Contract fidelity:
   *   - status/message/data come verbatim from the facade (which carries
   *     the handler.go mapping ApiFacadeSpec pins down);
@@ -53,7 +58,8 @@ import org.apache.spark.sql.DataFrame
 final class ApiServer(
     facade: ApiFacade,
     role: ApiServer.Role,
-    port: Int = 0) {
+    port: Int = 0,
+    metrics: Option[MetricsRegistry] = None) {
   import ApiFacade._
   import ApiServer._
 
@@ -78,9 +84,11 @@ final class ApiServer(
     // the well-formed 500 is reserved for crashes BEFORE headers, which
     // render() pre-materialization makes the overwhelmingly common case.
     var headersSent = false
-    def reply(status: Int, bodyStr: String): Unit = {
+    def reply(
+        status: Int, bodyStr: String,
+        contentType: String = "application/json"): Unit = {
       val bytes = bodyStr.getBytes(UTF_8)
-      x.getResponseHeaders.set("Content-Type", "application/json")
+      x.getResponseHeaders.set("Content-Type", contentType)
       headersSent = true
       x.sendResponseHeaders(status, bytes.length.toLong)
       val os = x.getResponseBody
@@ -91,41 +99,15 @@ final class ApiServer(
       val segs = x.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
       val q = queryParams(x.getRequestURI.getRawQuery)
       val method = x.getRequestMethod
-      val resp: Option[ApiResponse] = (role, method, segs) match {
-        case (Indexer, "GET", Seq("exact", coll, id)) =>
-          Some(facade.getUnique(GetUniqueRequest(coll, id)))
-        case (Indexer, "POST", Seq("all", coll)) =>
-          Some(facade.getAll(GetAllRequest(coll, parseIds(body(x)))))
-        case (Indexer, "GET", Seq("range", coll, brokerId)) =>
-          Some(facade.getRange(GetRangeRequest(coll, brokerId,
-            from = q.get("from"), to = q.get("to"),
-            limit = q.get("limit"), offset = q.get("offset"))))
-        case (Indexer, "POST", Seq("query", coll)) =>
-          Some(facade.getQueried(GetQueriedRequest(coll,
-            parseFilters(body(x)),
-            limit = q.get("limit"), offset = q.get("offset"))))
-        case (Resubmitter, "POST", Seq("resubmit", coll)) =>
-          Some(facade.resubmitIds(ResubmitIdsRequest(coll,
-            parseIds(body(x)), topic = q.get("topic"))))
-        case (Resubmitter, "POST", Seq("range", coll)) =>
-          val b = body(x)
-          Some(facade.resubmitInterval(ResubmitIntervalRequest(coll,
-            brokerId = b.flatMap(n => textField(n, "broker_id")),
-            lb = b.flatMap(n => textField(n, "lb")),
-            ub = b.flatMap(n => textField(n, "ub")),
-            topic = q.get("topic"))))
-        case (Resubmitter, "POST", Seq("query", coll)) =>
-          Some(facade.resubmitQuery(ResubmitQueryRequest(coll,
-            parseFilters(body(x)), topic = q.get("topic"))))
-        case _ => None
-      }
-      resp match {
-        // render() runs to completion (including the bounded collect)
-        // BEFORE reply() touches the exchange, so a facade/Spark crash
-        // lands in the catch with headers still unsent
-        case Some(r) => reply(r.status, render(r.message, r.data))
-        case None => reply(404, """{"message":"not found"}""")
-      }
+      // Prometheus scrape endpoint — the reference runs this as a SEPARATE
+      // :2112 server beside each component (metrics.go:148-169, wired at
+      // persistor/run.go:64); folded into this listener as a route since a
+      // graft instance hosts one JDK server. Served in BOTH roles (every
+      // reference component calls RunMetricsServer); absent registry → 404
+      // falls through, same as an unwired reference deployment.
+      if (method == "GET" && segs == Seq("metrics") && metrics.isDefined)
+        reply(200, metrics.get.prometheusText, PrometheusContentType)
+      else routeJson(x, method, segs, q, (s, b) => reply(s, b))
     } catch {
       // a handler crash must produce a well-formed 500, never a hung
       // socket — unless the status line already went out (see above)
@@ -133,6 +115,49 @@ final class ApiServer(
         reply(500, render(ApiFacade.OnFailureMessage, None))
       case _: Exception => ()
     } finally x.close()
+  }
+
+  private def routeJson(
+      x: HttpExchange,
+      method: String,
+      segs: Seq[String],
+      q: Map[String, String],
+      reply: (Int, String) => Unit): Unit = {
+    val resp: Option[ApiResponse] = (role, method, segs) match {
+      case (Indexer, "GET", Seq("exact", coll, id)) =>
+        Some(facade.getUnique(GetUniqueRequest(coll, id)))
+      case (Indexer, "POST", Seq("all", coll)) =>
+        Some(facade.getAll(GetAllRequest(coll, parseIds(body(x)))))
+      case (Indexer, "GET", Seq("range", coll, brokerId)) =>
+        Some(facade.getRange(GetRangeRequest(coll, brokerId,
+          from = q.get("from"), to = q.get("to"),
+          limit = q.get("limit"), offset = q.get("offset"))))
+      case (Indexer, "POST", Seq("query", coll)) =>
+        Some(facade.getQueried(GetQueriedRequest(coll,
+          parseFilters(body(x)),
+          limit = q.get("limit"), offset = q.get("offset"))))
+      case (Resubmitter, "POST", Seq("resubmit", coll)) =>
+        Some(facade.resubmitIds(ResubmitIdsRequest(coll,
+          parseIds(body(x)), topic = q.get("topic"))))
+      case (Resubmitter, "POST", Seq("range", coll)) =>
+        val b = body(x)
+        Some(facade.resubmitInterval(ResubmitIntervalRequest(coll,
+          brokerId = b.flatMap(n => textField(n, "broker_id")),
+          lb = b.flatMap(n => textField(n, "lb")),
+          ub = b.flatMap(n => textField(n, "ub")),
+          topic = q.get("topic"))))
+      case (Resubmitter, "POST", Seq("query", coll)) =>
+        Some(facade.resubmitQuery(ResubmitQueryRequest(coll,
+          parseFilters(body(x)), topic = q.get("topic"))))
+      case _ => None
+    }
+    resp match {
+      // render() runs to completion (including the bounded collect)
+      // BEFORE reply() touches the exchange, so a facade/Spark crash
+      // lands in the catch with headers still unsent
+      case Some(r) => reply(r.status, render(r.message, r.data))
+      case None => reply(404, """{"message":"not found"}""")
+    }
   }
 
   private def render(message: String, data: Option[DataFrame]): String = {
@@ -160,6 +185,11 @@ object ApiServer {
   case object Resubmitter extends Role
 
   private[operators] val Json = new ObjectMapper()
+
+  /** Prometheus text exposition format 0.0.4 — the Content-Type
+    * promhttp.Handler() negotiates for a plain scrape.
+    */
+  val PrometheusContentType = "text/plain; version=0.0.4; charset=utf-8"
 
   /** `{"ids": […]}` → Some(ids); anything else is a bind failure (None),
     * matching gin's `binding:"required"` on the ids field

@@ -160,6 +160,54 @@ final class MetricsRegistry(
     import spark.implicits._
     rows.toDF("metric", "quantile", "value")
   }
+
+  /** The body the reference serves at :2112/metrics
+    * (common/metrics.go:148-169 hands the registry to promhttp): Prometheus
+    * text exposition format 0.0.4 over the same six families [[snapshot]]
+    * serves as rows, with the reference's HELP strings verbatim
+    * (initMetrics, metrics.go:58-103). Counter/`_sum`/`_count` samples are
+    * cumulative since construction; quantile samples cover only the sliding
+    * MaxAge window and render `NaN` on an empty window — client_golang's
+    * summary behavior. Values render as plain decimals (integral values
+    * without a fraction part); any Prometheus scraper parses that form
+    * identically to Go's `%g`.
+    */
+  def prometheusText: String = synchronized {
+    expire(clock())
+    val sb = new StringBuilder
+    def fmt(v: Double): String =
+      if (v.isNaN) "NaN"
+      else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    def counter(name: String, help: String, v: Double): Unit =
+      sb ++= s"# HELP $name $help\n# TYPE $name counter\n$name ${fmt(v)}\n"
+    def summary(
+        name: String, help: String,
+        sum: Double, n: Long, window: Seq[Double]): Unit = {
+      sb ++= s"# HELP $name $help\n# TYPE $name summary\n"
+      Seq(0.5, 0.9, 0.99).foreach { phi =>
+        val v = if (window.isEmpty) Double.NaN else quantile(window, phi)
+        sb ++= s"""$name{quantile="$phi"} ${fmt(v)}"""
+        sb += '\n'
+      }
+      sb ++= s"${name}_sum ${fmt(sum)}\n${name}_count $n\n"
+    }
+    counter(s"${namespace}_processed_messages_total",
+      "The total number of processed messages", processedCount.toDouble)
+    counter(s"${namespace}_processed_bytes_total",
+      "The total number of processed bytes", processedBytes.toDouble)
+    summary(s"${namespace}_processing_times_milliseconds",
+      "Processing times of published messages in milliseconds",
+      timeSum, timeCount, times.map(_._2).toSeq)
+    counter(s"${namespace}_failed_messages_total",
+      "The total number of failed messages", failedCount.toDouble)
+    counter(s"${namespace}_failed_processed_bytes_total",
+      "The total number of failed processed bytes", failedBytes.toDouble)
+    summary(s"${namespace}_failed_processing_times_milliseconds",
+      "Processing times of failed messages in milliseconds",
+      failedTimeSum, failedTimeCount, failedTimes.map(_._2).toSeq)
+    sb.result()
+  }
 }
 
 /** A4: bounded memo for count queries — driver-side, with the reference's

@@ -163,6 +163,74 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("/metrics scrapes the six Prometheus families over a real socket") {
+    // injectable clock, exactly the MetricsSpec pattern, so window expiry
+    // is drivable without sleeping
+    var now = 0L
+    val reg = new MetricsRegistry("persistor", clock = () => now)
+    reg.updateSuccess(messages = 3, bytes = 1024, Seq(10.0, 20.0, 30.0))
+    reg.updateFailure(messages = 1, bytes = 64, Seq(5.0))
+
+    def samples(body: String): Map[String, Double] =
+      body.linesIterator.filterNot(_.startsWith("#")).map { line =>
+        val i = line.lastIndexOf(' ')
+        line.substring(0, i) -> line.substring(i + 1).toDouble
+      }.toMap
+
+    val srv = new ApiServer(facade, ApiServer.Indexer, metrics = Some(reg))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val r = get(base, "/metrics")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain"))
+      val body = r.body()
+      // all six families carry HELP + TYPE headers
+      for (fam <- Seq(
+          ("persistor_processed_messages_total", "counter"),
+          ("persistor_processed_bytes_total", "counter"),
+          ("persistor_processing_times_milliseconds", "summary"),
+          ("persistor_failed_messages_total", "counter"),
+          ("persistor_failed_processed_bytes_total", "counter"),
+          ("persistor_failed_processing_times_milliseconds", "summary"))) {
+        assert(body.contains(s"# HELP ${fam._1} "), fam._1)
+        assert(body.contains(s"# TYPE ${fam._1} ${fam._2}"), fam._1)
+      }
+      val m = samples(body)
+      assert(m("persistor_processed_messages_total") == 3.0)
+      assert(m("persistor_processed_bytes_total") == 1024.0)
+      // exact order statistics over [10,20,30]: rank ⌈φn⌉ → 20, 30, 30
+      assert(m("""persistor_processing_times_milliseconds{quantile="0.5"}""") == 20.0)
+      assert(m("""persistor_processing_times_milliseconds{quantile="0.9"}""") == 30.0)
+      assert(m("""persistor_processing_times_milliseconds{quantile="0.99"}""") == 30.0)
+      assert(m("persistor_processing_times_milliseconds_sum") == 60.0)
+      assert(m("persistor_processing_times_milliseconds_count") == 3.0)
+      assert(m("persistor_failed_messages_total") == 1.0)
+      assert(m("persistor_failed_processed_bytes_total") == 64.0)
+      assert(m("""persistor_failed_processing_times_milliseconds{quantile="0.5"}""") == 5.0)
+      assert(m("persistor_failed_processing_times_milliseconds_count") == 1.0)
+
+      // past MaxAge the window drains: quantiles render NaN (client_golang
+      // summary behavior) while the cumulative samples hold
+      now = 300001L
+      val m2 = samples(get(base, "/metrics").body())
+      assert(m2("""persistor_processing_times_milliseconds{quantile="0.9"}""").isNaN)
+      assert(m2("""persistor_failed_processing_times_milliseconds{quantile="0.99"}""").isNaN)
+      assert(m2("persistor_processing_times_milliseconds_sum") == 60.0)
+      assert(m2("persistor_processing_times_milliseconds_count") == 3.0)
+      assert(m2("persistor_processed_messages_total") == 3.0)
+
+      // the scrape route never shadows the JSON API
+      assert(get(base, "/exact/meta/id_007").statusCode() == 200)
+    } finally srv.stop(0)
+
+    // without a wired registry the route 404s, like an unwired deployment
+    withServer(ApiServer.Indexer) { base =>
+      assert(get(base, "/metrics").statusCode() == 404)
+    }
+  }
+
   test("a handler crash surfaces as a well-formed 500, not a hung socket") {
     // a facade whose collection frame is broken (missing columns) → the
     // eager /exact path throws inside the handler
