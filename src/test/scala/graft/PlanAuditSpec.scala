@@ -148,6 +148,71 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** An unpartitioned window is a single-task global sort at 100 TB —
+    * acceptable exactly when its input is BOUNDED. The structural form:
+    * a row-count-preserving (or -shrinking) chain below the window hits
+    * a limit node (TakeOrderedAndProject / Global/LocalLimit), so the
+    * window sees ≤ a constant number of rows whatever the corpus size.
+    * This is how every two-stage rank kernel's final stage looks
+    * (partial salted rank → filter → bounded global rank), how
+    * IndexQueries.page's offset window looks (orderBy.limit first), and
+    * how vocab-sized windows look (vocabulary ends in a TakeOrdered).
+    */
+  private def boundedBelow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    p match {
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec => true
+      case x: ProjectExec => boundedBelow(x.child)
+      case f: FilterExec => boundedBelow(f.child)
+      case s: SortExec => boundedBelow(s.child)
+      case e: ShuffleExchangeExec => boundedBelow(e.child)
+      case c: CoalesceExec => boundedBelow(c.child)
+      case w: WindowExec => boundedBelow(w.child) // preserves row count
+      case w: WindowGroupLimitExec => boundedBelow(w.child)
+      case _ => false
+    }
+  }
+
+  /** The one query whose unpartitioned window is bounded by a CONTRACT
+    * the plan cannot show (no limit node below): q_sample_exact_n ranks
+    * the hash-cutoff survivor set — ≈ slack·n rows by the uniform-hash
+    * concentration bound, with the widen-and-retry fallback
+    * (Curate.sampleExactN scaladoc). Everything else must either
+    * partition every window or be structurally bounded per
+    * [[boundedBelow]] — even rank-filtered global windows qualify
+    * structurally, because InferWindowGroupLimit plants a
+    * TakeOrderedAndProject below them (measured: q_rrf_fusion's fused
+    * rank and its bm25 lexical rank both sit on ToP nodes).
+    */
+  private val UnpartitionedWindowByContract = Set("q_sample_exact_n")
+
+  test("every headline Window is partitioned, structurally bounded, or contract-exempt") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val dir = "/root/testdata/sf0.001"
+    operators.Pins.withAuditView {
+      val offending = Plans.Names.flatMap { name =>
+        val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        val unbounded = flatten(exec).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }.filterNot(w => boundedBelow(w.children.head))
+        if (unbounded.isEmpty) None else Some(name -> unbounded)
+      }.toMap
+      val unexpected = offending.keySet -- UnpartitionedWindowByContract
+      assert(unexpected.isEmpty,
+        s"unpartitioned, unbounded Window(s) in: ${unexpected.toSeq.sorted.mkString(", ")}\n" +
+          unexpected.toSeq.sorted.map(n =>
+            s"== $n ==\n${offending(n).head.treeString.take(2000)}").mkString("\n"))
+      // keep the exemption list honest: an entry whose plan no longer
+      // carries the window is stale and must be removed
+      val stale = UnpartitionedWindowByContract -- offending.keySet
+      assert(stale.isEmpty, s"stale contract exemptions: ${stale.mkString(", ")}")
+    }
+  }
+
   /** The stored-BM25 serving claim, asserted mechanically: the postings
     * scan must carry the query terms as a pushed-down In filter — the
     * whole point of the index lifecycle is that serving reads matching
