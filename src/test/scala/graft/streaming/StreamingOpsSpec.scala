@@ -1364,4 +1364,53 @@ class StreamingOpsSpec extends SparkSpec {
       ("b", "2024-01-04", 5L, 5L, 0L, 0L, false),
       ("b", "2024-01-05", 6L, 5L, 0L, 1L, true)))
   }
+
+  test("out-of-order drain breaks the in-order state contracts exactly as documented") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.DataFrame
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+    // funnelAdvance: u1 completes A@1 then B@11 in event time. Drained in
+    // order the frontier reaches step 2; drained out of order the B event
+    // arrives before any step-1 frontier exists, is discarded, and the
+    // late A cannot retroactively re-qualify it — the scaladoc's named
+    // failure mode (that regime needs the retentionState distinct-event
+    // store shape). This pins the contract so a refactor cannot silently
+    // weaken funnelAdvance's documented REQUIRES into folklore.
+    val steps = Seq("A", "B")
+    val bA = Seq((1L, "A", ts(1))).toDF("user_id", "event_type", "ts")
+    val bB = Seq((1L, "B", ts(11))).toDF("user_id", "event_type", "ts")
+    def drain(batches: Seq[DataFrame]): Seq[(Long, String, Long)] = {
+      var st: Option[DataFrame] = None
+      batches.foreach(b => st = Some(Analytics.funnelAdvance(st, b, steps)))
+      Analytics.funnelFromState(st.get, steps)
+        .as[(Long, String, Long)].collect().toSeq
+    }
+    assert(drain(Seq(bA, bB)).map(_._3) === Seq(1L, 1L)) // contract held
+    assert(drain(Seq(bB, bA)).map(_._3) === Seq(1L, 0L)) // step 2 lost
+
+    // transitionsAdvance: u1 emits X@1, Y@11, Z@21. In-order drain counts
+    // X->Y and Y->Z; draining {X,Z} before {Y} fabricates X->Z (the
+    // within-batch lag pair) and Z->Y (the boundary pair from the stored
+    // last event Z@21 into the late Y@11) — both false under event-time
+    // order, and exactly the pairs the in-order contract exists to
+    // prevent.
+    def tdf(rows: (Long, Long, String, Timestamp)*) =
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+    def drainT(batches: Seq[DataFrame]): Set[(String, String, Long)] = {
+      var st: Option[(DataFrame, DataFrame)] = None
+      batches.foreach(b => st = Some(Analytics.transitionsAdvance(st, b)))
+      Analytics.transitionsFromState(st.get._1)
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSet
+    }
+    val inOrder = drainT(Seq(
+      tdf((1L, 10L, "X", ts(1)), (1L, 11L, "Y", ts(11))),
+      tdf((1L, 12L, "Z", ts(21)))))
+    assert(inOrder === Set(("X", "Y", 1L), ("Y", "Z", 1L)))
+    val disordered = drainT(Seq(
+      tdf((1L, 10L, "X", ts(1)), (1L, 12L, "Z", ts(21))),
+      tdf((1L, 11L, "Y", ts(11)))))
+    assert(disordered === Set(("X", "Z", 1L), ("Z", "Y", 1L)))
+  }
 }
