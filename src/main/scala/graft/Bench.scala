@@ -108,6 +108,22 @@ object Bench {
         s""""loadavg_before":$loadBefore,"loadavg_after":${loadavg()}}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
+    // The driver's round artifact keeps only the last ~2000 stdout chars,
+    // so the full line above never parses there (BENCH_r*.json carried
+    // `parsed: null` through round 10). Print a compact summary LAST —
+    // total, pass totals, failure count, loadavg stamps, and the slowest
+    // queries — sized to fit that tail window, so round-over-round totals
+    // live in the round artifact itself; the full per-query map stays in
+    // the committed bench_out.json.
+    val slowest = timings.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
+        s""""runs":$runs,"pass_totals":$passTotals,"n_failed":${errors.size},""" +
+        s""""sf":${q(sfDir)},"loadavg_before":$loadBefore,""" +
+        s""""loadavg_after":${loadavg()},"slowest":${obj(slowest)},""" +
+        s""""queries_full":"bench_out.json"}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
