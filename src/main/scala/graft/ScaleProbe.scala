@@ -428,6 +428,27 @@ object ScaleProbe {
       // one (token, doc) count + token agg + scalar N
       "token burstiness (top-50)" -> (d =>
         operators.TextAnalysis.tokenBurstiness(d, 50)),
+      // one rank/cumsum kernel pass over |sources| keys; the token-mass
+      // agg (the corpus-scaling part) dominates
+      "token water-fill (1M budget)" -> (d =>
+        operators.Curate.tokenWaterFill(d, budget = 1000000L)),
+      // the per-query fan-out at a LARGE query table: 256 two-term
+      // queries drawn from the corpus vocabulary (ranks 9..520, so terms
+      // actually hit postings). The vocab derivation rides inside the
+      // timed op — one count pass, same cost class as the tf pass the
+      // operator already does — so the row measures the real serving
+      // shape: postings semi-join + per-query salted top-k, never a
+      // query-count-sized driver loop.
+      "bm25 per-query top-10 (256 queries)" -> { d =>
+        import spark.implicits._
+        val vocab = operators.TextAnalysis.vocabulary(d, 520)
+          .orderBy(col("n_occurrences").desc, col("token"))
+          .collect().map(_.getAs[String]("token")).drop(8)
+        val qs = vocab.grouped(2).take(256).zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.toSeq) }.toSeq
+          .toDF("query_id", "terms")
+        operators.TextAnalysis.bm25PerQuery(d, qs, 10)
+      },
       // CC labels → |clusters|-row sizes → ≤64-bucket rollup
       "dedup savings histogram" -> (d =>
         operators.Dedup.dedupSavings(operators.Dedup.minHashLsh(d))))
