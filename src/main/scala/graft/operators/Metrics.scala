@@ -88,6 +88,13 @@ final class MetricsRegistry(
   require(namespace.nonEmpty, "namespace must be non-empty")
   require(maxAgeMillis > 0, "maxAgeMillis must be positive")
 
+  /** The registry's notion of "now" — callers deriving per-message
+    * processing times (now − ingestion_time, the reference's
+    * `tNow.Sub(message.IngestionTime)`) read it here so tests driving the
+    * injectable clock see consistent lags and window expiry.
+    */
+  private[graft] def nowMillis: Long = clock()
+
   private var processedCount, failedCount = 0L
   private var processedBytes, failedBytes = 0L
   private var timeSum, failedTimeSum = 0.0

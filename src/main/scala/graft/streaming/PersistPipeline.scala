@@ -242,18 +242,26 @@ object PersistPipeline {
     * persistor.go:96-205). All writes land under `batch_id=<id>` with
     * dynamic partition overwrite → idempotent reprocessing (W2).
     */
-  def persistBatch(batch: DataFrame, workDir: String, batchId: Long): Unit = {
+  def persistBatch(
+      batch: DataFrame,
+      workDir: String,
+      batchId: Long,
+      metrics: Option[graft.operators.MetricsRegistry] = None): Unit = {
     val spark = batch.sparkSession
     // two sinks consume the envelope (records + indexer topic); persist it
     // so the position window runs once per batch, not once per sink
     val messages = messagesFromEvents(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try persistSinks(spark, messages, workDir, batchId)
+    try persistSinks(spark, messages, workDir, batchId, metrics)
     finally messages.unpersist()
   }
 
   private def persistSinks(
-      spark: SparkSession, messages: DataFrame, workDir: String, batchId: Long): Unit = {
+      spark: SparkSession,
+      messages: DataFrame,
+      workDir: String,
+      batchId: Long,
+      metrics: Option[graft.operators.MetricsRegistry]): Unit = {
 
     // K1/D1: records as Avro OCF, time-partitioned by the storage mask
     // (T1). Repartition onto the partition keys so each Hive partition is
@@ -308,6 +316,38 @@ object PersistPipeline {
       .repartition(1)
       .write.mode("overwrite")
       .parquet(s"$workDir/dead_letter/batch_id=$batchId")
+
+    metrics.foreach(updateRegistry(_, messages, bad))
+  }
+
+  /** The reference updates its Prometheus registry after every handled
+    * batch (`UpdateSuccessMetrics`/`UpdateFailureMetrics`,
+    * common/metrics.go:106-146, driven from the executor ack/nack paths):
+    * success = the messages this batch persisted (count, payload bytes,
+    * per-message now − ingestion_time ms), failure = the docs the indexer
+    * dead-lettered. One registry models the reference's two per-component
+    * registries composed. The collects are BATCH-sized (≤ the batch-size
+    * setting — the same bound the one-task DL write relies on), never
+    * corpus-sized; "now" is the registry's own injectable clock so window
+    * expiry stays testable. DL rows carry no broker envelope (a malformed
+    * doc has no parseable ingestion_time), so failure times are
+    * unobserved — counters only.
+    */
+  private[graft] def updateRegistry(
+      m: graft.operators.MetricsRegistry,
+      messages: DataFrame,
+      bad: DataFrame): Unit = {
+    val now = m.nowMillis
+    val s = messages.agg(
+      count(lit(1)),
+      coalesce(sum(octet_length(col("data"))), lit(0L)),
+      collect_list((lit(now) - unix_millis(col("ingestion_time")))
+        .cast("double"))).head()
+    m.updateSuccess(s.getLong(0), s.getLong(1), s.getSeq[Double](2))
+    val f = bad.agg(
+      count(lit(1)),
+      coalesce(sum(octet_length(col("value"))), lit(0L))).head()
+    if (f.getLong(0) > 0L) m.updateFailure(f.getLong(0), f.getLong(1))
   }
 
   /** W2's upstream half: an at-least-once broker REDELIVERS messages (the
@@ -375,7 +415,8 @@ object PersistPipeline {
       maxFilesPerTrigger: Int,
       prepare: DataFrame => DataFrame,
       trigger: Trigger,
-      flowControl: Option[graft.operators.FlowControl]): org.apache.spark.sql.streaming.StreamingQuery = {
+      flowControl: Option[graft.operators.FlowControl],
+      metrics: Option[graft.operators.MetricsRegistry] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(eventsPath).schema
     val source = prepare(spark.readStream
       .schema(schema)
@@ -385,7 +426,7 @@ object PersistPipeline {
       .trigger(trigger)
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        try persistBatch(batch, workDir, batchId)
+        try persistBatch(batch, workDir, batchId, metrics)
         catch {
           case e: Throwable =>
             flowControl match {
@@ -405,9 +446,10 @@ object PersistPipeline {
       workDir: String,
       maxFilesPerTrigger: Int = 1,
       prepare: DataFrame => DataFrame = identity,
-      flowControl: Option[graft.operators.FlowControl] = None): Unit =
+      flowControl: Option[graft.operators.FlowControl] = None,
+      metrics: Option[graft.operators.MetricsRegistry] = None): Unit =
     startQuery(spark, eventsPath, workDir, maxFilesPerTrigger, prepare,
-      Trigger.AvailableNow(), flowControl)
+      Trigger.AvailableNow(), flowControl, metrics)
       .awaitTermination()
 
   /** W7 graceful drain (persistor.go:202-205, run.go:66-72: the handler

@@ -322,6 +322,38 @@ class EndToEndSpec extends SparkSpec {
     assert(decayedNow.nonEmpty)
   }
 
+  test("deployment-surface journey: streamed pipeline feeds the registry the live listener scrapes") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    // the three ops pieces composed like a real deployment: a streaming
+    // persist run updating the registry per micro-batch (the reference's
+    // UpdateSuccessMetrics path), served by the live listener's /metrics
+    // route, scraped over a real socket
+    val reg = new MetricsRegistry("persistor")
+    val stage = java.nio.file.Files.createTempDirectory("graft-e2e-mstage").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-e2e-mwd").toString
+    Tables(spark, dir).events.limit(120).coalesce(1).write.parquet(s"$stage/f0")
+    streaming.PersistPipeline.runStream(spark, s"$stage/f*", wd,
+      maxFilesPerTrigger = 1, metrics = Some(reg))
+    val api = new ApiServer(ApiFacade(Map.empty), ApiServer.Indexer,
+      metrics = Some(reg))
+    api.start()
+    try {
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${api.boundPort}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      def sample(name: String): Double = r.body().linesIterator
+        .find(_.startsWith(name + " ")).get.split(" ").last.toDouble
+      assert(sample("persistor_processed_messages_total") == 120.0)
+      assert(sample("persistor_processing_times_milliseconds_count") == 120.0)
+      assert(sample("persistor_failed_messages_total") == 0.0)
+      // and the stream's output is the real store the other journeys read
+      assert(spark.read.parquet(s"$wd/index").count() === 120L)
+    } finally api.stop(0)
+  }
+
   test("facade point lookup agrees with the replayed record payload") {
     val wd = streaming.PersistPipeline.ensureRun(spark, dir)
     val index = store.IndexStore.materialized(spark, dir)

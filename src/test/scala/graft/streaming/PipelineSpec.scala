@@ -179,6 +179,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("per-batch registry updates ride the streamed pipeline (metrics.go:106-146)") {
+    // one registry accumulates across micro-batches, exactly the
+    // reference's UpdateSuccessMetrics-per-handled-batch shape
+    val reg = new graft.operators.MetricsRegistry("persistor")
+    val stage = tempDir("metrics-stage")
+    val wd = tempDir("metrics")
+    syntheticEvents(40, 10L).coalesce(1).write.parquet(s"$stage/f0")
+    syntheticEvents(40, 11L).withColumn("event_id", col("event_id") + 1000)
+      .coalesce(1).write.parquet(s"$stage/f1")
+    runStream(spark, s"$stage/f*", wd, maxFilesPerTrigger = 1,
+      metrics = Some(reg))
+    val expectBytes = spark.read.parquet(s"$stage/f0", s"$stage/f1")
+      .agg(sum(octet_length(col("props").cast("binary")))).head().getLong(0)
+    def sample(text: String, name: String): Double = text.linesIterator
+      .find(_.startsWith(name + " ")).get.split(" ").last.toDouble
+    val text = reg.prometheusText
+    assert(sample(text, "persistor_processed_messages_total") == 80.0)
+    assert(sample(text, "persistor_processed_bytes_total") == expectBytes.toDouble)
+    assert(sample(text, "persistor_processing_times_milliseconds_count") == 80.0)
+    // clean input: the failure families stay zero
+    assert(sample(text, "persistor_failed_messages_total") == 0.0)
+
+    // the failure half, unit-driven (persistBatch cannot dead-letter
+    // well-formed events — validateTopic is the gate): a nonempty bad
+    // frame bumps the failed counters with its byte mass, success untouched
+    val bad = Seq(("{not json", "deserialization_error", "x", "indexer"))
+      .toDF("value", "dead_letter_error_category", "dead_letter_error_reason",
+        "dead_letter_error_source")
+    updateRegistry(reg, messagesFromEvents(events.limit(0)), bad)
+    val t2 = reg.prometheusText
+    assert(sample(t2, "persistor_failed_messages_total") == 1.0)
+    assert(sample(t2, "persistor_failed_processed_bytes_total") == 9.0)
+    assert(sample(t2, "persistor_processed_messages_total") == 80.0)
+  }
+
   test("graceful drain finishes every buffered micro-batch before stopping (W7)") {
     val stage = tempDir("drain-stage")
     val wd = tempDir("drain")
