@@ -30,7 +30,7 @@ object ScaleProbe {
     val base = Tables(spark, baseDir).events
       .withColumn("ts", unix_micros(col("ts")) * 1000L)
 
-    val factors = Seq(1, 4, 8)
+    val factors = Seq(1, 4, 8, 16)
     val root = Files.createTempDirectory("graft-scale").toString
     val dirs = factors.map { f =>
       val dir = s"$root/x$f"
@@ -181,10 +181,11 @@ object ScaleProbe {
         |as designed (scans touch pruned partitions/row groups, not the
         |whole store). Wall times carry hypervisor-contention noise (single
         |samples can swing 2-3×); the load-shape claims rest on the row
-        |counts and the x8/x1 ratios, not any one cell.
+        |counts and the last/first ratios, not any one cell.
         |
         |""".stripMargin)
-    sb.append("| op | " + factors.map(f => s"x$f").mkString(" | ") + " | x8/x1 |\n")
+    sb.append("| op | " + factors.map(f => s"x$f").mkString(" | ") +
+      s" | x${factors.last}/x1 |\n")
     sb.append("|---|" + factors.map(_ => "---|").mkString + "---|\n")
 
     // JIT/codegen warmup on a small slice of the SUPPLIED data so x1 isn't
