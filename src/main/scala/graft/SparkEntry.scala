@@ -642,6 +642,13 @@ object SparkEntry {
     "q_dedup_savings" -> ((s, dir) =>
       Dedup.dedupSavings(Dedup.minHashLsh(Tables(s, dir).documents))
         .orderBy(col("bucket"))),
+    // Exact edit-distance near-dup pairs: ED-Join prefix filter (each
+    // doc indexes its d*q+1 RAREST occurrence-tagged q-grams) → posting
+    // equi-join → exact levenshtein ≤ d. Complete over docs of length
+    // ≥ (d+1)*q — the whole documents table here (min length 47).
+    "q_dedup_edit" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables(s, dir).documents, d = 8, q = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-25
     // (Bm25Terms) with the cosine top-25 around anchor vec 0 — integer
     // ppm contributions so the fused ORDER replays cross-engine.
@@ -2583,6 +2590,41 @@ object SparkEntry {
          |       CAST(SUM(sz) AS BIGINT) AS n_docs,
          |       CAST(SUM(sz - 1) AS BIGINT) AS n_redundant
          |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ED-Join prefix filter replayed verbatim: occurrence-tagged 4-grams,
+    // global token df, each doc's 33 rarest tokens (d*q+1 with d=8, q=4)
+    // under (df ASC, gram ASC, occ ASC), posting self-join, exact
+    // levenshtein — integer semantics agree between the engines
+    "q_dedup_edit" ->
+      """WITH eligible AS (
+        |  SELECT doc_id, text FROM documents WHERE len(text) >= 36),
+        |g AS (SELECT doc_id, text,
+        |             unnest(range(1, len(text) - 4 + 2)) AS pos
+        |      FROM eligible),
+        |tagged AS (
+        |  SELECT doc_id, substr(text, CAST(pos AS INT), 4) AS gram, pos,
+        |         row_number() OVER (
+        |           PARTITION BY doc_id, substr(text, CAST(pos AS INT), 4)
+        |           ORDER BY pos) AS occ
+        |  FROM g),
+        |dfs AS (SELECT gram, occ, COUNT(*) AS tok_df FROM tagged GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT t.doc_id, t.gram, t.occ,
+        |         row_number() OVER (PARTITION BY t.doc_id
+        |           ORDER BY f.tok_df ASC, t.gram ASC, t.occ ASC) AS r
+        |  FROM tagged t JOIN dfs f USING (gram, occ)),
+        |prefix AS (SELECT doc_id, gram, occ FROM ranked WHERE r <= 33),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix a JOIN prefix b
+        |    ON a.gram = b.gram AND a.occ = b.occ AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(levenshtein(ea.text, eb.text) AS BIGINT) AS dist
+        |FROM cands
+        |JOIN eligible ea ON ea.doc_id = cands.doc_a
+        |JOIN eligible eb ON eb.doc_id = cands.doc_b
+        |WHERE abs(len(ea.text) - len(eb.text)) <= 8
+        |  AND levenshtein(ea.text, eb.text) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // RRF fusion of the q_bm25 lexical ranking with the cosine ranking
     // around anchor vec 0; contributions 10^6 DIV (60 + rank), BIGINT
     "q_rrf_fusion" ->

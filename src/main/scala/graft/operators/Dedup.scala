@@ -1184,4 +1184,74 @@ object Dedup {
     val sampled = Curate.sampleByHash(docs, col("doc_id"), frac, salt)
     pairAgreement(pred(sampled), truth(sampled))
   }
+
+  /** Exact edit-distance near-dup pairs: every (doc_a < doc_b) with
+    * Levenshtein(text_a, text_b) ≤ d — the short-text/near-identical
+    * miner (title dedup, instruction-data variants) complementing the
+    * set-similarity family, COMPLETE and EXACT over all docs of length
+    * ≥ (d+1)·q. (Shorter strings can evade every q-gram bound — one edit
+    * can rewrite their whole gram set — so they are out of contract; a
+    * tiny-length class is cheap to all-pairs separately.)
+    *
+    * Why complete (Gravano et al. VLDB'01 count filter + the ED-Join
+    * prefix principle, Xiao et al. VLDB'08): one edit disturbs at most q
+    * of a string's len−q+1 positional q-grams, so ED ≤ d implies the
+    * MULTISET gram intersection is ≥ max(|Gₐ|,|G_b|) − d·q. Encoding the
+    * multiset as occurrence-tagged tokens (gram, occ) turns that into a
+    * set bound, and the prefix principle then says the pair must share a
+    * token inside each side's (d·q+1)-sized prefix under ANY common total
+    * order — ours is (global token df ASC, gram ASC, occ ASC):
+    * rarest-first, which doubles as the skew valve, because a boilerplate
+    * gram flooding the corpus lands in almost no doc's prefix and so
+    * never builds a hot posting list. Candidates = prefix-posting
+    * equi-join (never a cross join), then the necessary |len_a − len_b|
+    * ≤ d cut, then one exact `levenshtein` per surviving candidate —
+    * built-in codegen'd expression on both engines, integer result, so
+    * the whole operator replays bit-for-bit in the DuckDB oracle.
+    *
+    * Scale shape: gram fan-out is the winnow/shingle explode class (one
+    * per-row array, zero shuffle); occ-tagging and prefix ranks are
+    * doc_id-partitioned windows; the posting join carries d·q+1 rows per
+    * doc. N identical docs still cost N² — those pairs ARE the output.
+    * The prefix table feeds both sides of the self-join → Pins.pin.
+    */
+  def editDistancePairs(docs: DataFrame, d: Int, q: Int = 4): DataFrame = {
+    require(d >= 0, "d must be non-negative")
+    require(q >= 1, "q must be positive")
+    val minLen = (d + 1) * q
+    val eligible = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= minLen)
+    // occurrence-tagged positional q-grams (multiset → set encoding);
+    // eligible guarantees length ≥ q, so the sequence bound is ascending
+    val grams = eligible
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q))"))
+        .as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
+      .select(col("doc_id"), col("gram"), col("occ"))
+    val tokenDf = grams.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("tok_df"))
+    val prefix = Pins.pin(grams
+      .join(tokenDf, Seq("gram", "occ"))
+      .withColumn("ed_r", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tok_df").asc, col("gram").asc, col("occ").asc)))
+      .filter(col("ed_r") <= d * q + 1)
+      .select(col("doc_id"), col("gram"), col("occ")))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = cands
+      .join(eligible.select(col("doc_id").as("doc_a"), col("text").as("ed_ta")), Seq("doc_a"))
+      .join(eligible.select(col("doc_id").as("doc_b"), col("text").as("ed_tb")), Seq("doc_b"))
+      .filter(abs(length(col("ed_ta")) - length(col("ed_tb"))) <= d)
+      .withColumn("dist", levenshtein(col("ed_ta"), col("ed_tb")).cast("long"))
+      .filter(col("dist") <= d)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+    val pinned = Pins.pin(out)
+    Pins.release(prefix)
+    pinned
+  }
 }

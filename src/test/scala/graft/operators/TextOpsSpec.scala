@@ -1959,4 +1959,38 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("k_used") <= 8L)
     }
   }
+
+  test("editDistancePairs: planted edits land exactly, far and short texts drop") {
+    val base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val planted = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")), // one substitution
+      (3L, base + " x2"),                   // three appended chars
+      (4L, base),                           // identical twin, dist 0
+      (5L, "completely different text that shares nothing with the base at all here"),
+      (6L, "tiny")                          // below (d+1)*q: out of contract
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(planted, d = 4, q = 4)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L), (1L, 3L, 3L), (1L, 4L, 0L),
+      (2L, 3L, 4L), (2L, 4L, 1L), (3L, 4L, 3L)))
+  }
+
+  test("editDistancePairs equals the all-pairs brute force on the real corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = Dedup.editDistancePairs(corpus, d = 8, q = 4)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    // brute force is test-only: 500x500 pairs
+    val truth = corpus.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= 8)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(out === truth)
+    assert(out.nonEmpty) // the corpus really contains <=8-edit near-dups
+  }
 }
