@@ -452,7 +452,11 @@ object ScaleProbe {
       },
       // CC labels → |clusters|-row sizes → ≤64-bucket rollup
       "dedup savings histogram" -> (d =>
-        operators.Dedup.dedupSavings(operators.Dedup.minHashLsh(d))))
+        operators.Dedup.dedupSavings(operators.Dedup.minHashLsh(d))),
+      // prefix postings are d·q+1 rows/doc; replica token-renaming keeps
+      // cross-replica distances large, so pairs scale ×f like the corpus
+      "edit-distance pairs (d=8, q=4)" -> (docs =>
+        operators.Dedup.editDistancePairs(docs, d = 8, q = 4)))
     dedupOps.foreach { case (name, op) =>
       val cells = docDirs.map { case (_, dir) =>
         val docs = Tables(spark, dir).documents

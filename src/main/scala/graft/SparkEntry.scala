@@ -649,6 +649,16 @@ object SparkEntry {
     "q_dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables(s, dir).documents, d = 8, q = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Incremental-crawl twin: odd-id batch mined against the even-id kept
+    // corpus; kept-side token df is the shared prefix order, unseen
+    // tokens df 0 (novel grams fill the batch prefix first).
+    "q_dedup_edit_against" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Dedup.editDistanceAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), d = 8, q = 4)
+        .orderBy(col("doc_id"), col("kept_id"))
+    },
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-25
     // (Bm25Terms) with the cosine top-25 around anchor vec 0 — integer
     // ppm contributions so the fused ORDER replays cross-engine.
@@ -2596,35 +2606,78 @@ object SparkEntry {
     // levenshtein — integer semantics agree between the engines
     "q_dedup_edit" ->
       """WITH eligible AS (
-        |  SELECT doc_id, text FROM documents WHERE len(text) >= 36),
-        |g AS (SELECT doc_id, text,
+        |  SELECT doc_id, text, len(text) AS ed_len FROM documents
+        |  WHERE len(text) >= 36),
+        |g AS (SELECT doc_id, ed_len, text,
         |             unnest(range(1, len(text) - 4 + 2)) AS pos
         |      FROM eligible),
         |tagged AS (
-        |  SELECT doc_id, substr(text, CAST(pos AS INT), 4) AS gram, pos,
+        |  SELECT doc_id, ed_len, substr(text, CAST(pos AS INT), 4) AS gram, pos,
         |         row_number() OVER (
         |           PARTITION BY doc_id, substr(text, CAST(pos AS INT), 4)
         |           ORDER BY pos) AS occ
         |  FROM g),
         |dfs AS (SELECT gram, occ, COUNT(*) AS tok_df FROM tagged GROUP BY 1, 2),
         |ranked AS (
-        |  SELECT t.doc_id, t.gram, t.occ,
+        |  SELECT t.doc_id, t.ed_len, t.gram, t.occ,
         |         row_number() OVER (PARTITION BY t.doc_id
         |           ORDER BY f.tok_df ASC, t.gram ASC, t.occ ASC) AS r
         |  FROM tagged t JOIN dfs f USING (gram, occ)),
-        |prefix AS (SELECT doc_id, gram, occ FROM ranked WHERE r <= 33),
+        |prefix AS (SELECT doc_id, ed_len, gram, occ FROM ranked WHERE r <= 33),
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM prefix a JOIN prefix b
-        |    ON a.gram = b.gram AND a.occ = b.occ AND a.doc_id < b.doc_id)
+        |    ON a.gram = b.gram AND a.occ = b.occ AND a.doc_id < b.doc_id
+        |   AND abs(a.ed_len - b.ed_len) <= 8)
         |SELECT doc_a, doc_b,
         |       CAST(levenshtein(ea.text, eb.text) AS BIGINT) AS dist
         |FROM cands
         |JOIN eligible ea ON ea.doc_id = cands.doc_a
         |JOIN eligible eb ON eb.doc_id = cands.doc_b
-        |WHERE abs(len(ea.text) - len(eb.text)) <= 8
-        |  AND levenshtein(ea.text, eb.text) <= 8
+        |WHERE levenshtein(ea.text, eb.text) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the bipartite crawl twin: kept-side df is the shared prefix order,
+    // unseen batch tokens take df 0 (novel grams fill the prefix first)
+    "q_dedup_edit_against" ->
+      """WITH be AS (
+        |  SELECT doc_id, text, len(text) AS ed_len FROM documents
+        |  WHERE doc_id % 2 = 1 AND len(text) >= 36),
+        |ke AS (
+        |  SELECT doc_id, text, len(text) AS ed_len FROM documents
+        |  WHERE doc_id % 2 = 0 AND len(text) >= 36),
+        |kt AS (SELECT doc_id, ed_len, substr(text, CAST(pos AS INT), 4) AS gram,
+        |              row_number() OVER (
+        |                PARTITION BY doc_id, substr(text, CAST(pos AS INT), 4)
+        |                ORDER BY pos) AS occ
+        |       FROM (SELECT doc_id, ed_len, text,
+        |                    unnest(range(1, len(text) - 4 + 2)) AS pos FROM ke)),
+        |bt AS (SELECT doc_id, ed_len, substr(text, CAST(pos AS INT), 4) AS gram,
+        |              row_number() OVER (
+        |                PARTITION BY doc_id, substr(text, CAST(pos AS INT), 4)
+        |                ORDER BY pos) AS occ
+        |       FROM (SELECT doc_id, ed_len, text,
+        |                    unnest(range(1, len(text) - 4 + 2)) AS pos FROM be)),
+        |dfs AS (SELECT gram, occ, COUNT(*) AS ed_df FROM kt GROUP BY 1, 2),
+        |kp AS (SELECT doc_id, ed_len, gram, occ FROM (
+        |         SELECT t.doc_id, t.ed_len, t.gram, t.occ,
+        |                row_number() OVER (PARTITION BY t.doc_id
+        |                  ORDER BY COALESCE(f.ed_df, 0) ASC, t.gram ASC, t.occ ASC) AS r
+        |         FROM kt t LEFT JOIN dfs f USING (gram, occ)) WHERE r <= 33),
+        |bp AS (SELECT doc_id, ed_len, gram, occ FROM (
+        |         SELECT t.doc_id, t.ed_len, t.gram, t.occ,
+        |                row_number() OVER (PARTITION BY t.doc_id
+        |                  ORDER BY COALESCE(f.ed_df, 0) ASC, t.gram ASC, t.occ ASC) AS r
+        |         FROM bt t LEFT JOIN dfs f USING (gram, occ)) WHERE r <= 33),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS kept_id
+        |          FROM bp a JOIN kp b ON a.gram = b.gram AND a.occ = b.occ
+        |                             AND abs(a.ed_len - b.ed_len) <= 8)
+        |SELECT c.doc_id, c.kept_id,
+        |       CAST(levenshtein(be.text, ke.text) AS BIGINT) AS dist
+        |FROM cands c
+        |JOIN be ON be.doc_id = c.doc_id
+        |JOIN ke ON ke.doc_id = c.kept_id
+        |WHERE levenshtein(be.text, ke.text) <= 8
+        |ORDER BY c.doc_id, c.kept_id""".stripMargin,
     // RRF fusion of the q_bm25 lexical ranking with the cosine ranking
     // around anchor vec 0; contributions 10^6 DIV (60 + rank), BIGINT
     "q_rrf_fusion" ->

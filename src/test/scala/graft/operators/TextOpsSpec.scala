@@ -1982,15 +1982,37 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "text")
     val out = Dedup.editDistancePairs(corpus, d = 8, q = 4)
       .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
-    // brute force is test-only: 500x500 pairs
+    // brute force is test-only: 500x500 pairs; thresholded levenshtein
+    // (kept values equal the plain form) keeps the truth pass O(d*len)
     val truth = corpus.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")),
         col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= 8)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 8).cast("long"))
+      .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
     assert(out === truth)
     assert(out.nonEmpty) // the corpus really contains <=8-edit near-dups
+  }
+
+  test("editDistanceAgainst equals the bipartite brute force; novel batch ids survive") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val kept = corpus.filter(col("doc_id") % 2 === 0)
+    val out = Dedup.editDistanceAgainst(batch, kept, d = 8, q = 4)
+      .orderBy("doc_id", "kept_id").as[(Long, Long, Long)].collect().toSeq
+    val truth = batch.select(col("doc_id"), col("text").as("ta"))
+      .join(kept.select(col("doc_id").as("kept_id"), col("text").as("tb")), lit(true))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 8).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_id", "kept_id", "dist")
+      .orderBy("doc_id", "kept_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out === truth)
+    assert(out.nonEmpty)
+    // the pair table drives the crawl decision: batch anti-join = survivors
+    val survivors = batch.join(
+      out.map(_._1).distinct.toDF("doc_id"), Seq("doc_id"), "left_anti").count()
+    assert(survivors === batch.count() - out.map(_._1).distinct.size)
   }
 }
