@@ -51,7 +51,12 @@ object Bench {
     // what the bench times (q_dedup_pair_pr_sampled). Verify still gates
     // both.
     val benchExcluded = Set("q_dedup_pair_pr")
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — time a subset while iterating on
+    // one query's plan; the round artifact always runs the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = (SparkEntry.queries.keySet -- benchExcluded).toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     names.foreach { name =>

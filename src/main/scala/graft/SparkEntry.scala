@@ -659,6 +659,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), d = 8, q = 4)
         .orderBy(col("doc_id"), col("kept_id"))
     },
+    // Short-doc companion: all-pairs over the length class a (d=5, q=16)
+    // prefix-filter run excludes (length < 96), as a ±1 length-bucket
+    // equi-join + the shared two-stage verify — quadratic only within a
+    // bucket of the short class, never across the corpus.
+    "q_dedup_edit_short" -> ((s, dir) =>
+      Dedup.editDistanceShortPairs(Tables(s, dir).documents, d = 5, q = 16)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-25
     // (Bm25Terms) with the cosine top-25 around anchor vec 0 — integer
     // ppm contributions so the fused ORDER replays cross-engine.
@@ -2678,6 +2685,18 @@ object SparkEntry {
         |JOIN ke ON ke.doc_id = c.kept_id
         |WHERE levenshtein(be.text, ke.text) <= 8
         |ORDER BY c.doc_id, c.kept_id""".stripMargin,
+    // the short-length class is caller-bounded, so the oracle is the
+    // definition itself: all pairs of sub-96-char docs within ED <= 5
+    // (the length predicate is necessary — ED >= |len diff|)
+    "q_dedup_edit_short" ->
+      """WITH s AS (
+        |  SELECT doc_id, text FROM documents WHERE len(text) < 96)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM s a JOIN s b
+        |  ON a.doc_id < b.doc_id AND abs(len(a.text) - len(b.text)) <= 5
+        |WHERE levenshtein(a.text, b.text) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // RRF fusion of the q_bm25 lexical ranking with the cosine ranking
     // around anchor vec 0; contributions 10^6 DIV (60 + rank), BIGINT
     "q_rrf_fusion" ->

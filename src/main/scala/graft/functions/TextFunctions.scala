@@ -125,4 +125,35 @@ object TextFunctions {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
+
+  /** Per-class code-point histogram of a string (native codegen, one
+    * pass): out[k] = count of code points ≡ k (mod classes). The
+    * document-side half of the edit-distance content filter — see
+    * [[graft.functions.expressions.CharClassHistogram]] for the bound.
+    */
+  def charClassHist(text: Column, classes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.CharClassHistogram(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), classes))
+
+  /** Occurrence-tagged positional q-grams in one per-row pass (native
+    * codegen) — array<struct<gram, occ>>, value-identical to the
+    * posexplode + per-doc row_number window it replaces, minus that
+    * window's corpus×length-row shuffle. See
+    * [[graft.functions.expressions.TaggedQGrams]].
+    */
+  def taggedQGrams(text: Column, q: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.TaggedQGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), q))
+
+  /** Exact L1 distance between two int arrays (native codegen): the
+    * pair-side half of the content filter — L1 of two class histograms
+    * lower-bounds 2·editDistance.
+    */
+  def l1Int(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.L1IntDistance(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }

@@ -1185,13 +1185,108 @@ object Dedup {
     pairAgreement(pred(sampled), truth(sampled))
   }
 
+  // ---- shared ED-Join kernel --------------------------------------------
+  // The completeness-critical construction common to editDistancePairs /
+  // editDistanceAgainst: one implementation so the prefix logic cannot
+  // drift between the self-join and bipartite forms.
+
+  /** Histogram classes for the content filter: 32 is measured as
+    * discriminating as a full per-code-point histogram on this corpus
+    * (302 of 267k sf0.1 candidates pass either way) at a quarter of the
+    * signature bytes shuffled per candidate.
+    */
+  private val EdSigClasses = 32
+
+  /** Occurrence-tagged positional q-grams (multiset → set encoding):
+    * (doc_id, ed_len, gram, occ) where occ numbers repeats of the same
+    * gram by position. The tagging is a per-row codegen pass
+    * ([[graft.functions.TextFunctions.taggedQGrams]]) — the equivalent
+    * posexplode + (doc, gram)-window form shuffles one row per gram just
+    * to number repeats that never leave their document.
+    */
+  private def edTagged(docs: DataFrame, q: Int): DataFrame = docs
+    .select(col("doc_id"), length(col("text")).as("ed_len"),
+      explode(taggedQGrams(col("text"), q)).as("tg"))
+    .select(col("doc_id"), col("ed_len"), col("tg.gram"), col("tg.occ"))
+
+  /** Each doc's (d·q+1)-token prefix under the shared total order
+    * (token df ASC, gram ASC, occ ASC). `dfs` is (gram, occ, ed_df);
+    * tokens absent from it take df 0 — maximally rare — which is a no-op
+    * for the self-join form (every token is in its own df table) and the
+    * novel-gram fast path for the bipartite form.
+    */
+  private def edPrefix(grams: DataFrame, dfs: DataFrame, d: Int, q: Int): DataFrame =
+    grams
+      .join(dfs, Seq("gram", "occ"), "left")
+      .withColumn("ed_df0", coalesce(col("ed_df"), lit(0L)))
+      .withColumn("ed_r", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("ed_df0").asc, col("gram").asc, col("occ").asc)))
+      .filter(col("ed_r") <= d * q + 1)
+      .select(col("doc_id"), col("ed_len"), col("gram"), col("occ"))
+
+  /** The |len_a − len_b| ≤ d necessary condition as a JOIN KEY: bucket
+    * width d+1 makes qualifying pairs differ by ≤ 1 bucket, so the probe
+    * side keeps its own bucket and the index side replicates into ±1
+    * (×3 rows) — far pairs never enter the join stream instead of being
+    * materialized then filtered (94% of raw prefix token matches fail
+    * the length cut, measured at sf0.1).
+    */
+  private def edProbeBucket(prefix: DataFrame, d: Int): DataFrame =
+    prefix.withColumn("ed_bk", expr(s"ed_len DIV ${d + 1}"))
+
+  private def edIndexBuckets(prefix: DataFrame, d: Int): DataFrame =
+    prefix.withColumn("ed_bk",
+      explode(array(expr(s"ed_len DIV ${d + 1} - 1"), expr(s"ed_len DIV ${d + 1}"),
+        expr(s"ed_len DIV ${d + 1} + 1"))))
+
+  /** Candidate verification, cheapest test first:
+    *
+    *  1. content filter (ED-Join's mismatch-filter idea, Xiao et al.
+    *     VLDB'08 §5, applied as the whole-string frequency-distance
+    *     bound): class-histogram L1 ≤ 2d is NECESSARY for ED ≤ d — one
+    *     edit perturbs the code-point frequency vector by at most 2 in
+    *     L1, and folding into [[EdSigClasses]] classes only shrinks L1,
+    *     so the filter can never drop a true pair. The candidate stream
+    *     joins k-int signatures (computed once per doc, codegen
+    *     [[graft.functions.expressions.CharClassHistogram]]), not texts:
+    *     far pairs — 99.9% of candidates on this corpus — are killed
+    *     while carrying 32 ints, and never shuffle a text at all.
+    *  2. thresholded `levenshtein(a, b, d)` (banded O(d·len) DP, early
+    *     exit, -1 when the distance exceeds d) for the survivors only —
+    *     a built-in codegen'd expression whose kept values equal plain
+    *     levenshtein, so the final output replays bit-for-bit in the
+    *     DuckDB oracle regardless of candidate strategy.
+    *
+    * `cands` carries (aKey, bKey); aDocs/bDocs are (doc_id, text).
+    */
+  private def edVerify(
+      cands: DataFrame, aKey: String, bKey: String,
+      aDocs: DataFrame, bDocs: DataFrame, d: Int): DataFrame = {
+    val sigA = aDocs.select(col("doc_id").as(aKey),
+      charClassHist(col("text"), EdSigClasses).as("ed_sig_a"))
+    val sigB = bDocs.select(col("doc_id").as(bKey),
+      charClassHist(col("text"), EdSigClasses).as("ed_sig_b"))
+    val near = cands
+      .join(sigA, Seq(aKey))
+      .join(sigB, Seq(bKey))
+      .filter(l1Int(col("ed_sig_a"), col("ed_sig_b")) <= lit(2L * d))
+      .select(col(aKey), col(bKey))
+    near
+      .join(aDocs.select(col("doc_id").as(aKey), col("text").as("ed_ta")), Seq(aKey))
+      .join(bDocs.select(col("doc_id").as(bKey), col("text").as("ed_tb")), Seq(bKey))
+      .withColumn("dist", levenshtein(col("ed_ta"), col("ed_tb"), d).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col(aKey), col(bKey), col("dist"))
+  }
+
   /** Exact edit-distance near-dup pairs: every (doc_a < doc_b) with
     * Levenshtein(text_a, text_b) ≤ d — the short-text/near-identical
     * miner (title dedup, instruction-data variants) complementing the
     * set-similarity family, COMPLETE and EXACT over all docs of length
     * ≥ (d+1)·q. (Shorter strings can evade every q-gram bound — one edit
-    * can rewrite their whole gram set — so they are out of contract; a
-    * tiny-length class is cheap to all-pairs separately.)
+    * can rewrite their whole gram set — so they are out of contract;
+    * [[editDistanceShortPairs]] is the all-pairs companion for that
+    * length class.)
     *
     * Why complete (Gravano et al. VLDB'01 count filter + the ED-Join
     * prefix principle, Xiao et al. VLDB'08): one edit disturbs at most q
@@ -1205,18 +1300,20 @@ object Dedup {
     * gram flooding the corpus lands in almost no doc's prefix and so
     * never builds a hot posting list. Candidates = prefix-posting
     * equi-join (never a cross join) whose KEY carries the necessary
-    * |len_a − len_b| ≤ d cut as a length bucket (width d+1 ⇒ qualifying
-    * pairs differ ≤ 1 bucket; the index side replicates ±1): on a
-    * template-heavy corpus the prefix filter alone leaves ~40% of all
-    * pairs and 94% of its raw token matches fail the length cut
-    * (measured at sf0.1), so bucketing keeps them out of the join stream
-    * instead of materializing-then-filtering. Survivors pay one
-    * THRESHOLDED `levenshtein(a, b, d)` (banded O(d·len) DP, early
-    * exit) — a built-in codegen'd expression whose kept values equal
-    * plain levenshtein, so the final output replays bit-for-bit in the
-    * DuckDB oracle (the oracle generates candidates with the simpler
-    * in-join length predicate — exactness makes the output invariant to
-    * the candidate strategy).
+    * |len_a − len_b| ≤ d cut as a length bucket ([[edProbeBucket]] /
+    * [[edIndexBuckets]]): on a template-heavy corpus the prefix filter
+    * alone leaves ~40% of all pairs and 94% of its raw token matches
+    * fail the length cut (measured at sf0.1), so bucketing keeps them
+    * out of the join stream instead of materializing-then-filtering.
+    * Survivors run the two-stage verify of [[edVerify]]: the
+    * content-based mismatch filter (class-histogram L1 ≤ 2d — a
+    * necessary condition that kills 99.9% of candidates on this corpus
+    * while carrying 32-int signatures instead of texts), then one
+    * thresholded banded `levenshtein(a, b, d)` each. Exactness makes the
+    * output invariant to the candidate strategy, so the DuckDB oracle
+    * may (and does) generate candidates with the simpler in-join length
+    * predicate and no content filter, yet replays the result
+    * bit-for-bit.
     *
     * Scale shape: gram fan-out is the winnow/shingle explode class (one
     * per-row array, zero shuffle); occ-tagging and prefix ranks are
@@ -1224,7 +1321,10 @@ object Dedup {
     * doc. N identical docs still cost N² — those pairs ARE the output.
     * Pins: the tagged-gram table feeds both the df aggregation and the
     * prefix rank (released once the prefix is materialized), and the
-    * prefix table feeds both sides of the candidate self-join.
+    * prefix table feeds both sides of the candidate self-join. The
+    * eligible (doc_id, text) frame is deliberately NOT pinned: its
+    * readers each want a column-pruned parquet re-scan, not a pin of the
+    * corpus's text bytes.
     */
   def editDistancePairs(docs: DataFrame, d: Int, q: Int = 4): DataFrame = {
     require(d >= 0, "d must be non-negative")
@@ -1232,58 +1332,24 @@ object Dedup {
     val minLen = (d + 1) * q
     val eligible = docs.select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= minLen)
-    // occurrence-tagged positional q-grams (multiset → set encoding);
-    // eligible guarantees length ≥ q, so the sequence bound is ascending.
     // Pinned: the tagged-gram table feeds BOTH the token-df aggregation
     // and the prefix rank join — unpinned, the corpus-sized explode and
     // its occ window run twice (zero ReusedExchange for multi-referenced
     // derived tables, the measured house rule).
-    val grams = Pins.pin(eligible
-      .select(col("doc_id"), length(col("text")).as("ed_len"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q))"))
-        .as(Seq("pos", "gram")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
-      .select(col("doc_id"), col("ed_len"), col("gram"), col("occ")))
+    val grams = Pins.pin(edTagged(eligible, q))
     val tokenDf = grams.groupBy(col("gram"), col("occ"))
-      .agg(count(lit(1)).as("tok_df"))
-    val prefix = Pins.pin(grams
-      .join(tokenDf, Seq("gram", "occ"))
-      .withColumn("ed_r", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("tok_df").asc, col("gram").asc, col("occ").asc)))
-      .filter(col("ed_r") <= d * q + 1)
-      .select(col("doc_id"), col("ed_len"), col("gram"), col("occ")))
+      .agg(count(lit(1)).as("ed_df"))
+    val prefix = Pins.pin(edPrefix(grams, tokenDf, d, q))
     Pins.release(grams) // prefix is materialized; the explode is done with
-    // the |len_a − len_b| ≤ d necessary condition becomes part of the
-    // JOIN KEY, not a post-join filter: bucket width d+1 makes qualifying
-    // pairs differ by ≤ 1 bucket, so the index side replicates each
-    // posting into its ±1 buckets (×3 rows) and the join runs on
-    // (gram, occ, bucket). On a template-heavy corpus this matters: the
-    // prefix filter alone leaves ~40% of all pairs, and 94% of its raw
-    // token matches (9.3M of 9.9M measured at sf0.1) fail the length
-    // cut — bucketing keeps them out of the join stream entirely instead
-    // of materializing and filtering them.
-    val bw = d + 1
-    val probe = prefix.withColumn("ed_bk", expr(s"ed_len DIV $bw"))
-    val index = prefix.withColumn("ed_bk",
-      explode(array(expr(s"ed_len DIV $bw - 1"), expr(s"ed_len DIV $bw"),
-        expr(s"ed_len DIV $bw + 1"))))
-    val cands = probe.as("a").join(index.as("b"),
+    val cands = edProbeBucket(prefix, d).as("a")
+      .join(edIndexBuckets(prefix, d).as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.ed_bk") === col("b.ed_bk") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.ed_len") - col("b.ed_len")) <= d)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // thresholded levenshtein: O(d·len) banded DP with early exit, -1
-    // when the distance exceeds d — the verify step never pays the full
-    // O(len²) matrix for a far pair
-    val out = cands
-      .join(eligible.select(col("doc_id").as("doc_a"), col("text").as("ed_ta")), Seq("doc_a"))
-      .join(eligible.select(col("doc_id").as("doc_b"), col("text").as("ed_tb")), Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("ed_ta"), col("ed_tb"), d).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+    val out = edVerify(cands, "doc_a", "doc_b", eligible, eligible, d)
     val pinned = Pins.pin(out)
     Pins.release(prefix)
     pinned
@@ -1314,49 +1380,56 @@ object Dedup {
     val minLen = (d + 1) * q
     def eligible(df: DataFrame) = df.select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= minLen)
-    def tagged(df: DataFrame) = df
-      .select(col("doc_id"), length(col("text")).as("ed_len"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q))"))
-        .as(Seq("pos", "gram")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
-      .select(col("doc_id"), col("ed_len"), col("gram"), col("occ"))
     val keptE = eligible(kept)
     val batchE = eligible(batch)
-    val keptGrams = Pins.pin(tagged(keptE))
+    val keptGrams = Pins.pin(edTagged(keptE, q))
     val keptDf = Pins.pin(keptGrams.groupBy(col("gram"), col("occ"))
       .agg(count(lit(1)).as("ed_df")))
-    def prefix(grams: DataFrame) = grams
-      .join(keptDf, Seq("gram", "occ"), "left")
-      .withColumn("ed_df0", coalesce(col("ed_df"), lit(0L)))
-      .withColumn("ed_r", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("ed_df0").asc, col("gram").asc, col("occ").asc)))
-      .filter(col("ed_r") <= d * q + 1)
-      .select(col("doc_id"), col("ed_len"), col("gram"), col("occ"))
-    // length-bucketed posting join + thresholded levenshtein, as in
+    // length-bucketed posting join + two-stage verify, as in
     // [[editDistancePairs]]: the batch probes its own bucket, the kept
     // prefix replicates into ±1 buckets
-    val bw = d + 1
-    val probe = prefix(tagged(batchE)).withColumn("ed_bk", expr(s"ed_len DIV $bw"))
-    val index = prefix(keptGrams).withColumn("ed_bk",
-      explode(array(expr(s"ed_len DIV $bw - 1"), expr(s"ed_len DIV $bw"),
-        expr(s"ed_len DIV $bw + 1"))))
-    val cands = probe.as("a").join(index.as("b"),
+    val cands = edProbeBucket(edPrefix(edTagged(batchE, q), keptDf, d, q), d).as("a")
+      .join(edIndexBuckets(edPrefix(keptGrams, keptDf, d, q), d).as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.ed_bk") === col("b.ed_bk") &&
           abs(col("a.ed_len") - col("b.ed_len")) <= d)
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("kept_id"))
       .distinct()
-    val out = cands
-      .join(batchE.select(col("doc_id"), col("text").as("ed_ta")), Seq("doc_id"))
-      .join(keptE.select(col("doc_id").as("kept_id"), col("text").as("ed_tb")),
-        Seq("kept_id"))
-      .withColumn("dist", levenshtein(col("ed_ta"), col("ed_tb"), d).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("doc_id"), col("kept_id"), col("dist"))
+    val out = edVerify(cands, "doc_id", "kept_id", batchE, keptE, d)
     val pinned = Pins.pin(out)
     Pins.release(keptDf)
     Pins.release(keptGrams)
     pinned
+  }
+
+  /** All-pairs companion for the length class [[editDistancePairs]]
+    * excludes: every (doc_a < doc_b) with Levenshtein ≤ d among docs of
+    * length < (d+1)·q — strings short enough that one edit can rewrite
+    * their whole q-gram set, so no gram-prefix bound applies. The class
+    * is small by construction (the caller's q bounds it), so completeness
+    * comes from length alone: ED ≤ d forces |len_a − len_b| ≤ d, and the
+    * same bucket scheme as the main miner ([[edProbeBucket]] /
+    * [[edIndexBuckets]], probe keeps its bucket, index replicates ±1)
+    * turns the class all-pairs into a bucket equi-join — never a cross
+    * join over the corpus, quadratic only within a length bucket of the
+    * SHORT class. Verification is the shared [[edVerify]] two-stage
+    * pass; output schema matches [[editDistancePairs]], so a caller runs
+    * both and unions for full-corpus coverage.
+    */
+  def editDistanceShortPairs(docs: DataFrame, d: Int, q: Int = 4): DataFrame = {
+    require(d >= 0, "d must be non-negative")
+    require(q >= 1, "q must be positive")
+    val maxLen = (d + 1) * q
+    val short = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) < maxLen)
+    val keyed = short.select(col("doc_id"), length(col("text")).as("ed_len"))
+    val cands = edProbeBucket(keyed, d).as("a")
+      .join(edIndexBuckets(keyed, d).as("b"),
+        col("a.ed_bk") === col("b.ed_bk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.ed_len") - col("b.ed_len")) <= d)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    edVerify(cands, "doc_a", "doc_b", short, short, d)
   }
 }

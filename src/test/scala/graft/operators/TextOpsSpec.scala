@@ -2015,4 +2015,101 @@ class TextOpsSpec extends SparkSpec {
       out.map(_._1).distinct.toDF("doc_id"), Seq("doc_id"), "left_anti").count()
     assert(survivors === batch.count() - out.map(_._1).distinct.size)
   }
+
+  test("taggedQGrams equals the posexplode + per-doc window form on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val q = 4
+    val fast = docs
+      .select(col("doc_id"), explode(TextFunctions.taggedQGrams(col("text"), q)).as("tg"))
+      .select(col("doc_id"), col("tg.gram"), col("tg.occ"))
+      .orderBy("doc_id", "gram", "occ")
+      .as[(Long, String, Int)].collect().toSeq
+    val slow = docs
+      .filter(length(col("text")) >= q)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q))"))
+        .as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
+      .select(col("doc_id"), col("gram"), col("occ"))
+      .orderBy("doc_id", "gram", "occ")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+    // below-q strings yield empty arrays, and grams slice by code point
+    val edge = Seq("abc", "ab", "😀bcd").toDF("text")
+      .select(size(TextFunctions.taggedQGrams(col("text"), 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(edge === Seq(1, 0, 2))
+  }
+
+  test("charClassHist counts code points mod classes; l1Int is exact and length-strict") {
+    // 'a'=97→1, 'b'=98→2, 'c'=99→3 under mod 32
+    val h = Seq("abcab").toDF("s")
+      .select(TextFunctions.charClassHist(col("s"), 32)).head().getSeq[Int](0)
+    assert(h.length === 32)
+    assert(h(1) === 2 && h(2) === 2 && h(3) === 1)
+    assert(h.sum === 5)
+    // code points, not UTF-16 units: one supplementary char = one count
+    val hs = Seq("a😀").toDF("s") // "a" + U+1F600
+      .select(TextFunctions.charClassHist(col("s"), 32)).head().getSeq[Int](0)
+    assert(hs.sum === 2)
+    val l1 = Seq(("abcab", "abcd")).toDF("a", "b")
+      .select(TextFunctions.l1Int(
+        TextFunctions.charClassHist(col("a"), 32),
+        TextFunctions.charClassHist(col("b"), 32))).head().getLong(0)
+    // hists: a:2,b:2,c:1 vs a:1,b:1,c:1,d:1 → |1|+|1|+|0|+|1| = 3
+    assert(l1 === 3L)
+    // length mismatch → null, never a partial sum
+    val mism = Seq(("x", "y")).toDF("a", "b")
+      .select(TextFunctions.l1Int(
+        TextFunctions.charClassHist(col("a"), 32),
+        TextFunctions.charClassHist(col("b"), 16))).head()
+    assert(mism.isNullAt(0))
+  }
+
+  test("content filter is a true lower bound: classL1 <= 2*levenshtein on corpus pairs") {
+    // the safety property the edVerify filter rests on, checked against
+    // the built-in levenshtein over a real cross-section of pairs
+    val sample = docs.limit(30)
+    val viol = sample.select(col("doc_id").as("ida"), col("text").as("ta"))
+      .join(sample.select(col("doc_id").as("idb"), col("text").as("tb")),
+        col("ida") < col("idb"))
+      .select(TextFunctions.l1Int(
+        TextFunctions.charClassHist(col("ta"), 32),
+        TextFunctions.charClassHist(col("tb"), 32)).as("l1"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("ed"))
+      .filter(col("l1") > col("ed") * 2)
+      .count()
+    assert(viol === 0L)
+  }
+
+  test("editDistanceShortPairs: planted shorts land exactly, long docs out of class") {
+    val planted = Seq(
+      (1L, "short title one"),            // 15 chars
+      (2L, "short title one!"),           // +1 char, dist 1
+      (3L, "short title two"),            // "one"→"two", dist 3 to #1
+      (4L, "a completely different str"), // in class, |len diff| > d from all
+      (5L, "x" * 200)                     // above (d+1)*q: out of class
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistanceShortPairs(planted, d = 4, q = 8) // class: len < 40
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 4L)))
+  }
+
+  test("editDistanceShortPairs equals the all-pairs brute force on the real short class") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = Dedup.editDistanceShortPairs(corpus, d = 5, q = 16) // len < 96
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    val short = corpus.filter(length(col("text")) < 96)
+    val truth = short.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .join(short.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 5).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(out === truth)
+  }
 }
