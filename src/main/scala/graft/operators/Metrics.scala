@@ -175,9 +175,11 @@ final class MetricsRegistry(
     * (initMetrics, metrics.go:58-103). Counter/`_sum`/`_count` samples are
     * cumulative since construction; quantile samples cover only the sliding
     * MaxAge window and render `NaN` on an empty window — client_golang's
-    * summary behavior. Values render as plain decimals (integral values
-    * without a fraction part); any Prometheus scraper parses that form
-    * identically to Go's `%g`.
+    * summary behavior. Values render as plain decimals for integral
+    * magnitudes below 1e15 and in Java's scientific notation (`1.0E15`)
+    * beyond — NOT byte-identical to Go's `%g` (`1e+15`) at such
+    * extremes, but both are within the exposition-format float grammar,
+    * so every Prometheus parser reads them to the same value.
     */
   def prometheusText: String = synchronized {
     expire(clock())

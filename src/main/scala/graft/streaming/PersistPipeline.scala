@@ -343,7 +343,12 @@ object PersistPipeline {
       coalesce(sum(octet_length(col("data"))), lit(0L)),
       collect_list((lit(now) - unix_millis(col("ingestion_time")))
         .cast("double"))).head()
-    m.updateSuccess(s.getLong(0), s.getLong(1), s.getSeq[Double](2))
+    // both paths guard on count > 0: an empty batch handled nothing, so
+    // it must not touch the registry at all (no counter adds, but also no
+    // clock tick / window expiry — expiry is driven by real updates and
+    // by scrapes, exactly like the reference's registry, which is only
+    // ever updated from handled messages)
+    if (s.getLong(0) > 0L) m.updateSuccess(s.getLong(0), s.getLong(1), s.getSeq[Double](2))
     val f = bad.agg(
       count(lit(1)),
       coalesce(sum(octet_length(col("value"))), lit(0L))).head()

@@ -213,6 +213,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Falsifiability of the Window audit itself: a deliberately UNBOUNDED
+    * unpartitioned window (global row_number over a raw scan — the exact
+    * single-task shape the audit exists to block) must be flagged, and
+    * the same window over a limit-bounded input must clear. Without this
+    * negative case a regression in [[boundedBelow]] (say, a new plan node
+    * silently treated as bounding) would vacuously green every audit run.
+    */
+  test("the Window audit flags a deliberately unbounded global window and clears a bounded one") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def unpartitioned(df: org.apache.spark.sql.DataFrame) =
+      flatten(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+    // the offender: corpus-wide global rank, nothing bounding below
+    val bad = docs.withColumn("r",
+      row_number().over(Window.orderBy(col("doc_id"), col("source"))))
+      .filter(col("r") >= 3) // >= keeps InferWindowGroupLimit from planting a ToP
+    val badWindows = unpartitioned(bad)
+    assert(badWindows.nonEmpty, "the offender plan lost its global window")
+    assert(badWindows.exists(w => !boundedBelow(w.children.head)),
+      "audit failed to flag a corpus-wide unpartitioned window:\n" +
+        bad.queryExecution.executedPlan.treeString.take(2000))
+    // the sanctioned shape: the same window over a limit-bounded input
+    val good = docs.orderBy(col("doc_id")).limit(10).withColumn("r",
+      row_number().over(Window.orderBy(col("doc_id"), col("source"))))
+      .filter(col("r") >= 3)
+    val goodWindows = unpartitioned(good)
+    assert(goodWindows.nonEmpty, "the bounded plan lost its global window")
+    assert(goodWindows.forall(w => boundedBelow(w.children.head)),
+      "audit flagged a limit-bounded window it documents as acceptable:\n" +
+        good.queryExecution.executedPlan.treeString.take(2000))
+  }
+
   /** The stored-BM25 serving claim, asserted mechanically: the postings
     * scan must carry the query terms as a pushed-down In filter — the
     * whole point of the index lifecycle is that serving reads matching

@@ -667,6 +667,61 @@ class StreamingOpsSpec extends SparkSpec {
       s"later batches re-admitted near-dups of earlier kept docs: $crossEpoch")
   }
 
+  test("streaming crawl accretion: per-batch editDistanceAgainst a growing kept store") {
+    import graft.operators.Dedup
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-edcrawl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val store = s"$dir/kept"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(store) // initial corpus
+    (0 until 3).foreach { i => // the "crawl": odd docs in three files
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    def survivorsOf(batch: org.apache.spark.sql.DataFrame,
+        kept: org.apache.spark.sql.DataFrame) =
+      batch.join(
+        Dedup.editDistanceAgainst(batch, kept, d = 8, q = 4)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val batchIds = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // freeze: the store we read is about to grow
+        batchIds += b.select("doc_id").as[Long].collect().toSet
+        survivorsOf(b, spark.read.parquet(store))
+          .write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val finalIds = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    // sequential replay in the RECORDED arrival order reproduces the store
+    var kept = docs.filter(col("doc_id") % 2 === 0)
+    batchIds.foreach { ids =>
+      val surv = survivorsOf(docs.filter(col("doc_id").isin(ids.toSeq: _*)), kept)
+      kept = kept.unionByName(surv).localCheckpoint()
+    }
+    assert(finalIds === kept.select("doc_id").as[Long].collect().toSet)
+    assert(finalIds.size < docs.count()) // the crawl really suppressed near-dups
+    // cross-batch suppression: every ED<=8 pair left in the store is
+    // same-epoch (the miner screens against history, not within a batch),
+    // so no later batch re-admitted a near-dup of an earlier kept doc
+    val whenKept = batchIds.zipWithIndex
+      .flatMap { case (ids, i) => ids.map(_ -> i) }.toMap
+      .withDefaultValue(-1) // initial store
+    val crossEpoch = Dedup.editDistancePairs(spark.read.parquet(store), d = 8, q = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => whenKept(a) != whenKept(b) }
+    assert(crossEpoch.isEmpty,
+      s"later batches re-admitted edit-distance near-dups of earlier kept docs: " +
+        crossEpoch.mkString(", "))
+  }
+
   test("streaming log-histogram maintenance: per-batch cell merge equals the batch sketch") {
     import graft.operators.Sketches
     import java.nio.file.{Files, Paths}

@@ -10,6 +10,7 @@ to SKIP (reported, not failed) — for large-SF runs where a quadratic
 ground-truth oracle is prohibitive on the DuckDB side; each skip must
 be justified wherever the run is recorded.
 """
+import argparse
 import duckdb
 import glob
 import json
@@ -21,10 +22,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    skip = set()
-    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
-        skip = set(sys.argv[4].split(","))
+    # argparse so --skip works at any position and an unrecognized flag is
+    # an error, never a silently-ignored no-op
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sfdir")
+    ap.add_argument("outdir")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated oracle names to skip (reported, not failed)")
+    args = ap.parse_args()
+    sfdir, outdir = args.sfdir, args.outdir
+    skip = set(n for n in args.skip.split(",") if n)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for tbl in TABLES:
