@@ -502,6 +502,59 @@ object ScaleProbe {
       sb.append(s"| $w | $keptBefore | $waveRows | $n | " + f"$t%.2f |\n")
     }
 
+    // ---- exact edit-distance mining at deeper factors: the newest pair
+    // family gets its own x1→x16 sweep (the shared dedup table above stops
+    // at x4). Same honest replica construction, so true pairs scale ×f;
+    // the claim under test is that candidate generation (prefix postings +
+    // length-bucket join) and the two-stage verify stay ~linear in docs —
+    // sub-linear in enumerated candidates — as the corpus grows.
+    val edFactors = Seq(1, 4, 8, 16)
+    val edDirs = edFactors.map { f =>
+      docDirs.find(_._1 == f).map(_._2).getOrElse {
+        val dir = s"$root/docs-x$f"
+        Files.createDirectories(Paths.get(dir))
+        (0 until f).map { r =>
+          val toks = graft.functions.TextFunctions.tokens(col("text"))
+          val renamed = concat_ws(" ",
+            transform(toks, t => concat(t, lit(s"_$r"))))
+          docsBase
+            .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", if (r == 0) col("text") else renamed)
+        }.reduce(_.unionByName(_))
+          .write.parquet(s"$dir/documents.parquet")
+        dir
+      }
+    }
+    sb.append(
+      """
+        |Exact edit-distance mining at x1→x16 (replica token-renaming keeps
+        |cross-replica distances large, so pairs scale ×f; the bipartite row
+        |mines odd ids against even — the incremental-crawl shape):
+        |
+        |""".stripMargin)
+    sb.append("| op | " + edFactors.map(f => s"x$f sec (pairs)").mkString(" | ") +
+      s" | x${edFactors.last}/x1 |\n")
+    sb.append("|---|" + edFactors.map(_ => "---|").mkString + "---|\n")
+    val edOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "edit-distance pairs (d=8, q=4)" -> (docs =>
+        operators.Dedup.editDistancePairs(docs, d = 8, q = 4)),
+      "edit-distance vs kept (odd vs even)" -> (docs =>
+        operators.Dedup.editDistanceAgainst(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), d = 8, q = 4)),
+      "edit-distance short class (d=5, q=16)" -> (docs =>
+        operators.Dedup.editDistanceShortPairs(docs, d = 5, q = 16)))
+    edOps.foreach { case (name, op) =>
+      val cells = edDirs.map { dir =>
+        val docs = Tables(spark, dir).documents
+        op(docs).count() // warm
+        time(op(docs).count())
+      }
+      sb.append(s"| $name | " +
+        cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
+        " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
+    }
+
     // ---- embedding-side similarity scaling: replicas are circularly
     // dim-rotated copies with shifted vec_ids — identical norm/geometry
     // statistics but content-distinct vectors (no pasted duplicates), and
