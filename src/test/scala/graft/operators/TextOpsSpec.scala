@@ -2084,6 +2084,49 @@ class TextOpsSpec extends SparkSpec {
     assert(viol === 0L)
   }
 
+  test("content filter bound holds on seeded random strings incl. multi-byte code points") {
+    // the general-input safety net behind the corpus check above: the
+    // L1 ≤ 2·ED inequality is claimed for ANY strings (code-point
+    // histograms), so exercise it over a mixed-script alphabet with
+    // 2-byte, 3-byte, and supplementary (surrogate-pair) code points,
+    // plus the adversarial shapes — equal strings, pure permutations
+    // (ED large, L1 exactly 0), block repeats, prefix/suffix edits
+    val rnd = new scala.util.Random(421100)
+    val alphabet = "abcde _-xyz" + "éñü" + "中文字" + new String(Character.toChars(0x1F600))
+    val cps = { // code-point list (the emoji is two chars)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < alphabet.length) {
+        val cp = alphabet.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
+    def randStr(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => cps(rnd.nextInt(cps.size))).mkString
+    val pairs = (0 until 280).map { i =>
+      val a = randStr(40)
+      val b = i % 4 match {
+        case 0 => randStr(40) // independent
+        case 1 => new String(rnd.shuffle(a.toList).toArray) // permutation: L1 = 0
+        case 2 => a + randStr(6) // suffix insert
+        case 3 => if (a.isEmpty) randStr(5)
+          else a.updated(rnd.nextInt(a.length), 'q') // substitution
+      }
+      (a, b)
+    } ++ Seq(("", ""), ("", "abc"), ("aaaa", "aaaaaaaa"))
+    val viol = pairs.toDF("a", "b")
+      .select(TextFunctions.l1Int(
+        TextFunctions.charClassHist(col("a"), 32),
+        TextFunctions.charClassHist(col("b"), 32)).as("l1"),
+        levenshtein(col("a"), col("b")).cast("long").as("ed"),
+        col("a"), col("b"))
+      .filter(col("l1") > col("ed") * 2)
+      .collect()
+    assert(viol.isEmpty, s"bound violated: ${viol.take(3).mkString("; ")}")
+  }
+
   test("editDistanceShortPairs: planted shorts land exactly, long docs out of class") {
     val planted = Seq(
       (1L, "short title one"),            // 15 chars
