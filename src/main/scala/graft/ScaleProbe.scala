@@ -455,6 +455,11 @@ object ScaleProbe {
         operators.Dedup.dedupSavings(operators.Dedup.minHashLsh(d))),
       // prefix postings are d·q+1 rows/doc; replica token-renaming keeps
       // cross-replica distances large, so pairs scale ×f like the corpus
+      // (model caveat: renaming k tokens costs ~2k edits, so a doc with
+      // ≤ d/2 tokens can still pair ACROSS replicas and the ×f model
+      // under-counts — none exist in this corpus at d=8, but the emitted
+      // (pairs) column is the ground truth, the ×f phrase only the
+      // expectation)
       "edit-distance pairs (d=8, q=4)" -> (docs =>
         operators.Dedup.editDistancePairs(docs, d = 8, q = 4)))
     dedupOps.foreach { case (name, op) =>
@@ -529,7 +534,11 @@ object ScaleProbe {
       """
         |Exact edit-distance mining at x1→x16 (replica token-renaming keeps
         |cross-replica distances large, so pairs scale ×f; the bipartite row
-        |mines odd ids against even — the incremental-crawl shape):
+        |mines odd ids against even — the incremental-crawl shape).
+        |Model caveat: renaming k tokens moves a replica only ~2k edits, so
+        |a doc with ≤ d/2 tokens would still pair across replicas and break
+        |the exact-×f expectation (this corpus has none at these d; the
+        |(pairs) column is the measured truth either way):
         |
         |""".stripMargin)
     sb.append("| op | " + edFactors.map(f => s"x$f sec (pairs)").mkString(" | ") +
@@ -564,8 +573,7 @@ object ScaleProbe {
     // cell-skew signal (superlinear beyond f^1.5 would mean concentration,
     // which the maxCellSize valve then spreads).
     val embBase = Tables(spark, baseDir).embeddings
-    val embFactors = Seq(1, 4)
-    val embDirs = embFactors.map { f =>
+    def buildEmbDir(f: Int): (Int, String) = {
       val dir = s"$root/emb-x$f"
       Files.createDirectories(Paths.get(dir))
       (0 until f).map { r =>
@@ -582,6 +590,8 @@ object ScaleProbe {
         .write.parquet(s"$dir/embeddings.parquet")
       (f, dir)
     }
+    val embFactors = Seq(1, 4)
+    val embDirs = embFactors.map(buildEmbDir)
     sb.append(
       """
         |Embedding similarity over scaled corpora (replicas dim-rotated +
@@ -672,6 +682,94 @@ object ScaleProbe {
         cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
         " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
     }
+
+    // ---- ANN x1→x16: the table above stops at one doubling pair; the
+    // 100-TB cell-valve claims get two more here. Quantizer/codebook
+    // training runs ONCE per factor OUTSIDE the timers (a production
+    // store trains once and serves many — [[Similarity.saveIvfIndex]] is
+    // that artifact); serve rows probe a FIXED 64-query set as the corpus
+    // grows 16×, the flat-or-sublinear trajectory a query service needs,
+    // while the two sweeps are full-corpus ops expected ~f^1.5 under the
+    // √N cell rule (see the table above) with the valve bounding any
+    // skewed tail.
+    val embDirs16 = embDirs ++ Seq(buildEmbDir(16))
+    val annArts = embDirs16.map { case (f, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = operators.Similarity.kmeansCentroids(
+        emb, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1,
+        salt = "sc")
+      val books = operators.Similarity.pqCodebooks(
+        emb, m = 8, ksub = 16, iters = 1)
+      (f, emb, cents, books)
+    }
+    sb.append(
+      """
+        |ANN family at x1→x16 (pre-trained artifacts, fixed 64-query probe
+        |set for the serve rows; sweeps valved at 256):
+        |
+        |""".stripMargin)
+    sb.append("| op | " +
+      embDirs16.map { case (f, _) => s"x$f sec (rows)" }.mkString(" | ") +
+      " | x16/x1 |\n")
+    sb.append("|---|" + embDirs16.map(_ => "---|").mkString + "---|\n")
+    type AnnOp = (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) => DataFrame
+    val ann16Ops: Seq[(String, AnnOp)] = Seq(
+      "ivf serve (64 q, nprobe=2)" -> ((e, c, _) =>
+        operators.Similarity.ivfTopKWithCentroids(
+          e, col("vec_id") < 64, 5, c, nprobe = 2)),
+      "pq serve (64 q, rerank=32)" -> ((e, _, b) =>
+        operators.Similarity.pqTopKWithBooks(
+          e, col("vec_id") < 64, 5, b, cellBits = 4, rerank = 32)),
+      "semDedup (tau=0.4, valve 256)" -> ((e, c, _) =>
+        operators.Similarity.semDedup(e, c, tau = 0.4, maxCellSize = 256)),
+      "mutual-kNN (k=3, valve 256)" -> ((e, c, _) =>
+        operators.Similarity.mutualKnn(e, c, k = 3, maxCellSize = 256)))
+    ann16Ops.foreach { case (name, op) =>
+      val cells = annArts.map { case (_, emb, cents, books) =>
+        op(emb, cents, books).count() // warm
+        time(op(emb, cents, books).count())
+      }
+      sb.append(s"| $name | " +
+        cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
+        " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
+    }
+
+    // ---- cellBits sweep for the kNN-join sweep mode: the SRP cell count
+    // is the sweep's parallelism knob — 2^cellBits cells means per-cell
+    // populations (and so per-task pair work) halve per bit while the
+    // shuffle gains keys. Timed at x4 and x16 with queries = half the
+    // corpus, the all-corpus kNN-join shape.
+    sb.append(
+      """
+        |cellBits sweep, PQ kNN-join sweep mode (queries = half the corpus,
+        |k=3, rerank=8; same corpora as the ANN table):
+        |
+        |""".stripMargin)
+    val cellBitsSweep = Seq(4, 8, 12)
+    sb.append("| factor | " + cellBitsSweep.map(b => s"2^$b cells sec (rows)")
+      .mkString(" | ") + " |\n")
+    sb.append("|---|" + cellBitsSweep.map(_ => "---|").mkString + "\n")
+    val sweepBest = annArts.filter(a => a._1 == 4 || a._1 == 16).map {
+      case (f, emb, _, books) =>
+        val cells = cellBitsSweep.map { bits =>
+          def run() = operators.Similarity.pqTopKWithBooks(
+            emb, col("vec_id") % 2 === 0, k = 3, books, cellBits = bits,
+            rerank = 8, broadcastQueries = false).count()
+          run() // warm
+          time(run())
+        }
+        sb.append(s"| x$f | " +
+          cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") + " |\n")
+        f -> cellBitsSweep(cells.map(_._1).zipWithIndex.minBy(_._1)._2)
+    }
+    sb.append(
+      sweepBest.map { case (f, b) => s"x$f fastest at 2^$b cells" }
+        .mkString("\nMeasured crossover: ", "; ", " — more cells keep " +
+          "winning while per-cell pair work dominates; once cells outnumber " +
+          "what the task count can use, scheduling overhead takes over " +
+          "(at 100 TB, size cellBits so 2^cellBits ≫ executor count and " +
+          "per-cell population stays ~maxCellSize).\n"))
 
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -666,6 +666,36 @@ object SparkEntry {
     "q_dedup_edit_short" -> ((s, dir) =>
       Dedup.editDistanceShortPairs(Tables(s, dir).documents, d = 5, q = 16)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Straddle-band miner closing the length partition: q_dedup_edit and
+    // q_dedup_edit_short both filter BOTH sides, so a pair straddling the
+    // (d+1)*q = 96 boundary is in neither class — this mines the width-5
+    // bands on either side. Natural straddles are rare at small SF, so
+    // the corpus is augmented with deterministic prefix-truncation
+    // variants (93- and 97-char prefixes of every 17th long doc, ids
+    // offset into a vacant range): each variant pair is a planted ED-4
+    // straddle the oracle derives identically.
+    "q_dedup_edit_boundary" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val seeds = docs.filter(
+        length(col("text")) >= 120 && col("doc_id") % 17 === 3)
+      val planted = seeds.select((col("doc_id") + 10000000L).as("doc_id"),
+          substring(col("text"), 1, 93).as("text"))
+        .unionAll(seeds.select((col("doc_id") + 20000000L).as("doc_id"),
+          substring(col("text"), 1, 97).as("text")))
+      Dedup.editDistanceBoundaryPairs(docs.unionAll(planted), d = 5, q = 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // Bipartite complement of q_dedup_edit_against for the short side:
+    // every odd-batch/even-kept pair within ED <= 5 where at least one
+    // side is under (d+1)*q = 96 chars — union with the main bipartite
+    // miner is the full crawl-wave pair universe.
+    "q_dedup_edit_short_against" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Dedup.editDistanceShortAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), d = 5, q = 16)
+        .orderBy(col("doc_id"), col("kept_id"))
+    },
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-25
     // (Bm25Terms) with the cosine top-25 around anchor vec 0 — integer
     // ppm contributions so the fused ORDER replays cross-engine.
@@ -2697,6 +2727,41 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id AND abs(len(a.text) - len(b.text)) <= 5
         |WHERE levenshtein(a.text, b.text) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the straddle band is width-d by the |len diff| <= d necessity, so
+    // the oracle is again the definition itself: all cross-class pairs
+    // over the planted-augmented corpus (93/97-char prefix variants of
+    // every 17th long doc — guaranteed ED-4 straddles of the 96 boundary)
+    "q_dedup_edit_boundary" ->
+      """WITH seeds AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(text) >= 120 AND doc_id % 17 = 3),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, substr(text, 1, 93) FROM seeds
+        |  UNION ALL SELECT doc_id + 20000000, substr(text, 1, 97) FROM seeds),
+        |s AS (SELECT doc_id, text, len(text) AS l FROM corpus
+        |      WHERE len(text) >= 91 AND len(text) < 96),
+        |g AS (SELECT doc_id, text, len(text) AS l FROM corpus
+        |      WHERE len(text) >= 96 AND len(text) < 101)
+        |SELECT least(s.doc_id, g.doc_id) AS doc_a,
+        |       greatest(s.doc_id, g.doc_id) AS doc_b,
+        |       CAST(levenshtein(s.text, g.text) AS BIGINT) AS dist
+        |FROM s JOIN g ON abs(s.l - g.l) <= 5
+        |WHERE levenshtein(s.text, g.text) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // bipartite short complement: definitional, with the min-len cut
+    // excluding exactly the pairs q_dedup_edit_against already owns
+    "q_dedup_edit_short_against" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 1 AND len(text) < 101),
+        |     k AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 0 AND len(text) < 101)
+        |SELECT b.doc_id AS doc_id, k.doc_id AS kept_id,
+        |       CAST(levenshtein(b.text, k.text) AS BIGINT) AS dist
+        |FROM b JOIN k ON abs(len(b.text) - len(k.text)) <= 5
+        |             AND (len(b.text) < 96 OR len(k.text) < 96)
+        |WHERE levenshtein(b.text, k.text) <= 5
+        |ORDER BY doc_id, kept_id""".stripMargin,
     // RRF fusion of the q_bm25 lexical ranking with the cosine ranking
     // around anchor vec 0; contributions 10^6 DIV (60 + rank), BIGINT
     "q_rrf_fusion" ->

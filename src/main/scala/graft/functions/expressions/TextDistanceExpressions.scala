@@ -148,6 +148,11 @@ case class TaggedQGrams(child: Expression, q: Int) extends UnaryExpression {
   * histograms above). Accumulates in long so the result is exact for any
   * string lengths. Mismatched lengths → null (histograms of equal
   * `classes` never mismatch; a partial L1 would silently under-filter).
+  * Nullable ELEMENTS are rejected at analysis time: `getInt` on a null
+  * slot would read 0 and return a silently wrong L1 — as a filter bound
+  * that's an under-filter, the worst failure mode — and every intended
+  * producer ([[CharClassHistogram]]) is containsNull=false, so a nullable
+  * input is a wiring bug, not data.
   */
 case class L1IntDistance(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -155,8 +160,13 @@ case class L1IntDistance(left: Expression, right: Expression) extends BinaryExpr
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+    case (ArrayType(IntegerType, false), ArrayType(IntegerType, false)) =>
       TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckFailure(
+        "l1_int_distance requires non-nullable array elements " +
+          "(containsNull=false): a null element would fold to 0 and " +
+          "silently under-filter")
     case other => TypeCheckResult.TypeCheckFailure(
       s"l1_int_distance requires two array<int> inputs, got $other")
   }

@@ -1359,8 +1359,10 @@ object Dedup {
     * every (batch doc, kept doc) pair within Levenshtein ≤ d — the
     * edit-distance analog of [[dedupAgainst]]'s band join (survivors =
     * the batch anti-joined on the pair table). Same length contract and
-    * completeness argument as the self-join form; callers pass disjoint
-    * id spaces (crawl waves are). The common total order both sides rank
+    * completeness argument as the self-join form — BOTH sides ≥ (d+1)·q;
+    * [[editDistanceShortAgainst]] is the exact bipartite complement for
+    * pairs with a short side, and their union is the full bipartite pair
+    * universe. Callers pass disjoint id spaces (crawl waves are). The common total order both sides rank
     * their prefixes under is (KEPT-side token df ASC, gram ASC, occ ASC):
     * the prefix principle needs only SOME shared total order, and the
     * kept corpus is the statistics-bearing side an accreting crawl
@@ -1413,8 +1415,16 @@ object Dedup {
     * turns the class all-pairs into a bucket equi-join — never a cross
     * join over the corpus, quadratic only within a length bucket of the
     * SHORT class. Verification is the shared [[edVerify]] two-stage
-    * pass; output schema matches [[editDistancePairs]], so a caller runs
-    * both and unions for full-corpus coverage.
+    * pass; output schema matches [[editDistancePairs]].
+    *
+    * NOT full-corpus coverage on its own union with the main miner: both
+    * filters are two-sided, so a pair with one doc in
+    * [(d+1)·q − d, (d+1)·q) and the other in [(d+1)·q, (d+1)·q + d) has
+    * |len diff| ≤ d yet lands in neither class —
+    * [[editDistanceBoundaryPairs]] mines exactly that straddle band.
+    * Full-corpus coverage = the three-way union (pairs ∪ shortPairs ∪
+    * boundaryPairs); the classes partition the pair universe (both long /
+    * both short / one of each), so the union is also duplicate-free.
     */
   def editDistanceShortPairs(docs: DataFrame, d: Int, q: Int = 4): DataFrame = {
     require(d >= 0, "d must be non-negative")
@@ -1431,5 +1441,90 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     edVerify(cands, "doc_a", "doc_b", short, short, d)
+  }
+
+  /** The straddle-band miner completing the length partition: every
+    * (doc_a < doc_b) with Levenshtein ≤ d where exactly ONE doc is short
+    * (length < (d+1)·q) and the other long. [[editDistancePairs]] filters
+    * BOTH sides to ≥ (d+1)·q and [[editDistanceShortPairs]] BOTH to
+    * < (d+1)·q, so a cross-class pair is seen by neither — yet ED ≤ d
+    * forces |len_a − len_b| ≤ d, which pins any qualifying cross-class
+    * pair inside the width-d bands [(d+1)·q − d, (d+1)·q) ×
+    * [(d+1)·q, (d+1)·q + d). Both bands are tiny by construction (width d
+    * in a corpus-wide length distribution), so — as in the short class —
+    * completeness comes from length alone: the same ±1 bucket scheme
+    * ([[edProbeBucket]] / [[edIndexBuckets]]) turns the band bipartite
+    * product into a bucket equi-join, then the shared [[edVerify]]
+    * two-stage pass (L1 content filter, banded levenshtein) confirms.
+    * Quadratic only within the two width-d bands, never across the
+    * corpus. d = 0 degenerates correctly: both bands are empty (ED 0
+    * needs equal lengths, so no cross-class pair exists).
+    *
+    * Output schema matches [[editDistancePairs]] with doc_a < doc_b
+    * (normalized after the bipartite verify — a short doc's id may
+    * exceed its long partner's). Three-way union (pairs ∪ shortPairs ∪
+    * boundaryPairs) = full-corpus coverage, duplicate-free.
+    */
+  def editDistanceBoundaryPairs(docs: DataFrame, d: Int, q: Int = 4): DataFrame = {
+    require(d >= 0, "d must be non-negative")
+    require(q >= 1, "q must be positive")
+    val minLen = (d + 1) * q
+    val shortBand = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= minLen - d && length(col("text")) < minLen)
+    val longBand = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= minLen && length(col("text")) < minLen + d)
+    def keyed(df: DataFrame) =
+      df.select(col("doc_id"), length(col("text")).as("ed_len"))
+    val cands = edProbeBucket(keyed(shortBand), d).as("a")
+      .join(edIndexBuckets(keyed(longBand), d).as("b"),
+        col("a.ed_bk") === col("b.ed_bk") &&
+          abs(col("a.ed_len") - col("b.ed_len")) <= d)
+      .select(col("a.doc_id").as("short_id"), col("b.doc_id").as("long_id"))
+      .distinct()
+    edVerify(cands, "short_id", "long_id", shortBand, longBand, d)
+      .select(least(col("short_id"), col("long_id")).as("doc_a"),
+        greatest(col("short_id"), col("long_id")).as("doc_b"),
+        col("dist"))
+  }
+
+  /** Bipartite crawl twin for the SHORT side of the length partition:
+    * every (batch doc, kept doc) pair with Levenshtein ≤ d where at
+    * least one side is short (length < (d+1)·q) — the exact complement
+    * of [[editDistanceAgainst]]'s both-long contract, so
+    * `editDistanceAgainst(b, k, d, q) ∪ editDistanceShortAgainst(b, k,
+    * d, q)` is the FULL bipartite pair universe, duplicate-free (the
+    * min-length predicate partitions it). An accreting crawl runs both
+    * per wave; survivors = the batch anti-joined on the union.
+    *
+    * Completeness from length alone, as in [[editDistanceShortPairs]]:
+    * if min(len_a, len_b) < (d+1)·q and ED ≤ d then BOTH sides have
+    * length < (d+1)·q + d, so both live in caller-bounded short bands
+    * and the ±1 bucket scheme enumerates every length-qualifying pair;
+    * the in-join `min(len) < (d+1)·q` cut excludes exactly the pairs the
+    * main bipartite miner already owns. No df statistics needed — the
+    * kept corpus contributes only its short band, so a wave is cheap
+    * regardless of corpus size. Shared [[edVerify]] two-stage pass;
+    * output schema (doc_id, kept_id, dist) matches
+    * [[editDistanceAgainst]] for a schema-compatible union.
+    */
+  def editDistanceShortAgainst(
+      batch: DataFrame, kept: DataFrame, d: Int, q: Int = 4): DataFrame = {
+    require(d >= 0, "d must be non-negative")
+    require(q >= 1, "q must be positive")
+    val minLen = (d + 1) * q
+    def band(df: DataFrame) = df.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) < minLen + d)
+    val batchB = band(batch)
+    val keptB = band(kept)
+    def keyed(df: DataFrame) =
+      df.select(col("doc_id"), length(col("text")).as("ed_len"))
+    val cands = edProbeBucket(keyed(batchB), d).as("a")
+      .join(edIndexBuckets(keyed(keptB), d).as("b"),
+        col("a.ed_bk") === col("b.ed_bk") &&
+          abs(col("a.ed_len") - col("b.ed_len")) <= d &&
+          (col("a.ed_len") < minLen || col("b.ed_len") < minLen))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("kept_id"))
+      .distinct()
+    edVerify(cands, "doc_id", "kept_id", batchB, keptB, d)
   }
 }

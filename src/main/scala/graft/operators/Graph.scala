@@ -56,9 +56,6 @@ object Graph {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-      val n = nodes.count()
-      require(n > 0, "edge list is empty")
-      val base = (15L * RankScale) / (100L * n)
       // rank table joined with outdeg once up front: the join is on the
       // node key and the degree table is node-sized; nodes without
       // out-edges carry outdeg 0 and contribute nothing (dangling).
@@ -67,6 +64,12 @@ object Graph {
       val degreed = nodes.join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
         .localCheckpoint()
+      // node count read off the ALREADY-materialized degreed table — a
+      // separate nodes.count() would run the distinct-union + degree
+      // shuffles a second time just to size the teleport term
+      val n = degreed.count()
+      require(n > 0, "edge list is empty")
+      val base = (15L * RankScale) / (100L * n)
       // checkpoint CADENCE, not every round: plan depth stays bounded (≤ 4
       // join rounds between truncations — well inside analyzer comfort)
       // while consecutive rounds pipeline into one job instead of paying

@@ -302,6 +302,19 @@ object Similarity {
   private def nearestCell(emb: Column, cents: Array[Array[Double]]): Column =
     array_max(cellScores(emb, cents)).getField("i")
 
+  /** Enforcement for the broadcast query-serving shape's SMALL-PROBE
+    * contract (previously documentation-only: a corpus-sized `queryPred`
+    * under the default `broadcastQueries = true` silently force-broadcast
+    * the corpus — the hint bypasses Spark's size check, the same failure
+    * mode as hinting an SF-scaling table). Counts the probe side with an
+    * early-terminating `limit(cap + 1)` scan — O(cap) work, never a full
+    * corpus pass — and returns whether the broadcast contract holds; the
+    * callers fall back to the shuffled kNN-join sweep when it doesn't,
+    * which is result-identical (same equi-join) and scale-safe.
+    */
+  private def fitsBroadcast(queries: DataFrame, cap: Int): Boolean =
+    queries.limit(cap + 1).count() <= cap
+
   /** IVF top-k with the learned quantizer: corpus rows live in their
     * nearest-centroid cell; each query probes its `nprobe` best cells
     * (multi-probe — the standard recall knob) via an equi-join on the cell
@@ -312,7 +325,13 @@ object Similarity {
     * operator serves — identical results either way (same equi-join):
     *   - true (default), the QUERY-SERVING shape: the probe set is small
     *     (≪ the ~10 MB broadcast threshold after the nprobe explode) and
-    *     ships to every corpus partition — the corpus never shuffles;
+    *     ships to every corpus partition — the corpus never shuffles.
+    *     The small-probe contract is ENFORCED: the probe side is counted
+    *     with an early-terminating limit scan and anything over
+    *     `maxBroadcastProbes` (post-explode rows) automatically falls
+    *     back to the sweep shape below — a forced broadcast hint bypasses
+    *     Spark's size check, so an unguarded corpus-sized probe set would
+    *     OOM every executor at scale;
     *   - false, the KNN-JOIN shape (the all-corpus semantic-dedup sweep a
     *     training pipeline runs, where "queries" IS the corpus and a
     *     broadcast would ship the whole corpus to every task): both sides
@@ -330,11 +349,13 @@ object Similarity {
       iters: Int = 2,
       nprobe: Int = 4,
       broadcastQueries: Boolean = true,
-      maxCellSize: Int = 4096): DataFrame = {
+      maxCellSize: Int = 4096,
+      maxBroadcastProbes: Int = 4096): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "nprobe must be in [1, numCells]")
     val cents = kmeansCentroids(embeddings, numCells, iters)
     ivfTopKWithCentroids(
-      embeddings, queryPred, k, cents, nprobe, broadcastQueries, maxCellSize)
+      embeddings, queryPred, k, cents, nprobe, broadcastQueries, maxCellSize,
+      maxBroadcastProbes)
   }
 
   /** [[ivfTopKKmeans]]' serving half against an ALREADY-TRAINED (or
@@ -350,7 +371,8 @@ object Similarity {
       cents: Array[Array[Double]],
       nprobe: Int,
       broadcastQueries: Boolean = true,
-      maxCellSize: Int = 4096): DataFrame = {
+      maxCellSize: Int = 4096,
+      maxBroadcastProbes: Int = 4096): DataFrame = {
     require(cents.nonEmpty, "centroids must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
     val e = withNorm(embeddings).cache()
@@ -366,7 +388,11 @@ object Similarity {
           s => s.getField("i"))).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
     val joined =
-      if (broadcastQueries) corpus.join(broadcast(queries), Seq("cell"))
+      // the small-probe contract is ENFORCED, not assumed: an oversized
+      // probe set (counted post-explode, the actual broadcast payload)
+      // falls back to the sweep join automatically — identical result
+      if (broadcastQueries && fitsBroadcast(queries, maxBroadcastProbes))
+        corpus.join(broadcast(queries), Seq("cell"))
       // the kNN-join sweep gets semDedup's skew treatment: a mega-cell
       // (both sides corpus-sized under a duplicate-heavy quantizer) fans
       // out over the 2-D block grid instead of one |cell|·|probes| task
@@ -528,7 +554,8 @@ object Similarity {
       books: Array[Array[Array[Double]]],
       cellBits: Int = 4,
       rerank: Int = 32,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      maxBroadcastProbes: Int = 4096): DataFrame = {
     require(rerank >= k, "rerank must be at least k")
     val m = books.length
     val sub = Dim / m
@@ -549,7 +576,13 @@ object Similarity {
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     corpus
-      .join(if (broadcastQueries) broadcast(queries) else queries, Seq("cell"))
+      // small-probe contract enforced as in [[ivfTopKWithCentroids]]: an
+      // oversized probe set falls back to the shuffled sweep join
+      .join(
+        if (broadcastQueries && fitsBroadcast(queries, maxBroadcastProbes))
+          broadcast(queries)
+        else queries,
+        Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(wA))

@@ -287,6 +287,49 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("broadcast small-probe contract is enforced: oversized probe sets fall back to the sweep") {
+    // the r12 #5 guard: a forced broadcast() hint bypasses AQE's size
+    // check, so a corpus-sized queryPred under the default serving shape
+    // would OOM at scale — the guard counts probes (early-terminating
+    // limit scan) and strips the hint above maxBroadcastProbes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    // a broadcast hint over the QUERY side specifically — the fallback
+    // path legitimately broadcasts numCells-sized split histograms
+    // (blockedCellJoin), which must not trip the detector
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.child.output.exists(_.name == "query_id") => h
+      }.nonEmpty
+    val cs = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
+    val guarded = Similarity.ivfTopKWithCentroids(
+      emb, col("vec_id") % 2 === 0, 3, cs, nprobe = 2, maxBroadcastProbes = 2)
+    val swept = Similarity.ivfTopKWithCentroids(
+      emb, col("vec_id") % 2 === 0, 3, cs, nprobe = 2, broadcastQueries = false)
+    assert(!hinted(guarded), "guard failed to strip the forced broadcast hint")
+    assert(keys(guarded) === keys(swept)) // fallback is result-identical
+    assert(keys(guarded).nonEmpty)
+    // falsifiability: a genuinely small probe set KEEPS the hint (the
+    // serving fast path is not silently disabled by the guard)
+    assert(hinted(Similarity.ivfTopKWithCentroids(
+      emb, col("vec_id") === 0, 3, cs, nprobe = 2)))
+    // same enforcement on the PQ serve path
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 1)
+    val pqGuarded = Similarity.pqTopKWithBooks(
+      emb, col("vec_id") % 2 === 0, k = 3, books, rerank = 50,
+      maxBroadcastProbes = 2)
+    val pqSwept = Similarity.pqTopKWithBooks(
+      emb, col("vec_id") % 2 === 0, k = 3, books, rerank = 50,
+      broadcastQueries = false)
+    assert(!hinted(pqGuarded))
+    assert(keys(pqGuarded) === keys(pqSwept))
+    assert(hinted(Similarity.pqTopKWithBooks(
+      emb, col("vec_id") === 0, k = 3, books, rerank = 50)))
+  }
+
   test("ANN index persistence: save → load is bit-exact and serves identical top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "persist")
@@ -2066,6 +2109,14 @@ class TextOpsSpec extends SparkSpec {
         TextFunctions.charClassHist(col("a"), 32),
         TextFunctions.charClassHist(col("b"), 16))).head()
     assert(mism.isNullAt(0))
+    // nullable ELEMENTS are rejected at analysis time — getInt on a null
+    // slot would fold to 0 and silently under-filter the ED candidates
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(TextFunctions.l1Int(
+        array(lit(1), lit(null).cast("int")),
+        TextFunctions.charClassHist(lit("ab"), 2))).collect()
+    }
+    assert(ex.getMessage.contains("non-nullable array elements"))
   }
 
   test("content filter is a true lower bound: classL1 <= 2*levenshtein on corpus pairs") {
@@ -2154,5 +2205,85 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
     assert(out === truth)
+  }
+
+  test("editDistanceBoundaryPairs: the straddle pair neither two-sided miner sees") {
+    // d=4, q=4: boundary at 20; bands [16,20) and [20,24)
+    val base20 = "abcdefghijklmnopqrst" // 20 chars: long class
+    val planted = Seq(
+      (1L, base20),                 // long, len 20
+      (2L, base20.take(17)),        // short, len 17 — ED 3 to #1: STRADDLE
+      (3L, base20.take(16)),        // short, len 16 — ED 1 to #2 (both short)
+      (4L, base20 + "uvw"),         // long, len 23 — ED 3 to #1 (both long)
+      (5L, "zzzzzzzzzzzzzzzzz")     // short, len 17, far from everything
+    ).toDF("doc_id", "text")
+    val boundary = Dedup.editDistanceBoundaryPairs(planted, d = 4, q = 4)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    // exactly the cross-class pairs (#3 at len 16 is ED 4 from #1 too);
+    // both-short and both-long pairs excluded
+    assert(boundary === Seq((1L, 2L, 3L), (1L, 3L, 4L)))
+    // and the hole is real: neither two-sided miner reports the straddle
+    val mainOut = Dedup.editDistancePairs(planted, d = 4, q = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val shortOut = Dedup.editDistanceShortPairs(planted, d = 4, q = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!mainOut((1L, 2L)) && !shortOut((1L, 2L)))
+    assert(mainOut((1L, 4L)) && shortOut((2L, 3L))) // each owns its class
+  }
+
+  test("three-way edit union equals the unrestricted brute force (planted-augmented corpus)") {
+    // same derivation as q_dedup_edit_boundary: 93/97-char prefix variants
+    // plant guaranteed straddles of the (d+1)*q = 96 boundary
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val seeds = docs.filter(length(col("text")) >= 120 && col("doc_id") % 17 === 3)
+    val corpus = docs
+      .unionAll(seeds.select((col("doc_id") + 10000000L).as("doc_id"),
+        substring(col("text"), 1, 93).as("text")))
+      .unionAll(seeds.select((col("doc_id") + 20000000L).as("doc_id"),
+        substring(col("text"), 1, 97).as("text")))
+    val d = 5
+    val union = Dedup.editDistancePairs(corpus, d, q = 16)
+      .unionByName(Dedup.editDistanceShortPairs(corpus, d, q = 16))
+      .unionByName(Dedup.editDistanceBoundaryPairs(corpus, d, q = 16))
+    val out = union.orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    val truth = corpus.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), d).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(out === truth) // full coverage AND no duplicates across classes
+    // the boundary class genuinely contributed (planted straddles found)
+    val straddles = Dedup.editDistanceBoundaryPairs(corpus, d, q = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(straddles.nonEmpty)
+    assert(straddles.forall(_._3 <= d))
+  }
+
+  test("editDistanceShortAgainst complements editDistanceAgainst to the full bipartite truth") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val kept = docs.filter(col("doc_id") % 2 === 0)
+    val d = 5
+    val shortOut = Dedup.editDistanceShortAgainst(batch, kept, d, q = 16)
+      .orderBy("doc_id", "kept_id").as[(Long, Long, Long)].collect().toSeq
+    val mainOut = Dedup.editDistanceAgainst(batch, kept, d, q = 16)
+      .orderBy("doc_id", "kept_id").as[(Long, Long, Long)].collect().toSeq
+    val truth = batch.select(col("doc_id"), col("text").as("ta"))
+      .join(kept.select(col("doc_id").as("kept_id"), col("text").as("tb")), lit(true))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), d).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_id", "kept_id", "dist")
+      .orderBy("doc_id", "kept_id").as[(Long, Long, Long)].collect().toSeq
+    assert((shortOut ++ mainOut).sorted === truth) // partition: complete + disjoint
+    assert(shortOut.nonEmpty) // the short side really carries pairs here
+    // contract: every short-side pair has a sub-96 doc, every main pair none
+    val lens = docs.select(col("doc_id"), length(col("text")).as("l"))
+      .as[(Long, Int)].collect().toMap
+    assert(shortOut.forall { case (a, b, _) => lens(a) < 96 || lens(b) < 96 })
+    assert(mainOut.forall { case (a, b, _) => lens(a) >= 96 && lens(b) >= 96 })
   }
 }

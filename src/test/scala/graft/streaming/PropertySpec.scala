@@ -129,4 +129,67 @@ class PropertySpec extends SparkSpec {
       assert(got === alloc.toMap, s"trial $trial caps=$caps budget=$budget")
     }
   }
+
+  test("ED-Join candidate generation is complete on random ≤d-edit mutations") {
+    // The prefix principle (Xiao VLDB'08) claims ED ≤ d pairs always share
+    // a token inside both (d·q+1)-sized rarest-first prefixes — checked
+    // END-TO-END through editDistancePairs: its verify stage is exact, so
+    // any true pair missing from the output can only mean candidate
+    // generation (prefix size, df order, occ tagging, or length bucketing)
+    // dropped it. Each trial draws a fresh corpus, hence a fresh global df
+    // order; the tiny alphabet forces repeated grams (occ paths) and heavy
+    // df collisions; insert/delete mutations walk pairs across length
+    // buckets. Shrinking the prefix to d·q or breaking the shared total
+    // order makes this red (hand-verified while writing it).
+    import graft.operators.Dedup
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val rnd = new scala.util.Random(1414L)
+    val d = 3; val q = 3; val minLen = (d + 1) * q // 12
+    val alphabet = "abcdefgh"
+    def randStr(n: Int) =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val pos = rnd.nextInt(cur.length)
+        val ch = alphabet(rnd.nextInt(alphabet.length)).toString
+        cur = rnd.nextInt(3) match {
+          case 0 => cur.substring(0, pos) + ch + cur.substring(pos + 1)
+          case 1 => cur.substring(0, pos) + ch + cur.substring(pos)
+          case 2 if cur.length > minLen =>
+            cur.substring(0, pos) + cur.substring(pos + 1)
+          case _ => cur.substring(0, pos) + ch + cur.substring(pos + 1)
+        }
+      }
+      cur
+    }
+    for (trial <- 1 to 5) {
+      val bases = (0 until 24).map(i =>
+        (i.toLong, randStr(minLen + rnd.nextInt(28))))
+      val mutants = bases.map { case (id, s) =>
+        (1000L + id, mutate(s, 1 + rnd.nextInt(d))) }
+      val all = (bases ++ mutants).filter(_._2.length >= minLen)
+      val out = Dedup.editDistancePairs(all.toDF("doc_id", "text"), d, q)
+        .as[(Long, Long, Long)].collect().toSet
+      val truth = (for {
+        (a, sa) <- all; (b, sb) <- all if a < b
+        dist = lev(sa, sb) if dist <= d
+      } yield (a, b, dist.toLong)).toSet
+      assert(out === truth,
+        s"trial $trial: missing=${(truth -- out).take(3)} extra=${(out -- truth).take(3)}")
+      assert(truth.nonEmpty) // every trial plants real ≤d pairs
+    }
+  }
 }

@@ -722,6 +722,79 @@ class StreamingOpsSpec extends SparkSpec {
         crossEpoch.mkString(", "))
   }
 
+  test("streaming crawl accretion covers the short class: the union miner screens sub-(d+1)q docs") {
+    import graft.operators.Dedup
+    import java.nio.file.Files
+    // d=5, q=16: boundary at 96 chars — sf0.001 has ~45 sub-96 docs, which
+    // editDistanceAgainst alone cannot screen (its contract is both-long);
+    // the per-wave screen is the documented union of the bipartite pair
+    val dir = Files.createTempDirectory("graft-edshortcrawl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val store = s"$dir/kept"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(store)
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    def survivorsOf(batch: org.apache.spark.sql.DataFrame,
+        kept: org.apache.spark.sql.DataFrame) =
+      batch.join(
+        Dedup.editDistanceAgainst(batch, kept, d = 5, q = 16)
+          .unionByName(Dedup.editDistanceShortAgainst(batch, kept, d = 5, q = 16))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val batchIds = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        batchIds += b.select("doc_id").as[Long].collect().toSet
+        survivorsOf(b, spark.read.parquet(store))
+          .write.mode("append").parquet(store)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val finalIds = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    // sequential replay in the recorded arrival order reproduces the store
+    var kept = docs.filter(col("doc_id") % 2 === 0)
+    batchIds.foreach { ids =>
+      val surv = survivorsOf(docs.filter(col("doc_id").isin(ids.toSeq: _*)), kept)
+      kept = kept.unionByName(surv).localCheckpoint()
+    }
+    assert(finalIds === kept.select("doc_id").as[Long].collect().toSet)
+    // cross-batch suppression now holds over the FULL pair universe —
+    // the three-way self-join union, not just the both-long class
+    val whenKept = batchIds.zipWithIndex
+      .flatMap { case (ids, i) => ids.map(_ -> i) }.toMap
+      .withDefaultValue(-1)
+    val storeDf = spark.read.parquet(store)
+    val crossEpoch = Dedup.editDistancePairs(storeDf, d = 5, q = 16)
+      .unionByName(Dedup.editDistanceShortPairs(storeDf, d = 5, q = 16))
+      .unionByName(Dedup.editDistanceBoundaryPairs(storeDf, d = 5, q = 16))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => whenKept(a) != whenKept(b) }
+    assert(crossEpoch.isEmpty,
+      s"later batches re-admitted near-dups of earlier kept docs: " +
+        crossEpoch.mkString(", "))
+    // the short class genuinely participated: some screened pair this run
+    // had a sub-96 side (otherwise this test degenerates to the main one)
+    val lens = docs.select(col("doc_id"), length(col("text")).as("l"))
+      .as[(Long, Int)].collect().toMap
+    val shortScreened = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id").as[Long].collect()
+      .filter(id => !finalIds(id) && lens(id) < 96)
+    assert(shortScreened.nonEmpty || {
+      // at minimum the union saw short pairs in replay (corpus-dependent)
+      Dedup.editDistanceShortAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), d = 5, q = 16).count() > 0
+    })
+  }
+
   test("streaming log-histogram maintenance: per-batch cell merge equals the batch sketch") {
     import graft.operators.Sketches
     import java.nio.file.{Files, Paths}
