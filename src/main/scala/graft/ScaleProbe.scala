@@ -693,6 +693,8 @@ object ScaleProbe {
     // √N cell rule (see the table above) with the valve bounding any
     // skewed tail.
     val embDirs16 = embDirs ++ Seq(buildEmbDir(16))
+    case class AnnArt(f: Int, emb: DataFrame, cents: Array[Array[Double]],
+        books: Array[Array[Array[Double]]], store: DataFrame, codes: DataFrame)
     val annArts = embDirs16.map { case (f, dir) =>
       val emb = Tables(spark, dir).embeddings
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -701,34 +703,57 @@ object ScaleProbe {
         salt = "sc")
       val books = operators.Similarity.pqCodebooks(
         emb, m = 8, ksub = 16, iters = 1)
-      (f, emb, cents, books)
+      // the STORED index halves, built once outside every timer: the
+      // assigned corpus and the PQ code table persisted PARTITIONED BY
+      // cell, so a small-probe serve prunes to the probed partitions
+      val wd = s"$root/annstore-x$f"
+      operators.Similarity.saveIvfAssigned(spark, wd,
+        operators.Similarity.assignIvfCells(emb, cents))
+      operators.Similarity.savePqCodes(spark, wd,
+        operators.Similarity.encodePqCodes(emb, books, cellBits = 4))
+      AnnArt(f, emb, cents, books,
+        operators.Similarity.loadIvfAssigned(spark, wd),
+        operators.Similarity.loadPqCodes(spark, wd))
     }
     sb.append(
       """
         |ANN family at x1→x16 (pre-trained artifacts, fixed 64-query probe
-        |set for the serve rows; sweeps valved at 256):
+        |set for the serve rows; sweeps valved at 256). The in-line serve
+        |rows re-derive the corpus-side index columns per serve — the ivf
+        |one re-assigns every row to √N cells, an O(N·√N) scan that grows
+        |f^1.5 by construction — while the STORED rows serve from the
+        |cell-partitioned store ([[Similarity.saveIvfAssigned]]/
+        |[[savePqCodes]]): assignment was paid once at build time and the
+        |probed-cell predicate prunes the scan to the probed partitions,
+        |the trajectory a query service actually rides:
         |
         |""".stripMargin)
     sb.append("| op | " +
       embDirs16.map { case (f, _) => s"x$f sec (rows)" }.mkString(" | ") +
       " | x16/x1 |\n")
     sb.append("|---|" + embDirs16.map(_ => "---|").mkString + "---|\n")
-    type AnnOp = (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) => DataFrame
-    val ann16Ops: Seq[(String, AnnOp)] = Seq(
-      "ivf serve (64 q, nprobe=2)" -> ((e, c, _) =>
+    val ann16Ops: Seq[(String, AnnArt => DataFrame)] = Seq(
+      "ivf serve, in-line assign (64 q, nprobe=2)" -> (a =>
         operators.Similarity.ivfTopKWithCentroids(
-          e, col("vec_id") < 64, 5, c, nprobe = 2)),
-      "pq serve (64 q, rerank=32)" -> ((e, _, b) =>
+          a.emb, col("vec_id") < 64, 5, a.cents, nprobe = 2)),
+      "ivf serve, stored store (64 q, nprobe=2)" -> (a =>
+        operators.Similarity.ivfTopKAssigned(
+          a.store, col("vec_id") < 64, 5, a.cents, nprobe = 2)),
+      "pq serve, in-line encode (64 q, rerank=32)" -> (a =>
         operators.Similarity.pqTopKWithBooks(
-          e, col("vec_id") < 64, 5, b, cellBits = 4, rerank = 32)),
-      "semDedup (tau=0.4, valve 256)" -> ((e, c, _) =>
-        operators.Similarity.semDedup(e, c, tau = 0.4, maxCellSize = 256)),
-      "mutual-kNN (k=3, valve 256)" -> ((e, c, _) =>
-        operators.Similarity.mutualKnn(e, c, k = 3, maxCellSize = 256)))
+          a.emb, col("vec_id") < 64, 5, a.books, cellBits = 4, rerank = 32)),
+      "pq serve, stored codes (64 q, rerank=32)" -> (a =>
+        operators.Similarity.pqTopKWithCodes(
+          a.codes, a.emb, col("vec_id") < 64, 5, a.books, cellBits = 4,
+          rerank = 32)),
+      "semDedup (tau=0.4, valve 256)" -> (a =>
+        operators.Similarity.semDedup(a.emb, a.cents, tau = 0.4, maxCellSize = 256)),
+      "mutual-kNN (k=3, valve 256)" -> (a =>
+        operators.Similarity.mutualKnn(a.emb, a.cents, k = 3, maxCellSize = 256)))
     ann16Ops.foreach { case (name, op) =>
-      val cells = annArts.map { case (_, emb, cents, books) =>
-        op(emb, cents, books).count() // warm
-        time(op(emb, cents, books).count())
+      val cells = annArts.map { art =>
+        op(art).count() // warm
+        time(op(art).count())
       }
       sb.append(s"| $name | " +
         cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
@@ -750,18 +775,17 @@ object ScaleProbe {
     sb.append("| factor | " + cellBitsSweep.map(b => s"2^$b cells sec (rows)")
       .mkString(" | ") + " |\n")
     sb.append("|---|" + cellBitsSweep.map(_ => "---|").mkString + "\n")
-    val sweepBest = annArts.filter(a => a._1 == 4 || a._1 == 16).map {
-      case (f, emb, _, books) =>
-        val cells = cellBitsSweep.map { bits =>
-          def run() = operators.Similarity.pqTopKWithBooks(
-            emb, col("vec_id") % 2 === 0, k = 3, books, cellBits = bits,
-            rerank = 8, broadcastQueries = false).count()
-          run() // warm
-          time(run())
-        }
-        sb.append(s"| x$f | " +
-          cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") + " |\n")
-        f -> cellBitsSweep(cells.map(_._1).zipWithIndex.minBy(_._1)._2)
+    val sweepBest = annArts.filter(a => a.f == 4 || a.f == 16).map { art =>
+      val cells = cellBitsSweep.map { bits =>
+        def run() = operators.Similarity.pqTopKWithBooks(
+          art.emb, col("vec_id") % 2 === 0, k = 3, art.books, cellBits = bits,
+          rerank = 8, broadcastQueries = false).count()
+        run() // warm
+        time(run())
+      }
+      sb.append(s"| x${art.f} | " +
+        cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") + " |\n")
+      art.f -> cellBitsSweep(cells.map(_._1).zipWithIndex.minBy(_._1)._2)
     }
     sb.append(
       sweepBest.map { case (f, b) => s"x$f fastest at 2^$b cells" }

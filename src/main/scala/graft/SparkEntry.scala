@@ -751,6 +751,24 @@ object SparkEntry {
         Similarity.loadIvfCentroids(s, wd), nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     },
+    // The full stored-index serve lifecycle: assign cells ONCE, persist
+    // PARTITIONED BY cell, restore, and serve with the probed-cell
+    // partition filter — q_ivf_stored's centroid round-trip plus the
+    // assigned-corpus half that makes serving read only probed cells.
+    // nprobe = numCells, so the oracle is the exact top-k scan (no
+    // kmeans assignment replayed in DuckDB — the q_ivf_stored trick);
+    // partial-probe equivalence to the in-line form is spec-proven.
+    "q_ivf_assigned" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/annasg-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.saveIvfIndex(s, wd, cents)
+      Similarity.saveIvfAssigned(s, wd, Similarity.assignIvfCells(emb, cents))
+      Similarity.ivfTopKAssigned(Similarity.loadIvfAssigned(s, wd),
+        col("vec_id") % 50 === 0, 5,
+        Similarity.loadIvfCentroids(s, wd), nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // Truncated-dimension (matryoshka) acceptance gate: recall@5 of the
     // first-32-of-64-dims ranking vs the full-dimension exact baseline —
     // the q_ann_recall measurement for the dimension-cut scale lever.
@@ -1356,6 +1374,26 @@ object SparkEntry {
         books, cellBits = 4, rerank = 32)
         .orderBy(col("query_id"), col("rank"))
     },
+    // The stored-codes PQ serve lifecycle: train books, encode the corpus
+    // to (cell, codes) ONCE, persist both partitioned by cell, restore,
+    // and serve ADC over the stored codes with the query-cell partition
+    // filter — the raw embedding table is touched only by the
+    // rerank-sized exact-cosine join. Same parameters as q_pq_topk, so
+    // the same learned-books oracle replays it (identical by
+    // construction; the equivalence is also spec-proven directly).
+    "q_pq_codes" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val books = Similarity.pqCodebooks(
+        Similarity.pqTrainSet(emb, 0.3), m = 8, ksub = 16, iters = 2)
+      pqCodesStash = Some(books)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/pqcodes-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.savePqBooks(s, wd, books)
+      Similarity.savePqCodes(s, wd, Similarity.encodePqCodes(emb, books, cellBits = 4))
+      Similarity.pqTopKWithCodes(Similarity.loadPqCodes(s, wd), emb,
+        col("vec_id") % 50 === 0, k = 5,
+        Similarity.loadPqBooks(s, wd), cellBits = 4, rerank = 32)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // SemDeDup: embedding near-dup drop within learned k-means cells. The
     // run stashes the trained centroids; the oracle replays them as
     // literal DOUBLE[][] and re-derives assignment + the keep-min rule.
@@ -1762,6 +1800,13 @@ object SparkEntry {
     */
   @volatile private var pqBooksStash: Option[Array[Array[Array[Double]]]] = None
 
+  /** q_pq_codes' own stash (trained in-query exactly like q_pq_topk's, so
+    * a GRAFT_ONLY subset run stays self-sufficient); the oracle is the
+    * same [[pqOracleSql]] replay — the stored-codes serve is
+    * rank-identical to the in-line form by construction.
+    */
+  @volatile private var pqCodesStash: Option[Array[Array[Array[Double]]]] = None
+
   /** One k-means training served to the whole cell family (q_semdedup,
     * q_cell_stats, q_mutual_knn, q_cell_outliers) — the
     * serve-one-index-to-many-consumers pattern: a real pipeline trains a
@@ -1896,6 +1941,7 @@ object SparkEntry {
     * q_pq_topk entry is appended from the stashed learned codebooks. */
   def oracleSql: Map[String, String] =
     pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++
+      pqCodesStash.map(b => "q_pq_codes" -> pqOracleSql(b)).toMap ++
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
       mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
       hardNegStash.map(c => "q_hard_negatives" -> hardNegativesOracleSql(c)).toMap ++
@@ -3012,6 +3058,22 @@ object SparkEntry {
     // must serve the identical brute-force top-5 after its parquet
     // round-trip (bit-exact FP64), so the oracle is the same query.
     "q_ivf_stored" ->
+      s"""$EmbCte,
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM e JOIN q ON query_id <> e.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // nprobe = numCells ⇒ the assigned-store serve probes every cell, so
+    // the oracle is the exact scan (q_ivf_stored's trick — no kmeans
+    // assignment replayed against literal centroids in DuckDB)
+    "q_ivf_assigned" ->
       s"""$EmbCte,
          |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
          |sc AS (SELECT query_id, e.vec_id AS neighbor_id,

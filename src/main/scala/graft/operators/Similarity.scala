@@ -406,6 +406,79 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Corpus annotated with its IVF cell assignment (and norm) — the
+    * STORED half of an IVF index. [[ivfTopKWithCentroids]] recomputes
+    * this projection on every serve: O(N·numCells) centroid dots over
+    * the full corpus per query batch, which is why its serve time grows
+    * ~f^1.5 as the corpus scales under the √N cell rule (SCALE.md) —
+    * fine for a one-shot sweep, wrong for a query service. Assigning
+    * ONCE and persisting with [[saveIvfAssigned]] (partitioned by cell)
+    * is what turns IVF from a join strategy into an index:
+    * [[ivfTopKAssigned]] then reads only the probed cells' partitions.
+    */
+  def assignIvfCells(
+      embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "centroids must be non-empty")
+    withNorm(embeddings)
+      .withColumn("cell", nearestCell(col("embedding"), cents))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+  }
+
+  /** [[ivfTopKWithCentroids]] served from a PRE-ASSIGNED corpus
+    * ([[assignIvfCells]], usually [[loadIvfAssigned]]-restored) — the
+    * true index-serve shape. Identical results to the in-line form by
+    * construction (same probe explode, same equi-join, same exact-cosine
+    * rank); what changes is the corpus-side work:
+    *
+    *   - no per-serve cell assignment — the O(N·numCells) centroid dots
+    *     were paid once at build time;
+    *   - on the small-probe broadcast path the probed cell ids (bounded
+    *     by the just-verified probe count) are collected and pushed as a
+    *     literal `cell IN (...)` predicate — on a cell-PARTITIONED store
+    *     that is a static partition filter, so the scan READS only the
+    *     probed cells (at 100 TB with √N cells, a 64-query nprobe=2 serve
+    *     touches ~128 partitions of millions — the scan cost follows the
+    *     probe set, not the corpus);
+    *   - the oversized-probe fallback is the same valved kNN-join sweep
+    *     as the in-line form (a full-corpus sweep reads everything
+    *     regardless, so there is nothing for pruning to save).
+    */
+  def ivfTopKAssigned(
+      assigned: DataFrame,
+      queryPred: Column,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      broadcastQueries: Boolean = true,
+      maxCellSize: Int = 4096,
+      maxBroadcastProbes: Int = 4096): DataFrame = {
+    require(cents.nonEmpty, "centroids must be non-empty")
+    require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
+    val corpus = assigned
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("emb_n"), col("nrm").as("nrm_n"))
+    val queries = assigned
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(reverse(array_sort(cellScores(col("embedding"), cents))), 1, nprobe),
+          s => s.getField("i"))).as("cell"),
+        col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
+    val joined =
+      if (broadcastQueries && fitsBroadcast(queries, maxBroadcastProbes)) {
+        val probed = queries.select(col("cell")).distinct().collect().map(_.get(0))
+        corpus.filter(col("cell").isin(probed: _*))
+          .join(broadcast(queries), Seq("cell"))
+      } else blockedCellJoin(corpus, "neighbor_id", queries, "query_id", maxCellSize)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Product-quantization codebooks (the FAISS-style PQ training step):
@@ -583,6 +656,86 @@ object Similarity {
           broadcast(queries)
         else queries,
         Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .join(withNorm(embeddings).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n"), col("nrm").as("nrm_n")), Seq("neighbor_id"))
+      .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Corpus compressed to its PQ codes — the STORED half of a PQ index
+    * and the compression that makes PQ worth it: one (cell, m codes) row
+    * per vector instead of `Dim` floats (m bytes vs Dim·4 at byte codes —
+    * 32× here). [[pqTopKWithBooks]] re-derives this projection on every
+    * serve (m·ksub sub-space dots per corpus row); encoding once and
+    * persisting with [[savePqCodes]] (partitioned by cell) moves that to
+    * build time, and [[pqTopKWithCodes]] serves ADC over the stored
+    * codes alone — the raw embedding table is touched only by the final
+    * `rerank`-sized exact-cosine join.
+    */
+  def encodePqCodes(
+      embeddings: DataFrame,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int = 4): DataFrame = {
+    require(books.nonEmpty && Dim % books.length == 0, s"m must divide $Dim")
+    val m = books.length
+    val sub = Dim / m
+    embeddings.select(col("vec_id"),
+      srpCode(col("embedding"), 0, cellBits).as("cell"),
+      array((0 until m).map(s =>
+        nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
+        .as("codes"))
+  }
+
+  /** [[pqTopKWithBooks]] served from PRE-ENCODED codes
+    * ([[encodePqCodes]], usually [[loadPqCodes]]-restored) — identical
+    * results by construction (same SRP cell join, same ADC order, same
+    * exact re-rank). The corpus-side per-serve work drops from m·ksub
+    * sub-space dots per row to reading m stored bytes; on the
+    * small-probe broadcast path the query cells are pushed as a literal
+    * `cell IN (...)` predicate, so a cell-partitioned code store scans
+    * only probed partitions (same pruning argument as
+    * [[ivfTopKAssigned]]). `embeddings` supplies the query vectors and
+    * the `rerank`-sized exact-cosine verification join only.
+    */
+  def pqTopKWithCodes(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int = 4,
+      rerank: Int = 32,
+      broadcastQueries: Boolean = true,
+      maxBroadcastProbes: Int = 4096): DataFrame = {
+    require(rerank >= k, "rerank must be at least k")
+    val m = books.length
+    val sub = Dim / m
+    val corpus = codes.select(col("vec_id").as("neighbor_id"),
+      col("cell"), col("codes"))
+    val queries = withNorm(embeddings)
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        srpCode(col("embedding"), 0, cellBits).as("cell"),
+        col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
+    val adc = (0 until m).map { s =>
+      dot(slice(col("emb_q"), s * sub + 1, sub),
+        element_at(typedLit(books(s).map(_.toSeq).toSeq), col("codes")(s) + 1))
+    }.reduce(_ + _)
+    val joined =
+      if (broadcastQueries && fitsBroadcast(queries, maxBroadcastProbes)) {
+        val probed = queries.select(col("cell")).distinct().collect().map(_.get(0))
+        corpus.filter(col("cell").isin(probed: _*))
+          .join(broadcast(queries), Seq("cell"))
+      } else corpus.join(queries, Seq("cell"))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(wA))
@@ -1336,6 +1489,45 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
+
+  /** Persist [[assignIvfCells]]' assigned corpus as `<dir>/assigned`
+    * parquet PARTITIONED BY the cell id — the physical layout that makes
+    * [[ivfTopKAssigned]]'s probed-cell predicate a static partition
+    * filter: a small-probe serve lists and reads only the probed cells'
+    * directories, never the other 2^cellBits−nprobe·|q| of them. At
+    * 100 TB each cell partition is its own file set, so the serve I/O is
+    * sized by the probe set while build jobs still scan the store as one
+    * table.
+    */
+  def saveIvfAssigned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      assigned: DataFrame): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+
+  /** Restore [[saveIvfAssigned]]'s store (partition column `cell` comes
+    * back from the directory names; serve-side joins cast as needed).
+    */
+  def loadIvfAssigned(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assigned")
+
+  /** Persist [[encodePqCodes]]' code table as `<dir>/codes` parquet
+    * partitioned by the SRP cell — same pruning contract as
+    * [[saveIvfAssigned]], at PQ's 32×-compressed row width.
+    */
+  def savePqCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      codes: DataFrame): Unit =
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+
+  /** Restore [[savePqCodes]]' code table. */
+  def loadPqCodes(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
 
   /** Reciprocal-rank fusion of two top-k rankings — the hybrid-retrieval
     * combiner (Cormack et al., SIGIR'09; the default fusion in every

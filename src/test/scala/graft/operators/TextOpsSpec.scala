@@ -364,6 +364,73 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("stored-index serving: assigned/codes stores serve identically and prune to probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2, salt = "asg")
+    val assigned = Similarity.assignIvfCells(emb, cents)
+    val pred = col("vec_id") % 20 === 0
+    // pre-assigned serve ≡ in-line assignment, partial probe, both join shapes
+    val inline = keys(Similarity.ivfTopKWithCentroids(emb, pred, 5, cents, nprobe = 3))
+    assert(keys(Similarity.ivfTopKAssigned(assigned, pred, 5, cents, nprobe = 3)) === inline)
+    assert(keys(Similarity.ivfTopKAssigned(assigned, pred, 5, cents, nprobe = 3,
+      broadcastQueries = false)) === inline)
+    assert(inline.nonEmpty)
+    // persisted store round-trip: identical serve, and the probed-cell
+    // predicate reaches the parquet scan as a static PARTITION filter —
+    // the scan reads only the probed cells' directories, which is the
+    // whole point of partitioning the store by cell
+    val wd = java.nio.file.Files.createTempDirectory("annstore").toString
+    Similarity.saveIvfAssigned(spark, wd, assigned)
+    val loaded = Similarity.loadIvfAssigned(spark, wd)
+    val served = Similarity.ivfTopKAssigned(loaded, pred, 5, cents, nprobe = 3)
+    assert(keys(served) === inline)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
+      s"probed-cell IN filter must reach the store scan as a partition filter:\n$plan")
+    // the stored PQ codes serve: identical to the in-line encode, both
+    // join shapes, and from the persisted store with reloaded books
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 1, salt = "asg")
+    val codes = Similarity.encodePqCodes(emb, books, cellBits = 4)
+    def pqInline(bc: Boolean) = keys(Similarity.pqTopKWithBooks(
+      emb, pred, k = 3, books, cellBits = 4, rerank = 50, broadcastQueries = bc))
+    assert(keys(Similarity.pqTopKWithCodes(codes, emb, pred, 3, books,
+      cellBits = 4, rerank = 50)) === pqInline(true))
+    assert(keys(Similarity.pqTopKWithCodes(codes, emb, pred, 3, books,
+      cellBits = 4, rerank = 50, broadcastQueries = false)) === pqInline(false))
+    assert(pqInline(true).nonEmpty)
+    Similarity.savePqBooks(spark, wd, books)
+    Similarity.savePqCodes(spark, wd, codes)
+    val pqServed = Similarity.pqTopKWithCodes(
+      Similarity.loadPqCodes(spark, wd), emb, pred, 3,
+      Similarity.loadPqBooks(spark, wd), cellBits = 4, rerank = 50)
+    assert(keys(pqServed) === pqInline(true))
+    val pqPlan = pqServed.queryExecution.executedPlan.toString
+    assert(pqPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
+      s"query-cell IN filter must reach the code-store scan as a partition filter:\n$pqPlan")
+    // the guard carries over: an oversized probe set strips the broadcast
+    // and both stored serves stay result-identical on the sweep path
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.child.output.exists(_.name == "query_id") => h
+      }.nonEmpty
+    val guarded = Similarity.ivfTopKAssigned(
+      loaded, col("vec_id") % 2 === 0, 3, cents, nprobe = 2, maxBroadcastProbes = 2)
+    assert(!hinted(guarded), "assigned serve must strip the hint above maxBroadcastProbes")
+    assert(keys(guarded) === keys(Similarity.ivfTopKAssigned(
+      loaded, col("vec_id") % 2 === 0, 3, cents, nprobe = 2, broadcastQueries = false)))
+    val pqGuarded = Similarity.pqTopKWithCodes(codes, emb,
+      col("vec_id") % 2 === 0, 3, books, cellBits = 4, rerank = 50,
+      maxBroadcastProbes = 2)
+    assert(!hinted(pqGuarded), "codes serve must strip the hint above maxBroadcastProbes")
+    assert(keys(pqGuarded) === keys(Similarity.pqTopKWithCodes(codes, emb,
+      col("vec_id") % 2 === 0, 3, books, cellBits = 4, rerank = 50,
+      broadcastQueries = false)))
+  }
+
   test("semDedup drops exactly the vectors with a smaller same-cell near-duplicate") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 2, salt = "spec")
