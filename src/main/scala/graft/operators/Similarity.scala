@@ -1513,6 +1513,39 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/assigned")
 
+  /** Accrete a fresh batch onto a persisted assigned store WITHOUT
+    * rewriting it — the micro-batch index-maintenance shape (pair with
+    * [[mergeCellStats]] for the stats half): the batch is assigned with
+    * the SAME stored quantizer and appended, so only the touched cells'
+    * directories gain files and nothing existing is read or moved.
+    * Serving from the grown store ≡ the one-shot assignment of the union
+    * corpus (assignment is row-local; the serve join keys only on cell),
+    * so any batch arrival order works — the commutative-merge contract
+    * the streaming stores follow. Quantizer drift is the caveat: a batch
+    * far from the training distribution concentrates into few cells —
+    * watch [[mergeCellStats]]' populations and retrain + rewrite when a
+    * cell outgrows the serve-time valve.
+    */
+  def appendIvfAssigned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      cents: Array[Array[Double]]): Unit =
+    assignIvfCells(batch, cents).write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+
+  /** [[appendIvfAssigned]] for the PQ code store: encode the batch with
+    * the stored books and append — same commutative-accretion contract.
+    */
+  def appendPqCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int = 4): Unit =
+    encodePqCodes(batch, books, cellBits).write.mode("append")
+      .partitionBy("cell").parquet(s"$dir/codes")
+
   /** Persist [[encodePqCodes]]' code table as `<dir>/codes` parquet
     * partitioned by the SRP cell — same pruning contract as
     * [[saveIvfAssigned]], at PQ's 32×-compressed row width.

@@ -1541,4 +1541,37 @@ class StreamingOpsSpec extends SparkSpec {
       tdf((1L, 11L, "Y", ts(11)))))
     assert(disordered === Set(("X", "Z", 1L), ("Z", "Y", 1L)))
   }
+
+  test("ANN store accretion: appended waves serve identically to the one-shot assignment") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 1, salt = "acc")
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 1, salt = "acc")
+    val wd = java.nio.file.Files.createTempDirectory("annacc").toString
+    // wave 0 seeds both stores; the remaining waves accrete OUT of id
+    // order — assignment is row-local and the serve join keys only on the
+    // cell, so any batch order works (the commutative-merge contract)
+    Similarity.saveIvfAssigned(spark, wd,
+      Similarity.assignIvfCells(emb.filter(col("vec_id") % 3 === 0), cents))
+    Similarity.savePqCodes(spark, wd,
+      Similarity.encodePqCodes(emb.filter(col("vec_id") % 3 === 0), books))
+    Seq(2, 1).foreach { w =>
+      Similarity.appendIvfAssigned(spark, wd, emb.filter(col("vec_id") % 3 === w), cents)
+      Similarity.appendPqCodes(spark, wd, emb.filter(col("vec_id") % 3 === w), books)
+    }
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val pred = col("vec_id") % 20 === 0
+    val grown = keys(Similarity.ivfTopKAssigned(
+      Similarity.loadIvfAssigned(spark, wd), pred, 5, cents, nprobe = 2))
+    assert(grown === keys(Similarity.ivfTopKWithCentroids(emb, pred, 5, cents, nprobe = 2)))
+    assert(grown.nonEmpty)
+    val pqGrown = keys(Similarity.pqTopKWithCodes(
+      Similarity.loadPqCodes(spark, wd), emb, pred, 3, books, rerank = 50))
+    assert(pqGrown === keys(Similarity.pqTopKWithBooks(emb, pred, 3, books, rerank = 50)))
+    assert(pqGrown.nonEmpty)
+    // row accounting: every vector lands in each store exactly once
+    assert(Similarity.loadIvfAssigned(spark, wd).count() === emb.count())
+    assert(Similarity.loadPqCodes(spark, wd).count() === emb.count())
+  }
 }
