@@ -1232,10 +1232,29 @@ object TextAnalysis {
     * `spark` parameter is kept only for API symmetry with
     * [[loadBm25Index]] (both writes go through the DataFrame API).
     */
+  /** Postings-store bucket count: `tok_bucket = h60(tok) % Bm25Buckets`
+    * is the store's PARTITION column, fixed so a serve derives a term's
+    * partition from the term alone (h60Jvm ≡ h60, property-tested) with
+    * no store metadata. 64 keeps test-scale file counts sane while a
+    * 5-term query still prunes to ≤ 5/64 of a 100-TB store's
+    * directories; within each file rows are tok-sorted, so the residual
+    * `tok IN` predicate also skips row groups off parquet min/max stats
+    * (an unclustered postings write defeats that pushdown — doc-ordered
+    * row groups all span the token alphabet).
+    */
+  val Bm25Buckets = 64
+
+  private def bucketedPostings(postings: DataFrame): DataFrame =
+    postings
+      .withColumn("tok_bucket", pmod(h60(col("tok")), lit(Bm25Buckets.toLong)))
+      .repartition(col("tok_bucket"), col("tok"))
+      .sortWithinPartitions(col("tok"))
+
   def saveBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
     val (postings, dl) = buildBm25Index(docs)
-    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    bucketedPostings(postings).write.mode("overwrite")
+      .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
     Pins.release(dl)
   }
@@ -1261,7 +1280,8 @@ object TextAnalysis {
   def appendBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
     val (postings, dl) = buildBm25Index(batch)
-    postings.write.mode("append").parquet(s"$dir/postings")
+    bucketedPostings(postings).write.mode("append")
+      .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/doclen")
     Pins.release(dl)
   }
@@ -1275,7 +1295,11 @@ object TextAnalysis {
     * raw corpus: identical integer weighting, identical output (the
     * round-trip spec asserts row equality), but the corpus explode is
     * replaced by a pushed-down `tok IN terms` filter on the postings
-    * scan — only matching postings are read, nothing re-tokenizes.
+    * scan — only matching postings are read, nothing re-tokenizes. On a
+    * [[saveBm25Index]]-bucketed store the terms' `tok_bucket`s (derived
+    * driver-side, h60Jvm ≡ h60) go down as a static PARTITION filter
+    * first, so the scan lists only the probed buckets' directories —
+    * the lexical twin of the ANN stores' probed-cell pruning.
     */
   def bm25TopKFromIndex(
       postings: DataFrame, doclen: DataFrame, terms: Seq[String], k: Int): DataFrame = {
@@ -1284,7 +1308,13 @@ object TextAnalysis {
     val stats = doclen.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
-    val tf = postings.filter(col("tok").isin(terms: _*))
+    val tf =
+      if (postings.columns.contains("tok_bucket")) {
+        val buckets = terms.map(t => h60Jvm(t) % Bm25Buckets).distinct
+        postings
+          .filter(col("tok_bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+          .select(col("doc_id"), col("tok"), col("tf"))
+      } else postings.filter(col("tok").isin(terms: _*))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf.join(doclen, Seq("doc_id"))
       .join(broadcast(dfreq), Seq("tok"))

@@ -1678,9 +1678,17 @@ class TextOpsSpec extends SparkSpec {
     val wd = java.nio.file.Files.createTempDirectory("bm25idx").toString
     TextAnalysis.saveBm25Index(spark, wd, d)
     val (postings, doclen) = TextAnalysis.loadBm25Index(spark, wd)
-    val served = TextAnalysis.bm25TopKFromIndex(postings, doclen, Seq("x", "q"), k = 4)
+    val servedDf = TextAnalysis.bm25TopKFromIndex(postings, doclen, Seq("x", "q"), k = 4)
+    val served = servedDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(served === direct)
+    // the store is bucketed by h60(tok) % Bm25Buckets: the terms' buckets
+    // go down as a static PARTITION filter, so the scan lists only the
+    // probed buckets' directories (the lexical twin of probed-cell
+    // pruning on the ANN stores)
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*tok_bucket[^\\]]*\\].*"),
+      s"term-bucket filter must reach the postings scan as a partition filter:\n$plan")
     // the index is union-mergeable over disjoint doc batches: the
     // concatenated per-batch indexes serve the identical top-k
     val (p1, l1) = TextAnalysis.buildBm25Index(d.filter(col("doc_id") <= 2))
