@@ -564,6 +564,43 @@ object ScaleProbe {
         " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
     }
 
+    // ---- BM25 serving over the same x1→x16 corpora: the direct form
+    // re-tokenizes the whole corpus per query (×f by construction); the
+    // stored form was indexed once outside the timers and serves through
+    // the tok_bucket partition filter + tok-sorted row groups — the
+    // retrieval twin of the ANN stored-serve rows
+    sb.append(
+      """
+        |BM25 3-term serve at x1→x16 (same corpora; store built once per
+        |factor outside the timers, bucketed by h60(tok) % 64):
+        |
+        |""".stripMargin)
+    sb.append("| op | " + edFactors.map(f => s"x$f sec").mkString(" | ") +
+      s" | x${edFactors.last}/x1 |\n")
+    sb.append("|---|" + edFactors.map(_ => "---|").mkString + "---|\n")
+    val bmTerms = Seq("vector", "stream", "window")
+    val bmStores = edDirs.map { dir =>
+      operators.TextAnalysis.saveBm25Index(
+        spark, s"$dir/bm25", Tables(spark, dir).documents)
+      operators.TextAnalysis.loadBm25Index(spark, s"$dir/bm25")
+    }
+    val bmOps: Seq[(String, Int => DataFrame)] = Seq(
+      "bm25 direct (corpus re-tokenize)" -> (i =>
+        operators.TextAnalysis.bm25TopK(
+          Tables(spark, edDirs(i)).documents, bmTerms, k = 25)),
+      "bm25 stored (bucket-pruned postings)" -> (i =>
+        operators.TextAnalysis.bm25TopKFromIndex(
+          bmStores(i)._1, bmStores(i)._2, bmTerms, k = 25)))
+    bmOps.foreach { case (name, op) =>
+      val cells = edDirs.indices.map { i =>
+        op(i).count() // warm
+        time(op(i).count())
+      }
+      sb.append(s"| $name | " +
+        cells.map { case (t, _) => f"$t%.2f" }.mkString(" | ") +
+        " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
+    }
+
     // ---- embedding-side similarity scaling: replicas are circularly
     // dim-rotated copies with shifted vec_ids — identical norm/geometry
     // statistics but content-distinct vectors (no pasted duplicates), and

@@ -387,6 +387,10 @@ class TextOpsSpec extends SparkSpec {
     val loaded = Similarity.loadIvfAssigned(spark, wd)
     val served = Similarity.ivfTopKAssigned(loaded, pred, 5, cents, nprobe = 3)
     assert(keys(served) === inline)
+    // the loaded store's partition-column cell (int from directory names)
+    // also rides the sweep join unchanged
+    assert(keys(Similarity.ivfTopKAssigned(loaded, pred, 5, cents, nprobe = 3,
+      broadcastQueries = false)) === inline)
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
       s"probed-cell IN filter must reach the store scan as a partition filter:\n$plan")
