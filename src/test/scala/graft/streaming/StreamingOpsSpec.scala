@@ -1060,6 +1060,15 @@ class StreamingOpsSpec extends SparkSpec {
     // the zero-token document counted toward N through the doclen store
     assert(doclen.count() === all.size)
     assert(doclen.filter(col("dl") === 0L).count() === 1)
+    // the accreted postings compact through the generic store compactor
+    // (tok_bucket partitioning kept, tok order kept for row-group
+    // pruning) and the compacted store serves the identical ranking
+    Maintenance.compact(spark, s"$dir/store/postings", s"$dir/store/postings_c",
+      Seq("tok_bucket"), "tok", targetRows = 1000000L)
+    val servedC = TextAnalysis.bm25TopKFromIndex(
+      spark.read.parquet(s"$dir/store/postings_c"), doclen, Seq("x", "q"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(servedC === direct)
   }
 
   test("streaming embedding-moments maintenance: per-batch merge equals the one-shot state") {
@@ -1573,5 +1582,23 @@ class StreamingOpsSpec extends SparkSpec {
     // row accounting: every vector lands in each store exactly once
     assert(Similarity.loadIvfAssigned(spark, wd).count() === emb.count())
     assert(Similarity.loadPqCodes(spark, wd).count() === emb.count())
+    // the lifecycle composes with the generic store compactor: three
+    // appends left one file set per wave per cell — Maintenance.compact
+    // rewrites to one size-targeted file per cell, and the compacted
+    // store serves bit-identically
+    def files(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0
+      else if (d.isFile) { if (d.getName.endsWith(".parquet")) 1 else 0 }
+      else d.listFiles.map(f => files(f.getPath)).sum
+    }
+    Maintenance.compact(spark, s"$wd/assigned", s"$wd/assigned_c",
+      Seq("cell"), "vec_id", targetRows = 1000000L)
+    assert(files(s"$wd/assigned_c") < files(s"$wd/assigned"),
+      "compaction must reduce the accreted file count")
+    val compacted = spark.read.parquet(s"$wd/assigned_c")
+    assert(keys(Similarity.ivfTopKAssigned(compacted, pred, 5, cents, nprobe = 2))
+      === grown)
+    assert(compacted.count() === emb.count())
   }
 }
