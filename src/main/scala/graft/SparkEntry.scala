@@ -1108,6 +1108,18 @@ object SparkEntry {
       TextAnalysis.bm25PerQuery(Tables(s, dir).documents, qs, k = 10)
         .orderBy(col("query_id"), col("rnk"))
     },
+    // The same batch retrieval served from the persisted postings store
+    // (term buckets pruned, nothing re-tokenized) — identical ranking by
+    // construction, so the q_bm25_multi oracle replays it verbatim.
+    "q_bm25_multi_stored" -> { (s, dir) =>
+      import s.implicits._
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25m-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextAnalysis.saveBm25Index(s, wd, Tables(s, dir).documents)
+      val (postings, doclen) = TextAnalysis.loadBm25Index(s, wd)
+      val qs = Bm25Queries.toDF("query_id", "terms")
+      TextAnalysis.bm25PerQueryFromIndex(postings, doclen, qs, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
     // Term-BAG retrieval: repeated query terms multiply their weight
     // (classic qtf emphasis) — the queries here repeat terms on purpose,
     // so the gate fails if multiplicity is dropped anywhere.
@@ -4543,6 +4555,39 @@ object SparkEntry {
          |SELECT doc_id, score, n_hit FROM s
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "q_bm25_multi" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, tok
+         |       FROM (VALUES
+         |         ${Bm25Queries.flatMap { case (q, ts) =>
+                      ts.map(t => s"($q, '$t')") }.mkString(", ")})
+         |       AS t(query_id, tok)),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (SELECT DISTINCT tok FROM qt)
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tok, doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT query_id, doc_id, CAST(SUM(w) AS BIGINT) AS score,
+         |             CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM w JOIN qt USING (tok) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, n_hit,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_hit
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // identical semantics through the stored postings — same replay
+    "q_bm25_multi_stored" ->
       s"""$ToksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1385,9 +1385,6 @@ object TextAnalysis {
       else posting.distinct().withColumn("qtf", lit(1L)))
     val terms = qt.select(col("tok")).distinct()
     val dl = docLengths(docs)
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
     // pinned like bm25TopK's tf: df derivation and scoring each reference
     // it, and an unpinned table would re-tokenize the corpus per reference
     val tf = Pins.pin(docs
@@ -1395,6 +1392,24 @@ object TextAnalysis {
       .join(broadcast(terms), Seq("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf")))
+    val out = scorePerQuery(tf, dl, qt, k, salts)
+    Pins.release(qt)
+    Pins.release(dl)
+    Pins.release(tf)
+    out
+  }
+
+  /** The scoring tail [[bm25PerQuery]] and [[bm25PerQueryFromIndex]]
+    * share: per-(query, doc) Σ qtf·w over a (doc_id, tok, tf) table, dl
+    * store and qt term bags, ranked by the salted two-stage top-k. All
+    * three inputs are multi-referenced — callers pass them pinned and
+    * release after the returned frame's eager pin.
+    */
+  private def scorePerQuery(
+      tf: DataFrame, dl: DataFrame, qt: DataFrame, k: Int, salts: Int): DataFrame = {
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(dl, Seq("doc_id"))
@@ -1409,12 +1424,49 @@ object TextAnalysis {
       // In the unweighted default qtf ≡ 1 and this reduces to Σw.
       .agg(sum(col("w").cast("decimal(20,0)") * col("qtf").cast("decimal(18,0)"))
         .cast("long").as("score"), count(lit(1)).as("n_hit"))
-    val out = Pins.pin(Diagnostics.twoStageTopK(scored, col("query_id"),
+    Pins.pin(Diagnostics.twoStageTopK(scored, col("query_id"),
         pmod(h60(col("doc_id").cast("string")), lit(salts.toLong)),
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("ts_rank").cast("long").as("rnk"),
         col("doc_id"), col("score"), col("n_hit"))
-    ) // eager pin, then release the qt/dl/tf pins
+    ) // eager pin, then the caller releases its input pins
+  }
+
+  /** [[bm25PerQuery]] served from a [[saveBm25Index]] store instead of
+    * the raw corpus — the batch-retrieval twin of [[bm25TopKFromIndex]]
+    * (decontamination-by-retrieval over a 100-TB corpus never
+    * re-tokenizes it per query batch). The query suite is eval-sized by
+    * the same contract that broadcasts it in the corpus form, so its
+    * distinct terms collect driver-side and push down exactly like the
+    * single-query serve: term buckets as a static partition filter on a
+    * bucketed store, the residual `tok IN` against tok-sorted row
+    * groups. Identical ranking to the corpus form by construction
+    * (same tf/df/dl values, same integer weight, same salted top-k).
+    */
+  def bm25PerQueryFromIndex(
+      postings: DataFrame, doclen: DataFrame, queries: DataFrame, k: Int,
+      salts: Int = 16, weighted: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(salts > 0, "salts must be positive")
+    val posting = queries
+      .select(col("query_id"), explode(col("terms")).as("tok"))
+    val qt = Pins.pin(if (weighted)
+        posting.groupBy(col("query_id"), col("tok"))
+          .agg(count(lit(1)).as("qtf"))
+      else posting.distinct().withColumn("qtf", lit(1L)))
+    val termSeq = qt.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dl = Pins.pin(doclen.select(col("doc_id"), col("dl")))
+    val tf = Pins.pin(
+      if (postings.columns.contains("tok_bucket")) {
+        val buckets = termSeq.map(t => h60Jvm(t) % Bm25Buckets).distinct
+        postings
+          .filter(col("tok_bucket").isin(buckets: _*) &&
+            col("tok").isin(termSeq: _*))
+          .select(col("doc_id"), col("tok"), col("tf"))
+      } else postings.filter(col("tok").isin(termSeq: _*))
+        .select(col("doc_id"), col("tok"), col("tf")))
+    val out = scorePerQuery(tf, dl, qt, k, salts)
     Pins.release(qt)
     Pins.release(dl)
     Pins.release(tf)

@@ -1702,6 +1702,29 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(merged === direct)
     Seq(l1, l2).foreach(_.unpersist(blocking = false))
+    // batch retrieval from the same store: identical per-query ranking to
+    // the corpus form (unweighted AND qtf-weighted), term buckets pruned
+    val qs = Seq((10L, Seq("x", "q")), (20L, Seq("y", "y", "p")))
+      .toDF("query_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "doc_id", "score", "n_hit")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    Seq(false, true).foreach { w =>
+      val fromIdx = TextAnalysis.bm25PerQueryFromIndex(
+        postings, doclen, qs, k = 3, weighted = w)
+      assert(rows(fromIdx) === rows(
+        TextAnalysis.bm25PerQuery(d, qs, k = 3, weighted = w)),
+        s"weighted=$w")
+      assert(rows(fromIdx).nonEmpty)
+    }
+    // under the audit view (pins become identity) so the postings scan is
+    // visible below the would-be pin truncation
+    val multiPlan = graft.operators.Pins.withAuditView {
+      TextAnalysis.bm25PerQueryFromIndex(postings, doclen, qs, k = 3)
+        .queryExecution.executedPlan.toString
+    }
+    assert(multiPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*tok_bucket[^\\]]*\\].*"),
+      "batch-retrieval term buckets must reach the postings scan as a partition filter")
   }
 
   test("skipgramCounts emits forward pairs within the window with exact counts") {
