@@ -1154,6 +1154,16 @@ object SparkEntry {
     "q_phrase_bm25" -> ((s, dir) =>
       TextAnalysis.phraseTopK(Tables(s, dir).documents,
         Seq("stream", "window"), k = 20)),
+    // The same phrase query served from the persisted positional index
+    // (term buckets pruned, nothing re-tokenized) — identical occurrences
+    // and ranking, so the q_phrase_bm25 oracle replays it verbatim.
+    "q_phrase_stored" -> { (s, dir) =>
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25p-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextAnalysis.saveBm25Positional(s, wd, Tables(s, dir).documents)
+      val (postPos, doclen) = TextAnalysis.loadBm25Positional(s, wd)
+      TextAnalysis.phraseTopKFromIndex(postPos, doclen,
+        Seq("stream", "window"), k = 20)
+    },
     // Per-source bigram type/token diversity — the templated-source flag.
     "q_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables(s, dir).documents, n = 2)
@@ -4500,6 +4510,38 @@ object SparkEntry {
          |            + (bucket - 1) AS BIGINT) AS pos
          |FROM r ORDER BY pos""".stripMargin,
     "q_phrase_bm25" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |p0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+         |       FROM toks),
+         |p1 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |              toks[CAST(i AS INT)] AS tok FROM p0),
+         |tfp AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+         |               list_sort(list(pos)) AS ps
+         |        FROM p1 WHERE tok IN ('stream', 'window') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+         |ph AS (SELECT a.doc_id,
+         |              CAST(len(list_filter(a.ps,
+         |                p -> list_contains(b.ps, p + 1))) AS BIGINT) AS n_phrase
+         |       FROM tfp a JOIN tfp b ON a.doc_id = b.doc_id
+         |       WHERE a.tok = 'stream' AND b.tok = 'window'),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tfp JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY 1)
+         |SELECT ph.doc_id, ph.n_phrase, s.score
+         |FROM ph JOIN s USING (doc_id)
+         |WHERE ph.n_phrase >= 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // identical semantics through the stored positional index — same replay
+    "q_phrase_stored" ->
       s"""$ToksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -913,9 +913,6 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     val terms = phrase.distinct
     val dl = docLengths(docs)
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
     // pinned: the df table, the phrase map, and the scorer all read the
     // positional postings — unpinned, each reference would re-tokenize
     val post = Pins.pin(docs
@@ -923,6 +920,24 @@ object TextAnalysis {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("ps")))
+    val out = scorePhrase(post, dl, phrase, k)
+    Pins.release(dl)
+    Pins.release(post)
+    out
+  }
+
+  /** The phrase-match + score tail [[phraseTopK]] and
+    * [[phraseTopKFromIndex]] share, over a (doc_id, tok, tf, ps)
+    * positional-postings table already restricted to the phrase's
+    * distinct terms. Inputs arrive pinned; callers release after the
+    * returned frame's eager pin.
+    */
+  private def scorePhrase(
+      post: DataFrame, dl: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    val terms = phrase.distinct
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc term→positions map; docs missing any distinct term cannot match
     val pmap = post
@@ -946,12 +961,66 @@ object TextAnalysis {
       .select(col("doc_id"), bm25Weight.as("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).as("score"))
-    val out = Pins.pin(hits
+    Pins.pin(hits
       .join(scored, Seq("doc_id"))
       .select(col("doc_id"), col("n_phrase"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-    ) // eager pin: consume the dl/post checkpoints, then release them
+    ) // eager pin: the caller releases its input pins
+  }
+
+  /** FULL positional postings (doc_id, tok, tf, sorted ps) — the
+    * Lucene-layout store that makes [[phraseTopKFromIndex]] possible:
+    * unlike the tf-only [[buildBm25Index]] postings, positions ride the
+    * same one-explode one-aggregation build (O(tf) ints per posting),
+    * paid once per corpus version instead of per phrase query.
+    */
+  def buildBm25Positional(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("ps"))
+
+  /** Persist the positional postings as `<dir>/postings_pos` in the same
+    * tok-bucketed layout as [[saveBm25Index]] (plus the shared
+    * `<dir>/doclen`), so phrase serves prune exactly like term serves.
+    */
+  def saveBm25Positional(
+      spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
+    bucketedPostings(buildBm25Positional(docs)).write.mode("overwrite")
+      .partitionBy("tok_bucket").parquet(s"$dir/postings_pos")
+    val dl = docLengths(docs)
+    dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    Pins.release(dl)
+  }
+
+  /** Reload a [[saveBm25Positional]] store: (postings_pos, doclen). */
+  def loadBm25Positional(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings_pos"), spark.read.parquet(s"$dir/doclen"))
+
+  /** [[phraseTopK]] served from a stored positional index — identical
+    * phrase occurrences and ranking by construction (same positions,
+    * same integer weights); the phrase's term buckets prune the store
+    * scan exactly like [[bm25TopKFromIndex]]'s, and nothing
+    * re-tokenizes.
+    */
+  def phraseTopKFromIndex(
+      postingsPos: DataFrame, doclen: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    require(k > 0, "k must be positive")
+    val terms = phrase.distinct
+    val dl = Pins.pin(doclen.select(col("doc_id"), col("dl")))
+    val post = Pins.pin(
+      if (postingsPos.columns.contains("tok_bucket")) {
+        val buckets = terms.map(t => h60Jvm(t) % Bm25Buckets).distinct
+        postingsPos
+          .filter(col("tok_bucket").isin(buckets: _*) &&
+            col("tok").isin(terms: _*))
+          .select(col("doc_id"), col("tok"), col("tf"), col("ps"))
+      } else postingsPos.filter(col("tok").isin(terms: _*))
+        .select(col("doc_id"), col("tok"), col("tf"), col("ps")))
+    val out = scorePhrase(post, dl, phrase, k)
     Pins.release(dl)
     Pins.release(post)
     out

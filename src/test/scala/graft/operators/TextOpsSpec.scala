@@ -1725,6 +1725,22 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(multiPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*tok_bucket[^\\]]*\\].*"),
       "batch-retrieval term buckets must reach the postings scan as a partition filter")
+    // the positional store: phrase serve from disk ≡ the corpus form
+    // (same occurrences, same ranking), term buckets pruned the same way
+    TextAnalysis.saveBm25Positional(spark, wd, d)
+    val (postPos, dlPos) = TextAnalysis.loadBm25Positional(spark, wd)
+    def ph(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_phrase", "score")
+        .as[(Long, Long, Long)].collect().toSeq
+    val phStored = ph(TextAnalysis.phraseTopKFromIndex(postPos, dlPos, Seq("x", "q"), k = 4))
+    assert(phStored === ph(TextAnalysis.phraseTopK(d, Seq("x", "q"), k = 4)))
+    assert(phStored.nonEmpty)
+    val phrasePlan = graft.operators.Pins.withAuditView {
+      TextAnalysis.phraseTopKFromIndex(postPos, dlPos, Seq("x", "q"), k = 4)
+        .queryExecution.executedPlan.toString
+    }
+    assert(phrasePlan.matches("(?s).*PartitionFilters: \\[[^\\]]*tok_bucket[^\\]]*\\].*"),
+      "phrase-serve term buckets must reach the positional-postings scan as a partition filter")
   }
 
   test("skipgramCounts emits forward pairs within the window with exact counts") {
