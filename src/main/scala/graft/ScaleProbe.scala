@@ -745,12 +745,13 @@ object ScaleProbe {
       // cell, so a small-probe serve prunes to the probed partitions
       val wd = s"$root/annstore-x$f"
       operators.Similarity.saveIvfAssigned(spark, wd,
-        operators.Similarity.assignIvfCells(emb, cents))
+        operators.Similarity.assignIvfCells(emb, cents), cents)
       operators.Similarity.savePqCodes(spark, wd,
-        operators.Similarity.encodePqCodes(emb, books, cellBits = 4))
+        operators.Similarity.encodePqCodes(emb, books, cellBits = 4),
+        books, cellBits = 4)
       AnnArt(f, emb, cents, books,
-        operators.Similarity.loadIvfAssigned(spark, wd),
-        operators.Similarity.loadPqCodes(spark, wd))
+        operators.Similarity.loadIvfAssigned(spark, wd, cents),
+        operators.Similarity.loadPqCodes(spark, wd, books)._1)
     }
     sb.append(
       """

@@ -763,10 +763,68 @@ object SparkEntry {
       val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
       val wd = s"${graft.streaming.PersistPipeline.workRoot}/annasg-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       Similarity.saveIvfIndex(s, wd, cents)
-      Similarity.saveIvfAssigned(s, wd, Similarity.assignIvfCells(emb, cents))
-      Similarity.ivfTopKAssigned(Similarity.loadIvfAssigned(s, wd),
-        col("vec_id") % 50 === 0, 5,
-        Similarity.loadIvfCentroids(s, wd), nprobe = 8)
+      Similarity.saveIvfAssigned(s, wd, Similarity.assignIvfCells(emb, cents), cents)
+      // the load verifies the restored quantizer against the store stamp
+      val restored = Similarity.loadIvfCentroids(s, wd)
+      Similarity.ivfTopKAssigned(Similarity.loadIvfAssigned(s, wd, restored),
+        col("vec_id") % 50 === 0, 5, restored, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // Deletion THROUGH the assigned store: build v1, delete vec_id%5==2
+    // into a v2 store version, serve v2 at nprobe = numCells (exact scan
+    // over the survivors) with the one-row tombstone audit cross-joined —
+    // store-delete ≡ a from-scratch build of the surviving corpus, and
+    // the Σ h60(vec_id) mod 1000003 erasure fingerprint replays in SQL.
+    // (Query ids are multiples of 50 ≡ 0 mod 5, so no query is deleted.)
+    "q_ann_delete" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/anndel-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.saveIvfAssigned(s, s"$wd/v1",
+        Similarity.assignIvfCells(emb, cents), cents)
+      val audit = Similarity.deleteFromIvfAssigned(
+        s, s"$wd/v1", s"$wd/v2", col("vec_id") % 5 === 2, cents)
+      Similarity.ivfTopKAssigned(Similarity.loadIvfAssigned(s, s"$wd/v2", cents),
+        col("vec_id") % 50 === 0, 5, cents, nprobe = 8)
+        // grouping-free re-aggregate of the 1-row audit — the structurally
+        // bounded scalar-build shape the no-cartesian audit admits
+        .crossJoin(broadcast(audit.agg(
+          max(col("n_deleted")).as("n_deleted"),
+          max(col("n_kept")).as("n_kept"),
+          max(col("del_fp_sum")).as("del_fp_sum"))))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // Retrain-and-rewrite for a drifted quantizer: train on the even half,
+    // accrete the odd half as a batch (stats merged per the streaming
+    // maintenance shape), refresh centroids from the accumulated cellStats
+    // state, rewrite as a v2 store, and serve v2 at nprobe = numCells —
+    // the exact-scan oracle gates the whole refresh+rewrite (any row lost
+    // or embedding damaged by the rewrite mismatches the hash); partial-
+    // probe equivalence to an in-line serve under the refreshed quantizer
+    // is spec-proven.
+    "q_ivf_retrain" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val half = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val cents = Similarity.kmeansCentroids(half, numCells = 8, iters = 2)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/annret-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.saveIvfIndex(s, s"$wd/v1", cents,
+        Some(Similarity.cellStats(half, cents)))
+      Similarity.saveIvfAssigned(s, s"$wd/v1",
+        Similarity.assignIvfCells(half, cents), cents)
+      Similarity.appendIvfAssigned(s, s"$wd/v1", batch, cents)
+      // merge the batch's assignment state into the stored stats — a real
+      // localCheckpoint, not Pins.pin: the re-persist overwrites the very
+      // cell_stats files the merge reads, so lineage truncation is
+      // load-bearing (audits included); the table is cells×dim rows
+      val merged = Similarity.mergeCellStats(
+        Similarity.loadCellStats(s, s"$wd/v1"),
+        Similarity.cellStats(batch, cents)).localCheckpoint()
+      Similarity.saveIvfIndex(s, s"$wd/v1", cents, Some(merged))
+      Pins.release(merged)
+      val next = Similarity.retrainIvfStore(s, s"$wd/v1", s"$wd/v2")
+      Similarity.ivfTopKAssigned(Similarity.loadIvfAssigned(s, s"$wd/v2", next),
+        col("vec_id") % 50 === 0, 5, next, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     },
     // Truncated-dimension (matryoshka) acceptance gate: recall@5 of the
@@ -823,6 +881,15 @@ object SparkEntry {
       Multimodal.sharedFramePairs(
         Multimodal.mediaFromDocuments(Tables(s, dir).documents),
         frameBytes = 16, stride = 1, minShared = 2, maxDf = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // Perceptual near-dup: byte-band aHash (all-integer bit decisions, so
+    // the 16-bit fingerprint replays bit-for-bit in SQL), bit-banded LSH
+    // candidates, exact popcount verify ≤ radius — catches re-encoded
+    // copies whose frames are no longer bit-identical.
+    "q_media_ahash" -> ((s, dir) =>
+      Multimodal.perceptualHashPairs(
+        Multimodal.mediaFromDocuments(Tables(s, dir).documents),
+        bands = 16, groups = 4, radius = 3, maxDf = 8)
         .orderBy(col("doc_a"), col("doc_b"))),
     // The stub codec is deterministic arithmetic over the payload byte
     // length (all-ASCII text ⇒ octet_length), so even the mapPartitions
@@ -1098,6 +1165,27 @@ object SparkEntry {
       TextAnalysis.saveBm25Index(s, wd, Tables(s, dir).documents)
       val (postings, doclen) = TextAnalysis.loadBm25Index(s, wd)
       TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25)
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+    // Deletion THROUGH the postings store: build v1, delete doc_id%7==3
+    // into a v2 store version, serve v2 with the one-row tombstone audit
+    // cross-joined. df/N/avg-dl derive at serve time from the stored
+    // tables, so store-delete ≡ a from-scratch index of the surviving
+    // corpus — the oracle replays the survivors' BM25 hash-exactly plus
+    // the Σ h60(doc_id) mod 1000003 erasure fingerprint.
+    "q_bm25_delete" -> { (s, dir) =>
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25del-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextAnalysis.saveBm25Index(s, s"$wd/v1", Tables(s, dir).documents)
+      val audit = TextAnalysis.deleteFromBm25Index(
+        s, s"$wd/v1", s"$wd/v2", col("doc_id") % 7 === 3)
+      val (postings, doclen) = TextAnalysis.loadBm25Index(s, s"$wd/v2")
+      TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25)
+        // grouping-free re-aggregate of the 1-row audit — the structurally
+        // bounded scalar-build shape the no-cartesian audit admits
+        .crossJoin(broadcast(audit.agg(
+          max(col("n_deleted")).as("n_deleted"),
+          max(col("n_kept")).as("n_kept"),
+          max(col("del_fp_sum")).as("del_fp_sum"))))
         .orderBy(col("score").desc, col("doc_id"))
     },
     // Batch retrieval: top-10 per query for a table of term-bag queries,
@@ -1410,10 +1498,15 @@ object SparkEntry {
       pqCodesStash = Some(books)
       val wd = s"${graft.streaming.PersistPipeline.workRoot}/pqcodes-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       Similarity.savePqBooks(s, wd, books)
-      Similarity.savePqCodes(s, wd, Similarity.encodePqCodes(emb, books, cellBits = 4))
-      Similarity.pqTopKWithCodes(Similarity.loadPqCodes(s, wd), emb,
+      Similarity.savePqCodes(s, wd,
+        Similarity.encodePqCodes(emb, books, cellBits = 4), books, cellBits = 4)
+      val loadedBooks = Similarity.loadPqBooks(s, wd)
+      // the load verifies the store's codebook stamp and hands back the
+      // stored cell geometry — the serve trusts the STORE, not a default
+      val (codes, storedCellBits) = Similarity.loadPqCodes(s, wd, loadedBooks)
+      Similarity.pqTopKWithCodes(codes, emb,
         col("vec_id") % 50 === 0, k = 5,
-        Similarity.loadPqBooks(s, wd), cellBits = 4, rerank = 32)
+        loadedBooks, cellBits = storedCellBits, rerank = 32)
         .orderBy(col("query_id"), col("rank"))
     },
     // SemDeDup: embedding near-dup drop within learned k-means cells. The
@@ -3108,6 +3201,48 @@ object SparkEntry {
          |         cosine
          |  FROM sc)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // store-delete ≡ rebuild: the exact scan over the SURVIVING vectors
+    // (nprobe = numCells), with the doc-level tombstone audit cross-joined
+    "q_ann_delete" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS d,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings WHERE vec_id % 5 <> 2),
+         |aud AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN vec_id % 5 = 2 THEN 1 END), 0) AS BIGINT) AS n_deleted,
+         |         CAST(COALESCE(SUM(CASE WHEN vec_id % 5 <> 2 THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |         CAST(COALESCE(SUM(CASE WHEN vec_id % 5 = 2
+         |             THEN ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1000003 END), 0) AS BIGINT)
+         |           AS del_fp_sum
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM e JOIN q ON query_id <> e.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc), aud
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // refresh+rewrite preserves the corpus bit-for-bit: nprobe = numCells
+    // makes the v2 serve an exact scan REGARDLESS of the refreshed
+    // centroids, so the oracle is the full-corpus brute-force top-k — any
+    // row lost or coordinate damaged by the rewrite mismatches the hash
+    "q_ivf_retrain" ->
+      s"""$EmbCte,
+         |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              list_dot_product(dq, d) / (nq * nrm) AS cosine
+         |       FROM e JOIN q ON query_id <> e.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         |         cosine
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_topk_cosine" ->
       s"""$EmbCte,
          |q AS (SELECT vec_id AS query_id, d AS dq, nrm AS nq FROM e WHERE vec_id % 50 = 0),
@@ -4064,6 +4199,41 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // all-ASCII text ⇒ byte == ascii(char); every hash bit is an integer
+    // cross-multiplication, so the fingerprint and the pair set replay
+    // exactly — same band layout, grouping, maxDf cut, and popcount
+    "q_media_ahash" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                 CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |          FROM documents),
+        |bs AS (SELECT doc_id, n,
+        |         list_transform(range(0, 16), b ->
+        |           COALESCE(list_sum(list_transform(
+        |             range((b * n) // 16 + 1, ((b + 1) * n) // 16 + 1),
+        |             k -> ascii(substring(text, CAST(k AS INT), 1)))), 0)) AS sums
+        |       FROM d),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 16), b ->
+        |          CASE WHEN ((b + 1) * n) // 16 - (b * n) // 16 > 0
+        |                AND sums[CAST(b + 1 AS INT)] * n
+        |                      >= list_sum(sums) * (((b + 1) * n) // 16 - (b * n) // 16)
+        |               THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+        |      FROM bs),
+        |g AS (SELECT doc_id, ahash, g AS grp,
+        |             (ahash >> CAST(g * 4 AS INT)) & 15 AS sig
+        |      FROM (SELECT doc_id, ahash, unnest(range(0, 4)) AS g FROM h)),
+        |rare AS (SELECT grp, sig FROM (
+        |           SELECT grp, sig, COUNT(DISTINCT doc_id) AS c
+        |           FROM g GROUP BY 1, 2) WHERE c <= 8),
+        |kept AS (SELECT doc_id, ahash, grp, sig FROM g JOIN rare USING (grp, sig)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.ahash AS ha, b.ahash AS hb
+        |         FROM kept a JOIN kept b
+        |           ON a.grp = b.grp AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_location_parse" ->
       s"""$IndexCte, locs AS (SELECT DISTINCT location_key FROM idx),
          |p AS (
@@ -4595,6 +4765,42 @@ object SparkEntry {
          |             CAST(COUNT(*) AS BIGINT) AS n_hit
          |      FROM w GROUP BY 1)
          |SELECT doc_id, score, n_hit FROM s
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // store-delete ≡ rebuild: the survivors' BM25 (df/N/avg-dl re-derived
+    // over the surviving corpus only) plus the tombstone audit columns
+    "q_bm25_delete" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |aud AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 END), 0) AS BIGINT) AS n_deleted,
+         |         CAST(COALESCE(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |         CAST(COALESCE(SUM(CASE WHEN doc_id % 7 = 3
+         |             THEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 1000003 END), 0) AS BIGINT)
+         |           AS del_fp_sum
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |       WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+         |             CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM w GROUP BY 1)
+         |SELECT doc_id, score, n_hit, n_deleted, n_kept, del_fp_sum
+         |FROM s, aud
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "q_bm25_multi" ->
       s"""$ToksCte,

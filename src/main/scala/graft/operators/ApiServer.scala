@@ -29,7 +29,12 @@ import org.apache.spark.sql.DataFrame
   * Both roles additionally serve `GET /metrics` — Prometheus text
   * exposition of a wired [[MetricsRegistry]] (the reference's :2112
   * metrics server, common/metrics.go:148-169) — when the caller passes
-  * one; unwired instances 404 the route.
+  * one; unwired instances 404 the route. Likewise both roles serve the
+  * stored-index retrieval routes when a [[RetrievalService]] is wired
+  * (beyond the reference surface — the HTTP face of the persisted
+  * BM25/ANN stores):
+  *     POST /search/:coll                     {"terms": […], "k"?}
+  *     POST /ann/:coll                        {"query_ids": […], "k"?, "nprobe"?}
   *
   * Contract fidelity:
   *   - status/message/data come verbatim from the facade (which carries
@@ -59,7 +64,8 @@ final class ApiServer(
     facade: ApiFacade,
     role: ApiServer.Role,
     port: Int = 0,
-    metrics: Option[MetricsRegistry] = None) {
+    metrics: Option[MetricsRegistry] = None,
+    retrieval: Option[RetrievalService] = None) {
   import ApiFacade._
   import ApiServer._
 
@@ -124,6 +130,18 @@ final class ApiServer(
       q: Map[String, String],
       reply: (Int, String) => Unit): Unit = {
     val resp: Option[ApiResponse] = (role, method, segs) match {
+      // stored-index retrieval routes (beyond the reference surface) —
+      // served in EITHER role when a RetrievalService is wired, like
+      // /metrics; unwired instances 404 them
+      case (_, "POST", Seq("search", coll)) if retrieval.isDefined =>
+        val b = body(x)
+        Some(retrieval.get.search(coll,
+          stringArrayField(b, "terms"), intFieldOr(b, "k", 10)))
+      case (_, "POST", Seq("ann", coll)) if retrieval.isDefined =>
+        val b = body(x)
+        Some(retrieval.get.annSearch(coll,
+          longArrayField(b, "query_ids"),
+          intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
       case (Indexer, "GET", Seq("exact", coll, id)) =>
         Some(facade.getUnique(GetUniqueRequest(coll, id)))
       case (Indexer, "POST", Seq("all", coll)) =>
@@ -249,6 +267,60 @@ object ApiServer {
         }
         if (ok) Some(out.result()) else None
       }
+    }
+
+  /** A required array-of-strings body field → Some(values); absent,
+    * non-array, or mixed-type → bind failure (None), the gin
+    * `binding:"required"` convention [[parseIds]] follows.
+    */
+  private[operators] def stringArrayField(
+      body: Option[JsonNode], name: String): Option[Seq[String]] =
+    body.flatMap { n =>
+      val arr = n.get(name)
+      if (arr == null || !arr.isArray) None
+      else {
+        val it = arr.elements()
+        val out = Seq.newBuilder[String]
+        var ok = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.isTextual) out += e.asText() else ok = false
+        }
+        if (ok) Some(out.result()) else None
+      }
+    }
+
+  /** A required array-of-integers body field, same bind rules. */
+  private[operators] def longArrayField(
+      body: Option[JsonNode], name: String): Option[Seq[Long]] =
+    body.flatMap { n =>
+      val arr = n.get(name)
+      if (arr == null || !arr.isArray) None
+      else {
+        val it = arr.elements()
+        val out = Seq.newBuilder[Long]
+        var ok = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.isIntegralNumber) out += e.asLong() else ok = false
+        }
+        if (ok) Some(out.result()) else None
+      }
+    }
+
+  /** An OPTIONAL integer body field: absent → Some(default); present and
+    * integral → Some(value); present but mistyped → bind failure (None),
+    * so a malformed k/nprobe 400s instead of silently defaulting.
+    */
+  private[operators] def intFieldOr(
+      body: Option[JsonNode], name: String, default: Int): Option[Int] =
+    body match {
+      case None => Some(default)
+      case Some(n) =>
+        val v = n.get(name)
+        if (v == null) Some(default)
+        else if (v.isIntegralNumber) Some(v.asInt())
+        else None
     }
 
   private[operators] def textField(n: JsonNode, name: String): Option[String] = {

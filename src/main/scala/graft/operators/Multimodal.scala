@@ -135,6 +135,109 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Integer average-hash (aHash) over the payload bytes — the classic
+    * perceptual fingerprint (band mean vs. global mean, the block-mean
+    * aHash of the image-dedup literature) computed byte-wise over the
+    * opaque payload: bit `b` of `bands` is 1 iff band `b`'s mean byte
+    * value is ≥ the payload's global mean. A re-encoded or
+    * slightly-corrupted copy perturbs individual bytes but not band
+    * means, so its hash lands within a small Hamming radius of the
+    * original — the failure mode [[sharedFramePairs]]' bit-exact frame
+    * md5s cannot see.
+    *
+    * All-integer: band sums come from the codegen [[graft.functions.expressions.ByteBandSums]]
+    * pass, band populations derive from `n` by the same floor divisions,
+    * and the bit decision is the cross-multiplication
+    * `sum_b · n ≥ total · cnt_b` — no float mean anywhere, so the DuckDB
+    * oracle replays the hash bit-for-bit. An empty band (payload shorter
+    * than `bands`) contributes a 0 bit; an empty payload hashes to 0.
+    * `bands ≤ 31` keeps the packed mask inside the portable-bitset rule
+    * (max 2^31 — DuckDB raises on `1::BIGINT << 63`-class shifts).
+    *
+    * Scale shape: one narrow per-row pass — no shuffle, no join.
+    */
+  def withAHash(media: DataFrame, bands: Int = 16): DataFrame = {
+    require(bands >= 1 && bands <= 31, "bands must be in [1, 31]")
+    val sums = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.ByteBandSums(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("payload")), bands))
+    val withSums = media
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("bsums", sums)
+      .withColumn("btotal", aggregate(col("bsums"), lit(0L), (a, x) => a + x))
+    val bits = (0 until bands).map { b =>
+      val lo = call_function("div", col("n_bytes") * lit(b.toLong), lit(bands.toLong))
+      val hi = call_function("div", col("n_bytes") * lit(b.toLong + 1), lit(bands.toLong))
+      val cnt = hi - lo
+      when(cnt > 0 &&
+          element_at(col("bsums"), b + 1) * col("n_bytes") >= col("btotal") * cnt,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withSums.withColumn("ahash", bits).drop("bsums", "btotal")
+  }
+
+  /** Perceptual near-duplicate pairs by aHash Hamming distance — the
+    * media twin of the text SimHash pass: pairs of payloads whose
+    * [[withAHash]] fingerprints differ in ≤ `radius` of `bands` bits.
+    * Candidate generation is the standard bit-banding LSH: the hash
+    * splits into `groups` contiguous bit groups, and by pigeonhole a
+    * pair within radius < groups collides in ≥ 1 group — so candidates
+    * come from per-group equality equi-joins (never a cartesian product)
+    * with NO false negatives, and every candidate is verified with the
+    * exact popcount.
+    *
+    * Group signatures appearing in more than `maxDf` payloads are
+    * dropped before the pair join — boilerplate (uniform-tone media all
+    * hash alike) AND the skew valve, exactly [[sharedFramePairs]]'
+    * maxDf rule: one white-hot signature yields ≤ maxDf² pairs, never a
+    * quadratic blowup. That cut is part of the operator's CONTRACT (a
+    * pair is reported iff it verifies AND shares a sub-maxDf group),
+    * which the oracle replays verbatim.
+    */
+  def perceptualHashPairs(
+      media: DataFrame,
+      bands: Int = 16,
+      groups: Int = 4,
+      radius: Int = 3,
+      maxDf: Int = 8): DataFrame = {
+    require(groups >= 1 && bands % groups == 0, "groups must divide bands")
+    require(radius >= 0 && radius < groups,
+      "radius must be < groups (pigeonhole recall guarantee)")
+    require(maxDf >= 2, "maxDf must allow a pair (>= 2)")
+    val bpg = bands / groups
+    val mask = (1L << bpg) - 1L
+    val h = withAHash(media, bands).select(col("doc_id"), col("ahash"))
+    val grouped = h.select(col("doc_id"), col("ahash"),
+      explode(array((0 until groups).map(g => struct(lit(g).as("grp"),
+        shiftright(col("ahash"), g * bpg).bitwiseAND(lit(mask)).as("sig"))): _*))
+        .as("gs"))
+      .select(col("doc_id"), col("ahash"),
+        col("gs.grp").as("grp"), col("gs.sig").as("sig"))
+    val rare = grouped
+      .groupBy(col("grp"), col("sig"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") <= maxDf)
+      .select("grp", "sig")
+    // pinned: both sides of the candidate self-join read the kept table
+    // (a self-join gets zero ReusedExchange — the house rule); released
+    // once the radius-verified result is materialized
+    val kept = Pins.pin(grouped.join(rare, Seq("grp", "sig")))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.grp") === col("b.grp") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    val out = Pins.pin(cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming"))
+    Pins.release(kept)
+    out
+  }
+
   /** Decoded features per media row. */
   final case class MediaFeatures(
       doc_id: Long,

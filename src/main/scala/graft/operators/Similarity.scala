@@ -375,7 +375,12 @@ object Similarity {
       maxBroadcastProbes: Int = 4096): DataFrame = {
     require(cents.nonEmpty, "centroids must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
-    val e = withNorm(embeddings).cache()
+    // pinned, not cached: the corpus and query sides both read the
+    // normalized table, but a CacheManager entry would live for the app
+    // — a long-lived service calling this repeatedly on changing corpora
+    // accumulates pinned storage. The pin is released on the exit path
+    // once the (top-k-sized) result is materialized.
+    val e = Pins.pin(withNorm(embeddings))
     val corpus = e
       .withColumn("cell", nearestCell(col("embedding"), cents))
       .select(col("vec_id").as("neighbor_id"), col("cell"),
@@ -398,12 +403,14 @@ object Similarity {
       // out over the 2-D block grid instead of one |cell|·|probes| task
       else blockedCellJoin(corpus, "neighbor_id", queries, "query_id", maxCellSize)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    joined
+    val out = Pins.pin(joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+      .select("query_id", "neighbor_id", "rank", "cosine"))
+    Pins.release(e)
+    out
   }
 
   /** Corpus annotated with its IVF cell assignment (and norm) — the
@@ -435,10 +442,15 @@ object Similarity {
     *   - on the small-probe broadcast path the probed cell ids (bounded
     *     by the just-verified probe count) are collected and pushed as a
     *     literal `cell IN (...)` predicate — on a cell-PARTITIONED store
-    *     that is a static partition filter, so the scan READS only the
-    *     probed cells (at 100 TB with √N cells, a 64-query nprobe=2 serve
-    *     touches ~128 partitions of millions — the scan cost follows the
-    *     probe set, not the corpus);
+    *     that is a static partition filter, so the CORPUS side of the
+    *     join reads only the probed cells (at 100 TB with √N cells, a
+    *     64-query nprobe=2 serve touches ~128 partitions of millions —
+    *     that scan's cost follows the probe set, not the corpus). The
+    *     QUERY-side lookup (`assigned.filter(queryPred)`) is a separate
+    *     scan pruned only by parquet pushdown of `queryPred`, not by
+    *     cells — a real service that already holds its query vectors
+    *     should pass them via [[ivfTopKAssignedWith]] and skip that
+    *     store scan entirely;
     *   - the oversized-probe fallback is the same valved kNN-join sweep
     *     as the in-line form (a full-corpus sweep reads everything
     *     regardless, so there is nothing for pruning to save).
@@ -451,15 +463,39 @@ object Similarity {
       nprobe: Int,
       broadcastQueries: Boolean = true,
       maxCellSize: Int = 4096,
+      maxBroadcastProbes: Int = 4096): DataFrame =
+    ivfTopKAssignedWith(assigned,
+      assigned.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("nrm")),
+      k, cents, nprobe, broadcastQueries, maxCellSize, maxBroadcastProbes)
+
+  /** [[ivfTopKAssigned]] against a CALLER-SUPPLIED query frame
+    * `(query_id, embedding[, nrm])` — the real service shape: a query
+    * batch arrives with its vectors in hand, so nothing scans the store
+    * to look them up and the only store I/O left is the probed-cell
+    * corpus read. `query_id` shares the corpus `vec_id` namespace for
+    * the self-exclusion filter (an id absent from the corpus simply
+    * never matches it). Missing `nrm` is derived per row.
+    */
+  def ivfTopKAssignedWith(
+      assigned: DataFrame,
+      queryVecs: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      broadcastQueries: Boolean = true,
+      maxCellSize: Int = 4096,
       maxBroadcastProbes: Int = 4096): DataFrame = {
     require(cents.nonEmpty, "centroids must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
     val corpus = assigned
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("emb_n"), col("nrm").as("nrm_n"))
-    val queries = assigned
-      .filter(queryPred)
-      .select(col("vec_id").as("query_id"),
+    val qv =
+      if (queryVecs.columns.contains("nrm")) queryVecs
+      else queryVecs.withColumn("nrm", norm(col("embedding")))
+    val queries = qv
+      .select(col("query_id"),
         explode(transform(
           slice(reverse(array_sort(cellScores(col("embedding"), cents))), 1, nprobe),
           s => s.getField("i"))).as("cell"),
@@ -763,19 +799,21 @@ object Similarity {
       threshold: Double,
       bands: Int = 6,
       rowsPerBand: Int = 4): DataFrame = {
-    // cached: norms feed candidate verification on both pair sides, and
-    // the SRP band table feeds both sides of the candidate self-join —
-    // materializing both keeps each hyperplane fold at once-per-vector
-    val e = withNorm(embeddings).cache()
+    // pinned, not cached: norms feed candidate verification on both pair
+    // sides, and the SRP band table feeds both sides of the candidate
+    // self-join — materializing both keeps each hyperplane fold at
+    // once-per-vector, and the pins release on the exit path (a
+    // CacheManager entry would outlive the call and accumulate across
+    // invocations on changing corpora)
+    val e = Pins.pin(withNorm(embeddings))
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         srpCode(col("embedding"), b * rowsPerBand, rowsPerBand).as("sig"))
     }
-    val banded = e
+    val banded = Pins.pin(e
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .cache()
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig")))
     val cand = banded
       .as("a")
       .join(banded.as("b"),
@@ -785,12 +823,15 @@ object Similarity {
       .distinct()
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    cand
+    val out = Pins.pin(cand
       .join(ea, "vec_a")
       .join(eb, "vec_b")
       .withColumn("cosine", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
+      .select("vec_a", "vec_b", "cosine"))
+    Pins.release(banded)
+    Pins.release(e)
+    out
   }
 
   /** Semantic decontamination: drop TRAIN vectors whose embedding-cosine
@@ -1490,6 +1531,79 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Quantizer identity stamp: the first 15 md5 hex digits (the h60
+    * convention) over the shape header and the RAW IEEE-754 bits of every
+    * coordinate, in (cell, dim) order. Centroids round-trip parquet
+    * bit-exactly, so the stamp of a reloaded quantizer equals the stamp
+    * of the one that trained it — and any retrain, refresh, or wrong-file
+    * load changes at least one coordinate's bits and therefore the stamp.
+    * Driver-side only (k×dim doubles), never a distributed job.
+    */
+  def quantizerFingerprint(cents: Array[Array[Double]]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"${cents.length}|${cents.headOption.map(_.length).getOrElse(0)};"
+      .getBytes("UTF-8"))
+    cents.foreach { c =>
+      c.foreach { v =>
+        md.update(s"${java.lang.Double.doubleToRawLongBits(v)};".getBytes("UTF-8"))
+      }
+    }
+    java.lang.Long.parseLong(
+      md.digest().map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** [[quantizerFingerprint]] for PQ codebooks — the (m, ksub, sub) shape
+    * header keeps two factorizations of the same flattened coordinates
+    * from colliding.
+    */
+  def bookFingerprint(books: Array[Array[Array[Double]]]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ksub = books.headOption.map(_.length).getOrElse(0)
+    val sub = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    md.update(s"${books.length}|$ksub|$sub;".getBytes("UTF-8"))
+    books.foreach(_.foreach(_.foreach { v =>
+      md.update(s"${java.lang.Double.doubleToRawLongBits(v)};".getBytes("UTF-8"))
+    }))
+    java.lang.Long.parseLong(
+      md.digest().map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** One-row store-metadata sidecar: the quantizer stamp plus the cell
+    * geometry the codes were derived under (`cell_bits` = −1 for stores
+    * whose cell is a learned k-means assignment, not an SRP code).
+    */
+  private def writeStoreMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, qfp: Long, cellBits: Int): Unit = {
+    import spark.implicits._
+    Seq((qfp, cellBits.toLong)).toDF("qfp", "cell_bits")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readStoreMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String): (Long, Int) = {
+    val rows =
+      try spark.read.parquet(path)
+        .select(col("qfp").cast("long"), col("cell_bits").cast("long")).collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"$what has no quantizer stamp at $path — rebuild the store " +
+              "with its save* function before serving or appending", e)
+      }
+    require(rows.length == 1, s"torn store meta at $path: ${rows.length} rows")
+    (rows(0).getLong(0), rows(0).getLong(1).toInt)
+  }
+
+  private def requireStamp(stored: Long, supplied: Long, what: String, dir: String): Unit =
+    require(stored == supplied,
+      s"$what at $dir was written under a DIFFERENT quantizer " +
+        s"(stored stamp $stored, supplied stamp $supplied) — serving or " +
+        "appending with mismatched centroids/codebooks silently returns " +
+        "wrong neighbors; retrain and rewrite the store, or load the " +
+        "matching quantizer artifacts")
+
   /** Persist [[assignIvfCells]]' assigned corpus as `<dir>/assigned`
     * parquet PARTITIONED BY the cell id — the physical layout that makes
     * [[ivfTopKAssigned]]'s probed-cell predicate a static partition
@@ -1497,70 +1611,213 @@ object Similarity {
     * directories, never the other 2^cellBits−nprobe·|q| of them. At
     * 100 TB each cell partition is its own file set, so the serve I/O is
     * sized by the probe set while build jobs still scan the store as one
-    * table.
+    * table. The quantizer that produced the assignment is STAMPED into
+    * `<dir>/assigned_meta` ([[quantizerFingerprint]]); load and append
+    * verify it, so a store assigned under old centroids can never be
+    * silently served or grown with refreshed ones.
     */
   def saveIvfAssigned(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      assigned: DataFrame): Unit =
+      assigned: DataFrame,
+      cents: Array[Array[Double]]): Unit = {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/assigned")
+    writeStoreMeta(spark, s"$dir/assigned_meta",
+      quantizerFingerprint(cents), cellBits = -1)
+  }
 
   /** Restore [[saveIvfAssigned]]'s store (partition column `cell` comes
     * back from the directory names; serve-side joins cast as needed).
+    * `cents` is the quantizer the CALLER intends to serve with — its
+    * stamp must match the one stored at save time, closing the
+    * mismatched-quantizer foot-gun (wrong neighbors, silently) at the
+    * load boundary.
     */
   def loadIvfAssigned(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val (stored, _) = readStoreMeta(spark, s"$dir/assigned_meta", "assigned store")
+    requireStamp(stored, quantizerFingerprint(cents), "assigned store", dir)
     spark.read.parquet(s"$dir/assigned")
+  }
 
   /** Accrete a fresh batch onto a persisted assigned store WITHOUT
     * rewriting it — the micro-batch index-maintenance shape (pair with
     * [[mergeCellStats]] for the stats half): the batch is assigned with
     * the SAME stored quantizer and appended, so only the touched cells'
     * directories gain files and nothing existing is read or moved.
+    * The stamp check makes "same quantizer" a verified precondition, not
+    * a convention — a batch assigned under different centroids would
+    * scatter rows into cells the serve-time probe never looks in.
     * Serving from the grown store ≡ the one-shot assignment of the union
     * corpus (assignment is row-local; the serve join keys only on cell),
     * so any batch arrival order works — the commutative-merge contract
     * the streaming stores follow. Quantizer drift is the caveat: a batch
     * far from the training distribution concentrates into few cells —
-    * watch [[mergeCellStats]]' populations and retrain + rewrite when a
-    * cell outgrows the serve-time valve.
+    * watch [[mergeCellStats]]' populations ([[cellLoad]] is the readout)
+    * and [[retrainIvfStore]] when a cell outgrows the serve-time valve.
     */
   def appendIvfAssigned(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       batch: DataFrame,
-      cents: Array[Array[Double]]): Unit =
+      cents: Array[Array[Double]]): Unit = {
+    val (stored, _) = readStoreMeta(spark, s"$dir/assigned_meta", "assigned store")
+    requireStamp(stored, quantizerFingerprint(cents), "assigned store", dir)
     assignIvfCells(batch, cents).write.mode("append").partitionBy("cell")
       .parquet(s"$dir/assigned")
+  }
 
   /** [[appendIvfAssigned]] for the PQ code store: encode the batch with
-    * the stored books and append — same commutative-accretion contract.
+    * the stored books — verified against the store's stamp — at the
+    * store's OWN `cell_bits` (read from the meta sidecar, so an append
+    * can never mix cell geometries), and append.
     */
   def appendPqCodes(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       batch: DataFrame,
-      books: Array[Array[Array[Double]]],
-      cellBits: Int = 4): Unit =
+      books: Array[Array[Array[Double]]]): Unit = {
+    val (stored, cellBits) = readStoreMeta(spark, s"$dir/codes_meta", "PQ code store")
+    requireStamp(stored, bookFingerprint(books), "PQ code store", dir)
     encodePqCodes(batch, books, cellBits).write.mode("append")
       .partitionBy("cell").parquet(s"$dir/codes")
+  }
 
   /** Persist [[encodePqCodes]]' code table as `<dir>/codes` parquet
     * partitioned by the SRP cell — same pruning contract as
-    * [[saveIvfAssigned]], at PQ's 32×-compressed row width.
+    * [[saveIvfAssigned]], at PQ's 32×-compressed row width. The
+    * codebook stamp AND the `cellBits` the codes were laid out under
+    * persist to `<dir>/codes_meta`: both are load-bearing (mismatched
+    * books give wrong ADC scores; mismatched cellBits make the serve
+    * probe cells the store never populated) and both were previously
+    * unverifiable conventions.
     */
   def savePqCodes(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      codes: DataFrame): Unit =
+      codes: DataFrame,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int = 4): Unit = {
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
+    writeStoreMeta(spark, s"$dir/codes_meta", bookFingerprint(books), cellBits)
+  }
 
-  /** Restore [[savePqCodes]]' code table. */
+  /** Restore [[savePqCodes]]' code table, verifying the caller's books
+    * against the store stamp; returns the codes AND the stored
+    * `cell_bits` so the serve ([[pqTopKWithCodes]]) derives its cell
+    * geometry from the store instead of trusting a caller default.
+    */
   def loadPqCodes(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/codes")
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      books: Array[Array[Array[Double]]]): (DataFrame, Int) = {
+    val (stored, cellBits) = readStoreMeta(spark, s"$dir/codes_meta", "PQ code store")
+    requireStamp(stored, bookFingerprint(books), "PQ code store", dir)
+    (spark.read.parquet(s"$dir/codes"), cellBits)
+  }
+
+  /** Cell-population readout over a [[cellStats]] table — the drift
+    * trigger that schedules [[retrainIvfStore]]: per cell, members seen
+    * so far, the exact integer ppm share of the corpus, and whether the
+    * population exceeds the serve-time valve (`maxCellSize`, the
+    * [[blockedCellPairs]]/[[blockedCellJoin]] threshold). A drifted
+    * ingest concentrates new vectors into few cells; when a cell crosses
+    * the valve, serve tasks for it start 2-D splitting — still correct,
+    * but the signal that the quantizer no longer fits the corpus.
+    *
+    * Scale shape: one (cell)-keyed max over the metadata-sized stats
+    * table plus a 1-row total broadcast — never touches the corpus.
+    */
+  def cellLoad(stats: DataFrame, maxCellSize: Int): DataFrame = {
+    require(maxCellSize >= 1, "maxCellSize must be at least 1")
+    val per = stats.groupBy(col("cell")).agg(max(col("n")).as("n_members"))
+    val tot = per.agg(sum(col("n_members")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"), col("n_total"),
+        call_function("div", lit(1000000L) * col("n_members"), col("n_total"))
+          .as("share_ppm"),
+        (col("n_members") > maxCellSize.toLong).as("over_valve"))
+  }
+
+  /** Retrain-and-rewrite for a drifted IVF store — the operator the
+    * [[appendIvfAssigned]] scaladoc promises when [[cellLoad]] trips:
+    * refresh each centroid to the unit-normalized mean of the members
+    * seen so far (the accumulated [[cellStats]]/[[mergeCellStats]] state
+    * — one exact-DECIMAL Lloyd step over the full ingest history without
+    * re-scanning it; a cell that never saw a member keeps its previous
+    * centroid, the [[kmeansCentroids]] rule), re-assign the stored corpus
+    * under the refreshed quantizer, and write a NEW store version at
+    * `outDir`: assigned partitions, centroids, fresh [[cellStats]] state,
+    * and the refreshed stamp.
+    *
+    * Version-swap, not in-place: `outDir` must differ from `inDir` (a
+    * 100 TB rewrite must never truncate the lineage it is reading by
+    * overwriting it — the swap also keeps the old version serveable
+    * until the new one is complete, the standard index-build posture).
+    * Serving the new store with the RETURNED centroids is identical by
+    * construction to [[ivfTopKWithCentroids]] over the same corpus and
+    * refreshed quantizer (spec-proven); the old store's stamp no longer
+    * matches the refreshed centroids, so a stale-store serve fails
+    * loudly at load.
+    *
+    * Scale shape: the stats refresh is metadata-sized; the corpus pays
+    * one assignment scan for the rewrite and one for the new stats —
+    * two reads of the old store, zero driver-side corpus state.
+    */
+  def retrainIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String): Array[Array[Double]] = {
+    require(inDir != outDir,
+      "retrain writes a NEW store version — outDir must differ from inDir")
+    val old = loadIvfCentroids(spark, inDir)
+    val stats = loadCellStats(spark, inDir)
+    val rows = centroidsFromStats(stats)
+      .select(col("cell").cast("int"), col("dim").cast("int"), col("c"))
+      .collect()
+    val next = old.map(_.clone())
+    rows.groupBy(_.getInt(0)).foreach { case (cell, rs) =>
+      val c = new Array[Double](old(cell).length)
+      rs.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+      next(cell) = unit(c)
+    }
+    val emb = spark.read.parquet(s"$inDir/assigned")
+      .select(col("vec_id"), col("embedding"))
+    saveIvfAssigned(spark, outDir, assignIvfCells(emb, next), next)
+    saveIvfIndex(spark, outDir, next, Some(cellStats(emb, next)))
+    next
+  }
+
+  /** Data-subject deletion THROUGH the assigned store — the composition
+    * of [[graft.streaming.Maintenance.deleteWhere]] with the ANN index:
+    * rows matching `pred` are removed, survivors rewrite as a new store
+    * version at `outDir` (same version-swap rule as
+    * [[retrainIvfStore]]; quantizer and stamp unchanged — deletion does
+    * not move anyone's cell), and the returned one-row tombstone audit
+    * carries n_deleted / n_kept / the Σ (h60(vec_id) mod 1000003)
+    * erasure fingerprint. Because the serve derives nothing global from
+    * the store (cosine ranks are per-pair), row deletion composes
+    * exactly: serving the survivor store ≡ serving a from-scratch build
+    * of the surviving corpus (oracle-proven hash-exact in
+    * q_ann_delete).
+    */
+  def deleteFromIvfAssigned(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      pred: Column,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(inDir != outDir,
+      "deletion rewrites a NEW store version — outDir must differ from inDir")
+    val assigned = loadIvfAssigned(spark, inDir, cents)
+    val (surv, audit) = graft.streaming.Maintenance.deleteWhere(
+      assigned.withColumn("store", lit("ivf_assigned")),
+      pred, Seq("store"), col("vec_id"))
+    saveIvfAssigned(spark, outDir, surv.drop("store"), cents)
+    audit
+  }
 
   /** Reciprocal-rank fusion of two top-k rankings — the hybrid-retrieval
     * combiner (Cormack et al., SIGIR'09; the default fusion in every

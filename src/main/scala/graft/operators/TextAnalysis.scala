@@ -1294,13 +1294,6 @@ object TextAnalysis {
     (postings, docLengths(docs))
   }
 
-  /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen`
-    * parquet (BIGINT/VARCHAR only — trivially engine-portable). At scale
-    * the postings table is the corpus-sized artifact; writing it once
-    * per corpus version is the standard inverted-index trade. The
-    * `spark` parameter is kept only for API symmetry with
-    * [[loadBm25Index]] (both writes go through the DataFrame API).
-    */
   /** Postings-store bucket count: `tok_bucket = h60(tok) % Bm25Buckets`
     * is the store's PARTITION column, fixed so a serve derives a term's
     * partition from the term alone (h60Jvm ≡ h60, property-tested) with
@@ -1319,6 +1312,15 @@ object TextAnalysis {
       .repartition(col("tok_bucket"), col("tok"))
       .sortWithinPartitions(col("tok"))
 
+  /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen`
+    * parquet (BIGINT/VARCHAR only — trivially engine-portable): postings
+    * PARTITIONED BY `tok_bucket` with tok-sorted files (the
+    * [[Bm25Buckets]] pruning layout), doclen unpartitioned. At scale the
+    * postings table is the corpus-sized artifact; writing it once per
+    * corpus version is the standard inverted-index trade. The `spark`
+    * parameter is kept only for API symmetry with [[loadBm25Index]]
+    * (both writes go through the DataFrame API).
+    */
   def saveBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
     val (postings, dl) = buildBm25Index(docs)
@@ -1348,6 +1350,7 @@ object TextAnalysis {
     */
   def appendBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
+    requireBucketedLayout(spark, s"$dir/postings")
     val (postings, dl) = buildBm25Index(batch)
     bucketedPostings(postings).write.mode("append")
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
@@ -1355,10 +1358,73 @@ object TextAnalysis {
     Pins.release(dl)
   }
 
+  /** Layout guard for [[appendBm25Index]]: appending `tok_bucket=`-
+    * partitioned files onto a store written under the pre-bucketed flat
+    * layout yields a mixed directory Spark's partition discovery rejects
+    * (or silently misreads as a partial partition column) — fail loudly
+    * with a rebuild message instead. A nonexistent path is fine (first
+    * append creates the store); an existing path must already contain
+    * `tok_bucket=*` directories.
+    */
+  private def requireBucketedLayout(
+      spark: org.apache.spark.sql.SparkSession, postingsPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(postingsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val hasData = fs.listStatus(p).exists(s =>
+        !s.getPath.getName.startsWith("_"))
+      val bucketed = fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("tok_bucket="))
+      require(!hasData || bucketed,
+        s"postings store at $postingsPath uses the pre-bucketed flat layout — " +
+          "rebuild it with saveBm25Index before appending (mixed layouts break " +
+          "partition discovery)")
+    }
+  }
+
   /** Reload a [[saveBm25Index]] store: (postings, doclen). */
   def loadBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/doclen"))
+
+  /** Data-subject deletion THROUGH the postings store — the composition
+    * of [[graft.streaming.Maintenance.deleteWhere]] with the inverted
+    * index: documents matching `pred` (a predicate over `doc_id`) are
+    * removed from BOTH halves of the store, survivors rewrite as a new
+    * store version at `outDir` (version-swap — a 100 TB rewrite never
+    * overwrites the files it is reading; the old version stays serveable
+    * until the swap), and the returned one-row tombstone audit carries
+    * n_deleted / n_kept / the Σ (h60(doc_id) mod 1000003) erasure
+    * fingerprint over the DELETED doc ids (doc-level — the data-subject
+    * unit; their postings rows go with them).
+    *
+    * Deletion COMPOSES with serving because every corpus-level statistic
+    * the scorer uses derives at serve time from the stored tables: df
+    * re-counts per-term postings, N and the average length re-aggregate
+    * doclen — so serving the survivor store is EXACTLY serving a
+    * from-scratch index of the surviving corpus (oracle-proven
+    * hash-exact in q_bm25_delete, not assumed). Survivor postings
+    * rewrite through the same bucket/sort layout as [[saveBm25Index]],
+    * so pruning behavior carries over to the new version.
+    */
+  def deleteFromBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      pred: Column): DataFrame = {
+    require(inDir != outDir,
+      "deletion rewrites a NEW store version — outDir must differ from inDir")
+    val (postings, dl) = loadBm25Index(spark, inDir)
+    val hit = coalesce(pred, lit(false))
+    bucketedPostings(postings.filter(!hit)
+      .select(col("doc_id"), col("tok"), col("tf")))
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$outDir/postings")
+    val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
+      dl.withColumn("store", lit("bm25")), pred, Seq("store"), col("doc_id"))
+    survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
+    audit
+  }
 
   /** [[bm25TopK]] served from a prebuilt/reloaded index instead of the
     * raw corpus: identical integer weighting, identical output (the

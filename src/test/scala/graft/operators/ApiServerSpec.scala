@@ -231,6 +231,75 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("stored-index retrieval routes serve BM25 and ANN over a real socket") {
+    import org.apache.spark.sql.functions.col
+    // BM25 store over a tiny corpus; ANN store over the driver embeddings
+    val docs = Seq(
+      (1L, "vector stream window vector"),
+      (2L, "stream stream batch"),
+      (3L, "window sort dup"),
+      (4L, "unrelated words only")).toDF("doc_id", "text")
+    val wd = java.nio.file.Files.createTempDirectory("retrsrv").toString
+    TextAnalysis.saveBm25Index(spark, s"$wd/bm25", docs)
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, s"$wd/bm25")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 1, salt = "srv")
+    Similarity.saveIvfAssigned(spark, s"$wd/ann",
+      Similarity.assignIvfCells(emb, cents), cents)
+    val assigned = Similarity.loadIvfAssigned(spark, s"$wd/ann", cents)
+    val retrieval = RetrievalService(
+      bm25 = Map("docs" -> ((postings, doclen))),
+      // a tiny probe cap so the oversized-probe case actually trips it
+      ann = Map("vecs" -> RetrievalService.AnnStore(assigned, cents,
+        maxBroadcastProbes = 4)))
+    val srv = new ApiServer(facade, ApiServer.Indexer, metrics = None,
+      retrieval = Some(retrieval))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // BM25 serve: ranked hits — docs 1 and 2 carry query terms, 3/4 not
+      val ok = post(base, "/search/docs", """{"terms":["vector","stream"],"k":10}""")
+      assert(ok.statusCode() == 200)
+      assert(dataRows(ok.body()) == 2)
+      assert(!ok.body().contains("\"doc_id\":3"))
+      assert(!ok.body().contains("\"doc_id\":4"))
+      // unbuilt store → 404; bad bodies → 400
+      assert(post(base, "/search/nope", """{"terms":["x"]}""").statusCode() == 404)
+      assert(post(base, "/search/docs", """{}""").statusCode() == 400)
+      assert(post(base, "/search/docs", """{"terms":[]}""").statusCode() == 400)
+      assert(post(base, "/search/docs",
+        """{"terms":["x"],"k":"ten"}""").statusCode() == 400)
+      assert(post(base, "/search/docs", """{"terms":["x"],"k":0}""").statusCode() == 400)
+      // ANN serve: small probe (broadcast path)
+      val annOk = post(base, "/ann/vecs", """{"query_ids":[0],"k":3,"nprobe":2}""")
+      assert(annOk.statusCode() == 200)
+      assert(dataRows(annOk.body()) == 3)
+      // oversized probe set: the serve falls back to the sweep join and
+      // stays result-identical to the in-line serve of the same probes
+      val manyIds = (0L until 40L).map(_ * 5)
+      val big = post(base, "/ann/vecs",
+        s"""{"query_ids":[${manyIds.mkString(",")}],"k":3,"nprobe":2}""")
+      assert(big.statusCode() == 200)
+      val expect = Similarity.ivfTopKWithCentroids(
+        emb, col("vec_id").isin(manyIds: _*), 3, cents, nprobe = 2).count()
+      assert(dataRows(big.body()).toLong == expect)
+      // ANN bind failures: 404 / missing ids / bad nprobe
+      assert(post(base, "/ann/nope", """{"query_ids":[1]}""").statusCode() == 404)
+      assert(post(base, "/ann/vecs", """{}""").statusCode() == 400)
+      assert(post(base, "/ann/vecs",
+        """{"query_ids":[1],"nprobe":99}""").statusCode() == 400)
+      assert(post(base, "/ann/vecs",
+        """{"query_ids":["a"]}""").statusCode() == 400)
+      // the retrieval routes never shadow the reference surface
+      assert(get(base, "/exact/meta/id_007").statusCode() == 200)
+    } finally srv.stop(0)
+    // unwired instances 404 the retrieval routes, like /metrics
+    withServer(ApiServer.Indexer) { base =>
+      assert(post(base, "/search/docs", """{"terms":["x"]}""").statusCode() == 404)
+      assert(post(base, "/ann/vecs", """{"query_ids":[1]}""").statusCode() == 404)
+    }
+  }
+
   test("a handler crash surfaces as a well-formed 500, not a hung socket") {
     // a facade whose collection frame is broken (missing columns) → the
     // eager /exact path throws inside the handler

@@ -111,4 +111,67 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(out === Seq((10L, 11L, 2L)))
   }
+
+  test("withAHash: integer band-mean bits, empty-band/empty-payload edges") {
+    def media(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("image/png").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+    // 4 bands over 8 bytes: bands of 2; 'zz' (high) vs 'aa' (low) — the
+    // high half's band means clear the global mean, the low half's don't
+    val h = Multimodal.withAHash(media(20L -> "zzzzaaaa"), bands = 4)
+      .select("doc_id", "ahash").as[(Long, Long)].collect().head._2
+    assert(h === 3L) // bits 0,1 (the 'zz' bands) set; little-endian packing
+    // ties count as ≥: a uniform payload sets every non-empty bit
+    val u = Multimodal.withAHash(media(21L -> "mmmm"), bands = 4)
+      .select("ahash").as[Long].collect().head
+    assert(u === 15L)
+    // payload shorter than bands: trailing empty bands contribute 0 bits
+    val s = Multimodal.withAHash(media(22L -> "zm"), bands = 4)
+      .select("ahash").as[Long].collect().head
+    // n=2: band byte ranges [0,0),[0,1),[1,1),[1,2) → only bands 1 and 3
+    // non-empty; 'z' ≥ mean → bit 1; 'm' < mean → bit 3 clear
+    assert(s === 2L)
+    assert(Multimodal.withAHash(media(23L -> ""), bands = 4)
+      .select("ahash").as[Long].collect().head === 0L)
+  }
+
+  test("perceptualHashPairs catches a re-encoded copy bit-exact frames miss") {
+    // doc 31 is a "re-encoded" copy of 30: every 8-byte block keeps its
+    // mean character but individual bytes differ ('ab' ↔ 'ba', 'mn' ↔
+    // 'nm'), so NO frame md5 survives — sharedFramePairs is blind — while
+    // every band mean is identical, so the aHash matches exactly.
+    // doc 32 is unrelated content (alternating high/low bands).
+    val base = "abababab" * 4 + "mnmnmnmn" * 4 + "zyzyzyzy" * 4 + "cdcdcdcd" * 4
+    val reenc = "babababa" * 4 + "nmnmnmnm" * 4 + "yzyzyzyz" * 4 + "dcdcdcdc" * 4
+    val other = ("zzzzzzzz" + "aaaaaaaa") * 8
+    val media = Seq(30L -> base, 31L -> reenc, 32L -> other)
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("video/mp4").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val frames = Multimodal.sharedFramePairs(media,
+      frameBytes = 8, stride = 1, minShared = 1, maxDf = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(frames.isEmpty, "re-encoding must defeat the bit-exact frame pass")
+    val pairs = Multimodal.perceptualHashPairs(media,
+      bands = 16, groups = 4, radius = 2, maxDf = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((30L, 31L, 0L)),
+      "the perceptual pass must pair the re-encoded copy (and only it)")
+  }
+
+  test("perceptualHashPairs: maxDf valve drops boilerplate signatures; radius bound enforced") {
+    // ten all-identical payloads: every group signature has df=10 > maxDf
+    // → no candidate survives the boilerplate cut (contract, and the
+    // skew valve that stops a 10²-pair blowup)
+    val clones = (0 until 10).map(i => (100L + i, "samecontent" * 4))
+    val media = clones.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("audio/wav").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+    assert(Multimodal.perceptualHashPairs(media,
+      bands = 16, groups = 4, radius = 3, maxDf = 8).count() === 0L)
+    // radius ≥ groups would break the pigeonhole recall guarantee
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualHashPairs(media, bands = 16, groups = 4, radius = 4)
+    }
+  }
 }

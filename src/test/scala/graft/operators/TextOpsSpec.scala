@@ -269,9 +269,13 @@ class TextOpsSpec extends SparkSpec {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def plan(bc: Boolean) = Similarity.ivfTopKKmeans(
-        emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3,
-        broadcastQueries = bc).queryExecution.executedPlan.toString
+      // plan assertions under the audit view: executing results are
+      // eagerly pinned LogicalRDD scans (the PlanAuditSpec convention)
+      def plan(bc: Boolean) = Pins.withAuditView {
+        Similarity.ivfTopKKmeans(
+          emb, col("vec_id") % 20 === 0, 5, numCells = 8, iters = 2, nprobe = 3,
+          broadcastQueries = bc).queryExecution.executedPlan.toString
+      }
       assert(plan(true).contains("BroadcastHashJoin"))
       // the sweep's PAIR join must be a shuffle join (both corpus-sized
       // sides hash-partition); the only forced broadcasts in its plan are
@@ -298,18 +302,23 @@ class TextOpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
     // a broadcast hint over the QUERY side specifically — the fallback
     // path legitimately broadcasts numCells-sized split histograms
-    // (blockedCellJoin), which must not trip the detector
-    def hinted(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.analyzed.collect {
+    // (blockedCellJoin), which must not trip the detector. Hint
+    // inspection builds under the audit view: executing ivf results are
+    // eagerly pinned LogicalRDD scans (the PlanAuditSpec convention).
+    def hinted(build: => org.apache.spark.sql.DataFrame) = Pins.withAuditView {
+      build.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
             if h.child.output.exists(_.name == "query_id") => h
       }.nonEmpty
+    }
     val cs = Similarity.kmeansCentroids(emb, numCells = 8, iters = 2)
     val guarded = Similarity.ivfTopKWithCentroids(
       emb, col("vec_id") % 2 === 0, 3, cs, nprobe = 2, maxBroadcastProbes = 2)
     val swept = Similarity.ivfTopKWithCentroids(
       emb, col("vec_id") % 2 === 0, 3, cs, nprobe = 2, broadcastQueries = false)
-    assert(!hinted(guarded), "guard failed to strip the forced broadcast hint")
+    assert(!hinted(Similarity.ivfTopKWithCentroids(
+      emb, col("vec_id") % 2 === 0, 3, cs, nprobe = 2, maxBroadcastProbes = 2)),
+      "guard failed to strip the forced broadcast hint")
     assert(keys(guarded) === keys(swept)) // fallback is result-identical
     assert(keys(guarded).nonEmpty)
     // falsifiability: a genuinely small probe set KEEPS the hint (the
@@ -383,8 +392,8 @@ class TextOpsSpec extends SparkSpec {
     // the scan reads only the probed cells' directories, which is the
     // whole point of partitioning the store by cell
     val wd = java.nio.file.Files.createTempDirectory("annstore").toString
-    Similarity.saveIvfAssigned(spark, wd, assigned)
-    val loaded = Similarity.loadIvfAssigned(spark, wd)
+    Similarity.saveIvfAssigned(spark, wd, assigned, cents)
+    val loaded = Similarity.loadIvfAssigned(spark, wd, cents)
     val served = Similarity.ivfTopKAssigned(loaded, pred, 5, cents, nprobe = 3)
     assert(keys(served) === inline)
     // the loaded store's partition-column cell (int from directory names)
@@ -406,10 +415,13 @@ class TextOpsSpec extends SparkSpec {
       cellBits = 4, rerank = 50, broadcastQueries = false)) === pqInline(false))
     assert(pqInline(true).nonEmpty)
     Similarity.savePqBooks(spark, wd, books)
-    Similarity.savePqCodes(spark, wd, codes)
+    Similarity.savePqCodes(spark, wd, codes, books, cellBits = 4)
+    val (loadedCodes, storedBits) =
+      Similarity.loadPqCodes(spark, wd, Similarity.loadPqBooks(spark, wd))
+    assert(storedBits === 4, "the store must hand back the cellBits it was encoded at")
     val pqServed = Similarity.pqTopKWithCodes(
-      Similarity.loadPqCodes(spark, wd), emb, pred, 3,
-      Similarity.loadPqBooks(spark, wd), cellBits = 4, rerank = 50)
+      loadedCodes, emb, pred, 3,
+      Similarity.loadPqBooks(spark, wd), cellBits = storedBits, rerank = 50)
     assert(keys(pqServed) === pqInline(true))
     val pqPlan = pqServed.queryExecution.executedPlan.toString
     assert(pqPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
@@ -601,8 +613,16 @@ class TextOpsSpec extends SparkSpec {
     val valvedDf = Similarity.ivfTopKWithCentroids(
       emb, pred, k = 5, two, nprobe = 1,
       broadcastQueries = false, maxCellSize = 50)
-    assert(valvedDf.queryExecution.executedPlan.toString.contains("Generate"),
-      "valved sweep plan shows no block fan-out")
+    // plan assertion under the audit view: the executing result is an
+    // eagerly pinned LogicalRDD scan, so the fan-out is visible only on
+    // the inlined plan (the PlanAuditSpec convention)
+    Pins.withAuditView {
+      assert(Similarity.ivfTopKWithCentroids(
+        emb, pred, k = 5, two, nprobe = 1,
+        broadcastQueries = false, maxCellSize = 50)
+        .queryExecution.executedPlan.toString.contains("Generate"),
+        "valved sweep plan shows no block fan-out")
+    }
     assert(keys(valvedDf) === unvalved)
     // and the broadcast (query-serving) mode agrees with both
     assert(keys(Similarity.ivfTopKWithCentroids(
@@ -2403,5 +2423,147 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(shortOut.forall { case (a, b, _) => lens(a) < 96 || lens(b) < 96 })
     assert(mainOut.forall { case (a, b, _) => lens(a) >= 96 && lens(b) >= 96 })
+  }
+
+  test("retrain lifecycle: drift readout, refreshed rewrite, stale-store rejection") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.kmeansCentroids(half, numCells = 4, iters = 1, salt = "ret")
+    val wd = java.nio.file.Files.createTempDirectory("annret").toString
+    Similarity.saveIvfIndex(spark, s"$wd/v1", cents,
+      Some(Similarity.cellStats(half, cents)))
+    Similarity.saveIvfAssigned(spark, s"$wd/v1",
+      Similarity.assignIvfCells(half, cents), cents)
+    Similarity.appendIvfAssigned(spark, s"$wd/v1", batch, cents)
+    val merged = Similarity.mergeCellStats(
+      Similarity.loadCellStats(spark, s"$wd/v1"),
+      Similarity.cellStats(batch, cents)).localCheckpoint()
+    Similarity.saveIvfIndex(spark, s"$wd/v1", cents, Some(merged))
+    // drift readout over the accumulated state: populations account for
+    // every vector, shares are exact ppm, and a 4-cell quantizer over
+    // this corpus (>40 vectors) must have a cell past a valve of 10
+    // (pigeonhole)
+    val total = emb.count()
+    assert(total > 40L)
+    val load = Similarity.cellLoad(merged, maxCellSize = 10).collect()
+    assert(load.map(_.getAs[Long]("n_members")).sum === total)
+    assert(load.forall(_.getAs[Long]("share_ppm") <= 1000000L))
+    assert(load.exists(_.getAs[Boolean]("over_valve")))
+    Pins.release(merged)
+    // version-swap is enforced
+    intercept[IllegalArgumentException] {
+      Similarity.retrainIvfStore(spark, s"$wd/v1", s"$wd/v1")
+    }
+    val next = Similarity.retrainIvfStore(spark, s"$wd/v1", s"$wd/v2")
+    // the refresh really moved the quantizer (the odd half shifted means)
+    assert(Similarity.quantizerFingerprint(next)
+      !== Similarity.quantizerFingerprint(cents))
+    // v2 serves at PARTIAL probe exactly like an in-line serve of the
+    // full corpus under the refreshed quantizer
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val pred = col("vec_id") % 20 === 0
+    val served = keys(Similarity.ivfTopKAssigned(
+      Similarity.loadIvfAssigned(spark, s"$wd/v2", next), pred, 5, next, nprobe = 2))
+    assert(served === keys(
+      Similarity.ivfTopKWithCentroids(emb, pred, 5, next, nprobe = 2)))
+    assert(served.nonEmpty)
+    // the old version no longer loads under the refreshed quantizer, and
+    // v2's rebuilt stats state accounts for the whole corpus
+    intercept[IllegalArgumentException] {
+      Similarity.loadIvfAssigned(spark, s"$wd/v1", next)
+    }
+    val load2 = Similarity.cellLoad(
+      Similarity.loadCellStats(spark, s"$wd/v2"), maxCellSize = 10).collect()
+    assert(load2.map(_.getAs[Long]("n_members")).sum === total)
+  }
+
+  test("deletion propagates through the retrieval stores with an exact audit") {
+    import graft.functions.TextFunctions.h60Jvm
+    val allDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val wd = java.nio.file.Files.createTempDirectory("storedel").toString
+    // ---- BM25 half
+    TextAnalysis.saveBm25Index(spark, s"$wd/v1", allDocs)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromBm25Index(spark, s"$wd/v1", s"$wd/v1", lit(true))
+    }
+    val audit = TextAnalysis.deleteFromBm25Index(
+      spark, s"$wd/v1", s"$wd/v2", col("doc_id") % 3 === 1).collect()
+    assert(audit.length === 1)
+    val ids = allDocs.select("doc_id").as[Long].collect()
+    val del = ids.filter(_ % 3 == 1)
+    assert(audit.head.getAs[Long]("n_deleted") === del.length.toLong)
+    assert(audit.head.getAs[Long]("n_kept") === (ids.length - del.length).toLong)
+    assert(audit.head.getAs[Long]("del_fp_sum")
+      === del.map(id => h60Jvm(id.toString) % 1000003L).sum)
+    // the survivor store serves EXACTLY a from-scratch index of the
+    // surviving corpus — df/N/avg-dl all re-derive over survivors only
+    TextAnalysis.saveBm25Index(spark, s"$wd/fresh",
+      allDocs.filter(col("doc_id") % 3 =!= 1))
+    val terms = Seq("vector", "stream", "window")
+    def bmKeys(dir: String) = {
+      val (p, d) = TextAnalysis.loadBm25Index(spark, dir)
+      TextAnalysis.bm25TopKFromIndex(p, d, terms, 20)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val servedDel = bmKeys(s"$wd/v2")
+    assert(servedDel === bmKeys(s"$wd/fresh"))
+    assert(servedDel.nonEmpty && servedDel.forall(_._1 % 3 != 1))
+    // ---- ANN half
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 1, salt = "del")
+    Similarity.saveIvfAssigned(spark, s"$wd/a1",
+      Similarity.assignIvfCells(emb, cents), cents)
+    val aud2 = Similarity.deleteFromIvfAssigned(
+      spark, s"$wd/a1", s"$wd/a2", col("vec_id") % 4 === 1, cents).collect()
+    val vids = emb.select("vec_id").as[Long].collect()
+    val vdel = vids.filter(_ % 4 == 1)
+    assert(aud2.head.getAs[Long]("n_deleted") === vdel.length.toLong)
+    assert(aud2.head.getAs[Long]("del_fp_sum")
+      === vdel.map(id => h60Jvm(id.toString) % 1000003L).sum)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val pred = col("vec_id") % 20 === 0
+    val servedAnn = keys(Similarity.ivfTopKAssigned(
+      Similarity.loadIvfAssigned(spark, s"$wd/a2", cents), pred, 5, cents, nprobe = 2))
+    assert(servedAnn === keys(Similarity.ivfTopKWithCentroids(
+      emb.filter(col("vec_id") % 4 =!= 1), pred, 5, cents, nprobe = 2)))
+    assert(servedAnn.nonEmpty)
+    assert(servedAnn.forall { case (_, _, n) => n % 4 != 1 })
+  }
+
+  test("appendBm25Index rejects a store written under the flat (unbucketed) layout") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25flat").toString
+    Seq((1L, "alpha", 1L)).toDF("doc_id", "tok", "tf")
+      .write.parquet(s"$dir/postings")
+    Seq((1L, 1L)).toDF("doc_id", "dl").write.parquet(s"$dir/doclen")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendBm25Index(spark, dir, docs.limit(5))
+    }
+    assert(e.getMessage.contains("flat layout"))
+  }
+
+  test("one-shot similarity paths release every pin they take") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    emb.count() // materialize the spec-local cache before the baseline
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 1, salt = "pin")
+    val r1 = Similarity.ivfTopKWithCentroids(
+      emb, col("vec_id") % 20 === 0, 5, cents, nprobe = 2)
+    assert(r1.count() > 0)
+    Pins.release(r1)
+    val r2 = Similarity.nearDupPairs(emb, 0.35)
+    r2.count()
+    Pins.release(r2)
+    // with the pre-round-15 `.cache()` implementation the normalized
+    // corpus and band tables would linger here for the app's lifetime
+    assert(sc.getPersistentRDDs.keySet === before,
+      "similarity one-shots must not leave pinned storage behind once " +
+        "their results are released")
   }
 }

@@ -1561,9 +1561,10 @@ class StreamingOpsSpec extends SparkSpec {
     // order — assignment is row-local and the serve join keys only on the
     // cell, so any batch order works (the commutative-merge contract)
     Similarity.saveIvfAssigned(spark, wd,
-      Similarity.assignIvfCells(emb.filter(col("vec_id") % 3 === 0), cents))
+      Similarity.assignIvfCells(emb.filter(col("vec_id") % 3 === 0), cents), cents)
     Similarity.savePqCodes(spark, wd,
-      Similarity.encodePqCodes(emb.filter(col("vec_id") % 3 === 0), books))
+      Similarity.encodePqCodes(emb.filter(col("vec_id") % 3 === 0), books),
+      books, cellBits = 4)
     Seq(2, 1).foreach { w =>
       Similarity.appendIvfAssigned(spark, wd, emb.filter(col("vec_id") % 3 === w), cents)
       Similarity.appendPqCodes(spark, wd, emb.filter(col("vec_id") % 3 === w), books)
@@ -1572,16 +1573,37 @@ class StreamingOpsSpec extends SparkSpec {
       df.select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
     val pred = col("vec_id") % 20 === 0
     val grown = keys(Similarity.ivfTopKAssigned(
-      Similarity.loadIvfAssigned(spark, wd), pred, 5, cents, nprobe = 2))
+      Similarity.loadIvfAssigned(spark, wd, cents), pred, 5, cents, nprobe = 2))
     assert(grown === keys(Similarity.ivfTopKWithCentroids(emb, pred, 5, cents, nprobe = 2)))
     assert(grown.nonEmpty)
     val pqGrown = keys(Similarity.pqTopKWithCodes(
-      Similarity.loadPqCodes(spark, wd), emb, pred, 3, books, rerank = 50))
+      Similarity.loadPqCodes(spark, wd, books)._1, emb, pred, 3, books, rerank = 50))
     assert(pqGrown === keys(Similarity.pqTopKWithBooks(emb, pred, 3, books, rerank = 50)))
     assert(pqGrown.nonEmpty)
     // row accounting: every vector lands in each store exactly once
-    assert(Similarity.loadIvfAssigned(spark, wd).count() === emb.count())
-    assert(Similarity.loadPqCodes(spark, wd).count() === emb.count())
+    assert(Similarity.loadIvfAssigned(spark, wd, cents).count() === emb.count())
+    assert(Similarity.loadPqCodes(spark, wd, books)._1.count() === emb.count())
+    // the quantizer stamp REJECTS a mismatched serve/append: a refreshed
+    // quantizer (different coordinates, same shape) must not silently
+    // serve or grow a store assigned under the old one
+    val drifted = cents.map(_.map(_ * 0.5 + 0.1))
+    val mismatchLoad = intercept[IllegalArgumentException] {
+      Similarity.loadIvfAssigned(spark, wd, drifted)
+    }
+    assert(mismatchLoad.getMessage.contains("DIFFERENT quantizer"))
+    val mismatchAppend = intercept[IllegalArgumentException] {
+      Similarity.appendIvfAssigned(spark, wd, emb.limit(1), drifted)
+    }
+    assert(mismatchAppend.getMessage.contains("DIFFERENT quantizer"))
+    val driftedBooks = books.map(_.map(_.map(_ + 1.0)))
+    val mismatchPq = intercept[IllegalArgumentException] {
+      Similarity.loadPqCodes(spark, wd, driftedBooks)
+    }
+    assert(mismatchPq.getMessage.contains("DIFFERENT quantizer"))
+    val mismatchPqAppend = intercept[IllegalArgumentException] {
+      Similarity.appendPqCodes(spark, wd, emb.limit(1), driftedBooks)
+    }
+    assert(mismatchPqAppend.getMessage.contains("DIFFERENT quantizer"))
     // the lifecycle composes with the generic store compactor: three
     // appends left one file set per wave per cell — Maintenance.compact
     // rewrites to one size-targeted file per cell, and the compacted
