@@ -731,6 +731,7 @@ object ScaleProbe {
     // skewed tail.
     val embDirs16 = embDirs ++ Seq(buildEmbDir(16))
     case class AnnArt(f: Int, emb: DataFrame, cents: Array[Array[Double]],
+        centsLin: Array[Array[Double]],
         books: Array[Array[Array[Double]]], store: DataFrame, codes: DataFrame)
     val annArts = embDirs16.map { case (f, dir) =>
       val emb = Tables(spark, dir).embeddings
@@ -738,6 +739,12 @@ object ScaleProbe {
       val cents = operators.Similarity.kmeansCentroids(
         emb, numCells = 8 * math.sqrt(f.toDouble).round.toInt, iters = 1,
         salt = "sc")
+      // the LINEAR-cell quantizer (cells ∝ N, per-cell population held
+      // constant): the sizing the cellBits-crossover conclusion
+      // prescribes for 100 TB — trained once per factor outside every
+      // timer, exactly like the √N one
+      val centsLin = operators.Similarity.kmeansCentroids(
+        emb, numCells = 8 * f, iters = 1, salt = "scl")
       val books = operators.Similarity.pqCodebooks(
         emb, m = 8, ksub = 16, iters = 1)
       // the STORED index halves, built once outside every timer: the
@@ -749,7 +756,7 @@ object ScaleProbe {
       operators.Similarity.savePqCodes(spark, wd,
         operators.Similarity.encodePqCodes(emb, books, cellBits = 4),
         books, cellBits = 4)
-      AnnArt(f, emb, cents, books,
+      AnnArt(f, emb, cents, centsLin, books,
         operators.Similarity.loadIvfAssigned(spark, wd, cents),
         operators.Similarity.loadPqCodes(spark, wd, books)._1)
     }
@@ -786,9 +793,19 @@ object ScaleProbe {
           rerank = 32)),
       "semDedup (tau=0.4, valve 256)" -> (a =>
         operators.Similarity.semDedup(a.emb, a.cents, tau = 0.4, maxCellSize = 256)),
-      "mutual-kNN (k=3, valve 256)" -> (a =>
-        operators.Similarity.mutualKnn(a.emb, a.cents, k = 3, maxCellSize = 256)))
-    ann16Ops.foreach { case (name, op) =>
+      "mutual-kNN (k=3, valve 256, cells ∝ √N)" -> (a =>
+        operators.Similarity.mutualKnn(a.emb, a.cents, k = 3, maxCellSize = 256)),
+      // the same sweeps under the LINEAR cell rule (per-cell population
+      // constant): Σ|cell|² = N²/cells goes ∝ N, so the full-corpus
+      // sweep should ride ~linear instead of the √N rule's f^1.5 —
+      // the sizing the crossover note prescribes at 100 TB
+      "mutual-kNN (k=3, valve 256, cells ∝ N)" -> (a =>
+        operators.Similarity.mutualKnn(a.emb, a.centsLin, k = 3, maxCellSize = 256)),
+      "kNN-join sweep (half corpus, nprobe=1, valve 256, cells ∝ N)" -> (a =>
+        operators.Similarity.ivfTopKWithCentroids(a.emb, col("vec_id") % 2 === 0,
+          k = 3, a.centsLin, nprobe = 1, broadcastQueries = false,
+          maxCellSize = 256)))
+    val ann16Results = ann16Ops.map { case (name, op) =>
       val cells = annArts.map { art =>
         op(art).count() // warm
         time(op(art).count())
@@ -796,7 +813,30 @@ object ScaleProbe {
       sb.append(s"| $name | " +
         cells.map { case (t, n) => f"$t%.2f ($n)" }.mkString(" | ") +
         " | " + f"${cells.last._1 / cells.head._1}%.1f |\n")
+      name -> cells
+    }.toMap
+    // measured scaling exponents (t ∝ f^e over x1→x16, e = log_16 of the
+    // ratio) for the sweep rows the cell-sizing rule governs
+    def expo(name: String): Double = {
+      val cs = ann16Results(name)
+      math.log(cs.last._1 / cs.head._1) / math.log(16.0)
     }
+    sb.append(
+      f"""
+         |Measured sweep exponents over x1→x16 (t ∝ f^e; fixed overhead at
+         |these corpus sizes biases e DOWN, so read them as upper-trajectory
+         |comparisons, not asymptotes): mutual-kNN e = ${expo(
+        "mutual-kNN (k=3, valve 256, cells ∝ √N)")}%.2f under the √N cell
+         |rule (model: Σ|cell|² = N²/cells ∝ f^1.5, e = 1.5) vs e = ${expo(
+        "mutual-kNN (k=3, valve 256, cells ∝ N)")}%.2f with cells ∝ N
+         |(model: per-cell population constant, pair work ∝ N, e = 1.0);
+         |the half-corpus kNN-join sweep at cells ∝ N rides e = ${expo(
+        "kNN-join sweep (half corpus, nprobe=1, valve 256, cells ∝ N)")}%.2f.
+         |The √N rule optimizes the SERVE trade (probe cost vs recall per
+         |cell); a full-corpus SWEEP should size cells ∝ N — per-cell
+         |population ~maxCellSize — exactly the cellBits-crossover
+         |conclusion below.
+         |""".stripMargin)
 
     // ---- cellBits sweep for the kNN-join sweep mode: the SRP cell count
     // is the sweep's parallelism knob — 2^cellBits cells means per-cell
