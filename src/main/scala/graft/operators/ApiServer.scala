@@ -190,8 +190,14 @@ final class ApiServer(
 
   private def body(x: HttpExchange): Option[JsonNode] =
     try {
-      val raw = new String(x.getRequestBody.readAllBytes(), UTF_8)
-      if (raw.trim.isEmpty) None else Some(Json.readTree(raw))
+      // bounded read: a body past MaxBodyBytes is a bind failure (400),
+      // never an unbounded driver-side buffer a client can grow at will
+      val bytes = x.getRequestBody.readNBytes(MaxBodyBytes + 1)
+      if (bytes.length > MaxBodyBytes) None
+      else {
+        val raw = new String(bytes, UTF_8)
+        if (raw.trim.isEmpty) None else Some(Json.readTree(raw))
+      }
     } catch { case _: Exception => None } // malformed JSON → bind failure
 }
 
@@ -203,6 +209,13 @@ object ApiServer {
   case object Resubmitter extends Role
 
   private[operators] val Json = new ObjectMapper()
+
+  /** Request-body ceiling: bodies at this layer are id lists, filter
+    * maps, or query-vector batches — all bounded by the serve valves
+    * downstream — so 8 MiB is generous; anything larger is a client bug
+    * or abuse and binds to 400 instead of buffering on the driver.
+    */
+  private[operators] val MaxBodyBytes: Int = 8 << 20
 
   /** Prometheus text exposition format 0.0.4 — the Content-Type
     * promhttp.Handler() negotiates for a plain scrape.
@@ -309,8 +322,10 @@ object ApiServer {
     }
 
   /** An OPTIONAL integer body field: absent → Some(default); present and
-    * integral → Some(value); present but mistyped → bind failure (None),
-    * so a malformed k/nprobe 400s instead of silently defaulting.
+    * integral → Some(value); present but mistyped OR outside Int range →
+    * bind failure (None), so a malformed k/nprobe 400s instead of
+    * silently defaulting — and k=4294967301 400s instead of silently
+    * truncating to 5 (asInt wraps out-of-range longs).
     */
   private[operators] def intFieldOr(
       body: Option[JsonNode], name: String, default: Int): Option[Int] =
@@ -319,7 +334,7 @@ object ApiServer {
       case Some(n) =>
         val v = n.get(name)
         if (v == null) Some(default)
-        else if (v.isIntegralNumber) Some(v.asInt())
+        else if (v.isIntegralNumber && v.canConvertToInt) Some(v.asInt())
         else None
     }
 

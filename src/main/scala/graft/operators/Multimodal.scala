@@ -154,10 +154,18 @@ object Multimodal {
     * `bands ≤ 31` keeps the packed mask inside the portable-bitset rule
     * (max 2^31 — DuckDB raises on `1::BIGINT << 63`-class shifts).
     *
+    * Exactness bound: the cross-multiplications peak at 255·n²/bands
+    * (band sums are ≤ 255·n/bands, multiplied by n), which overflows
+    * int64 for payloads past √(2⁶³·bands/255) bytes — ~760 MB at the
+    * default 16 bands. Rows past the bound RAISE rather than silently
+    * flipping hash bits (a single blob that size belongs in a chunked
+    * layout anyway; hash its [[frameSample]] frames instead).
+    *
     * Scale shape: one narrow per-row pass — no shuffle, no join.
     */
   def withAHash(media: DataFrame, bands: Int = 16): DataFrame = {
     require(bands >= 1 && bands <= 31, "bands must be in [1, 31]")
+    val maxBytes = math.sqrt(Long.MaxValue.toDouble * bands / 255.0).toLong
     val sums = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.expressions.ByteBandSums(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("payload")), bands))
@@ -173,7 +181,11 @@ object Multimodal {
           element_at(col("bsums"), b + 1) * col("n_bytes") >= col("btotal") * cnt,
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    withSums.withColumn("ahash", bits).drop("bsums", "btotal")
+    val guarded = when(col("n_bytes") > maxBytes,
+      raise_error(concat(lit(s"aHash payload exceeds the int64-exact bound of $maxBytes bytes at $bands bands: "),
+        col("n_bytes").cast("string"))).cast("long"))
+      .otherwise(bits)
+    withSums.withColumn("ahash", guarded).drop("bsums", "btotal")
   }
 
   /** Perceptual near-duplicate pairs by aHash Hamming distance — the

@@ -51,7 +51,10 @@ final case class RetrievalService(
     * top-k from the stored assignment for the corpus vectors named by
     * `query_ids` (the self-serve probe shape; ids absent from the corpus
     * contribute no rows). nprobe outside [1, numCells] bind-fails rather
-    * than crashing the serve.
+    * than crashing the serve, and so does an id list past the store's
+    * `maxQueryIds` — the HTTP-boundary twin of the broadcast-probe valve
+    * (the valve caps the JOIN, but a multi-million-id body would still
+    * materialize a giant driver-side `IN` expression; cap it at bind).
     */
   def annSearch(
       coll: String,
@@ -62,7 +65,8 @@ final case class RetrievalService(
       case None => ApiResponse(404, OnNoStoreMessage, None)
       case Some(st) => (queryIds, k, nprobe) match {
         case (Some(ids), Some(kv), Some(np))
-            if ids.nonEmpty && kv > 0 && np >= 1 && np <= st.cents.length =>
+            if ids.nonEmpty && ids.length <= st.maxQueryIds &&
+              kv > 0 && np >= 1 && np <= st.cents.length =>
           ApiResponse(200, OkMessage,
             Some(Similarity.ivfTopKAssigned(
               st.assigned, col("vec_id").isin(ids: _*), kv, st.cents, np,
@@ -78,10 +82,12 @@ object RetrievalService {
 
   /** One served ANN collection: the loaded assigned store, the quantizer
     * it was stamped with (a [[Similarity.loadIvfAssigned]] load already
-    * verified the pair), and the serve-time probe cap.
+    * verified the pair), the serve-time probe cap, and the bind-time
+    * ceiling on a request's query-id list (see [[RetrievalService.annSearch]]).
     */
   final case class AnnStore(
       assigned: DataFrame,
       cents: Array[Array[Double]],
-      maxBroadcastProbes: Int = 4096)
+      maxBroadcastProbes: Int = 4096,
+      maxQueryIds: Int = 4096)
 }
