@@ -1252,6 +1252,29 @@ object SparkEntry {
       TextAnalysis.phraseTopKFromIndex(postPos, doclen,
         Seq("stream", "window"), k = 20)
     },
+    // Deletion THROUGH the positional phrase store: build v1, delete
+    // doc_id%7==3 into a v2 store version, serve the phrase query from
+    // v2 with the one-row tombstone audit cross-joined. Positions are
+    // per-document and df/N/avg-dl derive at serve time, so
+    // store-delete ≡ a from-scratch positional index of the survivors —
+    // the oracle replays the survivors' phrase occurrences and BM25
+    // ranking hash-exactly plus the Σ h60(doc_id) mod 1000003
+    // erasure fingerprint.
+    "q_phrase_delete" -> { (s, dir) =>
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25pd-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextAnalysis.saveBm25Positional(s, s"$wd/v1", Tables(s, dir).documents)
+      val audit = TextAnalysis.deleteFromBm25Positional(
+        s, s"$wd/v1", s"$wd/v2", col("doc_id") % 7 === 3)
+      val (postPos, doclen) = TextAnalysis.loadBm25Positional(s, s"$wd/v2")
+      TextAnalysis.phraseTopKFromIndex(postPos, doclen,
+        Seq("stream", "window"), k = 20)
+        // grouping-free re-aggregate of the 1-row audit — the structurally
+        // bounded scalar-build shape the no-cartesian audit admits
+        .crossJoin(broadcast(audit.agg(
+          max(col("n_deleted")).as("n_deleted"),
+          max(col("n_kept")).as("n_kept"),
+          max(col("del_fp_sum")).as("del_fp_sum"))))
+    },
     // Per-source bigram type/token diversity — the templated-source flag.
     "q_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables(s, dir).documents, n = 2)
@@ -1507,6 +1530,76 @@ object SparkEntry {
       Similarity.pqTopKWithCodes(codes, emb,
         col("vec_id") % 50 === 0, k = 5,
         loadedBooks, cellBits = storedCellBits, rerank = 32)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // Deletion THROUGH the PQ code store: encode+persist v1, delete
+    // vec_id%5==2 into a v2 store version (same books, store's own
+    // cell_bits — both verified by the stamped load), serve v2 with the
+    // one-row tombstone audit cross-joined. ADC is per-row, so
+    // store-delete ≡ a from-scratch encode of the survivors — the
+    // learned-books oracle replays assignment, ADC, and exact re-rank
+    // over the surviving corpus plus the erasure fingerprint.
+    // (Query ids are multiples of 50 ≡ 0 mod 5, so no query is deleted;
+    // the serve reads query vectors and rerank cosines from the
+    // survivor-filtered embedding table.)
+    "q_pq_delete" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val books = Similarity.pqCodebooks(
+        Similarity.pqTrainSet(emb, 0.3), m = 8, ksub = 16, iters = 2)
+      pqDelStash = Some(books)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/pqdel-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.savePqBooks(s, s"$wd/v1", books)
+      Similarity.savePqCodes(s, s"$wd/v1",
+        Similarity.encodePqCodes(emb, books, cellBits = 4), books, cellBits = 4)
+      val audit = Similarity.deleteFromPqCodes(
+        s, s"$wd/v1", s"$wd/v2", col("vec_id") % 5 === 2, books)
+      val (codes, storedCellBits) = Similarity.loadPqCodes(s, s"$wd/v2", books)
+      Similarity.pqTopKWithCodes(codes, emb.filter(col("vec_id") % 5 =!= 2),
+        col("vec_id") % 50 === 0, k = 5,
+        books, cellBits = storedCellBits, rerank = 32)
+        // grouping-free re-aggregate of the 1-row audit — the structurally
+        // bounded scalar-build shape the no-cartesian audit admits
+        .crossJoin(broadcast(audit.agg(
+          max(col("n_deleted")).as("n_deleted"),
+          max(col("n_kept")).as("n_kept"),
+          max(col("del_fp_sum")).as("del_fp_sum"))))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // Retrain-and-rewrite for a drifted PQ codebook (q_ivf_retrain's PQ
+    // twin): train books on the even half, accrete the odd half
+    // (sub_stats merged per the streaming maintenance shape), refresh
+    // every codeword from the accumulated state, re-encode the corpus
+    // under the refreshed books into a v2 store, and serve v2 — gated by
+    // the learned-books oracle replaying assignment, ADC, and exact
+    // re-rank under the REFRESHED books (any codeword or code row
+    // damaged by the rewrite mismatches the hash).
+    "q_pq_retrain" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val half = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val books = Similarity.pqCodebooks(
+        Similarity.pqTrainSet(half, 0.3), m = 8, ksub = 16, iters = 2)
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/pqret-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.savePqBooks(s, s"$wd/v1", books,
+        Some(Similarity.pqSubspaceStats(half, books)))
+      Similarity.savePqCodes(s, s"$wd/v1",
+        Similarity.encodePqCodes(half, books, cellBits = 4), books, cellBits = 4)
+      Similarity.appendPqCodes(s, s"$wd/v1", batch, books)
+      // merge the batch's assignment state into the stored stats — a real
+      // localCheckpoint, not Pins.pin: the re-persist overwrites the very
+      // sub_stats files the merge reads (the q_ivf_retrain rule); the
+      // table is m·ksub·sub rows
+      val merged = Similarity.mergePqSubStats(
+        Similarity.loadPqSubStats(s, s"$wd/v1"),
+        Similarity.pqSubspaceStats(batch, books)).localCheckpoint()
+      Similarity.savePqBooks(s, s"$wd/v1", books, Some(merged))
+      Pins.release(merged)
+      val next = Similarity.retrainPqStore(s, s"$wd/v1", s"$wd/v2", emb)
+      pqRetrainStash = Some(next)
+      val (codes, storedCellBits) = Similarity.loadPqCodes(s, s"$wd/v2", next)
+      Similarity.pqTopKWithCodes(codes, emb,
+        col("vec_id") % 50 === 0, k = 5,
+        next, cellBits = storedCellBits, rerank = 32)
         .orderBy(col("query_id"), col("rank"))
     },
     // SemDeDup: embedding near-dup drop within learned k-means cells. The
@@ -1922,6 +2015,18 @@ object SparkEntry {
     */
   @volatile private var pqCodesStash: Option[Array[Array[Array[Double]]]] = None
 
+  /** q_pq_delete's own stash (trained in-query like q_pq_codes'); the
+    * oracle is [[pqOracleSql]] restricted to the surviving corpus with
+    * the tombstone audit columns cross-joined — store-delete ≡ encode of
+    * the survivors, replayed end-to-end.
+    */
+  @volatile private var pqDelStash: Option[Array[Array[Array[Double]]]] = None
+
+  /** q_pq_retrain's stash holds the REFRESHED books the retrain returned
+    * — the oracle replays the whole refresh+rewrite+serve under them.
+    */
+  @volatile private var pqRetrainStash: Option[Array[Array[Array[Double]]]] = None
+
   /** One k-means training served to the whole cell family (q_semdedup,
     * q_cell_stats, q_mutual_knn, q_cell_outliers) — the
     * serve-one-index-to-many-consumers pattern: a real pipeline trains a
@@ -2001,10 +2106,33 @@ object SparkEntry {
     * the ENGINE's Scala-computed literals (not recomputed in SQL) so both
     * engines subtract bit-identical constants.
     */
-  private def pqOracleSql(books: Array[Array[Array[Double]]]): String = {
+  /** DuckDB replay of the PQ serve with the learned codebooks as
+    * literals. `corpusWhere` restricts the corpus CTE (the q_pq_delete
+    * survivor view); `withAudit` cross-joins the tombstone-audit columns
+    * the deletion query carries.
+    */
+  private def pqOracleSql(
+      books: Array[Array[Array[Double]]],
+      corpusWhere: String = "",
+      withAudit: Boolean = false): String = {
     val m = books.length
     val sub = graft.operators.Similarity.Dim / m
     val ksub = books(0).length
+    // EmbCte textually ends in "FROM embeddings)" — restrict it in place
+    val eCte =
+      if (corpusWhere.isEmpty) EmbCte
+      else EmbCte.dropRight(1) + s" WHERE $corpusWhere)"
+    val audCte = if (!withAudit) "" else
+      s""",
+         |aud AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN vec_id % 5 = 2 THEN 1 END), 0) AS BIGINT) AS n_deleted,
+         |         CAST(COALESCE(SUM(CASE WHEN vec_id % 5 <> 2 THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |         CAST(COALESCE(SUM(CASE WHEN vec_id % 5 = 2
+         |             THEN ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1000003 END), 0) AS BIGINT)
+         |           AS del_fp_sum
+         |  FROM embeddings)""".stripMargin
+    val audCols = if (!withAudit) "" else ", n_deleted, n_kept, del_fp_sum"
+    val audFrom = if (!withAudit) "" else ", aud"
     val cb3 = books.map(_.map(_.map(dbl).mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val half = books.map(_.map(c => dbl(0.5 * c.map(x => x * x).sum))
@@ -2013,7 +2141,7 @@ object SparkEntry {
       s"list_dot_product(dq[${s * sub + 1}:${(s + 1) * sub}], " +
         s"cb.cb3[${s + 1}][cd.codes[${s + 1}]+1])")
       .reduce((a, b) => s"($a + $b)")
-    s"""$EmbCte,
+    s"""$eCte$audCte,
        |cb AS (SELECT $cb3::DOUBLE[][][] AS cb3, $half::DOUBLE[][] AS half),
        |c AS (SELECT vec_id, d, nrm,
        |             CAST(list_sum(list_transform(range(0, 4),
@@ -2043,12 +2171,12 @@ object SparkEntry {
        |res AS (SELECT query_id, neighbor_id,
        |               list_dot_product(dq, e.d) / (nq * e.nrm) AS cosine
        |        FROM topa JOIN e ON e.vec_id = neighbor_id)
-       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |SELECT query_id, neighbor_id, rank, cosine$audCols FROM (
        |  SELECT query_id, neighbor_id,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
        |         cosine
-       |  FROM res) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |  FROM res)$audFrom WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2057,6 +2185,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     pqBooksStash.map(b => "q_pq_topk" -> pqOracleSql(b)).toMap ++
       pqCodesStash.map(b => "q_pq_codes" -> pqOracleSql(b)).toMap ++
+      pqDelStash.map(b => "q_pq_delete" ->
+        pqOracleSql(b, corpusWhere = "vec_id % 5 <> 2", withAudit = true)).toMap ++
+      pqRetrainStash.map(b => "q_pq_retrain" -> pqOracleSql(b)).toMap ++
       semCentStash.map(c => "q_semdedup" -> semDedupOracleSql(c)).toMap ++
       mknnCentStash.map(c => "q_mutual_knn" -> mutualKnnOracleSql(c)).toMap ++
       hardNegStash.map(c => "q_hard_negatives" -> hardNegativesOracleSql(c)).toMap ++
@@ -4740,6 +4871,50 @@ object SparkEntry {
          |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY 1)
          |SELECT ph.doc_id, ph.n_phrase, s.score
          |FROM ph JOIN s USING (doc_id)
+         |WHERE ph.n_phrase >= 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // store-delete ≡ rebuild for the POSITIONAL store: the survivors'
+    // phrase occurrences and BM25 (df/N/avg-dl re-derived over survivors)
+    // plus the tombstone audit columns
+    "q_phrase_delete" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |aud AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 END), 0) AS BIGINT) AS n_deleted,
+         |         CAST(COALESCE(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |         CAST(COALESCE(SUM(CASE WHEN doc_id % 7 = 3
+         |             THEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 1000003 END), 0) AS BIGINT)
+         |           AS del_fp_sum
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |p0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+         |       FROM toks),
+         |p1 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |              toks[CAST(i AS INT)] AS tok FROM p0),
+         |tfp AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+         |               list_sort(list(pos)) AS ps
+         |        FROM p1 WHERE tok IN ('stream', 'window') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+         |ph AS (SELECT a.doc_id,
+         |              CAST(len(list_filter(a.ps,
+         |                p -> list_contains(b.ps, p + 1))) AS BIGINT) AS n_phrase
+         |       FROM tfp a JOIN tfp b ON a.doc_id = b.doc_id
+         |       WHERE a.tok = 'stream' AND b.tok = 'window'),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tfp JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY 1)
+         |SELECT ph.doc_id, ph.n_phrase, s.score, n_deleted, n_kept, del_fp_sum
+         |FROM ph JOIN s USING (doc_id), aud
          |WHERE ph.n_phrase >= 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Stored-index serving must reproduce the corpus-scan BM25 exactly.

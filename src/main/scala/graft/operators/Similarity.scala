@@ -476,6 +476,13 @@ object Similarity {
     * corpus read. `query_id` shares the corpus `vec_id` namespace for
     * the self-exclusion filter (an id absent from the corpus simply
     * never matches it). Missing `nrm` is derived per row.
+    *
+    * `excludeSelf = false` disables the id-based self-exclusion — the
+    * EXTERNAL-query shape, where query ids are request-local (batch
+    * positions) and comparing them against corpus `vec_id`s would
+    * wrongly drop a real neighbor that happens to share the number; an
+    * external query identical to a stored vector then simply retrieves
+    * it at rank 1, cosine 1.
     */
   def ivfTopKAssignedWith(
       assigned: DataFrame,
@@ -485,7 +492,8 @@ object Similarity {
       nprobe: Int,
       broadcastQueries: Boolean = true,
       maxCellSize: Int = 4096,
-      maxBroadcastProbes: Int = 4096): DataFrame = {
+      maxBroadcastProbes: Int = 4096,
+      excludeSelf: Boolean = true): DataFrame = {
     require(cents.nonEmpty, "centroids must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.length, "nprobe must be in [1, numCells]")
     val corpus = assigned
@@ -507,8 +515,8 @@ object Similarity {
           .join(broadcast(queries), Seq("cell"))
       } else blockedCellJoin(corpus, "neighbor_id", queries, "query_id", maxCellSize)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    joined
-      .filter(col("query_id") =!= col("neighbor_id"))
+    (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+     else joined)
       .withColumn("cosine", dot(col("emb_q"), col("emb_n")) / (col("nrm_q") * col("nrm_n")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -1520,8 +1528,10 @@ object Similarity {
   def savePqBooks(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      books: Array[Array[Array[Double]]]): Unit = {
+      books: Array[Array[Array[Double]]],
+      stats: Option[DataFrame] = None): Unit = {
     import spark.implicits._
+    stats.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/sub_stats"))
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.flatMap { case (c, code) =>
         c.zipWithIndex.map { case (v, d) => (s, code, d, v) }
@@ -1718,6 +1728,103 @@ object Similarity {
     (spark.read.parquet(s"$dir/codes"), cellBits)
   }
 
+  /** Mergeable per-codeword assignment state for incremental PQ codebook
+    * maintenance — [[cellStats]]' PQ twin, keyed (subspace, code, dim)
+    * with `dim` the offset WITHIN the subspace: member count and
+    * exact-DECIMAL coordinate sums of the subvectors assigned to each
+    * codeword. Same sketch-family contract: disjoint batches' states add
+    * into exactly the one-shot state of the union ([[mergePqSubStats]]),
+    * so a streaming ingest keeps the table current per micro-batch
+    * (m·ksub·sub metadata rows) and a codebook refresh
+    * ([[retrainPqStore]]) never re-scans ingest history for its
+    * training step.
+    */
+  def pqSubspaceStats(
+      embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    require(books.nonEmpty && Dim % books.length == 0, s"m must divide $Dim")
+    val m = books.length
+    val sub = Dim / m
+    val sv = embeddings.select(explode(array((0 until m).map(s =>
+      struct(lit(s).as("s"),
+        slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+      .select(col("sv.s").as("s"), col("sv.v").as("v"))
+    val code = (1 until m).foldLeft(
+      when(col("s") === 0, nearestCode(books(0), col("v")))) {
+      case (acc, s) => acc.when(col("s") === s, nearestCode(books(s), col("v")))
+    }
+    sv.withColumn("code", code)
+      .select(col("s"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        // the cellStats widening rule: float→double first (exact), then
+        // the order-independent DECIMAL sum
+        sum(col("x").cast("double").cast("decimal(27,6)")).as("sm"))
+  }
+
+  /** Merge two [[pqSubspaceStats]] tables (counts and sums add). */
+  def mergePqSubStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("sm")).as("sm"))
+
+  /** Stored [[pqSubspaceStats]] of a persisted PQ index
+    * ([[savePqBooks]] with `stats`) — the base state a maintenance job
+    * merges fresh batches into before re-persisting.
+    */
+  def loadPqSubStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sub_stats")
+
+  /** Retrain-and-rewrite for a drifted PQ store — [[retrainIvfStore]]'s
+    * PQ twin: refresh each codeword to the mean of the subvectors seen
+    * so far (the accumulated [[pqSubspaceStats]]/[[mergePqSubStats]]
+    * state — one exact-DECIMAL Lloyd step over the full ingest history
+    * without re-scanning it; a codeword that never saw a member keeps
+    * its previous coordinates; PQ codewords are plain means, never
+    * unit-normalized), then write a NEW store version at `outDir`:
+    * refreshed codebooks, fresh sub_stats state, and the corpus
+    * re-encoded under the refreshed books at the store's own
+    * `cell_bits`.
+    *
+    * The rewrite step REQUIRES the raw corpus (`embeddings`): PQ codes
+    * are lossy, so unlike the IVF assigned store (which carries its
+    * embeddings) the code table cannot re-encode itself — the caller
+    * supplies exactly the corpus the store indexes, the documented
+    * re-encode-from-embeddings contract. Version-swap rule as ever:
+    * `outDir != inDir`, old version serveable until the catalog flip.
+    * The old store's stamp no longer matches the refreshed books, so a
+    * stale-store serve fails loudly at load.
+    *
+    * Scale shape: the codebook refresh is metadata-sized
+    * (m·ksub·sub rows); the corpus pays one encode scan for the rewrite
+    * and one for the new stats — and the encode reads the embedding
+    * table, never per-vector driver state.
+    */
+  def retrainPqStore(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      embeddings: DataFrame): Array[Array[Array[Double]]] = {
+    require(inDir != outDir,
+      "retrain writes a NEW store version — outDir must differ from inDir")
+    val old = loadPqBooks(spark, inDir)
+    val rows = loadPqSubStats(spark, inDir)
+      .select(col("s").cast("int"), col("code").cast("int"),
+        col("dim").cast("int"),
+        (col("sm").cast("double") / col("n").cast("double")).as("c"))
+      .collect()
+    val next = old.map(_.map(_.clone()))
+    rows.foreach { r =>
+      next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    val (_, cellBits) = readStoreMeta(spark, s"$inDir/codes_meta", "PQ code store")
+    savePqBooks(spark, outDir, next, Some(pqSubspaceStats(embeddings, next)))
+    savePqCodes(spark, outDir,
+      encodePqCodes(embeddings, next, cellBits), next, cellBits)
+    next
+  }
+
   /** Cell-population readout over a [[cellStats]] table — the drift
     * trigger that schedules [[retrainIvfStore]]: per cell, members seen
     * so far, the exact integer ppm share of the corpus, and whether the
@@ -1816,6 +1923,34 @@ object Similarity {
       assigned.withColumn("store", lit("ivf_assigned")),
       pred, Seq("store"), col("vec_id"))
     saveIvfAssigned(spark, outDir, surv.drop("store"), cents)
+    audit
+  }
+
+  /** [[deleteFromIvfAssigned]] for the PQ code store: rows matching
+    * `pred` are removed, survivors rewrite as a new store version at
+    * `outDir` under the SAME codebooks and the store's OWN `cell_bits`
+    * (both read back through the stamped load, so a deletion can never
+    * silently migrate the store to different artifacts), and the
+    * returned one-row tombstone audit carries n_deleted / n_kept / the
+    * Σ (h60(vec_id) mod 1000003) erasure fingerprint. ADC scores are
+    * per-row functions of (codes, query) — the serve derives nothing
+    * global from the store — so row deletion composes exactly: serving
+    * the survivor store ≡ serving a from-scratch encode of the
+    * surviving corpus (oracle-proven hash-exact in q_pq_delete).
+    */
+  def deleteFromPqCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      pred: Column,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    require(inDir != outDir,
+      "deletion rewrites a NEW store version — outDir must differ from inDir")
+    val (codes, cellBits) = loadPqCodes(spark, inDir, books)
+    val (surv, audit) = graft.streaming.Maintenance.deleteWhere(
+      codes.withColumn("store", lit("pq_codes")),
+      pred, Seq("store"), col("vec_id"))
+    savePqCodes(spark, outDir, surv.drop("store"), books, cellBits)
     audit
   }
 

@@ -1426,6 +1426,37 @@ object TextAnalysis {
     audit
   }
 
+  /** [[deleteFromBm25Index]] for the POSITIONAL phrase store: documents
+    * matching `pred` are removed from both the positional postings and
+    * the shared doclen table, survivors rewrite as a new store version
+    * at `outDir` (same version-swap rule), and the returned one-row
+    * tombstone audit carries n_deleted / n_kept / the Σ (h60(doc_id)
+    * mod 1000003) erasure fingerprint. Positions are per-document state
+    * and df/N/avg-dl re-derive at serve time, so phrase serving the
+    * survivor store ≡ serving a from-scratch positional index of the
+    * surviving corpus (oracle-proven hash-exact in q_phrase_delete).
+    * Survivor postings rewrite through the same bucket/sort layout as
+    * [[saveBm25Positional]], so term-bucket pruning carries over.
+    */
+  def deleteFromBm25Positional(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      pred: Column): DataFrame = {
+    require(inDir != outDir,
+      "deletion rewrites a NEW store version — outDir must differ from inDir")
+    val (postingsPos, dl) = loadBm25Positional(spark, inDir)
+    val hit = coalesce(pred, lit(false))
+    bucketedPostings(postingsPos.filter(!hit)
+      .select(col("doc_id"), col("tok"), col("tf"), col("ps")))
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$outDir/postings_pos")
+    val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
+      dl.withColumn("store", lit("bm25_pos")), pred, Seq("store"), col("doc_id"))
+    survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
+    audit
+  }
+
   /** [[bm25TopK]] served from a prebuilt/reloaded index instead of the
     * raw corpus: identical integer weighting, identical output (the
     * round-trip spec asserts row equality), but the corpus explode is

@@ -1,0 +1,141 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+
+import org.apache.spark.sql.SparkSession
+
+/** Name → current-version pointer catalog for the persisted index stores
+  * — the missing last step of the version-swap lifecycle: deletion
+  * ([[graft.operators.Similarity.deleteFromIvfAssigned]] and kin) and
+  * retraining ([[graft.operators.Similarity.retrainIvfStore]]) write NEW
+  * version directories by contract (`outDir != inDir`), and this catalog
+  * performs the swap that makes the new version live.
+  *
+  * Layout: one tiny pointer file per store name at
+  * `<catalogRoot>/<name>.ptr`, whose whole content is the current
+  * version directory path. The flip is a write-to-temp + atomic
+  * rename-with-overwrite ([[FileContext.rename]] with
+  * `Options.Rename.OVERWRITE` — atomic on HDFS and POSIX local
+  * filesystems, the same primitive Spark's own commit protocols lean
+  * on), so a reader either sees the old pointer or the new one, never a
+  * torn path, and the old version stays fully serveable until the
+  * instant of the flip.
+  *
+  * Serving through the catalog composes with the store stamps: `resolve`
+  * hands back a DIRECTORY, and the stamped loads
+  * ([[graft.operators.Similarity.loadIvfAssigned]],
+  * [[graft.operators.Similarity.loadPqCodes]]) still verify the
+  * quantizer fingerprint against whatever that directory holds — a
+  * pointer flipped to a store built under different artifacts fails
+  * loudly at load, exactly like a direct-path load.
+  *
+  * [[gcSuperseded]] reclaims non-current version directories under a
+  * store's versions root. It refuses to run unless the current pointer
+  * target is itself under that root (a mis-paired root would otherwise
+  * delete EVERY version), and it never deletes the current target.
+  *
+  * Scale shape: everything here is driver-side metadata — one small file
+  * read/rename per operation; the 100 TB version directories are only
+  * ever touched by `gcSuperseded`'s recursive delete of superseded
+  * versions.
+  */
+object StoreCatalog {
+
+  private def ptrPath(catalogRoot: String, name: String): Path = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"store name must be a plain token, got '$name'")
+    new Path(catalogRoot, s"$name.ptr")
+  }
+
+  private def fc(spark: SparkSession, p: Path): FileContext =
+    FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Atomically flip `name`'s current-version pointer to `dir`. The
+    * version directory must already be fully written (publish is the
+    * LAST step of a build/delete/retrain — the swap, not the write).
+    */
+  def publish(
+      spark: SparkSession, catalogRoot: String, name: String, dir: String): Unit = {
+    val ptr = ptrPath(catalogRoot, name)
+    val ctx = fc(spark, ptr)
+    val dirP = new Path(dir)
+    require(ctx.util.exists(dirP),
+      s"cannot publish $name → $dir: the version directory does not exist " +
+        "(publish is the swap step; write the store first)")
+    ctx.mkdir(ptr.getParent,
+      org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+    val tmp = new Path(catalogRoot,
+      s".$name.ptr.tmp-${java.util.UUID.randomUUID().toString}")
+    val out = ctx.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(dir.getBytes(UTF_8))
+    finally out.close()
+    ctx.rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** The current version directory for `name`, or None if never
+    * published.
+    */
+  def resolveOpt(
+      spark: SparkSession, catalogRoot: String, name: String): Option[String] = {
+    val ptr = ptrPath(catalogRoot, name)
+    val ctx = fc(spark, ptr)
+    if (!ctx.util.exists(ptr)) None
+    else {
+      val in = ctx.open(ptr)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        Some(new String(bytes.toByteArray, UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** [[resolveOpt]] that fails loudly for an unpublished name — the
+    * serve-path form (an unbuilt store must never silently serve
+    * nothing).
+    */
+  def resolve(spark: SparkSession, catalogRoot: String, name: String): String =
+    resolveOpt(spark, catalogRoot, name).getOrElse(
+      throw new IllegalStateException(
+        s"store '$name' has no published version in catalog $catalogRoot"))
+
+  /** Delete superseded version directories of `name` under
+    * `versionsRoot`: every child directory that is not the current
+    * pointer target. Returns the deleted paths. Refuses a versionsRoot
+    * that does not contain the current target (the wrong-root guard),
+    * and never deletes the current version or non-directory files.
+    */
+  def gcSuperseded(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String,
+      versionsRoot: String): Seq[String] = {
+    val current = resolve(spark, catalogRoot, name)
+    val rootP = new Path(versionsRoot)
+    val ctx = fc(spark, rootP)
+    val currentQ = ctx.makeQualified(new Path(current))
+    val rootQ = ctx.makeQualified(rootP)
+    require(currentQ.getParent == rootQ,
+      s"current version $currentQ is not a direct child of $rootQ — " +
+        "refusing to GC a versions root that does not own the live version")
+    if (!ctx.util.exists(rootQ)) Seq.empty
+    else {
+      val it = ctx.listStatus(rootQ)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val p = ctx.makeQualified(st.getPath)
+        if (st.isDirectory && p != currentQ) {
+          ctx.delete(p, true)
+          out += p.toString
+        }
+      }
+      out.result()
+    }
+  }
+}

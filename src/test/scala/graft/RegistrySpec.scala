@@ -16,7 +16,7 @@ class RegistrySpec extends AnyFunSuite {
     * Anything NOT in this set must have a static oracle.
     */
   private val stashBacked =
-    Set("q_pq_topk", "q_pq_codes", "q_semdedup", "q_quality_classifier", "q_mutual_knn",
+    Set("q_pq_topk", "q_pq_codes", "q_pq_delete", "q_pq_retrain", "q_semdedup", "q_quality_classifier", "q_mutual_knn",
       "q_cell_stats", "q_cell_outliers",
       "q_hard_negatives", "q_cell_purity", "q_label_audit")
 

@@ -2536,6 +2536,130 @@ class TextOpsSpec extends SparkSpec {
     assert(servedAnn.forall { case (_, _, n) => n % 4 != 1 })
   }
 
+  test("deletion propagates through the PQ-codes and positional-phrase stores") {
+    import graft.functions.TextFunctions.h60Jvm
+    val wd = java.nio.file.Files.createTempDirectory("storedel2").toString
+    // ---- positional phrase half
+    val allDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    TextAnalysis.saveBm25Positional(spark, s"$wd/q1", allDocs)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromBm25Positional(spark, s"$wd/q1", s"$wd/q1", lit(true))
+    }
+    val audit = TextAnalysis.deleteFromBm25Positional(
+      spark, s"$wd/q1", s"$wd/q2", col("doc_id") % 3 === 1).collect()
+    assert(audit.length === 1)
+    val ids = allDocs.select("doc_id").as[Long].collect()
+    val del = ids.filter(_ % 3 == 1)
+    assert(audit.head.getAs[Long]("n_deleted") === del.length.toLong)
+    assert(audit.head.getAs[Long]("n_kept") === (ids.length - del.length).toLong)
+    assert(audit.head.getAs[Long]("del_fp_sum")
+      === del.map(id => h60Jvm(id.toString) % 1000003L).sum)
+    // survivor store serves the phrase EXACTLY like a from-scratch
+    // positional index of the surviving corpus
+    TextAnalysis.saveBm25Positional(spark, s"$wd/qfresh",
+      allDocs.filter(col("doc_id") % 3 =!= 1))
+    def phKeys(dir: String) = {
+      val (p, d) = TextAnalysis.loadBm25Positional(spark, dir)
+      TextAnalysis.phraseTopKFromIndex(p, d, Seq("stream", "window"), 20)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val servedPh = phKeys(s"$wd/q2")
+    assert(servedPh === phKeys(s"$wd/qfresh"))
+    assert(servedPh.nonEmpty && servedPh.forall(_._1 % 3 != 1))
+    // the rewrite kept the bucketed layout (pruning carries over)
+    assert(spark.read.parquet(s"$wd/q2/postings_pos")
+      .columns.contains("tok_bucket"))
+    // ---- PQ codes half
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqCodebooks(
+      Similarity.pqTrainSet(emb, 0.3), m = 8, ksub = 16, iters = 1)
+    Similarity.savePqCodes(spark, s"$wd/p1",
+      Similarity.encodePqCodes(emb, books, cellBits = 4), books, cellBits = 4)
+    intercept[IllegalArgumentException] {
+      Similarity.deleteFromPqCodes(spark, s"$wd/p1", s"$wd/p1", lit(true), books)
+    }
+    val aud2 = Similarity.deleteFromPqCodes(
+      spark, s"$wd/p1", s"$wd/p2", col("vec_id") % 4 === 1, books).collect()
+    val vids = emb.select("vec_id").as[Long].collect()
+    val vdel = vids.filter(_ % 4 == 1)
+    assert(aud2.head.getAs[Long]("n_deleted") === vdel.length.toLong)
+    assert(aud2.head.getAs[Long]("del_fp_sum")
+      === vdel.map(id => h60Jvm(id.toString) % 1000003L).sum)
+    // survivor store serves EXACTLY a from-scratch encode of survivors
+    Similarity.savePqCodes(spark, s"$wd/pfresh",
+      Similarity.encodePqCodes(emb.filter(col("vec_id") % 4 =!= 1), books,
+        cellBits = 4), books, cellBits = 4)
+    def pqKeys(dir: String) = {
+      val (codes, cb) = Similarity.loadPqCodes(spark, dir, books)
+      Similarity.pqTopKWithCodes(codes, emb, col("vec_id") % 20 === 0, 5,
+        books, cellBits = cb, rerank = 16)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val servedPq = pqKeys(s"$wd/p2")
+    assert(servedPq === pqKeys(s"$wd/pfresh"))
+    assert(servedPq.nonEmpty)
+    assert(servedPq.forall { case (_, _, n) => n % 4 != 1 })
+    // the rewritten version still enforces the codebook stamp
+    val drifted = books.map(_.map(_.map(_ + 0.25)))
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqCodes(spark, s"$wd/p2", drifted)
+    }
+  }
+
+  test("retrainPqStore: accumulated sub_stats refresh, corpus re-encode, version swap, stale-stamp rejection") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val books = Similarity.pqCodebooks(half, m = 8, ksub = 16, iters = 1, salt = "pqret")
+    val wd = java.nio.file.Files.createTempDirectory("pqretrain").toString
+    Similarity.savePqBooks(spark, s"$wd/v1", books,
+      Some(Similarity.pqSubspaceStats(half, books)))
+    Similarity.savePqCodes(spark, s"$wd/v1",
+      Similarity.encodePqCodes(half, books, cellBits = 4), books, cellBits = 4)
+    Similarity.appendPqCodes(spark, s"$wd/v1", batch, books)
+    // merged per-batch state ≡ the one-shot stats of the union corpus
+    // (the mergeable-state contract, exact DECIMAL sums)
+    val merged = Similarity.mergePqSubStats(
+      Similarity.loadPqSubStats(spark, s"$wd/v1"),
+      Similarity.pqSubspaceStats(batch, books)).localCheckpoint()
+    def statKeys(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("s").cast("int"), col("code").cast("int"),
+        col("dim").cast("int"), col("n").cast("long"),
+        col("sm").cast("string"))
+      .as[(Int, Int, Int, Long, String)].collect().toSet
+    assert(statKeys(merged) === statKeys(Similarity.pqSubspaceStats(emb, books)))
+    Similarity.savePqBooks(spark, s"$wd/v1", books, Some(merged))
+    Pins.release(merged)
+    // version-swap is enforced
+    intercept[IllegalArgumentException] {
+      Similarity.retrainPqStore(spark, s"$wd/v1", s"$wd/v1", emb)
+    }
+    val next = Similarity.retrainPqStore(spark, s"$wd/v1", s"$wd/v2", emb)
+    // the refresh really moved the codebooks (the odd half shifted means)
+    assert(Similarity.bookFingerprint(next) !== Similarity.bookFingerprint(books))
+    // v2 serves exactly like an in-line PQ serve under the refreshed books
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val pred = col("vec_id") % 20 === 0
+    val (codes, cb) = Similarity.loadPqCodes(spark, s"$wd/v2", next)
+    val served = keys(Similarity.pqTopKWithCodes(
+      codes, emb, pred, 5, next, cellBits = cb, rerank = 16))
+    assert(served === keys(Similarity.pqTopKWithBooks(
+      emb, pred, 5, next, cellBits = cb, rerank = 16)))
+    assert(served.nonEmpty)
+    // row accounting: the rewrite re-encoded the WHOLE corpus
+    assert(codes.count() === emb.count())
+    // stale stamps fail loudly in both directions
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqCodes(spark, s"$wd/v1", next)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqCodes(spark, s"$wd/v2", books)
+    }
+  }
+
   test("appendBm25Index rejects a store written under the flat (unbucketed) layout") {
     val dir = java.nio.file.Files.createTempDirectory("bm25flat").toString
     Seq((1L, "alpha", 1L)).toDF("doc_id", "tok", "tf")

@@ -1623,4 +1623,74 @@ class StreamingOpsSpec extends SparkSpec {
       === grown)
     assert(compacted.count() === emb.count())
   }
+
+  test("store catalog: atomic swap through delete+retrain, GC spares the live version, stamps fire through resolve") {
+    import graft.operators.Similarity
+    import graft.store.StoreCatalog
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val root = java.nio.file.Files.createTempDirectory("catalog").toString
+    val cat = s"$root/catalog"
+    val versions = s"$root/ivf_versions"
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 1, salt = "cat")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val pred = col("vec_id") % 20 === 0
+    def serveCurrent(cs: Array[Array[Double]]) = {
+      val cur = StoreCatalog.resolve(spark, cat, "ivf")
+      keys(Similarity.ivfTopKAssigned(
+        Similarity.loadIvfAssigned(spark, cur, cs), pred, 5, cs, nprobe = 2))
+    }
+    // unpublished name fails loudly on the serve path
+    intercept[IllegalStateException] { StoreCatalog.resolve(spark, cat, "ivf") }
+    // publishing a nonexistent version directory is rejected (publish is
+    // the SWAP step, not the write step)
+    intercept[IllegalArgumentException] {
+      StoreCatalog.publish(spark, cat, "ivf", s"$versions/nope")
+    }
+    // v1: full build + stats, then the swap
+    Similarity.saveIvfIndex(spark, s"$versions/v1", cents,
+      Some(Similarity.cellStats(emb, cents)))
+    Similarity.saveIvfAssigned(spark, s"$versions/v1",
+      Similarity.assignIvfCells(emb, cents), cents)
+    StoreCatalog.publish(spark, cat, "ivf", s"$versions/v1")
+    assert(serveCurrent(cents)
+      === keys(Similarity.ivfTopKWithCentroids(emb, pred, 5, cents, nprobe = 2)))
+    // deletion writes v2; the catalog still serves v1 until the flip
+    Similarity.deleteFromIvfAssigned(
+      spark, s"$versions/v1", s"$versions/v2", col("vec_id") % 4 === 1, cents)
+    assert(StoreCatalog.resolve(spark, cat, "ivf") === s"$versions/v1")
+    val surv = emb.filter(col("vec_id") % 4 =!= 1)
+    Similarity.saveIvfIndex(spark, s"$versions/v2", cents,
+      Some(Similarity.cellStats(surv, cents)))
+    StoreCatalog.publish(spark, cat, "ivf", s"$versions/v2")
+    assert(serveCurrent(cents)
+      === keys(Similarity.ivfTopKWithCentroids(surv, pred, 5, cents, nprobe = 2)))
+    // retrain writes v3 under refreshed centroids; swap again
+    val next = Similarity.retrainIvfStore(spark, s"$versions/v2", s"$versions/v3")
+    StoreCatalog.publish(spark, cat, "ivf", s"$versions/v3")
+    val v3Serve = serveCurrent(next)
+    assert(v3Serve
+      === keys(Similarity.ivfTopKWithCentroids(surv, pred, 5, next, nprobe = 2)))
+    assert(v3Serve.nonEmpty)
+    // the stamp check still fires THROUGH the catalog: resolving the
+    // current dir and loading it with the superseded quantizer rejects
+    val stale = intercept[IllegalArgumentException] {
+      Similarity.loadIvfAssigned(
+        spark, StoreCatalog.resolve(spark, cat, "ivf"), cents)
+    }
+    assert(stale.getMessage.contains("DIFFERENT quantizer"))
+    // GC reclaims exactly the superseded versions, never the live one
+    intercept[IllegalArgumentException] {
+      StoreCatalog.gcSuperseded(spark, cat, "ivf", root) // wrong root
+    }
+    val gone = StoreCatalog.gcSuperseded(spark, cat, "ivf", versions)
+    assert(gone.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      === Set("v1", "v2"))
+    assert(!new java.io.File(s"$versions/v1").exists)
+    assert(!new java.io.File(s"$versions/v2").exists)
+    assert(new java.io.File(s"$versions/v3").exists)
+    assert(serveCurrent(next) === v3Serve)
+    // idempotent: a second GC finds nothing to delete
+    assert(StoreCatalog.gcSuperseded(spark, cat, "ivf", versions).isEmpty)
+  }
 }
