@@ -34,7 +34,11 @@ import org.apache.spark.sql.DataFrame
   * (beyond the reference surface — the HTTP face of the persisted
   * BM25/ANN stores):
   *     POST /search/:coll                     {"terms": […], "k"?}
+  *                                       or   {"queries": [{"query_id", "terms"}…], "k"?}
+  *     POST /phrase/:coll                     {"phrase": […], "k"?}
   *     POST /ann/:coll                        {"query_ids": […], "k"?, "nprobe"?}
+  *                                       or   {"vectors": [[…]…], "k"?, "nprobe"?}
+  *     POST /hybrid/:coll                     {"terms": […], "query_id", "k"?, "nprobe"?, "k_rrf"?}
   *
   * Contract fidelity:
   *   - status/message/data come verbatim from the facade (which carries
@@ -135,13 +139,34 @@ final class ApiServer(
       // /metrics; unwired instances 404 them
       case (_, "POST", Seq("search", coll)) if retrieval.isDefined =>
         val b = body(x)
-        Some(retrieval.get.search(coll,
-          stringArrayField(b, "terms"), intFieldOr(b, "k", 10)))
+        // a "queries" field selects the batch mode; "terms" the single
+        if (b.exists(_.has("queries")))
+          Some(retrieval.get.searchBatch(coll,
+            queryBatchField(b, "queries"), intFieldOr(b, "k", 10)))
+        else
+          Some(retrieval.get.search(coll,
+            stringArrayField(b, "terms"), intFieldOr(b, "k", 10)))
+      case (_, "POST", Seq("phrase", coll)) if retrieval.isDefined =>
+        val b = body(x)
+        Some(retrieval.get.phraseSearch(coll,
+          stringArrayField(b, "phrase"), intFieldOr(b, "k", 10)))
       case (_, "POST", Seq("ann", coll)) if retrieval.isDefined =>
         val b = body(x)
-        Some(retrieval.get.annSearch(coll,
-          longArrayField(b, "query_ids"),
-          intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
+        // a "vectors" field selects the caller-supplied-vector mode
+        if (b.exists(_.has("vectors")))
+          Some(retrieval.get.annSearchVectors(coll,
+            doubleMatrixField(b, "vectors"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
+        else
+          Some(retrieval.get.annSearch(coll,
+            longArrayField(b, "query_ids"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
+      case (_, "POST", Seq("hybrid", coll)) if retrieval.isDefined =>
+        val b = body(x)
+        Some(retrieval.get.hybrid(coll,
+          stringArrayField(b, "terms"), longField(b, "query_id"),
+          intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1),
+          intFieldOr(b, "k_rrf", 60)))
       case (Indexer, "GET", Seq("exact", coll, id)) =>
         Some(facade.getUnique(GetUniqueRequest(coll, id)))
       case (Indexer, "POST", Seq("all", coll)) =>
@@ -336,6 +361,70 @@ object ApiServer {
         if (v == null) Some(default)
         else if (v.isIntegralNumber && v.canConvertToInt) Some(v.asInt())
         else None
+    }
+
+  /** A REQUIRED integer body field: present and integral → Some(value);
+    * absent or mistyped → bind failure (None).
+    */
+  private[operators] def longField(
+      body: Option[JsonNode], name: String): Option[Long] =
+    body.flatMap { n =>
+      val v = n.get(name)
+      if (v != null && v.isIntegralNumber) Some(v.asLong()) else None
+    }
+
+  /** A required array-of-arrays-of-numbers body field (the query-vector
+    * batch shape), same bind rules: any non-numeric element or
+    * non-array row is a bind failure.
+    */
+  private[operators] def doubleMatrixField(
+      body: Option[JsonNode], name: String): Option[Seq[Seq[Double]]] =
+    body.flatMap { n =>
+      val arr = n.get(name)
+      if (arr == null || !arr.isArray) None
+      else {
+        val rows = Seq.newBuilder[Seq[Double]]
+        val it = arr.elements()
+        var ok = true
+        while (it.hasNext && ok) {
+          val row = it.next()
+          if (!row.isArray) ok = false
+          else {
+            val vs = Seq.newBuilder[Double]
+            val jt = row.elements()
+            while (jt.hasNext && ok) {
+              val e = jt.next()
+              if (e.isNumber) vs += e.asDouble() else ok = false
+            }
+            if (ok) rows += vs.result()
+          }
+        }
+        if (ok) Some(rows.result()) else None
+      }
+    }
+
+  /** A required array of `{"query_id": n, "terms": […]}` objects (the
+    * batch-search suite shape), same bind rules.
+    */
+  private[operators] def queryBatchField(
+      body: Option[JsonNode], name: String): Option[Seq[(Long, Seq[String])]] =
+    body.flatMap { n =>
+      val arr = n.get(name)
+      if (arr == null || !arr.isArray) None
+      else {
+        val out = Seq.newBuilder[(Long, Seq[String])]
+        val it = arr.elements()
+        var ok = true
+        while (it.hasNext && ok) {
+          val q = it.next()
+          val qid = q.get("query_id")
+          val terms = stringArrayField(Some(q), "terms")
+          if (q.isObject && qid != null && qid.isIntegralNumber && terms.isDefined)
+            out += ((qid.asLong(), terms.get))
+          else ok = false
+        }
+        if (ok) Some(out.result()) else None
+      }
     }
 
   private[operators] def textField(n: JsonNode, name: String): Option[String] = {

@@ -1,11 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stored-index retrieval surface for the live listener — the serving
   * layer's HTTP face over the round's persisted indexes: BM25 postings
-  * stores ([[TextAnalysis.saveBm25Index]]) and IVF assigned stores
+  * stores ([[TextAnalysis.saveBm25Index]]), positional phrase stores
+  * ([[TextAnalysis.saveBm25Positional]]), and IVF assigned stores
   * ([[Similarity.saveIvfAssigned]]), routed by collection name exactly
   * like [[ApiFacade]] routes `:mongo_collection`.
   *
@@ -17,15 +19,17 @@ import org.apache.spark.sql.functions._
   * pages, never corpus-sized frames — so the listener's bounded-collect
   * rendering contract holds.
   *
-  * The ANN route inherits [[Similarity.ivfTopKAssigned]]'s enforced
+  * The ANN routes inherit [[Similarity.ivfTopKAssigned]]'s enforced
   * small-probe contract: an oversized probe batch (over the store's
   * `maxBroadcastProbes`) silently falls back to the valved sweep join
   * with identical results — a client cannot OOM the serve by sending a
-  * huge id list.
+  * huge id list; on top of that, id lists and vector batches past the
+  * store's `maxQueryIds` bind-fail at the HTTP boundary.
   */
 final case class RetrievalService(
     bm25: Map[String, (DataFrame, DataFrame)] = Map.empty,
-    ann: Map[String, RetrievalService.AnnStore] = Map.empty) {
+    ann: Map[String, RetrievalService.AnnStore] = Map.empty,
+    phrase: Map[String, (DataFrame, DataFrame)] = Map.empty) {
   import ApiFacade.{ApiResponse, OkMessage, OnBadRequestMessage}
   import RetrievalService.OnNoStoreMessage
 
@@ -43,6 +47,55 @@ final case class RetrievalService(
         case (Some(ts), Some(kv)) if ts.nonEmpty && kv > 0 =>
           ApiResponse(200, OkMessage,
             Some(TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv)))
+        case _ => ApiResponse(400, OnBadRequestMessage, None)
+      }
+    }
+
+  /** `POST /search/:coll {"queries": [{"query_id": n, "terms": […]}…],
+    * "k": n}` — the BATCH mode of the search route
+    * ([[TextAnalysis.bm25PerQueryFromIndex]], the
+    * decontamination-by-retrieval shape): top-k per query from the
+    * stored postings, one pruned store scan for the whole suite. An
+    * empty suite, a query with no terms, or a non-positive k bind-fail;
+    * so does a suite past the reasonable-eval-batch valve (the query
+    * suite broadcasts by contract).
+    */
+  def searchBatch(
+      coll: String,
+      queries: Option[Seq[(Long, Seq[String])]],
+      k: Option[Int],
+      maxQueries: Int = 4096): ApiResponse =
+    bm25.get(coll) match {
+      case None => ApiResponse(404, OnNoStoreMessage, None)
+      case Some((postings, doclen)) => (queries, k) match {
+        case (Some(qs), Some(kv))
+            if qs.nonEmpty && qs.length <= maxQueries &&
+              qs.forall(_._2.nonEmpty) && kv > 0 =>
+          val spark = postings.sparkSession
+          import spark.implicits._
+          ApiResponse(200, OkMessage,
+            Some(TextAnalysis.bm25PerQueryFromIndex(
+              postings, doclen, qs.toDF("query_id", "terms"), kv)))
+        case _ => ApiResponse(400, OnBadRequestMessage, None)
+      }
+    }
+
+  /** `POST /phrase/:coll {"phrase": […], "k": n}` — exact consecutive
+    * phrase top-k from the stored POSITIONAL postings
+    * ([[TextAnalysis.phraseTopKFromIndex]]; the phrase's term buckets
+    * prune exactly like term serves). A phrase needs ≥ 2 terms — fewer
+    * bind-fails (a one-term "phrase" is a term query; use /search).
+    */
+  def phraseSearch(
+      coll: String,
+      phraseTerms: Option[Seq[String]],
+      k: Option[Int]): ApiResponse =
+    phrase.get(coll) match {
+      case None => ApiResponse(404, OnNoStoreMessage, None)
+      case Some((postingsPos, doclen)) => (phraseTerms, k) match {
+        case (Some(ph), Some(kv)) if ph.size >= 2 && kv > 0 =>
+          ApiResponse(200, OkMessage,
+            Some(TextAnalysis.phraseTopKFromIndex(postingsPos, doclen, ph, kv)))
         case _ => ApiResponse(400, OnBadRequestMessage, None)
       }
     }
@@ -74,6 +127,85 @@ final case class RetrievalService(
         case _ => ApiResponse(400, OnBadRequestMessage, None)
       }
     }
+
+  /** `POST /ann/:coll {"vectors": [[…]…], "k": n, "nprobe": m}` — the
+    * CALLER-SUPPLIED-vector mode of the ANN route
+    * ([[Similarity.ivfTopKAssignedWith]], the real service shape): a
+    * client holding its own query vectors never triggers a query-side
+    * store scan. Vectors bind as float32 (the store's element type, so
+    * a corpus vector sent by value ranks identically to the id route).
+    * A wrong-dimension vector, an empty batch, or a batch past the
+    * store's `maxQueryIds` bind-fails; query ids in the response are
+    * the 0-based positions of the vectors in the request. Because those
+    * positions are request-local, the serve runs with id-based
+    * self-exclusion OFF — an external query identical to a stored
+    * vector retrieves it at rank 1, cosine 1 (the standard
+    * external-query contract), and a corpus vector whose id happens to
+    * equal a batch position is never wrongly dropped.
+    */
+  def annSearchVectors(
+      coll: String,
+      vectors: Option[Seq[Seq[Double]]],
+      k: Option[Int],
+      nprobe: Option[Int]): ApiResponse =
+    ann.get(coll) match {
+      case None => ApiResponse(404, OnNoStoreMessage, None)
+      case Some(st) => (vectors, k, nprobe) match {
+        case (Some(vs), Some(kv), Some(np))
+            if vs.nonEmpty && vs.length <= st.maxQueryIds &&
+              vs.forall(_.length == st.cents(0).length) &&
+              kv > 0 && np >= 1 && np <= st.cents.length =>
+          val spark = st.assigned.sparkSession
+          import spark.implicits._
+          val qv = vs.zipWithIndex
+            .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+            .toDF("query_id", "embedding")
+          ApiResponse(200, OkMessage,
+            Some(Similarity.ivfTopKAssignedWith(
+              st.assigned, qv, kv, st.cents, np,
+              maxBroadcastProbes = st.maxBroadcastProbes,
+              excludeSelf = false)))
+        case _ => ApiResponse(400, OnBadRequestMessage, None)
+      }
+    }
+
+  /** `POST /hybrid/:coll {"terms": […], "query_id": n, "k"?, "nprobe"?,
+    * "k_rrf"?}` — hybrid retrieval over the stored indexes: the stored
+    * BM25 serve for `terms` and the stored IVF serve around corpus
+    * vector `query_id`, fused by reciprocal-rank
+    * ([[Similarity.rrfFuse]], exact integer ppm so the fused order
+    * replays). Requires BOTH stores built under `coll` (vec_id ≡ doc_id,
+    * the corpus convention) — either missing is a 404 routing miss. The
+    * lexical rank is the k-bounded row_number over (score DESC, doc_id);
+    * the semantic rank comes from the ANN serve directly.
+    */
+  def hybrid(
+      coll: String,
+      terms: Option[Seq[String]],
+      queryId: Option[Long],
+      k: Option[Int],
+      nprobe: Option[Int],
+      kRrf: Option[Int]): ApiResponse =
+    (bm25.get(coll), ann.get(coll)) match {
+      case (Some((postings, doclen)), Some(st)) =>
+        (terms, queryId, k, nprobe, kRrf) match {
+          case (Some(ts), Some(qid), Some(kv), Some(np), Some(kr))
+              if ts.nonEmpty && kv > 0 && kr >= 1 &&
+                np >= 1 && np <= st.cents.length =>
+            val lex = TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv)
+              .withColumn("rank", row_number().over(
+                Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+              .select("doc_id", "rank")
+            val sem = Similarity.ivfTopKAssigned(
+              st.assigned, col("vec_id") === qid, kv, st.cents, np,
+              maxBroadcastProbes = st.maxBroadcastProbes)
+              .select(col("neighbor_id").as("doc_id"), col("rank"))
+            ApiResponse(200, OkMessage,
+              Some(Similarity.rrfFuse(lex, sem, "doc_id", kRrf = kr, topK = kv)))
+          case _ => ApiResponse(400, OnBadRequestMessage, None)
+        }
+      case _ => ApiResponse(404, OnNoStoreMessage, None)
+    }
 }
 
 object RetrievalService {
@@ -83,7 +215,8 @@ object RetrievalService {
   /** One served ANN collection: the loaded assigned store, the quantizer
     * it was stamped with (a [[Similarity.loadIvfAssigned]] load already
     * verified the pair), the serve-time probe cap, and the bind-time
-    * ceiling on a request's query-id list (see [[RetrievalService.annSearch]]).
+    * ceiling on a request's query-id list or vector batch (see
+    * [[RetrievalService.annSearch]]).
     */
   final case class AnnStore(
       assigned: DataFrame,

@@ -354,6 +354,146 @@ class EndToEndSpec extends SparkSpec {
     } finally api.stop(0)
   }
 
+  test("serve-under-accretion journey: a crawl stream grows BM25+IVF+PQ stores; the listener serves between batches, one compaction + catalog swap mid-stream") {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.URI
+    import graft.store.StoreCatalog
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-accrete").toString
+    val cat = s"$root/catalog"
+    val annDir = s"$root/ann"
+    val pqDir = s"$root/pq"
+    val terms = Seq("vector", "stream", "window")
+    // quantizer + books train once, on the crawl's FIRST wave only (the
+    // realistic bootstrap; later waves ride the stamped artifacts)
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val embSeed = emb.filter(col("vec_id") % 3 === 0)
+    val cents = Similarity.kmeansCentroids(embSeed, numCells = 4, iters = 1, salt = "e2eacc")
+    val books = Similarity.pqCodebooks(embSeed, m = 8, ksub = 16, iters = 1, salt = "e2eacc")
+    TextAnalysis.saveBm25Index(spark, s"$root/bm25/v1", seed)
+    StoreCatalog.publish(spark, cat, "bm25", s"$root/bm25/v1")
+    Similarity.saveIvfAssigned(spark, annDir,
+      Similarity.assignIvfCells(embSeed, cents), cents)
+    Similarity.savePqCodes(spark, pqDir,
+      Similarity.encodePqCodes(embSeed, books, cellBits = 4), books, cellBits = 4)
+    // data seen so far, tracked by crawl wave (batches are doc_id mod 3)
+    val seenMods = scala.collection.mutable.Set(0L)
+    val client = HttpClient.newHttpClient()
+    def post(base: String, path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+    def dataNodes(body: String) = {
+      val d = json.readTree(body).get("data")
+      (0 until d.size()).map(d.get)
+    }
+    // between batches: reload the stores THROUGH the catalog, serve over
+    // a real socket, and assert bit-exact equality with a one-shot build
+    // of exactly the documents seen so far
+    def serveAndAssert(): Unit = {
+      val mods = seenMods.toSeq
+      val docsSeen = docs.filter(pmod(col("doc_id"), lit(3L)).isin(mods: _*))
+      val embSeen = emb.filter(pmod(col("vec_id"), lit(3L)).isin(mods: _*))
+      val (p, d) = TextAnalysis.loadBm25Index(
+        spark, StoreCatalog.resolve(spark, cat, "bm25"))
+      val assigned = Similarity.loadIvfAssigned(spark, annDir, cents)
+      val srv = new ApiServer(ApiFacade(Map.empty), ApiServer.Indexer,
+        retrieval = Some(RetrievalService(
+          bm25 = Map("docs" -> ((p, d))),
+          ann = Map("docs" -> RetrievalService.AnnStore(assigned, cents)))))
+      srv.start()
+      try {
+        val base = s"http://127.0.0.1:${srv.boundPort}"
+        // lexical: integer BM25 scores replay bit-for-bit vs the one-shot
+        // corpus scan of the seen documents
+        val lex = post(base, "/search/docs",
+          s"""{"terms":[${terms.map(t => s""""$t"""").mkString(",")}],"k":15}""")
+        assert(lex.statusCode() == 200)
+        val gotLex = dataNodes(lex.body())
+          .map(n => (n.get("doc_id").asLong(), n.get("score").asLong(),
+            n.get("n_hit").asLong()))
+        val oneShot = TextAnalysis.bm25TopK(docsSeen, terms, 15)
+          .select("doc_id", "score", "n_hit")
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(gotLex === oneShot)
+        assert(gotLex.nonEmpty)
+        // semantic: partial-probe serve from the grown store ≡ the
+        // in-line serve over the seen vectors (the accretion contract)
+        val ann = post(base, "/ann/docs",
+          """{"query_ids":[0],"k":3,"nprobe":2}""")
+        assert(ann.statusCode() == 200)
+        val gotAnn = dataNodes(ann.body())
+          .map(n => (n.get("rank").asLong(), n.get("neighbor_id").asLong())).toSet
+        val annOneShot = Similarity.ivfTopKWithCentroids(
+          embSeen, col("vec_id") === 0L, 3, cents, nprobe = 2)
+          .select("rank", "neighbor_id").as[(Long, Long)].collect().toSet
+        assert(gotAnn === annOneShot)
+        assert(gotAnn.nonEmpty)
+      } finally srv.stop(0)
+      // PQ store (no HTTP face): stored-codes serve ≡ in-line PQ serve
+      val (codes, cb) = Similarity.loadPqCodes(spark, pqDir, books)
+      def keys(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(keys(Similarity.pqTopKWithCodes(
+        codes, embSeen, col("vec_id") === 0L, 3, books, cellBits = cb, rerank = 16))
+        === keys(Similarity.pqTopKWithBooks(
+          embSeen, col("vec_id") === 0L, 3, books, cellBits = cb, rerank = 16)))
+    }
+    serveAndAssert() // the bootstrap serves before any accretion
+    // the crawl: two disjoint waves arrive as a real file stream
+    Seq(1L, 2L).foreach { m =>
+      docs.filter(col("doc_id") % 3 === m).coalesce(1)
+        .write.parquet(s"$root/in/f$m")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$root/in/f1").schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val mod = batch.select(pmod(col("doc_id"), lit(3L))).distinct()
+          .as[Long].collect()
+        assert(mod.length == 1, "waves are disjoint by construction")
+        val embBatch = emb.filter(pmod(col("vec_id"), lit(3L)) === mod.head)
+        TextAnalysis.appendBm25Index(
+          spark, StoreCatalog.resolve(spark, cat, "bm25"), batch)
+        Similarity.appendIvfAssigned(spark, annDir, embBatch, cents)
+        Similarity.appendPqCodes(spark, pqDir, embBatch, books)
+        seenMods += mod.head
+        serveAndAssert()
+        if (id == 0) {
+          // mid-stream maintenance: compact the accreted postings into a
+          // NEW version, swap the catalog pointer, and prove the serve is
+          // seamless (same data, same ranking, fewer files)
+          val v1 = StoreCatalog.resolve(spark, cat, "bm25")
+          graft.streaming.Maintenance.compact(spark, s"$v1/postings",
+            s"$root/bm25/v2/postings", Seq("tok_bucket"), "tok",
+            targetRows = 1000000L)
+          spark.read.parquet(s"$v1/doclen").coalesce(1)
+            .write.parquet(s"$root/bm25/v2/doclen")
+          StoreCatalog.publish(spark, cat, "bm25", s"$root/bm25/v2")
+          serveAndAssert()
+          assert(StoreCatalog.gcSuperseded(spark, cat, "bm25", s"$root/bm25")
+            .exists(_.endsWith("/v1")))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(seenMods === Set(0L, 1L, 2L), "both waves drained")
+    // the final grown stores account for every document exactly once
+    val (pF, dF) = TextAnalysis.loadBm25Index(
+      spark, StoreCatalog.resolve(spark, cat, "bm25"))
+    assert(dF.count() === docs.count())
+    assert(pF.groupBy("doc_id", "tok").count().filter(col("count") > 1).isEmpty)
+    assert(Similarity.loadIvfAssigned(spark, annDir, cents).count() === emb.count())
+    assert(Similarity.loadPqCodes(spark, pqDir, books)._1.count() === emb.count())
+  }
+
   test("facade point lookup agrees with the replayed record payload") {
     val wd = streaming.PersistPipeline.ensureRun(spark, dir)
     val index = store.IndexStore.materialized(spark, dir)

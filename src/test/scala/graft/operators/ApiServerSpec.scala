@@ -300,6 +300,135 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("vector, phrase, batch-search, and hybrid retrieval routes over a real socket") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wd = java.nio.file.Files.createTempDirectory("retrsrv2").toString
+    TextAnalysis.saveBm25Index(spark, s"$wd/bm25", docs)
+    TextAnalysis.saveBm25Positional(spark, s"$wd/pos", docs)
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, s"$wd/bm25")
+    val (postPos, doclenP) = TextAnalysis.loadBm25Positional(spark, s"$wd/pos")
+    val cents = Similarity.kmeansCentroids(emb, numCells = 4, iters = 1, salt = "srv2")
+    Similarity.saveIvfAssigned(spark, s"$wd/ann",
+      Similarity.assignIvfCells(emb, cents), cents)
+    val assigned = Similarity.loadIvfAssigned(spark, s"$wd/ann", cents)
+    val retrieval = RetrievalService(
+      bm25 = Map("docs" -> ((postings, doclen)), "lexonly" -> ((postings, doclen))),
+      ann = Map("docs" -> RetrievalService.AnnStore(assigned, cents),
+        "capped" -> RetrievalService.AnnStore(assigned, cents, maxQueryIds = 2)),
+      phrase = Map("docs" -> ((postPos, doclenP))))
+    val srv = new ApiServer(facade, ApiServer.Indexer, retrieval = Some(retrieval))
+    srv.start()
+    def dataNodes(body: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val d = ApiServer.Json.readTree(body).get("data")
+      (0 until d.size()).map(d.get)
+    }
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+
+      // --- caller-supplied vectors: result-identical to the id route for
+      // corpus vectors sent by value (float32 round-trips through JSON)
+      val v0 = emb.filter(col("vec_id") === 0L)
+        .select("embedding").as[Array[Float]].head()
+      // k=4 by vector vs k=3 by id: the external-query contract retrieves
+      // the stored twin of the query at rank 1, cosine 1, then the same
+      // neighbors the corpus-resident serve ranks — so (top-4 minus self)
+      // must equal the id route's top-3
+      val vecBody =
+        s"""{"vectors":[[${v0.map(_.toDouble).mkString(",")}]],"k":4,"nprobe":2}"""
+      val byVec = post(base, "/ann/docs", vecBody)
+      assert(byVec.statusCode() == 200)
+      val byId = post(base, "/ann/docs", """{"query_ids":[0],"k":3,"nprobe":2}""")
+      def neighbors(r: java.net.http.HttpResponse[String]) = dataNodes(r.body())
+        .map(n => (n.get("rank").asLong(), n.get("neighbor_id").asLong()))
+      val viaVec = neighbors(byVec)
+      assert(viaVec.head === ((1L, 0L)), "the stored twin leads at rank 1")
+      assert(viaVec.map(_._2).drop(1).toSet === neighbors(byId).map(_._2).toSet)
+      assert(viaVec.size === 4)
+      // bind failures: wrong dimension, empty batch, non-numeric, over cap
+      assert(post(base, "/ann/docs",
+        """{"vectors":[[1.0,2.0]],"k":3}""").statusCode() == 400)
+      assert(post(base, "/ann/docs", """{"vectors":[]}""").statusCode() == 400)
+      assert(post(base, "/ann/docs",
+        """{"vectors":[["x"]]}""").statusCode() == 400)
+      val three = Seq(v0, v0, v0)
+        .map(v => s"[${v.map(_.toDouble).mkString(",")}]").mkString(",")
+      assert(post(base, "/ann/capped",
+        s"""{"vectors":[$three],"k":3,"nprobe":1}""").statusCode() == 400)
+      assert(post(base, "/ann/nope", vecBody).statusCode() == 404)
+
+      // --- phrase route: matches the direct positional serve
+      val ph = post(base, "/phrase/docs",
+        """{"phrase":["stream","window"],"k":5}""")
+      assert(ph.statusCode() == 200)
+      val expectPh = TextAnalysis.phraseTopKFromIndex(
+        postPos, doclenP, Seq("stream", "window"), 5)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(dataNodes(ph.body()).map(_.get("doc_id").asLong()) === expectPh)
+      assert(expectPh.nonEmpty)
+      // one-term "phrase" and unbuilt positional store bind/route-fail
+      assert(post(base, "/phrase/docs",
+        """{"phrase":["stream"],"k":5}""").statusCode() == 400)
+      assert(post(base, "/phrase/lexonly",
+        """{"phrase":["stream","window"]}""").statusCode() == 404)
+
+      // --- batch mode on /search: per-query pages from one store scan
+      val batch = post(base, "/search/docs",
+        """{"queries":[{"query_id":1,"terms":["vector","stream"]},
+          |{"query_id":2,"terms":["window"]}],"k":4}""".stripMargin)
+      assert(batch.statusCode() == 200)
+      val got = dataNodes(batch.body())
+        .map(n => (n.get("query_id").asLong(), n.get("rnk").asLong(),
+          n.get("doc_id").asLong())).toSet
+      val expectBatch = TextAnalysis.bm25PerQueryFromIndex(
+        postings, doclen,
+        Seq((1L, Seq("vector", "stream")), (2L, Seq("window")))
+          .toDF("query_id", "terms"), 4)
+        .select("query_id", "rnk", "doc_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expectBatch)
+      assert(got.nonEmpty)
+      // a query with no terms, or a malformed suite entry, bind-fails
+      assert(post(base, "/search/docs",
+        """{"queries":[{"query_id":1,"terms":[]}]}""").statusCode() == 400)
+      assert(post(base, "/search/docs",
+        """{"queries":[{"terms":["x"]}]}""").statusCode() == 400)
+      assert(post(base, "/search/docs", """{"queries":[]}""").statusCode() == 400)
+
+      // --- hybrid route: fused order replays the engine-side composition
+      val terms = Seq("vector", "stream", "window")
+      val hy = post(base, "/hybrid/docs",
+        s"""{"terms":[${terms.map(t => s""""$t"""").mkString(",")}],
+           |"query_id":0,"k":10,"nprobe":2}""".stripMargin)
+      assert(hy.statusCode() == 200)
+      val gotFused = dataNodes(hy.body())
+        .map(n => (n.get("doc_id").asLong(), n.get("fused_rank").asLong())).toMap
+      val lex = TextAnalysis.bm25TopKFromIndex(postings, doclen, terms, 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank")
+      val sem = Similarity.ivfTopKAssigned(
+        assigned, col("vec_id") === 0L, 10, cents, nprobe = 2)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val expectFused = Similarity.rrfFuse(lex, sem, "doc_id", kRrf = 60, topK = 10)
+        .select("doc_id", "fused_rank").as[(Long, Long)].collect().toMap
+      assert(gotFused === expectFused)
+      assert(gotFused.nonEmpty)
+      // missing half of the store pair is a routing miss; bad binds 400
+      assert(post(base, "/hybrid/lexonly",
+        """{"terms":["x"],"query_id":0}""").statusCode() == 404)
+      assert(post(base, "/hybrid/docs",
+        """{"terms":["x"]}""").statusCode() == 400)
+      assert(post(base, "/hybrid/docs",
+        """{"terms":[],"query_id":0}""").statusCode() == 400)
+      assert(post(base, "/hybrid/docs",
+        """{"terms":["x"],"query_id":0,"nprobe":99}""").statusCode() == 400)
+    } finally srv.stop(0)
+  }
+
   test("a handler crash surfaces as a well-formed 500, not a hung socket") {
     // a facade whose collection frame is broken (missing columns) → the
     // eager /exact path throws inside the handler
