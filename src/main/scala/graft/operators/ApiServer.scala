@@ -38,6 +38,8 @@ import org.apache.spark.sql.DataFrame
   *     POST /phrase/:coll                     {"phrase": […], "k"?}
   *     POST /ann/:coll                        {"query_ids": […], "k"?, "nprobe"?}
   *                                       or   {"vectors": [[…]…], "k"?, "nprobe"?}
+  *     POST /pq/:coll                         {"query_ids": […], "k"?, "rerank"?}
+  *                                       or   {"vectors": [[…]…], "k"?, "rerank"?}
   *     POST /hybrid/:coll                     {"terms": […], "query_id", "k"?, "nprobe"?, "k_rrf"?}
   *
   * Contract fidelity:
@@ -161,6 +163,16 @@ final class ApiServer(
           Some(retrieval.get.annSearch(coll,
             longArrayField(b, "query_ids"),
             intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
+      case (_, "POST", Seq("pq", coll)) if retrieval.isDefined =>
+        val b = body(x)
+        if (b.exists(_.has("vectors")))
+          Some(retrieval.get.pqSearchVectors(coll,
+            doubleMatrixField(b, "vectors"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32)))
+        else
+          Some(retrieval.get.pqSearch(coll,
+            longArrayField(b, "query_ids"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32)))
       case (_, "POST", Seq("hybrid", coll)) if retrieval.isDefined =>
         val b = body(x)
         Some(retrieval.get.hybrid(coll,

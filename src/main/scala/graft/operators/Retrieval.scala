@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
 final case class RetrievalService(
     bm25: Map[String, (DataFrame, DataFrame)] = Map.empty,
     ann: Map[String, RetrievalService.AnnStore] = Map.empty,
-    phrase: Map[String, (DataFrame, DataFrame)] = Map.empty) {
+    phrase: Map[String, (DataFrame, DataFrame)] = Map.empty,
+    pq: Map[String, RetrievalService.PqStore] = Map.empty) {
   import ApiFacade.{ApiResponse, OkMessage, OnBadRequestMessage}
   import RetrievalService.OnNoStoreMessage
 
@@ -169,6 +170,66 @@ final case class RetrievalService(
       }
     }
 
+  /** `POST /pq/:coll {"query_ids": […], "k": n, "rerank": m}` — IVF-PQ
+    * top-k from the stored code table for the corpus vectors named by
+    * `query_ids`: ADC over the probed cells' codes, exact-cosine re-rank
+    * of the `rerank` best ([[Similarity.pqTopKWithCodes]]; the raw
+    * embedding table is touched only by the query lookup and the
+    * rerank-sized join). rerank < k bind-fails (the re-rank cannot
+    * return more than it rescored), as do empty or over-cap id lists.
+    */
+  def pqSearch(
+      coll: String,
+      queryIds: Option[Seq[Long]],
+      k: Option[Int],
+      rerank: Option[Int]): ApiResponse =
+    pq.get(coll) match {
+      case None => ApiResponse(404, OnNoStoreMessage, None)
+      case Some(st) => (queryIds, k, rerank) match {
+        case (Some(ids), Some(kv), Some(rr))
+            if ids.nonEmpty && ids.length <= st.maxQueryIds &&
+              kv > 0 && rr >= kv =>
+          ApiResponse(200, OkMessage,
+            Some(Similarity.pqTopKWithCodes(
+              st.codes, st.embeddings, col("vec_id").isin(ids: _*), kv,
+              st.books, cellBits = st.cellBits, rerank = rr,
+              maxBroadcastProbes = st.maxBroadcastProbes)))
+        case _ => ApiResponse(400, OnBadRequestMessage, None)
+      }
+    }
+
+  /** `POST /pq/:coll {"vectors": [[…]…], "k": n, "rerank": m}` — the
+    * caller-supplied-vector mode of the PQ route
+    * ([[Similarity.pqTopKCodesWith]]): same bind rules as
+    * [[annSearchVectors]] (float32 vectors, 0-based position query ids,
+    * self-exclusion off, wrong-dimension / over-cap bodies 400).
+    */
+  def pqSearchVectors(
+      coll: String,
+      vectors: Option[Seq[Seq[Double]]],
+      k: Option[Int],
+      rerank: Option[Int]): ApiResponse =
+    pq.get(coll) match {
+      case None => ApiResponse(404, OnNoStoreMessage, None)
+      case Some(st) => (vectors, k, rerank) match {
+        case (Some(vs), Some(kv), Some(rr))
+            if vs.nonEmpty && vs.length <= st.maxQueryIds &&
+              vs.forall(_.length == Similarity.Dim) && kv > 0 && rr >= kv =>
+          val spark = st.codes.sparkSession
+          import spark.implicits._
+          val qv = vs.zipWithIndex
+            .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+            .toDF("query_id", "embedding")
+          ApiResponse(200, OkMessage,
+            Some(Similarity.pqTopKCodesWith(
+              st.codes, st.embeddings, qv, kv, st.books,
+              cellBits = st.cellBits, rerank = rr,
+              maxBroadcastProbes = st.maxBroadcastProbes,
+              excludeSelf = false)))
+        case _ => ApiResponse(400, OnBadRequestMessage, None)
+      }
+    }
+
   /** `POST /hybrid/:coll {"terms": […], "query_id": n, "k"?, "nprobe"?,
     * "k_rrf"?}` — hybrid retrieval over the stored indexes: the stored
     * BM25 serve for `terms` and the stored IVF serve around corpus
@@ -221,6 +282,19 @@ object RetrievalService {
   final case class AnnStore(
       assigned: DataFrame,
       cents: Array[Array[Double]],
+      maxBroadcastProbes: Int = 4096,
+      maxQueryIds: Int = 4096)
+
+  /** One served PQ collection: the loaded code table with the stamped
+    * codebooks and cell geometry ([[Similarity.loadPqCodes]] verified
+    * the pair and handed back `cellBits`), the raw embedding table the
+    * exact re-rank joins against, and the serve valves.
+    */
+  final case class PqStore(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int,
       maxBroadcastProbes: Int = 4096,
       maxQueryIds: Int = 4096)
 }

@@ -756,15 +756,40 @@ object Similarity {
       cellBits: Int = 4,
       rerank: Int = 32,
       broadcastQueries: Boolean = true,
-      maxBroadcastProbes: Int = 4096): DataFrame = {
+      maxBroadcastProbes: Int = 4096): DataFrame =
+    pqTopKCodesWith(codes, embeddings,
+      embeddings.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, books, cellBits, rerank, broadcastQueries, maxBroadcastProbes)
+
+  /** [[pqTopKWithCodes]] against a CALLER-SUPPLIED query frame
+    * `(query_id, embedding)` — the external-query PQ serve shape
+    * ([[ivfTopKAssignedWith]]'s PQ twin): a query batch arrives with its
+    * vectors in hand, nothing scans anything to look them up, and the
+    * only corpus I/O is the probed-cell code read plus the
+    * `rerank`-sized exact-cosine join against `embeddings`. `excludeSelf`
+    * carries [[ivfTopKAssignedWith]]'s contract: off for request-local
+    * query ids (an external query identical to a stored vector retrieves
+    * it at rank 1, cosine 1).
+    */
+  def pqTopKCodesWith(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      queryVecs: DataFrame,
+      k: Int,
+      books: Array[Array[Array[Double]]],
+      cellBits: Int = 4,
+      rerank: Int = 32,
+      broadcastQueries: Boolean = true,
+      maxBroadcastProbes: Int = 4096,
+      excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, "rerank must be at least k")
     val m = books.length
     val sub = Dim / m
     val corpus = codes.select(col("vec_id").as("neighbor_id"),
       col("cell"), col("codes"))
-    val queries = withNorm(embeddings)
-      .filter(queryPred)
-      .select(col("vec_id").as("query_id"),
+    val queries = withNorm(queryVecs)
+      .select(col("query_id"),
         srpCode(col("embedding"), 0, cellBits).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
     val adc = (0 until m).map { s =>
@@ -779,8 +804,8 @@ object Similarity {
       } else corpus.join(queries, Seq("cell"))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    joined
-      .filter(col("query_id") =!= col("neighbor_id"))
+    (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+     else joined)
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= rerank)

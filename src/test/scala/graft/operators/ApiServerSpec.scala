@@ -315,11 +315,16 @@ class ApiServerSpec extends SparkSpec {
     Similarity.saveIvfAssigned(spark, s"$wd/ann",
       Similarity.assignIvfCells(emb, cents), cents)
     val assigned = Similarity.loadIvfAssigned(spark, s"$wd/ann", cents)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 1, salt = "srv2")
+    Similarity.savePqCodes(spark, s"$wd/pq",
+      Similarity.encodePqCodes(emb, books, cellBits = 4), books, cellBits = 4)
+    val (pqCodes, pqCb) = Similarity.loadPqCodes(spark, s"$wd/pq", books)
     val retrieval = RetrievalService(
       bm25 = Map("docs" -> ((postings, doclen)), "lexonly" -> ((postings, doclen))),
       ann = Map("docs" -> RetrievalService.AnnStore(assigned, cents),
         "capped" -> RetrievalService.AnnStore(assigned, cents, maxQueryIds = 2)),
-      phrase = Map("docs" -> ((postPos, doclenP))))
+      phrase = Map("docs" -> ((postPos, doclenP))),
+      pq = Map("docs" -> RetrievalService.PqStore(pqCodes, emb, books, pqCb)))
     val srv = new ApiServer(facade, ApiServer.Indexer, retrieval = Some(retrieval))
     srv.start()
     def dataNodes(body: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
@@ -397,6 +402,34 @@ class ApiServerSpec extends SparkSpec {
       assert(post(base, "/search/docs",
         """{"queries":[{"terms":["x"]}]}""").statusCode() == 400)
       assert(post(base, "/search/docs", """{"queries":[]}""").statusCode() == 400)
+
+      // --- PQ route: stored-codes ADC + exact re-rank, both id and
+      // vector modes, matching the engine-side serves
+      val pqId = post(base, "/pq/docs",
+        """{"query_ids":[0],"k":3,"rerank":16}""")
+      assert(pqId.statusCode() == 200)
+      val gotPq = dataNodes(pqId.body())
+        .map(n => (n.get("rank").asLong(), n.get("neighbor_id").asLong())).toSet
+      val expectPq = Similarity.pqTopKWithCodes(
+        pqCodes, emb, col("vec_id") === 0L, 3, books,
+        cellBits = pqCb, rerank = 16)
+        .select("rank", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(gotPq === expectPq)
+      assert(gotPq.nonEmpty)
+      val pqVec = post(base, "/pq/docs",
+        s"""{"vectors":[[${v0.map(_.toDouble).mkString(",")}]],"k":4,"rerank":16}""")
+      assert(pqVec.statusCode() == 200)
+      val viaPqVec = dataNodes(pqVec.body())
+        .map(n => (n.get("rank").asLong(), n.get("neighbor_id").asLong()))
+      assert(viaPqVec.head === ((1L, 0L)), "the stored twin leads at rank 1")
+      assert(viaPqVec.map(_._2).drop(1).toSet === gotPq.map(_._2))
+      // rerank < k, wrong dim, and unbuilt store fail the bind matrix
+      assert(post(base, "/pq/docs",
+        """{"query_ids":[0],"k":5,"rerank":3}""").statusCode() == 400)
+      assert(post(base, "/pq/docs",
+        """{"vectors":[[1.0,2.0]],"k":2,"rerank":4}""").statusCode() == 400)
+      assert(post(base, "/pq/lexonly",
+        """{"query_ids":[0]}""").statusCode() == 404)
 
       // --- hybrid route: fused order replays the engine-side composition
       val terms = Seq("vector", "stream", "window")
