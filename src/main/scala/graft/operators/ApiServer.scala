@@ -40,7 +40,7 @@ import org.apache.spark.sql.DataFrame
   *                                       or   {"vectors": [[…]…], "k"?, "nprobe"?}
   *     POST /pq/:coll                         {"query_ids": […], "k"?, "rerank"?}
   *                                       or   {"vectors": [[…]…], "k"?, "rerank"?}
-  *     POST /hybrid/:coll                     {"terms": […], "query_id", "k"?, "nprobe"?, "k_rrf"?}
+  *     POST /hybrid/:coll                     {"terms": […], "query_id" | "vector": […], "k"?, "nprobe"?, "k_rrf"?}
   *
   * Contract fidelity:
   *   - status/message/data come verbatim from the facade (which carries
@@ -176,7 +176,9 @@ final class ApiServer(
       case (_, "POST", Seq("hybrid", coll)) if retrieval.isDefined =>
         val b = body(x)
         Some(retrieval.get.hybrid(coll,
-          stringArrayField(b, "terms"), longField(b, "query_id"),
+          stringArrayField(b, "terms"),
+          if (b.exists(_.has("query_id"))) longField(b, "query_id") else None,
+          if (b.exists(_.has("vector"))) doubleArrayField(b, "vector") else None,
           intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1),
           intFieldOr(b, "k_rrf", 60)))
       case (Indexer, "GET", Seq("exact", coll, id)) =>
@@ -383,6 +385,26 @@ object ApiServer {
     body.flatMap { n =>
       val v = n.get(name)
       if (v != null && v.isIntegralNumber) Some(v.asLong()) else None
+    }
+
+  /** A required array-of-numbers body field (one query vector), same
+    * bind rules.
+    */
+  private[operators] def doubleArrayField(
+      body: Option[JsonNode], name: String): Option[Seq[Double]] =
+    body.flatMap { n =>
+      val arr = n.get(name)
+      if (arr == null || !arr.isArray) None
+      else {
+        val out = Seq.newBuilder[Double]
+        val it = arr.elements()
+        var ok = true
+        while (it.hasNext && ok) {
+          val e = it.next()
+          if (e.isNumber) out += e.asDouble() else ok = false
+        }
+        if (ok) Some(out.result()) else None
+      }
     }
 
   /** A required array-of-arrays-of-numbers body field (the query-vector

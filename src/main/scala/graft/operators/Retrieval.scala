@@ -230,37 +230,54 @@ final case class RetrievalService(
       }
     }
 
-  /** `POST /hybrid/:coll {"terms": […], "query_id": n, "k"?, "nprobe"?,
-    * "k_rrf"?}` — hybrid retrieval over the stored indexes: the stored
-    * BM25 serve for `terms` and the stored IVF serve around corpus
-    * vector `query_id`, fused by reciprocal-rank
-    * ([[Similarity.rrfFuse]], exact integer ppm so the fused order
-    * replays). Requires BOTH stores built under `coll` (vec_id ≡ doc_id,
-    * the corpus convention) — either missing is a 404 routing miss. The
-    * lexical rank is the k-bounded row_number over (score DESC, doc_id);
-    * the semantic rank comes from the ANN serve directly.
+  /** `POST /hybrid/:coll {"terms": […], "query_id": n | "vector": […],
+    * "k"?, "nprobe"?, "k_rrf"?}` — hybrid retrieval over the stored
+    * indexes: the stored BM25 serve for `terms` and the stored IVF
+    * serve around EITHER corpus vector `query_id` or a caller-supplied
+    * `vector` (exactly one — both or neither bind-fails), fused by
+    * reciprocal-rank ([[Similarity.rrfFuse]], exact integer ppm so the
+    * fused order replays). Requires BOTH stores built under `coll`
+    * (vec_id ≡ doc_id, the corpus convention) — either missing is a 404
+    * routing miss. The lexical rank is the k-bounded row_number over
+    * (score DESC, doc_id); the semantic rank comes from the ANN serve
+    * directly (vector mode runs with self-exclusion off, the
+    * [[annSearchVectors]] contract — the stored twin of the query, if
+    * any, fuses like any other retrieved document).
     */
   def hybrid(
       coll: String,
       terms: Option[Seq[String]],
       queryId: Option[Long],
+      vector: Option[Seq[Double]],
       k: Option[Int],
       nprobe: Option[Int],
       kRrf: Option[Int]): ApiResponse =
     (bm25.get(coll), ann.get(coll)) match {
       case (Some((postings, doclen)), Some(st)) =>
-        (terms, queryId, k, nprobe, kRrf) match {
-          case (Some(ts), Some(qid), Some(kv), Some(np), Some(kr))
+        (terms, k, nprobe, kRrf) match {
+          case (Some(ts), Some(kv), Some(np), Some(kr))
               if ts.nonEmpty && kv > 0 && kr >= 1 &&
-                np >= 1 && np <= st.cents.length =>
+                np >= 1 && np <= st.cents.length &&
+                (queryId.isDefined != vector.isDefined) &&
+                vector.forall(_.length == st.cents(0).length) =>
             val lex = TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv)
               .withColumn("rank", row_number().over(
                 Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
               .select("doc_id", "rank")
-            val sem = Similarity.ivfTopKAssigned(
-              st.assigned, col("vec_id") === qid, kv, st.cents, np,
-              maxBroadcastProbes = st.maxBroadcastProbes)
-              .select(col("neighbor_id").as("doc_id"), col("rank"))
+            val sem = (queryId match {
+              case Some(qid) => Similarity.ivfTopKAssigned(
+                st.assigned, col("vec_id") === qid, kv, st.cents, np,
+                maxBroadcastProbes = st.maxBroadcastProbes)
+              case None =>
+                val spark = st.assigned.sparkSession
+                import spark.implicits._
+                Similarity.ivfTopKAssignedWith(st.assigned,
+                  Seq((0L, vector.get.map(_.toFloat).toArray))
+                    .toDF("query_id", "embedding"),
+                  kv, st.cents, np,
+                  maxBroadcastProbes = st.maxBroadcastProbes,
+                  excludeSelf = false)
+            }).select(col("neighbor_id").as("doc_id"), col("rank"))
             ApiResponse(200, OkMessage,
               Some(Similarity.rrfFuse(lex, sem, "doc_id", kRrf = kr, topK = kv)))
           case _ => ApiResponse(400, OnBadRequestMessage, None)

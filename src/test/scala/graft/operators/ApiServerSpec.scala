@@ -450,6 +450,25 @@ class ApiServerSpec extends SparkSpec {
         .select("doc_id", "fused_rank").as[(Long, Long)].collect().toMap
       assert(gotFused === expectFused)
       assert(gotFused.nonEmpty)
+      // vector mode: the caller-supplied query vector fuses through the
+      // same composition, with the ANN half self-exclusion OFF — the
+      // stored twin of vec 0 joins the semantic list at rank 1
+      val hyVec = post(base, "/hybrid/docs",
+        s"""{"terms":[${terms.map(t => s""""$t"""").mkString(",")}],
+           |"vector":[${v0.map(_.toDouble).mkString(",")}],
+           |"k":10,"nprobe":2}""".stripMargin)
+      assert(hyVec.statusCode() == 200)
+      val gotFusedVec = dataNodes(hyVec.body())
+        .map(n => (n.get("doc_id").asLong(), n.get("fused_rank").asLong())).toMap
+      val semVec = Similarity.ivfTopKAssignedWith(assigned,
+        Seq((0L, v0)).toDF("query_id", "embedding"), 10, cents, nprobe = 2,
+        excludeSelf = false)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val expectFusedVec = Similarity.rrfFuse(lex, semVec, "doc_id",
+        kRrf = 60, topK = 10)
+        .select("doc_id", "fused_rank").as[(Long, Long)].collect().toMap
+      assert(gotFusedVec === expectFusedVec)
+      assert(gotFusedVec.nonEmpty)
       // missing half of the store pair is a routing miss; bad binds 400
       assert(post(base, "/hybrid/lexonly",
         """{"terms":["x"],"query_id":0}""").statusCode() == 404)
@@ -459,6 +478,11 @@ class ApiServerSpec extends SparkSpec {
         """{"terms":[],"query_id":0}""").statusCode() == 400)
       assert(post(base, "/hybrid/docs",
         """{"terms":["x"],"query_id":0,"nprobe":99}""").statusCode() == 400)
+      // both or neither of query_id/vector, and a wrong-dim vector, 400
+      assert(post(base, "/hybrid/docs",
+        """{"terms":["x"],"query_id":0,"vector":[1.0]}""").statusCode() == 400)
+      assert(post(base, "/hybrid/docs",
+        """{"terms":["x"],"vector":[1.0,2.0]}""").statusCode() == 400)
     } finally srv.stop(0)
   }
 
