@@ -290,6 +290,49 @@ object RetrievalService {
 
   val OnNoStoreMessage = "no such collection"
 
+  /** Construct the listener's retrieval surface FROM the store catalog —
+    * the deployment shape: each named collection resolves to its current
+    * version directory ([[graft.store.StoreCatalog.resolve]], loud on
+    * unpublished names) and loads through the stamped loaders, so a
+    * listener rebuilt after a delete/retrain catalog flip always serves
+    * the current, stamp-verified version and can never resurrect a
+    * superseded one.
+    *
+    * Version-dir contracts: a published ANN version must carry BOTH the
+    * assigned partitions ([[Similarity.saveIvfAssigned]]) and the
+    * centroids ([[Similarity.saveIvfIndex]]) — the loader reads the
+    * quantizer from the store and verifies the stamp against it, which
+    * is what makes the catalog flip self-contained. PQ versions are
+    * self-contained (books ride in `codebooks`), but the exact re-rank
+    * needs the raw corpus, so `pqNames` maps each collection to its
+    * embedding table.
+    */
+  def fromCatalog(
+      spark: org.apache.spark.sql.SparkSession,
+      catalogRoot: String,
+      bm25Names: Seq[String] = Nil,
+      phraseNames: Seq[String] = Nil,
+      annNames: Seq[String] = Nil,
+      pqNames: Map[String, DataFrame] = Map.empty): RetrievalService = {
+    import graft.store.StoreCatalog.resolve
+    RetrievalService(
+      bm25 = bm25Names.map(n =>
+        n -> TextAnalysis.loadBm25Index(spark, resolve(spark, catalogRoot, n))).toMap,
+      phrase = phraseNames.map(n =>
+        n -> TextAnalysis.loadBm25Positional(spark, resolve(spark, catalogRoot, n))).toMap,
+      ann = annNames.map { n =>
+        val dir = resolve(spark, catalogRoot, n)
+        val cents = Similarity.loadIvfCentroids(spark, dir)
+        n -> AnnStore(Similarity.loadIvfAssigned(spark, dir, cents), cents)
+      }.toMap,
+      pq = pqNames.map { case (n, emb) =>
+        val dir = resolve(spark, catalogRoot, n)
+        val books = Similarity.loadPqBooks(spark, dir)
+        val (codes, cellBits) = Similarity.loadPqCodes(spark, dir, books)
+        n -> PqStore(codes, emb, books, cellBits)
+      }.toMap)
+  }
+
   /** One served ANN collection: the loaded assigned store, the quantizer
     * it was stamped with (a [[Similarity.loadIvfAssigned]] load already
     * verified the pair), the serve-time probe cap, and the bind-time

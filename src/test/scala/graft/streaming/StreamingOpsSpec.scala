@@ -1692,5 +1692,19 @@ class StreamingOpsSpec extends SparkSpec {
     assert(serveCurrent(next) === v3Serve)
     // idempotent: a second GC finds nothing to delete
     assert(StoreCatalog.gcSuperseded(spark, cat, "ivf", versions).isEmpty)
+    // a retrieval surface rebuilt FROM the catalog serves the live
+    // version (centroids read from the store, stamp verified) — the
+    // listener-restart-after-swap shape
+    val svc = graft.operators.RetrievalService.fromCatalog(
+      spark, cat, annNames = Seq("ivf"))
+    val resp = svc.annSearch("ivf", Some(Seq(0L)), Some(5), Some(2))
+    assert(resp.status === 200)
+    assert(keys(resp.data.get) === keys(Similarity.ivfTopKWithCentroids(
+      surv, col("vec_id") === 0L, 5, next, nprobe = 2)))
+    // an unpublished name fails construction loudly
+    intercept[IllegalStateException] {
+      graft.operators.RetrievalService.fromCatalog(
+        spark, cat, bm25Names = Seq("nope"))
+    }
   }
 }
