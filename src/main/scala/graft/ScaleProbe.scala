@@ -63,20 +63,18 @@ object ScaleProbe {
       * these rows report the BEST of `runs` timed executions after the
       * warm pass: the steady state a real cluster rides (executors
       * re-run the same generated class thousands of times; first-task
-      * JIT latency amortizes to zero), with an early stop once a run
-      * confirms the compiled regime (within 1.5× of the fastest so far).
+      * JIT latency amortizes to zero). All `runs` samples are taken:
+      * run-to-run STABILITY cannot certify the compiled regime (two
+      * consecutive interpreted runs agree within a few percent too), so
+      * there is deliberately no early stop — the best of a fixed sample
+      * count is the only cliff-robust estimator this harness has.
       */
     def timeBest(runs: Int)(f: => Long): (Double, Long) = {
       var best = time(f)
       var i = 1
-      var confirmed = false
-      while (i < runs && !confirmed) {
+      while (i < runs) {
         val t = time(f)
         if (t._1 < best._1) best = t
-        // a RE-run landing within 1.5× of the best so far means the
-        // generated code is compiled and timings have stabilized — the
-        // 30-50× interpreted cliff never hides inside that band
-        confirmed = t._1 <= 1.5 * best._1
         i += 1
       }
       best

@@ -175,12 +175,19 @@ final class ApiServer(
             intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32)))
       case (_, "POST", Seq("hybrid", coll)) if retrieval.isDefined =>
         val b = body(x)
-        Some(retrieval.get.hybrid(coll,
-          stringArrayField(b, "terms"),
-          if (b.exists(_.has("query_id"))) longField(b, "query_id") else None,
-          if (b.exists(_.has("vector"))) doubleArrayField(b, "vector") else None,
-          intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1),
-          intFieldOr(b, "k_rrf", 60)))
+        // present-but-mistyped must 400, never silently fall back to the
+        // OTHER mode (the intFieldOr convention: a malformed field is a
+        // bind failure, not an absence)
+        val qid = longField(b, "query_id")
+        val vec = doubleArrayField(b, "vector")
+        if ((b.exists(_.has("query_id")) && qid.isEmpty) ||
+            (b.exists(_.has("vector")) && vec.isEmpty))
+          Some(ApiResponse(400, OnBadRequestMessage, None))
+        else
+          Some(retrieval.get.hybrid(coll,
+            stringArrayField(b, "terms"), qid, vec,
+            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1),
+            intFieldOr(b, "k_rrf", 60)))
       case (Indexer, "GET", Seq("exact", coll, id)) =>
         Some(facade.getUnique(GetUniqueRequest(coll, id)))
       case (Indexer, "POST", Seq("all", coll)) =>

@@ -32,7 +32,7 @@ final case class RetrievalService(
     phrase: Map[String, (DataFrame, DataFrame)] = Map.empty,
     pq: Map[String, RetrievalService.PqStore] = Map.empty) {
   import ApiFacade.{ApiResponse, OkMessage, OnBadRequestMessage}
-  import RetrievalService.OnNoStoreMessage
+  import RetrievalService.{MaxK, MaxRerank, OnNoStoreMessage}
 
   /** `POST /search/:coll {"terms": […], "k": n}` — BM25 top-k from the
     * stored postings (term buckets prune the partition scan; nothing
@@ -45,7 +45,7 @@ final case class RetrievalService(
     bm25.get(coll) match {
       case None => ApiResponse(404, OnNoStoreMessage, None)
       case Some((postings, doclen)) => (terms, k) match {
-        case (Some(ts), Some(kv)) if ts.nonEmpty && kv > 0 =>
+        case (Some(ts), Some(kv)) if ts.nonEmpty && kv > 0 && kv <= MaxK =>
           ApiResponse(200, OkMessage,
             Some(TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv)))
         case _ => ApiResponse(400, OnBadRequestMessage, None)
@@ -71,7 +71,7 @@ final case class RetrievalService(
       case Some((postings, doclen)) => (queries, k) match {
         case (Some(qs), Some(kv))
             if qs.nonEmpty && qs.length <= maxQueries &&
-              qs.forall(_._2.nonEmpty) && kv > 0 =>
+              qs.forall(_._2.nonEmpty) && kv > 0 && kv <= MaxK =>
           val spark = postings.sparkSession
           import spark.implicits._
           ApiResponse(200, OkMessage,
@@ -94,7 +94,7 @@ final case class RetrievalService(
     phrase.get(coll) match {
       case None => ApiResponse(404, OnNoStoreMessage, None)
       case Some((postingsPos, doclen)) => (phraseTerms, k) match {
-        case (Some(ph), Some(kv)) if ph.size >= 2 && kv > 0 =>
+        case (Some(ph), Some(kv)) if ph.size >= 2 && kv > 0 && kv <= MaxK =>
           ApiResponse(200, OkMessage,
             Some(TextAnalysis.phraseTopKFromIndex(postingsPos, doclen, ph, kv)))
         case _ => ApiResponse(400, OnBadRequestMessage, None)
@@ -120,7 +120,7 @@ final case class RetrievalService(
       case Some(st) => (queryIds, k, nprobe) match {
         case (Some(ids), Some(kv), Some(np))
             if ids.nonEmpty && ids.length <= st.maxQueryIds &&
-              kv > 0 && np >= 1 && np <= st.cents.length =>
+              kv > 0 && kv <= MaxK && np >= 1 && np <= st.cents.length =>
           ApiResponse(200, OkMessage,
             Some(Similarity.ivfTopKAssigned(
               st.assigned, col("vec_id").isin(ids: _*), kv, st.cents, np,
@@ -155,7 +155,7 @@ final case class RetrievalService(
         case (Some(vs), Some(kv), Some(np))
             if vs.nonEmpty && vs.length <= st.maxQueryIds &&
               vs.forall(_.length == st.cents(0).length) &&
-              kv > 0 && np >= 1 && np <= st.cents.length =>
+              kv > 0 && kv <= MaxK && np >= 1 && np <= st.cents.length =>
           val spark = st.assigned.sparkSession
           import spark.implicits._
           val qv = vs.zipWithIndex
@@ -188,7 +188,7 @@ final case class RetrievalService(
       case Some(st) => (queryIds, k, rerank) match {
         case (Some(ids), Some(kv), Some(rr))
             if ids.nonEmpty && ids.length <= st.maxQueryIds &&
-              kv > 0 && rr >= kv =>
+              kv > 0 && kv <= MaxK && rr >= kv && rr <= MaxRerank =>
           ApiResponse(200, OkMessage,
             Some(Similarity.pqTopKWithCodes(
               st.codes, st.embeddings, col("vec_id").isin(ids: _*), kv,
@@ -214,7 +214,8 @@ final case class RetrievalService(
       case Some(st) => (vectors, k, rerank) match {
         case (Some(vs), Some(kv), Some(rr))
             if vs.nonEmpty && vs.length <= st.maxQueryIds &&
-              vs.forall(_.length == Similarity.Dim) && kv > 0 && rr >= kv =>
+              vs.forall(_.length == Similarity.Dim) && kv > 0 && kv <= MaxK &&
+              rr >= kv && rr <= MaxRerank =>
           val spark = st.codes.sparkSession
           import spark.implicits._
           val qv = vs.zipWithIndex
@@ -256,7 +257,7 @@ final case class RetrievalService(
       case (Some((postings, doclen)), Some(st)) =>
         (terms, k, nprobe, kRrf) match {
           case (Some(ts), Some(kv), Some(np), Some(kr))
-              if ts.nonEmpty && kv > 0 && kr >= 1 &&
+              if ts.nonEmpty && kv > 0 && kv <= MaxK && kr >= 1 &&
                 np >= 1 && np <= st.cents.length &&
                 (queryId.isDefined != vector.isDefined) &&
                 vector.forall(_.length == st.cents(0).length) =>
@@ -289,6 +290,20 @@ final case class RetrievalService(
 object RetrievalService {
 
   val OnNoStoreMessage = "no such collection"
+
+  /** Page-size ceiling for every retrieval route: responses render as
+    * one bounded driver-side collect, so an in-range-but-huge k must
+    * bind-fail — "k-bounded by construction" is a contract only if k
+    * itself is bounded. 1000 is an order of magnitude past any sane
+    * retrieval page.
+    */
+  val MaxK = 1000
+
+  /** Ceiling on the PQ exact-re-rank candidate count per query — the
+    * rescore join is rerank-sized by design; an unbounded rerank would
+    * turn it back into a corpus join.
+    */
+  val MaxRerank = 4096
 
   /** Construct the listener's retrieval surface FROM the store catalog —
     * the deployment shape: each named collection resolves to its current

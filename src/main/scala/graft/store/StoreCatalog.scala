@@ -109,12 +109,27 @@ object StoreCatalog {
     * pointer target. Returns the deleted paths. Refuses a versionsRoot
     * that does not contain the current target (the wrong-root guard),
     * and never deletes the current version or non-directory files.
+    *
+    * Concurrency guards — GC runs beside live builds and swaps:
+    *   - `graceMs` (default 1 h): a directory modified within the grace
+    *     window is NEVER deleted — an in-flight version build (written
+    *     first, published last by contract) is hot by definition, so GC
+    *     cannot eat a half-built version that simply hasn't been
+    *     published yet. Pass 0 only in tests/offline maintenance.
+    *   - the pointer is RE-resolved immediately before each delete, so
+    *     a version published after the initial listing (the
+    *     resolve-then-delete race) is spared. The residual window is
+    *     the single delete call itself — arrange maintenance so GC and
+    *     publish for one name don't run in the same instant, or rely on
+    *     the grace window (a just-published version is always younger
+    *     than any sensible grace).
     */
   def gcSuperseded(
       spark: SparkSession,
       catalogRoot: String,
       name: String,
-      versionsRoot: String): Seq[String] = {
+      versionsRoot: String,
+      graceMs: Long = 3600000L): Seq[String] = {
     val current = resolve(spark, catalogRoot, name)
     val rootP = new Path(versionsRoot)
     val ctx = fc(spark, rootP)
@@ -125,12 +140,17 @@ object StoreCatalog {
         "refusing to GC a versions root that does not own the live version")
     if (!ctx.util.exists(rootQ)) Seq.empty
     else {
+      val cutoff = System.currentTimeMillis() - graceMs
       val it = ctx.listStatus(rootQ)
       val out = Seq.newBuilder[String]
       while (it.hasNext) {
         val st = it.next()
         val p = ctx.makeQualified(st.getPath)
-        if (st.isDirectory && p != currentQ) {
+        if (st.isDirectory && p != currentQ &&
+            st.getModificationTime <= cutoff &&
+            // re-check the pointer right before the irreversible step:
+            // a swap that landed since the listing spares its target
+            ctx.makeQualified(new Path(resolve(spark, catalogRoot, name))) != p) {
           ctx.delete(p, true)
           out += p.toString
         }

@@ -476,8 +476,8 @@ class EndToEndSpec extends SparkSpec {
             .write.parquet(s"$root/bm25/v2/doclen")
           StoreCatalog.publish(spark, cat, "bm25", s"$root/bm25/v2")
           serveAndAssert()
-          assert(StoreCatalog.gcSuperseded(spark, cat, "bm25", s"$root/bm25")
-            .exists(_.endsWith("/v1")))
+          assert(StoreCatalog.gcSuperseded(spark, cat, "bm25", s"$root/bm25",
+            graceMs = 0L).exists(_.endsWith("/v1")))
         }
         ()
       }

@@ -483,6 +483,24 @@ class ApiServerSpec extends SparkSpec {
         """{"terms":["x"],"query_id":0,"vector":[1.0]}""").statusCode() == 400)
       assert(post(base, "/hybrid/docs",
         """{"terms":["x"],"vector":[1.0,2.0]}""").statusCode() == 400)
+      // present-but-mistyped query_id must NOT silently fall back to the
+      // valid vector mode — a malformed field is a bind failure
+      assert(post(base, "/hybrid/docs",
+        s"""{"terms":["x"],"query_id":"abc",
+           |"vector":[${v0.map(_.toDouble).mkString(",")}]}""".stripMargin)
+        .statusCode() == 400)
+      // in-range-but-huge k is a bind failure on every route: the
+      // response is one bounded collect, so k itself must be bounded
+      assert(post(base, "/search/docs",
+        """{"terms":["x"],"k":100000}""").statusCode() == 400)
+      assert(post(base, "/ann/docs",
+        """{"query_ids":[0],"k":100000,"nprobe":1}""").statusCode() == 400)
+      assert(post(base, "/pq/docs",
+        """{"query_ids":[0],"k":5,"rerank":100000}""").statusCode() == 400)
+      assert(post(base, "/phrase/docs",
+        """{"phrase":["stream","window"],"k":100000}""").statusCode() == 400)
+      assert(post(base, "/hybrid/docs",
+        """{"terms":["x"],"query_id":0,"k":100000}""").statusCode() == 400)
     } finally srv.stop(0)
   }
 

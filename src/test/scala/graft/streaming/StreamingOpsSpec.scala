@@ -1683,7 +1683,10 @@ class StreamingOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StoreCatalog.gcSuperseded(spark, cat, "ivf", root) // wrong root
     }
-    val gone = StoreCatalog.gcSuperseded(spark, cat, "ivf", versions)
+    // grace window first: just-written versions are hot, GC spares ALL
+    assert(StoreCatalog.gcSuperseded(spark, cat, "ivf", versions).isEmpty,
+      "default grace must spare freshly-written versions")
+    val gone = StoreCatalog.gcSuperseded(spark, cat, "ivf", versions, graceMs = 0L)
     assert(gone.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
       === Set("v1", "v2"))
     assert(!new java.io.File(s"$versions/v1").exists)
@@ -1691,7 +1694,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$versions/v3").exists)
     assert(serveCurrent(next) === v3Serve)
     // idempotent: a second GC finds nothing to delete
-    assert(StoreCatalog.gcSuperseded(spark, cat, "ivf", versions).isEmpty)
+    assert(StoreCatalog.gcSuperseded(spark, cat, "ivf", versions, graceMs = 0L).isEmpty)
     // a retrieval surface rebuilt FROM the catalog serves the live
     // version (centroids read from the store, stamp verified) — the
     // listener-restart-after-swap shape
