@@ -1164,7 +1164,11 @@ object SparkEntry {
       val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       TextAnalysis.saveBm25Index(s, wd, Tables(s, dir).documents)
       val (postings, doclen) = TextAnalysis.loadBm25Index(s, wd)
-      TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25)
+      // the stored 1-row stats sidecar feeds N/avg-dl — its values are
+      // gated by this query's hash (identical scores require identical
+      // corpus statistics)
+      TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25,
+        stats = TextAnalysis.loadBm25Stats(s, wd))
         .orderBy(col("score").desc, col("doc_id"))
     },
     // Deletion THROUGH the postings store: build v1, delete doc_id%7==3
@@ -1179,7 +1183,9 @@ object SparkEntry {
       val audit = TextAnalysis.deleteFromBm25Index(
         s, s"$wd/v1", s"$wd/v2", col("doc_id") % 7 === 3)
       val (postings, doclen) = TextAnalysis.loadBm25Index(s, s"$wd/v2")
-      TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25)
+      // v2's rewritten stats sidecar (survivor N/avg-dl) gates the serve
+      TextAnalysis.bm25TopKFromIndex(postings, doclen, Bm25Terms, k = 25,
+        stats = TextAnalysis.loadBm25Stats(s, s"$wd/v2"))
         // grouping-free re-aggregate of the 1-row audit — the structurally
         // bounded scalar-build shape the no-cartesian audit admits
         .crossJoin(broadcast(audit.agg(
@@ -1205,7 +1211,8 @@ object SparkEntry {
       TextAnalysis.saveBm25Index(s, wd, Tables(s, dir).documents)
       val (postings, doclen) = TextAnalysis.loadBm25Index(s, wd)
       val qs = Bm25Queries.toDF("query_id", "terms")
-      TextAnalysis.bm25PerQueryFromIndex(postings, doclen, qs, k = 10)
+      TextAnalysis.bm25PerQueryFromIndex(postings, doclen, qs, k = 10,
+        stats = TextAnalysis.loadBm25Stats(s, wd))
         .orderBy(col("query_id"), col("rnk"))
     },
     // Term-BAG retrieval: repeated query terms multiply their weight
@@ -1250,7 +1257,8 @@ object SparkEntry {
       TextAnalysis.saveBm25Positional(s, wd, Tables(s, dir).documents)
       val (postPos, doclen) = TextAnalysis.loadBm25Positional(s, wd)
       TextAnalysis.phraseTopKFromIndex(postPos, doclen,
-        Seq("stream", "window"), k = 20)
+        Seq("stream", "window"), k = 20,
+        stats = TextAnalysis.loadBm25Stats(s, wd))
     },
     // Deletion THROUGH the positional phrase store: build v1, delete
     // doc_id%7==3 into a v2 store version, serve the phrase query from
@@ -1267,7 +1275,8 @@ object SparkEntry {
         s, s"$wd/v1", s"$wd/v2", col("doc_id") % 7 === 3)
       val (postPos, doclen) = TextAnalysis.loadBm25Positional(s, s"$wd/v2")
       TextAnalysis.phraseTopKFromIndex(postPos, doclen,
-        Seq("stream", "window"), k = 20)
+        Seq("stream", "window"), k = 20,
+        stats = TextAnalysis.loadBm25Stats(s, s"$wd/v2"))
         // grouping-free re-aggregate of the 1-row audit — the structurally
         // bounded scalar-build shape the no-cartesian audit admits
         .crossJoin(broadcast(audit.agg(

@@ -30,7 +30,9 @@ final case class RetrievalService(
     bm25: Map[String, (DataFrame, DataFrame)] = Map.empty,
     ann: Map[String, RetrievalService.AnnStore] = Map.empty,
     phrase: Map[String, (DataFrame, DataFrame)] = Map.empty,
-    pq: Map[String, RetrievalService.PqStore] = Map.empty) {
+    pq: Map[String, RetrievalService.PqStore] = Map.empty,
+    bm25Stats: Map[String, DataFrame] = Map.empty,
+    phraseStats: Map[String, DataFrame] = Map.empty) {
   import ApiFacade.{ApiResponse, OkMessage, OnBadRequestMessage}
   import RetrievalService.{MaxK, MaxRerank, OnNoStoreMessage}
 
@@ -47,7 +49,8 @@ final case class RetrievalService(
       case Some((postings, doclen)) => (terms, k) match {
         case (Some(ts), Some(kv)) if ts.nonEmpty && kv > 0 && kv <= MaxK =>
           ApiResponse(200, OkMessage,
-            Some(TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv)))
+            Some(TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv,
+              stats = bm25Stats.get(coll))))
         case _ => ApiResponse(400, OnBadRequestMessage, None)
       }
     }
@@ -76,7 +79,8 @@ final case class RetrievalService(
           import spark.implicits._
           ApiResponse(200, OkMessage,
             Some(TextAnalysis.bm25PerQueryFromIndex(
-              postings, doclen, qs.toDF("query_id", "terms"), kv)))
+              postings, doclen, qs.toDF("query_id", "terms"), kv,
+              stats = bm25Stats.get(coll))))
         case _ => ApiResponse(400, OnBadRequestMessage, None)
       }
     }
@@ -96,7 +100,8 @@ final case class RetrievalService(
       case Some((postingsPos, doclen)) => (phraseTerms, k) match {
         case (Some(ph), Some(kv)) if ph.size >= 2 && kv > 0 && kv <= MaxK =>
           ApiResponse(200, OkMessage,
-            Some(TextAnalysis.phraseTopKFromIndex(postingsPos, doclen, ph, kv)))
+            Some(TextAnalysis.phraseTopKFromIndex(postingsPos, doclen, ph, kv,
+              stats = phraseStats.get(coll))))
         case _ => ApiResponse(400, OnBadRequestMessage, None)
       }
     }
@@ -261,7 +266,8 @@ final case class RetrievalService(
                 np >= 1 && np <= st.cents.length &&
                 (queryId.isDefined != vector.isDefined) &&
                 vector.forall(_.length == st.cents(0).length) =>
-            val lex = TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv)
+            val lex = TextAnalysis.bm25TopKFromIndex(postings, doclen, ts, kv,
+              stats = bm25Stats.get(coll))
               .withColumn("rank", row_number().over(
                 Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
               .select("doc_id", "rank")
@@ -335,6 +341,12 @@ object RetrievalService {
         n -> TextAnalysis.loadBm25Index(spark, resolve(spark, catalogRoot, n))).toMap,
       phrase = phraseNames.map(n =>
         n -> TextAnalysis.loadBm25Positional(spark, resolve(spark, catalogRoot, n))).toMap,
+      bm25Stats = bm25Names.flatMap(n =>
+        TextAnalysis.loadBm25Stats(spark, resolve(spark, catalogRoot, n))
+          .map(n -> _)).toMap,
+      phraseStats = phraseNames.flatMap(n =>
+        TextAnalysis.loadBm25Stats(spark, resolve(spark, catalogRoot, n))
+          .map(n -> _)).toMap,
       ann = annNames.map { n =>
         val dir = resolve(spark, catalogRoot, n)
         val cents = Similarity.loadIvfCentroids(spark, dir)

@@ -933,11 +933,10 @@ object TextAnalysis {
     * returned frame's eager pin.
     */
   private def scorePhrase(
-      post: DataFrame, dl: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+      post: DataFrame, dl: DataFrame, phrase: Seq[String], k: Int,
+      stats: Option[DataFrame] = None): DataFrame = {
     val terms = phrase.distinct
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+    val statsF = stats.map(scalarStats).getOrElse(corpusStats(dl))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc term→positions map; docs missing any distinct term cannot match
     val pmap = post
@@ -953,11 +952,12 @@ object TextAnalysis {
     val hits = pmap
       .select(col("doc_id"), phraseCount.as("n_phrase"))
       .filter(col("n_phrase") >= 1L)
-    val scored = post
-      .select(col("doc_id"), col("tok"), col("tf"))
-      .join(dl, Seq("doc_id"))
+    val scored = (if (post.columns.contains("dl"))
+        post.select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+      else post.select(col("doc_id"), col("tok"), col("tf"))
+        .join(dl, Seq("doc_id")))
       .join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsF))
       .select(col("doc_id"), bm25Weight.as("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).as("score"))
@@ -987,10 +987,14 @@ object TextAnalysis {
     */
   def saveBm25Positional(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
-    bucketedPostings(buildBm25Positional(docs)).write.mode("overwrite")
-      .partitionBy("tok_bucket").parquet(s"$dir/postings_pos")
     val dl = docLengths(docs)
+    // the saveBm25Index layout rules carry over: dl denormalized onto
+    // every posting row, 1-row stats sidecar, doclen as source of truth
+    bucketedPostings(buildBm25Positional(docs).join(dl, Seq("doc_id")))
+      .write.mode("overwrite")
+      .partitionBy("tok_bucket").parquet(s"$dir/postings_pos")
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     Pins.release(dl)
   }
 
@@ -1006,21 +1010,24 @@ object TextAnalysis {
     * re-tokenizes.
     */
   def phraseTopKFromIndex(
-      postingsPos: DataFrame, doclen: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+      postingsPos: DataFrame, doclen: DataFrame, phrase: Seq[String], k: Int,
+      stats: Option[DataFrame] = None): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two terms")
     require(k > 0, "k must be positive")
     val terms = phrase.distinct
     val dl = Pins.pin(doclen.select(col("doc_id"), col("dl")))
+    val hasDl = postingsPos.columns.contains("dl")
+    val cols = Seq(col("doc_id"), col("tok"), col("tf"), col("ps")) ++
+      (if (hasDl) Seq(col("dl")) else Nil)
     val post = Pins.pin(
       if (postingsPos.columns.contains("tok_bucket")) {
         val buckets = terms.map(t => h60Jvm(t) % Bm25Buckets).distinct
         postingsPos
           .filter(col("tok_bucket").isin(buckets: _*) &&
             col("tok").isin(terms: _*))
-          .select(col("doc_id"), col("tok"), col("tf"), col("ps"))
-      } else postingsPos.filter(col("tok").isin(terms: _*))
-        .select(col("doc_id"), col("tok"), col("tf"), col("ps")))
-    val out = scorePhrase(post, dl, phrase, k)
+          .select(cols: _*)
+      } else postingsPos.filter(col("tok").isin(terms: _*)).select(cols: _*))
+    val out = scorePhrase(post, dl, phrase, k, stats)
     Pins.release(dl)
     Pins.release(post)
     out
@@ -1312,10 +1319,19 @@ object TextAnalysis {
       .repartition(col("tok_bucket"), col("tok"))
       .sortWithinPartitions(col("tok"))
 
-  /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen`
-    * parquet (BIGINT/VARCHAR only — trivially engine-portable): postings
-    * PARTITIONED BY `tok_bucket` with tok-sorted files (the
-    * [[Bm25Buckets]] pruning layout), doclen unpartitioned. At scale the
+  /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen` +
+    * `<dir>/stats` parquet (BIGINT/VARCHAR only — trivially
+    * engine-portable): postings PARTITIONED BY `tok_bucket` with
+    * tok-sorted files (the [[Bm25Buckets]] pruning layout) and — the
+    * Lucene norms trick — each posting row DENORMALIZED with its
+    * document's `dl`, paid by one build-time join so the serve never
+    * joins the corpus-sized doclen table per query; `stats` is the
+    * 1-row (n_docs, a_tokens) corpus sidecar, mergeable at append
+    * (counts add) and rewritten at delete, so the serve reads corpus
+    * statistics from one row instead of re-aggregating doclen per
+    * request. doclen itself persists unpartitioned — it is the
+    * deletion/stats source of truth (zero-token documents live only
+    * there) — but a stats-equipped serve never scans it. At scale the
     * postings table is the corpus-sized artifact; writing it once per
     * corpus version is the standard inverted-index trade. The `spark`
     * parameter is kept only for API symmetry with [[loadBm25Index]]
@@ -1324,10 +1340,67 @@ object TextAnalysis {
   def saveBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
     val (postings, dl) = buildBm25Index(docs)
-    bucketedPostings(postings).write.mode("overwrite")
+    bucketedPostings(postings.join(dl, Seq("doc_id"))).write.mode("overwrite")
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     Pins.release(dl)
+  }
+
+  /** The 1-row (n_docs, a_tokens) corpus-statistics frame the BM25
+    * weight needs — over a doclen table, so zero-token documents count
+    * toward N and the average exactly as in the corpus form.
+    */
+  private def corpusStats(dl: DataFrame): DataFrame =
+    dl.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+
+  /** Grouping-free re-aggregate of the stored 1-row stats sidecar — the
+    * structurally bounded scalar-build shape the no-cartesian plan audit
+    * admits (max over one row ≡ the row).
+    */
+  private def scalarStats(st: DataFrame): DataFrame =
+    st.agg(max(col("n_docs")).as("n_docs"),
+      max(col("a_tokens")).as("a_tokens"))
+
+  /** The stored corpus-stats sidecar of a [[saveBm25Index]]/
+    * [[saveBm25Positional]] store, or None for a store written before
+    * the sidecar existed (serves then fall back to aggregating doclen).
+    */
+  def loadBm25Stats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/stats")) else None
+  }
+
+  /** Merge a batch's corpus stats into the stored sidecar: both rows
+    * collect driver-side FIRST (1 row each — the overwrite-what-you-read
+    * rule needs no checkpoint at this size), counts add, the sum
+    * rewrites. A store with data but no sidecar is a legacy layout —
+    * fail loudly with a rebuild message rather than guessing.
+    */
+  private def mergeStatsSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batchDl: DataFrame,
+      storeHasData: Boolean): Unit = {
+    import spark.implicits._
+    val batch = corpusStats(batchDl).select(col("n_docs"), col("a_tokens"))
+      .as[(Long, Long)].head()
+    val prior = loadBm25Stats(spark, dir) match {
+      case Some(st) => st.select(col("n_docs"), col("a_tokens"))
+        .as[(Long, Long)].head()
+      case None =>
+        require(!storeHasData,
+          s"store at $dir has postings but no stats sidecar — rebuild it " +
+            "with saveBm25Index/saveBm25Positional before appending")
+        (0L, 0L)
+    }
+    Seq((prior._1 + batch._1, prior._2 + batch._2))
+      .toDF("n_docs", "a_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Per-micro-batch maintenance of a [[saveBm25Index]] store — the
@@ -1350,11 +1423,23 @@ object TextAnalysis {
     */
   def appendBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
-    requireBucketedLayout(spark, s"$dir/postings")
+    val hasData = requireBucketedLayout(spark, s"$dir/postings")
+    if (hasData) {
+      // both legacy-layout checks fire BEFORE any write, so a refused
+      // append leaves the store untouched
+      require(spark.read.parquet(s"$dir/postings").columns.contains("dl"),
+        s"postings store at $dir lacks the denormalized dl column — " +
+          "rebuild it with saveBm25Index before appending (mixed row " +
+          "schemas would corrupt the serve)")
+      require(loadBm25Stats(spark, dir).isDefined,
+        s"store at $dir has postings but no stats sidecar — rebuild it " +
+          "with saveBm25Index before appending")
+    }
     val (postings, dl) = buildBm25Index(batch)
-    bucketedPostings(postings).write.mode("append")
+    bucketedPostings(postings.join(dl, Seq("doc_id"))).write.mode("append")
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/doclen")
+    mergeStatsSidecar(spark, dir, dl, hasData)
     Pins.release(dl)
   }
 
@@ -1364,13 +1449,15 @@ object TextAnalysis {
     * (or silently misreads as a partial partition column) — fail loudly
     * with a rebuild message instead. A nonexistent path is fine (first
     * append creates the store); an existing path must already contain
-    * `tok_bucket=*` directories.
+    * `tok_bucket=*` directories. Returns whether the store already has
+    * data (the stats-sidecar bootstrap signal).
     */
   private def requireBucketedLayout(
-      spark: org.apache.spark.sql.SparkSession, postingsPath: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, postingsPath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(postingsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    if (!fs.exists(p)) false
+    else {
       val hasData = fs.listStatus(p).exists(s =>
         !s.getPath.getName.startsWith("_"))
       val bucketed = fs.listStatus(p).exists(s =>
@@ -1379,6 +1466,7 @@ object TextAnalysis {
         s"postings store at $postingsPath uses the pre-bucketed flat layout — " +
           "rebuild it with saveBm25Index before appending (mixed layouts break " +
           "partition discovery)")
+      hasData
     }
   }
 
@@ -1417,12 +1505,15 @@ object TextAnalysis {
     val (postings, dl) = loadBm25Index(spark, inDir)
     val hit = coalesce(pred, lit(false))
     bucketedPostings(postings.filter(!hit)
-      .select(col("doc_id"), col("tok"), col("tf")))
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
       .write.mode("overwrite").partitionBy("tok_bucket")
       .parquet(s"$outDir/postings")
     val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
       dl.withColumn("store", lit("bm25")), pred, Seq("store"), col("doc_id"))
     survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
+    // survivor corpus stats re-derive from the new version's own doclen
+    corpusStats(spark.read.parquet(s"$outDir/doclen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
     audit
   }
 
@@ -1448,12 +1539,14 @@ object TextAnalysis {
     val (postingsPos, dl) = loadBm25Positional(spark, inDir)
     val hit = coalesce(pred, lit(false))
     bucketedPostings(postingsPos.filter(!hit)
-      .select(col("doc_id"), col("tok"), col("tf"), col("ps")))
+      .select(col("doc_id"), col("tok"), col("tf"), col("ps"), col("dl")))
       .write.mode("overwrite").partitionBy("tok_bucket")
       .parquet(s"$outDir/postings_pos")
     val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
       dl.withColumn("store", lit("bm25_pos")), pred, Seq("store"), col("doc_id"))
     survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
+    corpusStats(spark.read.parquet(s"$outDir/doclen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
     audit
   }
 
@@ -1468,23 +1561,29 @@ object TextAnalysis {
     * the lexical twin of the ANN stores' probed-cell pruning.
     */
   def bm25TopKFromIndex(
-      postings: DataFrame, doclen: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+      postings: DataFrame, doclen: DataFrame, terms: Seq[String], k: Int,
+      stats: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, "k must be positive")
-    val stats = doclen.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+    // corpus statistics: one stored row when the sidecar is supplied;
+    // otherwise the legacy doclen aggregation (a corpus-table scan per
+    // query — fine at test scale, the sidecar is the 100 TB path)
+    val statsF = stats.map(scalarStats).getOrElse(corpusStats(doclen))
+    val hasDl = postings.columns.contains("dl")
+    val cols = Seq(col("doc_id"), col("tok"), col("tf")) ++
+      (if (hasDl) Seq(col("dl")) else Nil)
     val tf =
       if (postings.columns.contains("tok_bucket")) {
         val buckets = terms.map(t => h60Jvm(t) % Bm25Buckets).distinct
         postings
           .filter(col("tok_bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
-          .select(col("doc_id"), col("tok"), col("tf"))
-      } else postings.filter(col("tok").isin(terms: _*))
+          .select(cols: _*)
+      } else postings.filter(col("tok").isin(terms: _*)).select(cols: _*)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(doclen, Seq("doc_id"))
+    // dl rides the posting rows on a denormalized store — no doclen join
+    (if (hasDl) tf else tf.join(doclen, Seq("doc_id")))
       .join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsF))
       .select(col("doc_id"), bm25Weight.as("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
@@ -1572,15 +1671,13 @@ object TextAnalysis {
     * release after the returned frame's eager pin.
     */
   private def scorePerQuery(
-      tf: DataFrame, dl: DataFrame, qt: DataFrame, k: Int, salts: Int): DataFrame = {
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+      tf: DataFrame, dl: DataFrame, qt: DataFrame, k: Int, salts: Int,
+      stats: Option[DataFrame] = None): DataFrame = {
+    val statsF = stats.map(scalarStats).getOrElse(corpusStats(dl))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(dl, Seq("doc_id"))
+    val scored = (if (tf.columns.contains("dl")) tf else tf.join(dl, Seq("doc_id")))
       .join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsF))
       .select(col("tok"), col("doc_id"), bm25Weight.as("w"))
       .join(broadcast(qt), Seq("tok"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -1611,7 +1708,8 @@ object TextAnalysis {
     */
   def bm25PerQueryFromIndex(
       postings: DataFrame, doclen: DataFrame, queries: DataFrame, k: Int,
-      salts: Int = 16, weighted: Boolean = false): DataFrame = {
+      salts: Int = 16, weighted: Boolean = false,
+      stats: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(salts > 0, "salts must be positive")
     val posting = queries
@@ -1623,16 +1721,18 @@ object TextAnalysis {
     val termSeq = qt.select(col("tok")).distinct()
       .collect().map(_.getString(0)).toSeq
     val dl = Pins.pin(doclen.select(col("doc_id"), col("dl")))
+    val hasDl = postings.columns.contains("dl")
+    val cols = Seq(col("doc_id"), col("tok"), col("tf")) ++
+      (if (hasDl) Seq(col("dl")) else Nil)
     val tf = Pins.pin(
       if (postings.columns.contains("tok_bucket")) {
         val buckets = termSeq.map(t => h60Jvm(t) % Bm25Buckets).distinct
         postings
           .filter(col("tok_bucket").isin(buckets: _*) &&
             col("tok").isin(termSeq: _*))
-          .select(col("doc_id"), col("tok"), col("tf"))
-      } else postings.filter(col("tok").isin(termSeq: _*))
-        .select(col("doc_id"), col("tok"), col("tf")))
-    val out = scorePerQuery(tf, dl, qt, k, salts)
+          .select(cols: _*)
+      } else postings.filter(col("tok").isin(termSeq: _*)).select(cols: _*))
+    val out = scorePerQuery(tf, dl, qt, k, salts, stats)
     Pins.release(qt)
     Pins.release(dl)
     Pins.release(tf)

@@ -474,6 +474,8 @@ class EndToEndSpec extends SparkSpec {
             targetRows = 1000000L)
           spark.read.parquet(s"$v1/doclen").coalesce(1)
             .write.parquet(s"$root/bm25/v2/doclen")
+          spark.read.parquet(s"$v1/stats").coalesce(1)
+            .write.parquet(s"$root/bm25/v2/stats")
           StoreCatalog.publish(spark, cat, "bm25", s"$root/bm25/v2")
           serveAndAssert()
           assert(StoreCatalog.gcSuperseded(spark, cat, "bm25", s"$root/bm25",

@@ -2660,6 +2660,82 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("denormalized BM25 stores serve from dl-on-postings + the stats sidecar, never doclen") {
+    val allDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val wd = java.nio.file.Files.createTempDirectory("bm25dl").toString
+    TextAnalysis.saveBm25Index(spark, s"$wd/tf", allDocs)
+    TextAnalysis.saveBm25Positional(spark, s"$wd/pos", allDocs)
+    val (p, d) = TextAnalysis.loadBm25Index(spark, s"$wd/tf")
+    assert(p.columns.contains("dl"), "postings carry the denormalized dl")
+    val stats = TextAnalysis.loadBm25Stats(spark, s"$wd/tf")
+    assert(stats.isDefined)
+    // the sidecar IS the doclen aggregation, exactly (zero-token docs in)
+    assert(stats.get.select("n_docs", "a_tokens").as[(Long, Long)].head()
+      === ((d.count(), d.agg(coalesce(sum(col("dl")), lit(0L)))
+        .as[Long].head())))
+    // a POISONED doclen leaves the serve untouched when the sidecar and
+    // the dl column are in play — the proof the 100 TB path reads one
+    // stats row + term-pruned postings and nothing corpus-sized
+    val poisoned = d.withColumn("dl", lit(0L))
+    val terms = Seq("vector", "stream", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "score", "n_hit").as[(Long, Long, Long)].collect().toSeq
+    assert(rows(TextAnalysis.bm25TopKFromIndex(p, poisoned, terms, 20, stats))
+      === rows(TextAnalysis.bm25TopK(allDocs, terms, 20)))
+    // batch form, same poison
+    val qs = Seq((1L, Seq("vector", "stream")), (2L, Seq("window")))
+      .toDF("query_id", "terms")
+    assert(TextAnalysis.bm25PerQueryFromIndex(p, poisoned, qs, 5, stats = stats)
+        .select("query_id", "rnk", "doc_id").as[(Long, Long, Long)].collect().toSet
+      === TextAnalysis.bm25PerQuery(allDocs, qs, 5)
+        .select("query_id", "rnk", "doc_id").as[(Long, Long, Long)].collect().toSet)
+    // positional store, same poison
+    val (pp, dp) = TextAnalysis.loadBm25Positional(spark, s"$wd/pos")
+    assert(pp.columns.contains("dl"))
+    val pstats = TextAnalysis.loadBm25Stats(spark, s"$wd/pos")
+    assert(pstats.isDefined)
+    assert(TextAnalysis.phraseTopKFromIndex(pp, dp.withColumn("dl", lit(0L)),
+        Seq("stream", "window"), 20, pstats)
+        .as[(Long, Long, Long)].collect().toSeq
+      === TextAnalysis.phraseTopK(allDocs, Seq("stream", "window"), 20)
+        .as[(Long, Long, Long)].collect().toSeq)
+    // the sidecar merges exactly under append, and delete rewrites it to
+    // the survivors' statistics
+    TextAnalysis.appendBm25Index(spark, s"$wd/acc",
+      allDocs.filter(col("doc_id") % 2 === 0))
+    TextAnalysis.appendBm25Index(spark, s"$wd/acc",
+      allDocs.filter(col("doc_id") % 2 === 1))
+    assert(TextAnalysis.loadBm25Stats(spark, s"$wd/acc").get
+      .select("n_docs", "a_tokens").as[(Long, Long)].head()
+      === stats.get.select("n_docs", "a_tokens").as[(Long, Long)].head())
+    TextAnalysis.deleteFromBm25Index(
+      spark, s"$wd/tf", s"$wd/tf2", col("doc_id") % 3 === 1)
+    val surv = allDocs.filter(col("doc_id") % 3 =!= 1)
+    TextAnalysis.saveBm25Index(spark, s"$wd/survfresh", surv)
+    assert(TextAnalysis.loadBm25Stats(spark, s"$wd/tf2").get
+      .select("n_docs", "a_tokens").as[(Long, Long)].head()
+      === TextAnalysis.loadBm25Stats(spark, s"$wd/survfresh").get
+        .select("n_docs", "a_tokens").as[(Long, Long)].head())
+    // a legacy store with postings but no sidecar refuses appends
+    val legacy = s"$wd/legacy"
+    bucketedWrite(legacy, Seq((1L, "alpha", 1L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendBm25Index(spark, legacy, allDocs.limit(3))
+    }
+    assert(e.getMessage.contains("stats sidecar"))
+  }
+
+  /** Minimal bucketed postings dir (tok_bucket partition, dl column) for
+    * the legacy-layout cases.
+    */
+  private def bucketedWrite(dir: String, rows: Seq[(Long, String, Long, Long)]): Unit = {
+    import graft.functions.TextFunctions.h60
+    rows.toDF("doc_id", "tok", "tf", "dl")
+      .withColumn("tok_bucket", pmod(h60(col("tok")), lit(64L)))
+      .write.partitionBy("tok_bucket").parquet(s"$dir/postings")
+  }
+
   test("appendBm25Index rejects a store written under the flat (unbucketed) layout") {
     val dir = java.nio.file.Files.createTempDirectory("bm25flat").toString
     Seq((1L, "alpha", 1L)).toDF("doc_id", "tok", "tf")
