@@ -336,17 +336,20 @@ object RetrievalService {
       annNames: Seq[String] = Nil,
       pqNames: Map[String, DataFrame] = Map.empty): RetrievalService = {
     import graft.store.StoreCatalog.resolve
+    // ONE resolve per name: index and stats must come from the SAME
+    // version directory — resolving twice races a concurrent publish
+    // and could pair one version's postings with another's statistics
+    val bm25Dirs = bm25Names.map(n => n -> resolve(spark, catalogRoot, n))
+    val phraseDirs = phraseNames.map(n => n -> resolve(spark, catalogRoot, n))
     RetrievalService(
-      bm25 = bm25Names.map(n =>
-        n -> TextAnalysis.loadBm25Index(spark, resolve(spark, catalogRoot, n))).toMap,
-      phrase = phraseNames.map(n =>
-        n -> TextAnalysis.loadBm25Positional(spark, resolve(spark, catalogRoot, n))).toMap,
-      bm25Stats = bm25Names.flatMap(n =>
-        TextAnalysis.loadBm25Stats(spark, resolve(spark, catalogRoot, n))
-          .map(n -> _)).toMap,
-      phraseStats = phraseNames.flatMap(n =>
-        TextAnalysis.loadBm25Stats(spark, resolve(spark, catalogRoot, n))
-          .map(n -> _)).toMap,
+      bm25 = bm25Dirs.map { case (n, dir) =>
+        n -> TextAnalysis.loadBm25Index(spark, dir) }.toMap,
+      phrase = phraseDirs.map { case (n, dir) =>
+        n -> TextAnalysis.loadBm25Positional(spark, dir) }.toMap,
+      bm25Stats = bm25Dirs.flatMap { case (n, dir) =>
+        TextAnalysis.loadBm25Stats(spark, dir).map(n -> _) }.toMap,
+      phraseStats = phraseDirs.flatMap { case (n, dir) =>
+        TextAnalysis.loadBm25Stats(spark, dir).map(n -> _) }.toMap,
       ann = annNames.map { n =>
         val dir = resolve(spark, catalogRoot, n)
         val cents = Similarity.loadIvfCentroids(spark, dir)

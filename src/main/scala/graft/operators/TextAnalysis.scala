@@ -1015,8 +1015,12 @@ object TextAnalysis {
     require(phrase.size >= 2, "a phrase needs at least two terms")
     require(k > 0, "k must be positive")
     val terms = phrase.distinct
-    val dl = Pins.pin(doclen.select(col("doc_id"), col("dl")))
     val hasDl = postingsPos.columns.contains("dl")
+    // same pin discipline as bm25PerQueryFromIndex: doclen materializes
+    // only when the serve will read it
+    val needDl = !hasDl || stats.isEmpty
+    val dl = if (needDl) Pins.pin(doclen.select(col("doc_id"), col("dl")))
+      else doclen
     val cols = Seq(col("doc_id"), col("tok"), col("tf"), col("ps")) ++
       (if (hasDl) Seq(col("dl")) else Nil)
     val post = Pins.pin(
@@ -1028,7 +1032,7 @@ object TextAnalysis {
           .select(cols: _*)
       } else postingsPos.filter(col("tok").isin(terms: _*)).select(cols: _*))
     val out = scorePhrase(post, dl, phrase, k, stats)
-    Pins.release(dl)
+    if (needDl) Pins.release(dl)
     Pins.release(post)
     out
   }
@@ -1367,40 +1371,48 @@ object TextAnalysis {
   /** The stored corpus-stats sidecar of a [[saveBm25Index]]/
     * [[saveBm25Positional]] store, or None for a store written before
     * the sidecar existed (serves then fall back to aggregating doclen).
+    *
+    * The sidecar is an APPEND-ONLY table of per-batch (n_docs, a_tokens)
+    * rows — the house mergeable-state shape: the one-shot build writes
+    * one row, every [[appendBm25Index]] appends one more, and this load
+    * SUMS them into the 1-row frame the serve broadcasts. Accretion
+    * therefore never overwrites a file a live listener may be reading
+    * (the never-overwrite-what-is-being-read rule — append-only, like
+    * the postings and doclen halves), and the summed load is the same
+    * grouping-free scalar aggregate the plan audit admits.
     */
   def loadBm25Stats(
       spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/stats")) else None
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$dir/stats").agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("a_tokens")), lit(0L)).as("a_tokens")))
+    else None
   }
 
-  /** Merge a batch's corpus stats into the stored sidecar: both rows
-    * collect driver-side FIRST (1 row each — the overwrite-what-you-read
-    * rule needs no checkpoint at this size), counts add, the sum
-    * rewrites. A store with data but no sidecar is a legacy layout —
-    * fail loudly with a rebuild message rather than guessing.
+  /** Recompute the corpus statistics from doclen and compare against the
+    * summed sidecar — the maintenance check for a store whose append
+    * crashed between the doclen write and the stats row (the one gap
+    * append-only accretion leaves: postings/doclen carry batch N while
+    * the sidecar still sums to N−1, and every stats-equipped serve would
+    * quietly score with understated N/avg-dl). Run it after recovering
+    * an interrupted ingest; a false return means rebuild the sidecar
+    * (one [[corpusStats]] row of doclen appended as the correction, or a
+    * full saveBm25Index). One doclen aggregation — maintenance-time
+    * cost, never per-query.
     */
-  private def mergeStatsSidecar(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String,
-      batchDl: DataFrame,
-      storeHasData: Boolean): Unit = {
+  def verifyBm25Stats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     import spark.implicits._
-    val batch = corpusStats(batchDl).select(col("n_docs"), col("a_tokens"))
-      .as[(Long, Long)].head()
-    val prior = loadBm25Stats(spark, dir) match {
-      case Some(st) => st.select(col("n_docs"), col("a_tokens"))
-        .as[(Long, Long)].head()
-      case None =>
-        require(!storeHasData,
-          s"store at $dir has postings but no stats sidecar — rebuild it " +
-            "with saveBm25Index/saveBm25Positional before appending")
-        (0L, 0L)
+    loadBm25Stats(spark, dir) match {
+      case None => false
+      case Some(st) =>
+        st.select(col("n_docs"), col("a_tokens")).as[(Long, Long)].head() ==
+          corpusStats(spark.read.parquet(s"$dir/doclen"))
+            .select(col("n_docs"), col("a_tokens")).as[(Long, Long)].head()
     }
-    Seq((prior._1 + batch._1, prior._2 + batch._2))
-      .toDF("n_docs", "a_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Per-micro-batch maintenance of a [[saveBm25Index]] store — the
@@ -1439,7 +1451,11 @@ object TextAnalysis {
     bucketedPostings(postings.join(dl, Seq("doc_id"))).write.mode("append")
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/doclen")
-    mergeStatsSidecar(spark, dir, dl, hasData)
+    // one appended row per batch; loadBm25Stats sums them (mergeable
+    // state — no file a live reader holds is ever overwritten). Written
+    // LAST: an append that dies early leaves the sidecar behind the
+    // doclen table — [[verifyBm25Stats]] is the recovery check.
+    corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
     Pins.release(dl)
   }
 
@@ -1503,6 +1519,9 @@ object TextAnalysis {
     require(inDir != outDir,
       "deletion rewrites a NEW store version — outDir must differ from inDir")
     val (postings, dl) = loadBm25Index(spark, inDir)
+    require(postings.columns.contains("dl"),
+      s"postings store at $inDir lacks the denormalized dl column — " +
+        "rebuild it with saveBm25Index before deleting (legacy layout)")
     val hit = coalesce(pred, lit(false))
     bucketedPostings(postings.filter(!hit)
       .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
@@ -1537,6 +1556,9 @@ object TextAnalysis {
     require(inDir != outDir,
       "deletion rewrites a NEW store version — outDir must differ from inDir")
     val (postingsPos, dl) = loadBm25Positional(spark, inDir)
+    require(postingsPos.columns.contains("dl"),
+      s"positional store at $inDir lacks the denormalized dl column — " +
+        "rebuild it with saveBm25Positional before deleting (legacy layout)")
     val hit = coalesce(pred, lit(false))
     bucketedPostings(postingsPos.filter(!hit)
       .select(col("doc_id"), col("tok"), col("tf"), col("ps"), col("dl")))
@@ -1720,8 +1742,13 @@ object TextAnalysis {
       else posting.distinct().withColumn("qtf", lit(1L)))
     val termSeq = qt.select(col("tok")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val dl = Pins.pin(doclen.select(col("doc_id"), col("dl")))
     val hasDl = postings.columns.contains("dl")
+    // doclen is corpus-row-sized: pin (an eager materialization) ONLY
+    // when the serve will actually read it — a dl-denormalized store
+    // with the stats sidecar never does
+    val needDl = !hasDl || stats.isEmpty
+    val dl = if (needDl) Pins.pin(doclen.select(col("doc_id"), col("dl")))
+      else doclen
     val cols = Seq(col("doc_id"), col("tok"), col("tf")) ++
       (if (hasDl) Seq(col("dl")) else Nil)
     val tf = Pins.pin(
@@ -1734,7 +1761,7 @@ object TextAnalysis {
       } else postings.filter(col("tok").isin(termSeq: _*)).select(cols: _*))
     val out = scorePerQuery(tf, dl, qt, k, salts, stats)
     Pins.release(qt)
-    Pins.release(dl)
+    if (needDl) Pins.release(dl)
     Pins.release(tf)
     out
   }

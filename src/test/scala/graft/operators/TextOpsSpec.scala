@@ -2709,6 +2709,12 @@ class TextOpsSpec extends SparkSpec {
     assert(TextAnalysis.loadBm25Stats(spark, s"$wd/acc").get
       .select("n_docs", "a_tokens").as[(Long, Long)].head()
       === stats.get.select("n_docs", "a_tokens").as[(Long, Long)].head())
+    // the maintenance check: healthy store verifies; a doclen row whose
+    // append died before its stats row (the one accretion gap) is caught
+    assert(TextAnalysis.verifyBm25Stats(spark, s"$wd/acc"))
+    Seq((999999L, 3L)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$wd/acc/doclen")
+    assert(!TextAnalysis.verifyBm25Stats(spark, s"$wd/acc"))
     TextAnalysis.deleteFromBm25Index(
       spark, s"$wd/tf", s"$wd/tf2", col("doc_id") % 3 === 1)
     val surv = allDocs.filter(col("doc_id") % 3 =!= 1)
