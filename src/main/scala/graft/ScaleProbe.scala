@@ -593,13 +593,19 @@ object ScaleProbe {
 
     // ---- BM25 serving over the same x1→x16 corpora: the direct form
     // re-tokenizes the whole corpus per query (×f by construction); the
-    // stored form was indexed once outside the timers and serves through
+    // stored forms were indexed once outside the timers and serve through
     // the tok_bucket partition filter + tok-sorted row groups — the
-    // retrieval twin of the ANN stored-serve rows
+    // retrieval twin of the ANN stored-serve rows. Two stored rows
+    // separate the layout generations: WITHOUT the stats sidecar every
+    // query still re-aggregates the corpus-sized doclen table for
+    // N/avg-dl (cost follows the corpus); WITH the dl-denormalized
+    // Lucene-norms layout + 1-row sidecar the serve reads one stored row
+    // plus term-pruned postings — flat in corpus size at fixed terms.
     sb.append(
       """
         |BM25 3-term serve at x1→x16 (same corpora; store built once per
-        |factor outside the timers, bucketed by h60(tok) % 64):
+        |factor outside the timers, bucketed by h60(tok) % 64; the sidecar
+        |row is the 100 TB layout — nothing corpus-sized per query):
         |
         |""".stripMargin)
     sb.append("| op | " + edFactors.map(f => s"x$f sec").mkString(" | ") +
@@ -609,15 +615,20 @@ object ScaleProbe {
     val bmStores = edDirs.map { dir =>
       operators.TextAnalysis.saveBm25Index(
         spark, s"$dir/bm25", Tables(spark, dir).documents)
-      operators.TextAnalysis.loadBm25Index(spark, s"$dir/bm25")
+      val (p, d) = operators.TextAnalysis.loadBm25Index(spark, s"$dir/bm25")
+      (p, d, operators.TextAnalysis.loadBm25Stats(spark, s"$dir/bm25"))
     }
     val bmOps: Seq[(String, Int => DataFrame)] = Seq(
       "bm25 direct (corpus re-tokenize)" -> (i =>
         operators.TextAnalysis.bm25TopK(
           Tables(spark, edDirs(i)).documents, bmTerms, k = 25)),
-      "bm25 stored (bucket-pruned postings)" -> (i =>
+      "bm25 stored (bucket-pruned, per-query doclen re-agg)" -> (i =>
         operators.TextAnalysis.bm25TopKFromIndex(
-          bmStores(i)._1, bmStores(i)._2, bmTerms, k = 25)))
+          bmStores(i)._1, bmStores(i)._2, bmTerms, k = 25)),
+      "bm25 stored (dl-denorm + 1-row stats sidecar)" -> (i =>
+        operators.TextAnalysis.bm25TopKFromIndex(
+          bmStores(i)._1, bmStores(i)._2, bmTerms, k = 25,
+          stats = bmStores(i)._3)))
     bmOps.foreach { case (name, op) =>
       val cells = edDirs.indices.map { i =>
         op(i).count() // warm

@@ -1260,6 +1260,26 @@ object SparkEntry {
         Seq("stream", "window"), k = 20,
         stats = TextAnalysis.loadBm25Stats(s, wd))
     },
+    // The phrase store ACCRETED in three disjoint micro-batches
+    // (appendBm25Positional — the crawl-loop path) instead of one shot:
+    // batches union-merge exactly (positions are per-document state), so
+    // the served phrase ranking is identical to the one-shot build and
+    // the q_phrase_stored oracle replays it verbatim.
+    "q_phrase_append" -> { (s, dir) =>
+      val wd = s"${graft.streaming.PersistPipeline.workRoot}/bm25pa-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // appends accrete across process runs — reset the store so the
+      // query is idempotent (the batch-id-idempotence contract, spelled
+      // as a fresh store per invocation)
+      graft.streaming.PersistPipeline.deleteRecursively(
+        java.nio.file.Paths.get(wd))
+      val docs = Tables(s, dir).documents
+      (0 until 3).foreach(i =>
+        TextAnalysis.appendBm25Positional(s, wd, docs.filter(col("doc_id") % 3 === i)))
+      val (postPos, doclen) = TextAnalysis.loadBm25Positional(s, wd)
+      TextAnalysis.phraseTopKFromIndex(postPos, doclen,
+        Seq("stream", "window"), k = 20,
+        stats = TextAnalysis.loadBm25Stats(s, wd))
+    },
     // Deletion THROUGH the positional phrase store: build v1, delete
     // doc_id%7==3 into a v2 store version, serve the phrase query from
     // v2 with the one-row tombstone audit cross-joined. Positions are
@@ -4852,6 +4872,39 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // identical semantics through the stored positional index — same replay
     "q_phrase_stored" ->
+      s"""$ToksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS a_tokens FROM dl),
+         |p0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+         |       FROM toks),
+         |p1 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |              toks[CAST(i AS INT)] AS tok FROM p0),
+         |tfp AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+         |               list_sort(list(pos)) AS ps
+         |        FROM p1 WHERE tok IN ('stream', 'window') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1),
+         |ph AS (SELECT a.doc_id,
+         |              CAST(len(list_filter(a.ps,
+         |                p -> list_contains(b.ps, p + 1))) AS BIGINT) AS n_phrase
+         |       FROM tfp a JOIN tfp b ON a.doc_id = b.doc_id
+         |       WHERE a.tok = 'stream' AND b.tok = 'window'),
+         |w AS (SELECT doc_id,
+         |        CAST(((22000000::HUGEINT * a_tokens * tf)
+         |               // (10::HUGEINT * a_tokens * tf + 3::HUGEINT * a_tokens
+         |                   + 9::HUGEINT * dl * n_docs))
+         |             * ((1000000::HUGEINT * (2 * n_docs - 2 * df + 1))
+         |                // (2 * df + 1))
+         |             // 1000000 AS BIGINT) AS w
+         |      FROM tfp JOIN dl USING (doc_id) JOIN dfq USING (tok), st),
+         |s AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY 1)
+         |SELECT ph.doc_id, ph.n_phrase, s.score
+         |FROM ph JOIN s USING (doc_id)
+         |WHERE ph.n_phrase >= 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // accretion ≡ one-shot for the positional store: disjoint batches
+    // union-merge exactly, so the q_phrase_stored oracle replays verbatim
+    "q_phrase_append" ->
       s"""$ToksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -26,6 +26,14 @@ import org.apache.spark.sql.DataFrame
   * runs them as SEPARATE processes on separate ports — mirrored here as a
   * per-instance [[ApiServer.Role]].
   *
+  * When a `retrievalMemo` ([[TwoQCache]]) is wired, the retrieval routes
+  * memoize their RENDERED (status, body) per (route, collection,
+  * canonicalized request body) with single-flight on concurrent misses —
+  * the reference's one caching idea (the 2Q CountCache, cache.go:35-37)
+  * applied to the routes clients actually hammer. Sound because a
+  * server instance's stores are immutable for its lifetime (a catalog
+  * swap implies a rebuilt listener); eviction is correctness-neutral.
+  *
   * Both roles additionally serve `GET /metrics` — Prometheus text
   * exposition of a wired [[MetricsRegistry]] (the reference's :2112
   * metrics server, common/metrics.go:148-169) — when the caller passes
@@ -71,7 +79,8 @@ final class ApiServer(
     role: ApiServer.Role,
     port: Int = 0,
     metrics: Option[MetricsRegistry] = None,
-    retrieval: Option[RetrievalService] = None) {
+    retrieval: Option[RetrievalService] = None,
+    retrievalMemo: Option[TwoQCache[(Int, String)]] = None) {
   import ApiFacade._
   import ApiServer._
 
@@ -135,59 +144,31 @@ final class ApiServer(
       segs: Seq[String],
       q: Map[String, String],
       reply: (Int, String) => Unit): Unit = {
+    // stored-index retrieval routes (beyond the reference surface) —
+    // served in EITHER role when a RetrievalService is wired, like
+    // /metrics; unwired instances 404 them. Memoizable: the stores are
+    // immutable within a process lifetime (the CountCache argument), so
+    // identical requests may serve the memoized rendered response.
+    (method, segs) match {
+      case ("POST", Seq(route @ ("search" | "phrase" | "ann" | "pq" | "hybrid"), coll))
+          if retrieval.isDefined =>
+        val b = body(x)
+        def run(): (Int, String) = {
+          val r = retrievalResponse(route, coll, b)
+          (r.status, render(r.message, r.data))
+        }
+        val (status, bodyStr) = (retrievalMemo, b) match {
+          // memo only requests that parsed — an unbindable body is a
+          // cheap 400, and raw bytes would make a poor canonical key
+          case (Some(memo), Some(node)) =>
+            memo.getOrCompute(s"POST /$route/$coll ${canonicalJson(node)}")(run())
+          case _ => run()
+        }
+        reply(status, bodyStr)
+        return
+      case _ => ()
+    }
     val resp: Option[ApiResponse] = (role, method, segs) match {
-      // stored-index retrieval routes (beyond the reference surface) —
-      // served in EITHER role when a RetrievalService is wired, like
-      // /metrics; unwired instances 404 them
-      case (_, "POST", Seq("search", coll)) if retrieval.isDefined =>
-        val b = body(x)
-        // a "queries" field selects the batch mode; "terms" the single
-        if (b.exists(_.has("queries")))
-          Some(retrieval.get.searchBatch(coll,
-            queryBatchField(b, "queries"), intFieldOr(b, "k", 10)))
-        else
-          Some(retrieval.get.search(coll,
-            stringArrayField(b, "terms"), intFieldOr(b, "k", 10)))
-      case (_, "POST", Seq("phrase", coll)) if retrieval.isDefined =>
-        val b = body(x)
-        Some(retrieval.get.phraseSearch(coll,
-          stringArrayField(b, "phrase"), intFieldOr(b, "k", 10)))
-      case (_, "POST", Seq("ann", coll)) if retrieval.isDefined =>
-        val b = body(x)
-        // a "vectors" field selects the caller-supplied-vector mode
-        if (b.exists(_.has("vectors")))
-          Some(retrieval.get.annSearchVectors(coll,
-            doubleMatrixField(b, "vectors"),
-            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
-        else
-          Some(retrieval.get.annSearch(coll,
-            longArrayField(b, "query_ids"),
-            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1)))
-      case (_, "POST", Seq("pq", coll)) if retrieval.isDefined =>
-        val b = body(x)
-        if (b.exists(_.has("vectors")))
-          Some(retrieval.get.pqSearchVectors(coll,
-            doubleMatrixField(b, "vectors"),
-            intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32)))
-        else
-          Some(retrieval.get.pqSearch(coll,
-            longArrayField(b, "query_ids"),
-            intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32)))
-      case (_, "POST", Seq("hybrid", coll)) if retrieval.isDefined =>
-        val b = body(x)
-        // present-but-mistyped must 400, never silently fall back to the
-        // OTHER mode (the intFieldOr convention: a malformed field is a
-        // bind failure, not an absence)
-        val qid = longField(b, "query_id")
-        val vec = doubleArrayField(b, "vector")
-        if ((b.exists(_.has("query_id")) && qid.isEmpty) ||
-            (b.exists(_.has("vector")) && vec.isEmpty))
-          Some(ApiResponse(400, OnBadRequestMessage, None))
-        else
-          Some(retrieval.get.hybrid(coll,
-            stringArrayField(b, "terms"), qid, vec,
-            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1),
-            intFieldOr(b, "k_rrf", 60)))
       case (Indexer, "GET", Seq("exact", coll, id)) =>
         Some(facade.getUnique(GetUniqueRequest(coll, id)))
       case (Indexer, "POST", Seq("all", coll)) =>
@@ -224,6 +205,60 @@ final class ApiServer(
     }
   }
 
+  /** Dispatch one retrieval route to the wired [[RetrievalService]] —
+    * the request-to-bind mapping the memo path and the direct path
+    * share, so memoized and computed responses are identical by
+    * construction.
+    */
+  private def retrievalResponse(
+      route: String, coll: String, b: Option[JsonNode]): ApiResponse =
+    route match {
+      case "search" =>
+        // a "queries" field selects the batch mode; "terms" the single
+        if (b.exists(_.has("queries")))
+          retrieval.get.searchBatch(coll,
+            queryBatchField(b, "queries"), intFieldOr(b, "k", 10))
+        else
+          retrieval.get.search(coll,
+            stringArrayField(b, "terms"), intFieldOr(b, "k", 10))
+      case "phrase" =>
+        retrieval.get.phraseSearch(coll,
+          stringArrayField(b, "phrase"), intFieldOr(b, "k", 10))
+      case "ann" =>
+        // a "vectors" field selects the caller-supplied-vector mode
+        if (b.exists(_.has("vectors")))
+          retrieval.get.annSearchVectors(coll,
+            doubleMatrixField(b, "vectors"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1))
+        else
+          retrieval.get.annSearch(coll,
+            longArrayField(b, "query_ids"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1))
+      case "pq" =>
+        if (b.exists(_.has("vectors")))
+          retrieval.get.pqSearchVectors(coll,
+            doubleMatrixField(b, "vectors"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32))
+        else
+          retrieval.get.pqSearch(coll,
+            longArrayField(b, "query_ids"),
+            intFieldOr(b, "k", 10), intFieldOr(b, "rerank", 32))
+      case "hybrid" =>
+        // present-but-mistyped must 400, never silently fall back to the
+        // OTHER mode (the intFieldOr convention: a malformed field is a
+        // bind failure, not an absence)
+        val qid = longField(b, "query_id")
+        val vec = doubleArrayField(b, "vector")
+        if ((b.exists(_.has("query_id")) && qid.isEmpty) ||
+            (b.exists(_.has("vector")) && vec.isEmpty))
+          ApiResponse(400, OnBadRequestMessage, None)
+        else
+          retrieval.get.hybrid(coll,
+            stringArrayField(b, "terms"), qid, vec,
+            intFieldOr(b, "k", 10), intFieldOr(b, "nprobe", 1),
+            intFieldOr(b, "k_rrf", 60))
+    }
+
   private def render(message: String, data: Option[DataFrame]): String = {
     val m = Json.writeValueAsString(message)
     data match {
@@ -255,6 +290,25 @@ object ApiServer {
   case object Resubmitter extends Role
 
   private[operators] val Json = new ObjectMapper()
+
+  // serializes java Maps with keys sorted — the canonicalizer's engine
+  private val SortedJson = {
+    val m = new ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS,
+      true)
+    m
+  }
+
+  /** Canonical serialization of a request body for the retrieval memo's
+    * key: object fields sort by name at every nesting level (via a
+    * detour through java Maps, which [[SortedJson]] serializes sorted);
+    * array element order is preserved — it is semantic in terms lists
+    * and vectors. Two bodies differing only in field order therefore
+    * hit the same memo entry.
+    */
+  private[operators] def canonicalJson(n: JsonNode): String =
+    SortedJson.writeValueAsString(SortedJson.treeToValue(n, classOf[Object]))
 
   /** Request-body ceiling: bodies at this layer are id lists, filter
     * maps, or query-vector batches — all bounded by the serve valves

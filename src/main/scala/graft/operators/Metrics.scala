@@ -219,9 +219,13 @@ final class MetricsRegistry(
   }
 }
 
-/** A4: bounded memo for count queries — driver-side, with the reference's
-  * 2Q replacement policy (indexer-api/lib/repo/cache.go:35-37 wraps
-  * hashicorp `lru.New2Q`; ratios recent=0.25, ghost=0.5 of `maxSize`):
+/** Bounded single-flight memo — driver-side, with the reference's 2Q
+  * replacement policy (indexer-api/lib/repo/cache.go:35-37 wraps
+  * hashicorp `lru.New2Q`; ratios recent=0.25, ghost=0.5 of `maxSize`).
+  * Generic in the value: [[CountCache]] memoizes interval counts (the
+  * reference's A4), and the retrieval listener memoizes rendered
+  * (status, body) responses per normalized request
+  * ([[ApiServer]]'s `retrievalMemo`):
   *
   *   - first-touch keys enter a FIFO "recent" queue; only a key accessed
   *     AGAIN is promoted into the access-ordered "frequent" LRU — a
@@ -237,20 +241,24 @@ final class MetricsRegistry(
   * append-only within a process lifetime), so eviction is
   * correctness-neutral.
   */
-final class CountCache(maxSize: Int = 100) {
+class TwoQCache[V](maxSize: Int = 100) {
   require(maxSize > 0, "maxSize must be positive")
   private val recentCap = math.max(1, maxSize / 4)
   private val ghostCap = math.max(1, maxSize / 2)
 
   // recent is insertion-ordered (FIFO), frequent access-ordered (true LRU)
-  private val recent = new java.util.LinkedHashMap[String, Long]()
-  private val frequent = new java.util.LinkedHashMap[String, Long](16, 0.75f, true)
+  private val recent = new java.util.LinkedHashMap[String, V]()
+  private val frequent = new java.util.LinkedHashMap[String, V](16, 0.75f, true)
   private val ghost = new java.util.LinkedHashSet[String]()
-  private val inflight = new ConcurrentHashMap[String, Long]()
+  private val inflight = new ConcurrentHashMap[String, V]()
+  private val hitsCtr = new java.util.concurrent.atomic.AtomicLong()
+  private val missesCtr = new java.util.concurrent.atomic.AtomicLong()
 
-  def getOrCompute(key: String)(compute: => Long): Long =
+  def getOrCompute(key: String)(compute: => V): V =
     synchronized(lookup(key)) match {
-      case Some(v) => v
+      case Some(v) =>
+        hitsCtr.incrementAndGet()
+        v
       case None =>
         // single-flight: concurrent misses on one key share this compute.
         // The mapping function re-checks the cache first — a caller that
@@ -259,8 +267,11 @@ final class CountCache(maxSize: Int = 100) {
         // the expensive count (check-then-act window).
         val v = inflight.computeIfAbsent(key, { k =>
           synchronized(lookup(k)) match {
-            case Some(cached) => cached
+            case Some(cached) =>
+              hitsCtr.incrementAndGet()
+              cached
             case None =>
+              missesCtr.incrementAndGet()
               val computed = compute
               synchronized(insert(k, computed))
               computed
@@ -274,9 +285,15 @@ final class CountCache(maxSize: Int = 100) {
   def contains(key: String): Boolean =
     synchronized(frequent.containsKey(key) || recent.containsKey(key))
 
+  /** Telemetry: served-from-memo count and actually-computed count (a
+    * single-flighted pile-up counts one miss — one compute ran).
+    */
+  def hitCount: Long = hitsCtr.get()
+  def missCount: Long = missesCtr.get()
+
   // ------------------------------------------------ 2Q internals (locked)
 
-  private def lookup(key: String): Option[Long] =
+  private def lookup(key: String): Option[V] =
     if (frequent.containsKey(key)) Some(frequent.get(key)) // touches recency
     else if (recent.containsKey(key)) {
       val v = recent.remove(key) // second touch promotes (2Q invariant)
@@ -284,7 +301,7 @@ final class CountCache(maxSize: Int = 100) {
       Some(v)
     } else None
 
-  private def insert(key: String, v: Long): Unit =
+  private def insert(key: String, v: V): Unit =
     if (frequent.containsKey(key) || recent.containsKey(key)) ()
     else if (ghost.contains(key)) { // recurred after eviction → frequent
       ghost.remove(key)
@@ -294,7 +311,7 @@ final class CountCache(maxSize: Int = 100) {
       recent.put(key, v)
     }
 
-  private def admitFrequent(key: String, v: Long): Unit = {
+  private def admitFrequent(key: String, v: V): Unit = {
     ensureSpace()
     frequent.put(key, v)
   }
@@ -318,6 +335,11 @@ final class CountCache(maxSize: Int = 100) {
       }
     }
 }
+
+/** A4's Long-valued [[TwoQCache]] instance — the interval-count memo the
+  * index-API routes share (cache.go:35-37).
+  */
+final class CountCache(maxSize: Int = 100) extends TwoQCache[Long](maxSize)
 
 /** W4 flow control (persistor/internal/persistor/run.go:159-187): stop the
   * pipeline when the error rate exceeds `maxErrors` within `windowMillis`

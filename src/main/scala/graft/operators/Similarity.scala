@@ -725,15 +725,20 @@ object Similarity {
   def encodePqCodes(
       embeddings: DataFrame,
       books: Array[Array[Array[Double]]],
-      cellBits: Int = 4): DataFrame = {
+      cellBits: Int = 4,
+      keepEmbedding: Boolean = false): DataFrame = {
     require(books.nonEmpty && Dim % books.length == 0, s"m must divide $Dim")
     val m = books.length
     val sub = Dim / m
-    embeddings.select(col("vec_id"),
+    // keepEmbedding carries the raw vector beside the codes so a caller
+    // that needs BOTH the code table and a coordinate-sum aggregate
+    // (retrainPqStore's fresh sub_stats) pays one quantizer pass
+    embeddings.select(Seq(col("vec_id"),
       srpCode(col("embedding"), 0, cellBits).as("cell"),
       array((0 until m).map(s =>
         nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
-        .as("codes"))
+        .as("codes")) ++
+      (if (keepEmbedding) Seq(col("embedding")) else Nil): _*)
   }
 
   /** [[pqTopKWithBooks]] served from PRE-ENCODED codes
@@ -1075,6 +1080,22 @@ object Similarity {
         // rounds the float's SHORTEST decimal form, which can land on the
         // other side of a 6th-decimal boundary than the exact binary
         // value another engine rounds
+        sum(col("v").cast("double").cast("decimal(27,6)")).as("s"))
+
+  /** [[cellStats]] over a frame that ALREADY carries its cell assignment
+    * (an [[assignIvfCells]] output or a read-back `assigned` store) —
+    * identical state by construction (same cells, same exact-DECIMAL
+    * coordinate sums), but the O(N·numCells) nearestCell pass is not
+    * recomputed: the one-scan half of [[retrainIvfStore]], where the
+    * fresh stats derive from the just-rewritten store instead of a
+    * second full assignment scan.
+    */
+  def cellStatsFromAssigned(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
         sum(col("v").cast("double").cast("decimal(27,6)")).as("s"))
 
   /** Merge two [[cellStats]] tables: counts and exact-DECIMAL sums add —
@@ -1787,6 +1808,27 @@ object Similarity {
         sum(col("x").cast("double").cast("decimal(27,6)")).as("sm"))
   }
 
+  /** [[pqSubspaceStats]] over an [[encodePqCodes]] frame that kept its
+    * embeddings (`keepEmbedding = true`) — identical state by
+    * construction (the stored `codes` ARE the per-subspace nearestCode
+    * results), but the m·ksub·sub-dots-per-row code search is not
+    * recomputed: the one-scan half of [[retrainPqStore]].
+    */
+  def pqSubspaceStatsFromCodes(encoded: DataFrame, m: Int): DataFrame = {
+    require(m >= 1 && Dim % m == 0, s"m must divide $Dim")
+    val sub = Dim / m
+    encoded.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          element_at(col("codes"), s + 1).as("code"),
+          slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+      .select(col("sv.s").as("s"), col("sv.code").as("code"),
+        posexplode(col("sv.v")).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("decimal(27,6)")).as("sm"))
+  }
+
   /** Merge two [[pqSubspaceStats]] tables (counts and sums add). */
   def mergePqSubStats(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
@@ -1822,9 +1864,15 @@ object Similarity {
     * stale-store serve fails loudly at load.
     *
     * Scale shape: the codebook refresh is metadata-sized
-    * (m·ksub·sub rows); the corpus pays one encode scan for the rewrite
-    * and one for the new stats — and the encode reads the embedding
-    * table, never per-vector driver state.
+    * (m·ksub·sub rows); the corpus pays ONE quantizer scan — the encode
+    * projection keeps the raw vectors beside the codes and is pinned
+    * ([[graft.Pins]]), so the code-store rewrite and the fresh
+    * [[pqSubspaceStatsFromCodes]] state both read the one materialized
+    * pass instead of each re-running the m·ksub·sub code search (the
+    * r16 two-scan shape). The pin is a corpus-sized spill, but spill
+    * I/O replaces a full second encode pass — the flops, not the bytes,
+    * dominate a PQ encode. The encode reads the embedding table, never
+    * per-vector driver state.
     */
   def retrainPqStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -1844,9 +1892,13 @@ object Similarity {
       next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
     }
     val (_, cellBits) = readStoreMeta(spark, s"$inDir/codes_meta", "PQ code store")
-    savePqBooks(spark, outDir, next, Some(pqSubspaceStats(embeddings, next)))
+    val encoded = Pins.pin(
+      encodePqCodes(embeddings, next, cellBits, keepEmbedding = true))
     savePqCodes(spark, outDir,
-      encodePqCodes(embeddings, next, cellBits), next, cellBits)
+      encoded.select(col("vec_id"), col("cell"), col("codes")), next, cellBits)
+    savePqBooks(spark, outDir, next,
+      Some(pqSubspaceStatsFromCodes(encoded, next.length)))
+    Pins.release(encoded)
     next
   }
 
@@ -1895,8 +1947,12 @@ object Similarity {
     * loudly at load.
     *
     * Scale shape: the stats refresh is metadata-sized; the corpus pays
-    * one assignment scan for the rewrite and one for the new stats —
-    * two reads of the old store, zero driver-side corpus state.
+    * ONE O(N·numCells) assignment scan — the rewrite's — and the fresh
+    * [[cellStats]] state derives from the just-written store via
+    * [[cellStatsFromAssigned]] (the `cell` column is already there), so
+    * the second corpus pass is plain column I/O with zero quantizer
+    * math (the r16 two-scan shape halved where it hurts). Zero
+    * driver-side corpus state.
     */
   def retrainIvfStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -1918,7 +1974,9 @@ object Similarity {
     val emb = spark.read.parquet(s"$inDir/assigned")
       .select(col("vec_id"), col("embedding"))
     saveIvfAssigned(spark, outDir, assignIvfCells(emb, next), next)
-    saveIvfIndex(spark, outDir, next, Some(cellStats(emb, next)))
+    saveIvfIndex(spark, outDir, next, Some(cellStatsFromAssigned(
+      spark.read.parquet(s"$outDir/assigned")
+        .select(col("cell"), col("embedding")))))
     next
   }
 

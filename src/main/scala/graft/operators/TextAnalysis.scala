@@ -1360,13 +1360,16 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
 
-  /** Grouping-free re-aggregate of the stored 1-row stats sidecar — the
+  /** Grouping-free re-aggregate of the supplied stats frame — the
     * structurally bounded scalar-build shape the no-cartesian plan audit
-    * admits (max over one row ≡ the row).
+    * admits. SUM, not MAX: on the contractual 1-row [[loadBm25Stats]]
+    * frame they are identical, but a caller that wires the raw
+    * multi-row append-only sidecar straight into a serve must get the
+    * TOTAL corpus statistics, never one batch's row silently.
     */
   private def scalarStats(st: DataFrame): DataFrame =
-    st.agg(max(col("n_docs")).as("n_docs"),
-      max(col("a_tokens")).as("a_tokens"))
+    st.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+      coalesce(sum(col("a_tokens")), lit(0L)).as("a_tokens"))
 
   /** The stored corpus-stats sidecar of a [[saveBm25Index]]/
     * [[saveBm25Positional]] store, or None for a store written before
@@ -1380,38 +1383,84 @@ object TextAnalysis {
     * (the never-overwrite-what-is-being-read rule — append-only, like
     * the postings and doclen halves), and the summed load is the same
     * grouping-free scalar aggregate the plan audit admits.
+    *
+    * Torn-sidecar guard: a stats directory that exists but sums to
+    * n_docs = 0 (a crash before the first row committed, or an empty
+    * corpus) returns None — the serve then falls back to the doclen
+    * aggregation instead of silently scoring with zeroed corpus
+    * statistics (bm25Weight's denominator would null every score). The
+    * sidecar is metadata-sized, so the summing read is eager (one tiny
+    * scan at load time) and the returned frame is a 1-row literal the
+    * serve broadcasts.
     */
   def loadBm25Stats(
       spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(s"$dir/stats").agg(
+    if (!fs.exists(p)) None
+    else {
+      val row = spark.read.parquet(s"$dir/stats").agg(
         coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("a_tokens")), lit(0L)).as("a_tokens")))
-    else None
+        coalesce(sum(col("a_tokens")), lit(0L)).as("a_tokens")).head()
+      if (row.getLong(0) == 0L) None
+      else Some(spark.range(1).select(
+        lit(row.getLong(0)).as("n_docs"),
+        lit(row.getLong(1)).as("a_tokens")))
+    }
   }
 
-  /** Recompute the corpus statistics from doclen and compare against the
-    * summed sidecar — the maintenance check for a store whose append
-    * crashed between the doclen write and the stats row (the one gap
-    * append-only accretion leaves: postings/doclen carry batch N while
-    * the sidecar still sums to N−1, and every stats-equipped serve would
-    * quietly score with understated N/avg-dl). Run it after recovering
-    * an interrupted ingest; a false return means rebuild the sidecar
-    * (one [[corpusStats]] row of doclen appended as the correction, or a
-    * full saveBm25Index). One doclen aggregation — maintenance-time
-    * cost, never per-query.
+  /** Full consistency check over all three tables of a
+    * [[saveBm25Index]]/[[saveBm25Positional]] store — the recovery
+    * check for an [[appendBm25Index]]/[[appendBm25Positional]] that
+    * crashed mid-batch. The append writes postings → doclen → stats, so
+    * a crash leaves one of TWO torn states, and both must be caught:
+    *
+    *   - stats behind doclen (died before the stats row): caught by
+    *     recomputing [[corpusStats]] from doclen and comparing the
+    *     summed sidecar against it;
+    *   - postings ahead of doclen (died between the postings and doclen
+    *     writes): sidecar ↔ doclen still agree — consistently stale —
+    *     so the check additionally reconciles the postings store
+    *     against doclen: every document with ≥ 1 token has postings, so
+    *     postings' distinct doc count must equal doclen's dl > 0 count,
+    *     and Σ tf over all postings must equal doclen's Σ dl (phantom
+    *     batch-N postings fail both).
+    *
+    * Run it after recovering an interrupted ingest; false means rebuild
+    * from the corpus (or roll the store back to the last good version).
+    * Works on both the tf store (`postings`) and the positional store
+    * (`postings_pos`). Cost: one aggregation over each of the three
+    * tables — the postings count-distinct is the corpus-sized one, paid
+    * at maintenance time, never per-query.
     */
   def verifyBm25Stats(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     import spark.implicits._
-    loadBm25Stats(spark, dir) match {
-      case None => false
-      case Some(st) =>
-        st.select(col("n_docs"), col("a_tokens")).as[(Long, Long)].head() ==
-          corpusStats(spark.read.parquet(s"$dir/doclen"))
-            .select(col("n_docs"), col("a_tokens")).as[(Long, Long)].head()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val postPath =
+      if (exists(s"$dir/postings")) Some(s"$dir/postings")
+      else if (exists(s"$dir/postings_pos")) Some(s"$dir/postings_pos")
+      else None
+    (loadBm25Stats(spark, dir), postPath) match {
+      case (Some(st), Some(pp)) =>
+        val sidecar =
+          st.select(col("n_docs"), col("a_tokens")).as[(Long, Long)].head()
+        val dl = spark.read.parquet(s"$dir/doclen")
+        val fromDl = corpusStats(dl)
+          .select(col("n_docs"), col("a_tokens")).as[(Long, Long)].head()
+        val fromPostings = spark.read.parquet(pp).agg(
+            count_distinct(col("doc_id")).as("n_docs_tok"),
+            coalesce(sum(col("tf")), lit(0L)).as("sum_tf"))
+          .as[(Long, Long)].head()
+        val tokDocs = dl.filter(col("dl") > 0L)
+          .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+          .as[(Long, Long)].head()
+        sidecar == fromDl && fromPostings == tokDocs
+      case _ => false
     }
   }
 
@@ -1452,9 +1501,44 @@ object TextAnalysis {
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/doclen")
     // one appended row per batch; loadBm25Stats sums them (mergeable
-    // state — no file a live reader holds is ever overwritten). Written
-    // LAST: an append that dies early leaves the sidecar behind the
-    // doclen table — [[verifyBm25Stats]] is the recovery check.
+    // state — no file a live reader holds is ever overwritten). Write
+    // order postings → doclen → stats means a crash leaves either
+    // postings ahead of doclen or stats behind doclen —
+    // [[verifyBm25Stats]] reconciles all three tables and catches both.
+    corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    Pins.release(dl)
+  }
+
+  /** [[appendBm25Index]] for the POSITIONAL phrase store — the accretion
+    * path that lets a crawl keep the phrase index current per
+    * micro-batch instead of rebuilding it per corpus version. Positions
+    * are per-document state, so disjoint batches' positional postings
+    * union-merge exactly like the plain tf postings (each (doc_id, tok)
+    * row with its sorted in-document positions exists once across
+    * appends); doclen and the (n_docs, a_tokens) stats sidecar accrete
+    * identically to [[appendBm25Index]], and the same disjoint-batch /
+    * batch-id-idempotence contract applies. Serving
+    * [[phraseTopKFromIndex]] from the accreted store ≡ one-shot
+    * [[saveBm25Positional]] of every document seen (spec-proven).
+    */
+  def appendBm25Positional(
+      spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
+    val hasData = requireBucketedLayout(spark, s"$dir/postings_pos",
+      rebuildHint = "saveBm25Positional")
+    if (hasData) {
+      require(spark.read.parquet(s"$dir/postings_pos").columns.contains("dl"),
+        s"positional store at $dir lacks the denormalized dl column — " +
+          "rebuild it with saveBm25Positional before appending (mixed row " +
+          "schemas would corrupt the serve)")
+      require(loadBm25Stats(spark, dir).isDefined,
+        s"store at $dir has positional postings but no stats sidecar — " +
+          "rebuild it with saveBm25Positional before appending")
+    }
+    val dl = docLengths(batch)
+    bucketedPostings(buildBm25Positional(batch).join(dl, Seq("doc_id")))
+      .write.mode("append").partitionBy("tok_bucket")
+      .parquet(s"$dir/postings_pos")
+    dl.write.mode("append").parquet(s"$dir/doclen")
     corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
     Pins.release(dl)
   }
@@ -1469,7 +1553,8 @@ object TextAnalysis {
     * data (the stats-sidecar bootstrap signal).
     */
   private def requireBucketedLayout(
-      spark: org.apache.spark.sql.SparkSession, postingsPath: String): Boolean = {
+      spark: org.apache.spark.sql.SparkSession, postingsPath: String,
+      rebuildHint: String = "saveBm25Index"): Boolean = {
     val p = new org.apache.hadoop.fs.Path(postingsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) false
@@ -1480,7 +1565,7 @@ object TextAnalysis {
         s.isDirectory && s.getPath.getName.startsWith("tok_bucket="))
       require(!hasData || bucketed,
         s"postings store at $postingsPath uses the pre-bucketed flat layout — " +
-          "rebuild it with saveBm25Index before appending (mixed layouts break " +
+          s"rebuild it with $rebuildHint before appending (mixed layouts break " +
           "partition discovery)")
       hasData
     }

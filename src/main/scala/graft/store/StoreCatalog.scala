@@ -111,11 +111,15 @@ object StoreCatalog {
     * and never deletes the current version or non-directory files.
     *
     * Concurrency guards — GC runs beside live builds and swaps:
-    *   - `graceMs` (default 1 h): a directory modified within the grace
-    *     window is NEVER deleted — an in-flight version build (written
-    *     first, published last by contract) is hot by definition, so GC
-    *     cannot eat a half-built version that simply hasn't been
-    *     published yet. Pass 0 only in tests/offline maintenance.
+    *   - `graceMs` (default 1 h): a candidate with ANY entry modified
+    *     within the grace window — checked recursively via
+    *     [[modifiedSince]], newest mtime anywhere under it, not the
+    *     root's own — is NEVER deleted: an in-flight version build
+    *     (written first, published last by contract) keeps its leaf
+    *     files hot even while a long artifact write leaves the version
+    *     directory's own mtime stale, so GC cannot eat a half-built
+    *     version that simply hasn't been published yet. Pass 0 only in
+    *     tests/offline maintenance.
     *   - the pointer is RE-resolved immediately before each delete, so
     *     a version published after the initial listing (the
     *     resolve-then-delete race) is spared. The residual window is
@@ -147,7 +151,7 @@ object StoreCatalog {
         val st = it.next()
         val p = ctx.makeQualified(st.getPath)
         if (st.isDirectory && p != currentQ &&
-            st.getModificationTime <= cutoff &&
+            !modifiedSince(ctx, p, st, cutoff) &&
             // re-check the pointer right before the irreversible step:
             // a swap that landed since the listing spares its target
             ctx.makeQualified(new Path(resolve(spark, catalogRoot, name))) != p) {
@@ -157,5 +161,117 @@ object StoreCatalog {
       }
       out.result()
     }
+  }
+
+  /** True when `p` or ANYTHING under it was modified after `cutoff` —
+    * [[gcSuperseded]]'s in-flight-build detector. The house builders
+    * write the huge artifact first (saveBm25Index's postings,
+    * savePqCodes' codes land as leaf files inside partition subdirs),
+    * so during a long write only the LEAF files' mtimes stay fresh
+    * while every ancestor directory's own mtime goes stale — a
+    * root-mtime grace check would let GC eat a half-built unpublished
+    * version. Walks with early exit (returns at the first hot entry);
+    * the full walk is paid only for a directory that is about to be
+    * recursively deleted anyway, so the listing adds no asymptotic
+    * cost over the delete itself.
+    */
+  private def modifiedSince(
+      ctx: FileContext,
+      p: Path,
+      st: org.apache.hadoop.fs.FileStatus,
+      cutoff: Long): Boolean =
+    if (st.getModificationTime > cutoff) true
+    else if (!st.isDirectory) false
+    else {
+      val it = ctx.listStatus(p)
+      var hot = false
+      while (!hot && it.hasNext) {
+        val c = it.next()
+        hot = modifiedSince(ctx, c.getPath, c, cutoff)
+      }
+      hot
+    }
+
+  /** One [[list]] row: a published store name and its current version. */
+  final case class CatalogEntry(name: String, current: String)
+
+  /** Every published name under `catalogRoot` with its current version
+    * directory, sorted by name — the catalog-wide operability readout.
+    * Driver-side metadata: one directory listing plus one tiny pointer
+    * read per name; version directories are never touched.
+    */
+  def list(spark: SparkSession, catalogRoot: String): Seq[CatalogEntry] = {
+    val rootP = new Path(catalogRoot)
+    val ctx = fc(spark, rootP)
+    if (!ctx.util.exists(rootP)) Seq.empty
+    else {
+      val it = ctx.listStatus(rootP)
+      val names = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!st.isDirectory && n.endsWith(".ptr") && !n.startsWith("."))
+          names += n.stripSuffix(".ptr")
+      }
+      names.result().sorted.flatMap(n =>
+        resolveOpt(spark, catalogRoot, n).map(CatalogEntry(n, _)))
+    }
+  }
+
+  /** One store's version inventory: the current pointer target plus
+    * every non-current version directory under `versionsRoot` with its
+    * root mtime (millis) — what [[gcSuperseded]] WOULD reclaim and how
+    * stale each candidate is, without deleting anything. Same
+    * wrong-root guard as GC.
+    */
+  final case class VersionInventory(
+      name: String,
+      current: String,
+      superseded: Seq[(String, Long)])
+
+  def inventory(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String,
+      versionsRoot: String): VersionInventory = {
+    val current = resolve(spark, catalogRoot, name)
+    val rootP = new Path(versionsRoot)
+    val ctx = fc(spark, rootP)
+    val currentQ = ctx.makeQualified(new Path(current))
+    val rootQ = ctx.makeQualified(rootP)
+    require(currentQ.getParent == rootQ,
+      s"current version $currentQ is not a direct child of $rootQ — " +
+        "refusing to inventory a versions root that does not own the live version")
+    val out = Seq.newBuilder[(String, Long)]
+    if (ctx.util.exists(rootQ)) {
+      val it = ctx.listStatus(rootQ)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = ctx.makeQualified(st.getPath)
+        if (st.isDirectory && p != currentQ)
+          out += ((p.toString, st.getModificationTime))
+      }
+    }
+    VersionInventory(name, currentQ.toString, out.result().sortBy(_._1))
+  }
+
+  /** The next fresh version directory under `versionsRoot`: `v<N+1>`
+    * over the largest existing `v<N>` child (`v1` for an empty/missing
+    * root). A naming convention, not a reservation — builders may use
+    * any unique directory; this is the house default the maintenance
+    * policy uses so retrain targets never collide with live versions.
+    */
+  def nextVersionDir(spark: SparkSession, versionsRoot: String): String = {
+    val rootP = new Path(versionsRoot)
+    val ctx = fc(spark, rootP)
+    var mx = 0L
+    if (ctx.util.exists(rootP)) {
+      val it = ctx.listStatus(rootP)
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.matches("v[0-9]{1,17}")) mx = math.max(mx, n.drop(1).toLong)
+      }
+    }
+    new Path(rootP, s"v${mx + 1}").toString
   }
 }

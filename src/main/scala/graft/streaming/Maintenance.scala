@@ -15,6 +15,55 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Drift-triggered IVF index maintenance — the one policy operator for
+    * the loop a crawl deployment otherwise composes by hand: read the
+    * CURRENT catalog version's accumulated
+    * [[graft.operators.Similarity.cellStats]] state, and when any
+    * cell's population crosses `maxCellSize` (the
+    * [[graft.operators.Similarity.cellLoad]] `over_valve` signal — the
+    * same threshold past which within-cell serves start 2-D block
+    * splitting, i.e. the quantizer no longer fits the corpus):
+    *
+    *   1. [[graft.operators.Similarity.retrainIvfStore]] to a fresh
+    *      version directory
+    *      ([[graft.store.StoreCatalog.nextVersionDir]]),
+    *   2. [[graft.store.StoreCatalog.publish]] — the atomic pointer
+    *      flip; serves stay bit-exact across it because the old version
+    *      remains fully serveable until the rename lands and the new
+    *      one loads through the stamped loaders,
+    *   3. [[graft.store.StoreCatalog.gcSuperseded]] under `graceMs`.
+    *
+    * Returns Some(refreshed centroids → new version dir) when a swap
+    * happened, None when the store is healthy (no writes at all — the
+    * check is one aggregation over the metadata-sized stats table).
+    * Idempotent at the policy level: a freshly retrained quantizer that
+    * STILL has an over-valve cell (possible — retraining moves
+    * centroids but cannot split them) retrains again on the next tick;
+    * schedule the policy, don't loop it.
+    */
+  def maintainIvfStore(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String,
+      versionsRoot: String,
+      maxCellSize: Int,
+      graceMs: Long = 3600000L): Option[(Array[Array[Double]], String)] = {
+    import graft.operators.Similarity
+    import graft.store.StoreCatalog
+    val current = StoreCatalog.resolve(spark, catalogRoot, name)
+    val drifted = !Similarity.cellLoad(
+        Similarity.loadCellStats(spark, current), maxCellSize)
+      .filter(col("over_valve")).isEmpty
+    if (!drifted) None
+    else {
+      val next = StoreCatalog.nextVersionDir(spark, versionsRoot)
+      val cents = Similarity.retrainIvfStore(spark, current, next)
+      StoreCatalog.publish(spark, catalogRoot, name, next)
+      StoreCatalog.gcSuperseded(spark, catalogRoot, name, versionsRoot, graceMs)
+      Some((cents, next))
+    }
+  }
+
   /** Rewrite the parquet store at `inPath` to `outPath` with at most
     * `targetRows` rows per file inside each `partitionCols` directory:
     * one shuffle onto the partition keys (plus a salt when

@@ -300,6 +300,62 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("retrieval memo: identical requests hit, field order canonicalizes, concurrent misses single-flight") {
+    val docs = Seq(
+      (1L, "vector stream window vector"),
+      (2L, "stream stream batch"),
+      (3L, "window sort dup")).toDF("doc_id", "text")
+    val wd = java.nio.file.Files.createTempDirectory("retrmemo").toString
+    TextAnalysis.saveBm25Index(spark, s"$wd/bm25", docs)
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, s"$wd/bm25")
+    val memo = new TwoQCache[(Int, String)](32)
+    val srv = new ApiServer(facade, ApiServer.Indexer,
+      retrieval = Some(RetrievalService(bm25 = Map("docs" -> ((postings, doclen))))),
+      retrievalMemo = Some(memo))
+    srv.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val req = """{"terms":["vector","stream"],"k":10}"""
+      val b1 = post(base, "/search/docs", req)
+      assert(b1.statusCode() == 200)
+      assert(memo.missCount == 1 && memo.hitCount == 0)
+      // an identical request serves the memoized rendered body
+      val b2 = post(base, "/search/docs", req)
+      assert(b2.statusCode() == 200 && b2.body() === b1.body())
+      assert(memo.missCount == 1 && memo.hitCount == 1)
+      // field ORDER canonicalizes to the same key…
+      val b3 = post(base, "/search/docs",
+        """{"k":10,"terms":["vector","stream"]}""")
+      assert(b3.body() === b1.body())
+      assert(memo.missCount == 1 && memo.hitCount == 2)
+      // …but ELEMENT order inside arrays is semantic — its own entry
+      post(base, "/search/docs", """{"terms":["stream","vector"],"k":10}""")
+      assert(memo.missCount == 2)
+      // deterministic bind failures memoize too (same wiring, same 400)
+      assert(post(base, "/search/docs",
+        """{"terms":[],"k":10}""").statusCode() == 400)
+      assert(post(base, "/search/docs",
+        """{"terms":[],"k":10}""").statusCode() == 400)
+      assert(memo.missCount == 3)
+      // concurrent identical misses on a FRESH key compute once
+      // (single-flight): all callers get the same body, one miss
+      val missesBefore = memo.missCount
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            post(base, "/search/docs", """{"terms":["window"],"k":5}""").body()
+        })
+      }
+      val bodies = tasks.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(bodies.toSet.size === 1)
+      assert(memo.missCount === missesBefore + 1)
+    } finally {
+      pool.shutdown()
+      srv.stop(0)
+    }
+  }
+
   test("vector, phrase, batch-search, and hybrid retrieval routes over a real socket") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window

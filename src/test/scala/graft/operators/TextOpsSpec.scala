@@ -2478,6 +2478,15 @@ class TextOpsSpec extends SparkSpec {
     val load2 = Similarity.cellLoad(
       Similarity.loadCellStats(spark, s"$wd/v2"), maxCellSize = 10).collect()
     assert(load2.map(_.getAs[Long]("n_members")).sum === total)
+    // one-scan rewrite: the stats derived from the rewritten store
+    // (cellStatsFromAssigned — no second nearestCell pass) ≡ the
+    // two-scan form (a fresh cellStats pass over the same corpus)
+    def statRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cell").cast("long"), col("dim").cast("long"),
+        col("n").cast("long"), col("s").cast("string"))
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(statRows(Similarity.loadCellStats(spark, s"$wd/v2"))
+      === statRows(Similarity.cellStats(emb, next)))
   }
 
   test("deletion propagates through the retrieval stores with an exact audit") {
@@ -2651,6 +2660,11 @@ class TextOpsSpec extends SparkSpec {
     assert(served.nonEmpty)
     // row accounting: the rewrite re-encoded the WHOLE corpus
     assert(codes.count() === emb.count())
+    // one-scan rewrite: the sub_stats derived from the pinned encode
+    // projection (pqSubspaceStatsFromCodes — no second code search) ≡
+    // the two-scan form (a fresh pqSubspaceStats pass over the corpus)
+    assert(statKeys(Similarity.loadPqSubStats(spark, s"$wd/v2"))
+      === statKeys(Similarity.pqSubspaceStats(emb, next)))
     // stale stamps fail loudly in both directions
     intercept[IllegalArgumentException] {
       Similarity.loadPqCodes(spark, s"$wd/v1", next)
@@ -2740,6 +2754,45 @@ class TextOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "tok", "tf", "dl")
       .withColumn("tok_bucket", pmod(h60(col("tok")), lit(64L)))
       .write.partitionBy("tok_bucket").parquet(s"$dir/postings")
+  }
+
+  test("verifyBm25Stats catches a postings-ahead-of-doclen tear; a torn sidecar never serves") {
+    import graft.functions.TextFunctions.h60
+    val wd = java.nio.file.Files.createTempDirectory("bm25torn").toString
+    val allDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    TextAnalysis.appendBm25Index(spark, s"$wd/acc", allDocs)
+    assert(TextAnalysis.verifyBm25Stats(spark, s"$wd/acc"))
+    // a crash between the postings and doclen writes of batch N leaves
+    // phantom postings: doclen ↔ stats still agree (consistently stale),
+    // so only the postings↔doclen reconcile can see it
+    Seq((888888L, "zzzphantom", 2L, 2L)).toDF("doc_id", "tok", "tf", "dl")
+      .withColumn("tok_bucket", pmod(h60(col("tok")), lit(64L)))
+      .write.mode("append").partitionBy("tok_bucket")
+      .parquet(s"$wd/acc/postings")
+    assert(!TextAnalysis.verifyBm25Stats(spark, s"$wd/acc"))
+    // same tear on a positional store (verify reads postings_pos there)
+    TextAnalysis.appendBm25Positional(spark, s"$wd/pos", allDocs)
+    assert(TextAnalysis.verifyBm25Stats(spark, s"$wd/pos"))
+    Seq((888888L, "zzzphantom", 2L, Array(0L, 5L), 2L))
+      .toDF("doc_id", "tok", "tf", "ps", "dl")
+      .withColumn("tok_bucket", pmod(h60(col("tok")), lit(64L)))
+      .write.mode("append").partitionBy("tok_bucket")
+      .parquet(s"$wd/pos/postings_pos")
+    assert(!TextAnalysis.verifyBm25Stats(spark, s"$wd/pos"))
+    // a stats dir that exists but holds no committed rows (crash before
+    // the first sidecar write) must load as None — the serve falls back
+    // to the doclen aggregation instead of scoring with zeroed stats
+    TextAnalysis.saveBm25Index(spark, s"$wd/tornstats", allDocs)
+    Seq.empty[(Long, Long)].toDF("n_docs", "a_tokens")
+      .write.mode("overwrite").parquet(s"$wd/tornstats/stats")
+    assert(TextAnalysis.loadBm25Stats(spark, s"$wd/tornstats").isEmpty)
+    // and the serve without the sidecar still ranks correctly off doclen
+    val (p, d) = TextAnalysis.loadBm25Index(spark, s"$wd/tornstats")
+    val viaDoclen = TextAnalysis.bm25TopKFromIndex(p, d, Seq("vector"), 5,
+      stats = TextAnalysis.loadBm25Stats(spark, s"$wd/tornstats"))
+    assert(viaDoclen.collect().toSeq
+      === TextAnalysis.bm25TopK(allDocs, Seq("vector"), 5).collect().toSeq)
   }
 
   test("appendBm25Index rejects a store written under the flat (unbucketed) layout") {

@@ -1071,6 +1071,65 @@ class StreamingOpsSpec extends SparkSpec {
     assert(servedC === direct)
   }
 
+  test("streaming phrase-store maintenance: per-batch positional append equals the one-shot build") {
+    import graft.operators.TextAnalysis
+    import java.nio.file.Files
+    // the positional store rides the same crawl loop as the plain BM25
+    // store: 3 disjoint batches accrete via appendBm25Positional and the
+    // served PHRASE ranking must equal both the one-shot corpus scan and
+    // a one-shot saveBm25Positional of everything seen
+    val all = Seq(
+      (1L, "x y z x y"), (2L, "x q q x y"), (3L, "p x y p"), (4L, "y y q"),
+      (5L, "x x q p"), (6L, ""))
+    val batches = Seq(Seq(all(0), all(1)), Seq(all(2), all(5)), Seq(all(3), all(4)))
+    val dir = Files.createTempDirectory("graft-posstream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/f$i")
+      Thread.sleep(5)
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.appendBm25Positional(spark, s"$dir/store", batch)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val (pp, dl) = TextAnalysis.loadBm25Positional(spark, s"$dir/store")
+    val stats = TextAnalysis.loadBm25Stats(spark, s"$dir/store")
+    assert(stats.isDefined)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val served = rows(TextAnalysis.phraseTopKFromIndex(
+      pp, dl, Seq("x", "y"), k = 6, stats = stats))
+    val direct = rows(TextAnalysis.phraseTopK(
+      all.toDF("doc_id", "text"), Seq("x", "y"), k = 6))
+    assert(served === direct && served.nonEmpty)
+    TextAnalysis.saveBm25Positional(spark, s"$dir/oneshot", all.toDF("doc_id", "text"))
+    val (pp1, dl1) = TextAnalysis.loadBm25Positional(spark, s"$dir/oneshot")
+    assert(served === rows(TextAnalysis.phraseTopKFromIndex(
+      pp1, dl1, Seq("x", "y"), k = 6,
+      stats = TextAnalysis.loadBm25Stats(spark, s"$dir/oneshot"))))
+    // the accreted sidecar sums to the one-shot corpus statistics and the
+    // three-table consistency check passes
+    assert(stats.get.select("n_docs", "a_tokens").as[(Long, Long)].head()
+      === TextAnalysis.loadBm25Stats(spark, s"$dir/oneshot").get
+        .select("n_docs", "a_tokens").as[(Long, Long)].head())
+    assert(TextAnalysis.verifyBm25Stats(spark, s"$dir/store"))
+    // zero-token doc counted toward N through doclen, as in the tf store
+    assert(dl.count() === all.size)
+    // legacy-layout refusal: a flat (unbucketed) positional store refuses
+    // appends before any write lands
+    Seq((1L, "alpha", 1L, Array(0L), 1L)).toDF("doc_id", "tok", "tf", "ps", "dl")
+      .write.parquet(s"$dir/legacyflat/postings_pos")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendBm25Positional(spark, s"$dir/legacyflat",
+        all.take(2).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("saveBm25Positional"))
+  }
+
   test("streaming embedding-moments maintenance: per-batch merge equals the one-shot state") {
     import graft.operators.Similarity
     import java.nio.file.Files
@@ -1709,5 +1768,87 @@ class StreamingOpsSpec extends SparkSpec {
       graft.operators.RetrievalService.fromCatalog(
         spark, cat, bm25Names = Seq("nope"))
     }
+  }
+
+  test("drift-triggered maintenance policy: over-valve retrains+publishes+GCs, healthy stores untouched; catalog inventory and recursive grace") {
+    import graft.operators.Similarity
+    import graft.store.StoreCatalog
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val root = java.nio.file.Files.createTempDirectory("driftpolicy").toString
+    val cat = s"$root/catalog"
+    val versions = s"$root/ivf"
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.kmeansCentroids(half, numCells = 4, iters = 1, salt = "drift")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val pred = col("vec_id") % 20 === 0
+    // v1 under the house version-naming convention
+    val v1 = StoreCatalog.nextVersionDir(spark, versions)
+    assert(v1.endsWith("/v1"))
+    Similarity.saveIvfIndex(spark, v1, cents, Some(Similarity.cellStats(half, cents)))
+    Similarity.saveIvfAssigned(spark, v1, Similarity.assignIvfCells(half, cents), cents)
+    StoreCatalog.publish(spark, cat, "ivf", v1)
+    // healthy store: a generous valve means NO writes and no swap
+    assert(graft.streaming.Maintenance.maintainIvfStore(
+      spark, cat, "ivf", versions, maxCellSize = 1000000).isEmpty)
+    assert(StoreCatalog.resolve(spark, cat, "ivf") === v1)
+    // drifted ingest: the odd half accretes into v1 and its stats merge in
+    Similarity.appendIvfAssigned(spark, v1, batch, cents)
+    val merged = Similarity.mergeCellStats(
+      Similarity.loadCellStats(spark, v1),
+      Similarity.cellStats(batch, cents)).localCheckpoint()
+    Similarity.saveIvfIndex(spark, v1, cents, Some(merged))
+    graft.operators.Pins.release(merged)
+    // the policy trips the valve (4 cells over >40 vectors, pigeonhole),
+    // retrains to v2, flips the pointer, reclaims v1
+    val swapped = graft.streaming.Maintenance.maintainIvfStore(
+      spark, cat, "ivf", versions, maxCellSize = 10, graceMs = 0L)
+    assert(swapped.isDefined)
+    val (next, v2) = swapped.get
+    assert(v2.endsWith("/v2"))
+    assert(StoreCatalog.resolve(spark, cat, "ivf") === v2)
+    assert(!new java.io.File(v1.stripPrefix("file:")).exists)
+    assert(Similarity.quantizerFingerprint(next)
+      !== Similarity.quantizerFingerprint(cents))
+    // serves stay bit-exact across the automatic swap: the catalog-loaded
+    // v2 ≡ an in-line serve of the WHOLE corpus under the refreshed
+    // quantizer (the retrain rewrote every stored vector)
+    val served = keys(Similarity.ivfTopKAssigned(
+      Similarity.loadIvfAssigned(spark, StoreCatalog.resolve(spark, cat, "ivf"), next),
+      pred, 5, next, nprobe = 2))
+    assert(served === keys(
+      Similarity.ivfTopKWithCentroids(emb, pred, 5, next, nprobe = 2)))
+    assert(served.nonEmpty)
+    // catalog readouts: list sees the one name at its current version;
+    // inventory shows no superseded versions after the GC
+    val entries = StoreCatalog.list(spark, cat)
+    assert(entries.map(_.name) === Seq("ivf"))
+    assert(entries.head.current === v2)
+    val inv = StoreCatalog.inventory(spark, cat, "ivf", versions)
+    assert(inv.current.endsWith("/v2") && inv.superseded.isEmpty)
+    // a superseded straggler appears in the inventory with its age…
+    val stale = new java.io.File(s"$versions/v0/sub")
+    assert(stale.mkdirs())
+    val leaf = new java.io.File(stale, "part-0.parquet")
+    assert(leaf.createNewFile())
+    assert(StoreCatalog.inventory(spark, cat, "ivf", versions)
+      .superseded.map { case (p, _) => p.substring(p.lastIndexOf('/') + 1) }
+      === Seq("v0"))
+    // …and the grace window is RECURSIVE: an old-mtime version dir whose
+    // leaf file is still fresh (a long in-flight artifact write) is
+    // spared; once the leaf ages past the grace it is reclaimed
+    val old = System.currentTimeMillis() - 7200000L
+    assert(new java.io.File(s"$versions/v0").setLastModified(old))
+    assert(stale.setLastModified(old))
+    assert(StoreCatalog.gcSuperseded(
+      spark, cat, "ivf", versions, graceMs = 3600000L).isEmpty,
+      "a version with a fresh leaf under a stale root must be spared")
+    assert(leaf.setLastModified(old))
+    assert(StoreCatalog.gcSuperseded(
+        spark, cat, "ivf", versions, graceMs = 3600000L)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)) === Seq("v0"))
+    // nextVersionDir never collides with live versions
+    assert(StoreCatalog.nextVersionDir(spark, versions).endsWith("/v3"))
   }
 }
