@@ -93,6 +93,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // see GraftSession: the 196-query registry thrashes the default
+      // 100-entry compiled-codegen cache, re-janino-compiling nearly every
+      // stage every pass (static conf — must be set before the first
+      // session of the JVM)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

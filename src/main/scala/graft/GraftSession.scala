@@ -31,6 +31,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // engine-level index-contract rewrites (see graft.plans.MetaKeyRewrite)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static JVM-wide cap on compiled-codegen cache entries (default
+      // 100). The registry runs ~196 queries × several codegen stages per
+      // process, so at the default every pass evicts and re-janino-compiles
+      // nearly every stage — pure driver/executor CPU burned per pass (and
+      // per request on a long-lived serve). Scale-neutral: a cluster
+      // driver and each executor want the same headroom; entries are
+      // class+source pairs, tens of KB each.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   def local(shufflePartitions: Int = 32): SparkSession = {
