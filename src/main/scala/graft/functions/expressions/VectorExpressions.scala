@@ -85,6 +85,221 @@ case class DotFold(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** All-subspace PQ code assignment in ONE compact expression.
+  *
+  * Replaces the `array(nearestCode(books(0), slice(emb, …)), …)` form —
+  * m·ksub inline struct/`array_max` trees whose generated source embeds
+  * every codeword's −‖c‖²/2 bias as a SCALAR literal. Two costs of that
+  * form, both fixed here:
+  *
+  *   - the fused whole-stage method is enormous (m·ksub unrolled dot
+  *     loops), which rides the C2 JIT cliff (build notes: minutes of
+  *     background compilation, 30-50× interpreted until it lands);
+  *   - the scalar biases make the generated SOURCE different for every
+  *     freshly trained codebook, so no codegen cache can ever hit across
+  *     invocations — every train/retrain/serve re-janino-compiles.
+  *
+  * Here the codebooks travel as one reference object (`references[…]`),
+  * so the generated source is byte-identical across codebook values and
+  * the per-row work is a small nested loop.
+  *
+  * Bit-exact contract with the form it replaces: per subspace s the score
+  * of codeword c is `Σ_d book[s][c][d]·v[s·sub+d] − 0.5·Σ_d book[s][c][d]²`
+  * with the dot accumulated strictly left-to-right from 0.0 (DotFold
+  * order) and the bias computed at construction exactly as the literal
+  * was (`0.5 * c.map(x => x*x).sum`); ties go to the LARGER code (the
+  * struct `array_max` rule). Assumes no NaN scores (finite embeddings —
+  * the DotFold assumption). A row whose vector length differs from
+  * m·sub yields null, like a mismatched DotFold.
+  */
+case class NearestCodes(books: Array[Array[Array[Double]]], child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_codes requires an array<float|double> input, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** −‖c‖²/2 per codeword, exactly as the literal form computed it. */
+  @transient private lazy val biases: Array[Array[Double]] =
+    books.map(_.map(c => 0.5 * c.map(x => x * x).sum))
+
+  private val sub: Int = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = books.length
+    if (v.numElements() != m * sub) return null
+    val isF = elemIsFloat
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val bias = biases(s)
+      var best = 0.0
+      var bi = 0
+      var c = 0
+      while (c < book.length) {
+        val cb = book(c)
+        var acc = 0.0
+        var d = 0
+        val off = s * sub
+        while (d < sub) {
+          val x = if (isF) v.getFloat(off + d).toDouble else v.getDouble(off + d)
+          acc += cb(d) * x
+          d += 1
+        }
+        val score = acc - bias(c)
+        if (c == 0 || score >= best) { best = score; bi = c }
+        c += 1
+      }
+      out(s) = bi
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+      val biasesRef = ctx.addReferenceObj("biases", biases, "double[][]")
+      val get = if (elemIsFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val book = ctx.freshName("book")
+      val bias = ctx.freshName("bias")
+      val cb = ctx.freshName("cb")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      val score = ctx.freshName("score")
+      s"""
+         |final int $m = $booksRef.length;
+         |if ($v.numElements() != $m * $sub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int[] $out = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    final double[][] $book = $booksRef[$s];
+         |    final double[] $bias = $biasesRef[$s];
+         |    final int $off = $s * $sub;
+         |    double $best = 0.0; int $bi = 0;
+         |    for (int $c = 0; $c < $book.length; $c++) {
+         |      final double[] $cb = $book[$c];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $sub; $d++) {
+         |        $acc += $cb[$d] * $get($off + $d);
+         |      }
+         |      final double $score = $acc - $bias[$c];
+         |      if ($c == 0 || $score >= $best) { $best = $score; $bi = $c; }
+         |    }
+         |    $out[$s] = $bi;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCodes =
+    copy(child = newChild)
+}
+
+/** Constant-weight linear combination `Σ w_i · f_i` over feature columns.
+  *
+  * Replaces `feats.zip(w).map{ (f, wi) => f * lit(wi) }.reduce(_ + _)`:
+  * the scalar `lit(wi)` weights inline into the generated source, so
+  * every logistic-regression training iteration (weights change per
+  * step) produced a DIFFERENT whole-stage source and re-janino-compiled
+  * the gradient aggregation — 16 compiles per q_quality_classifier
+  * invocation. The weights ride as one reference object here, making
+  * the source identical across iterations (one compile, cached).
+  *
+  * Bit-exact: products `f_i * w_i` in declaration order, summed strictly
+  * left-to-right (the `reduce` association); any null feature nulls the
+  * result (Multiply/Add null propagation).
+  */
+case class WeightedSum(weights: Array[Double], children: Seq[Expression])
+    extends Expression {
+  require(weights.length == children.size, "one weight per feature")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"weighted_sum requires double inputs, got ${children.map(_.dataType)}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var acc = 0.0
+    var i = 0
+    while (i < weights.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      val p = v.asInstanceOf[Double] * weights(i)
+      acc = if (i == 0) p else acc + p
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    val evals = children.map(_.genCode(ctx))
+    val nullFlag = ctx.freshName("wsNull")
+    val acc = ctx.freshName("wsAcc")
+    val terms = evals.zipWithIndex.map { case (e, i) =>
+      val assign = s"$acc ${if (i == 0) "=" else "+="} ${e.value} * $wRef[$i];"
+      s"""
+         |${e.code}
+         |if (${e.isNull}) { $nullFlag = true; } else { $assign }
+       """.stripMargin
+    }.mkString("\n")
+    val body =
+      s"""
+         |boolean $nullFlag = false;
+         |double $acc = 0.0;
+         |$terms
+       """.stripMargin
+    if (nullable) {
+      ev.copy(code =
+        code"""
+          |$body
+          |boolean ${ev.isNull} = $nullFlag;
+          |double ${ev.value} = $acc;
+        """.stripMargin)
+    } else {
+      ev.copy(code =
+        code"""
+          |$body
+          |double ${ev.value} = $acc;
+        """.stripMargin, isNull = FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WeightedSum =
+    copy(children = newChildren)
+}
+
 /** Intersection size of two SORTED distinct string arrays, by merge scan.
   *
   * `array_intersect` builds a hash set per invocation — at millions of

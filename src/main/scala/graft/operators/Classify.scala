@@ -55,6 +55,20 @@ object Classify {
     col("mean_token_len") / lit(10.0),
     least(col("n_tokens").cast("double") / lit(200.0), lit(1.0)))
 
+  /** `w·x` with the weights riding as ONE reference object
+    * ([[graft.functions.expressions.WeightedSum]]) instead of per-weight
+    * scalar literals: scalar literals inline into the generated source,
+    * so every training iteration (weights change per step) produced a
+    * DIFFERENT whole-stage source and re-janino-compiled the gradient
+    * stage — 16 compiles per q_quality_classifier invocation. Products
+    * and their left-to-right summation are bit-identical to the
+    * `f * lit(wi)` reduce it replaces.
+    */
+  private def weightedSum(w: Array[Double], feats: Seq[Column]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.WeightedSum(w,
+        feats.map(org.apache.spark.sql.graft.ColumnBridge.expression)))
+
   /** Full-batch logistic-regression training: w ← w + lr·mean((y−σ(w·x))·x).
     * Weights enter each pass as plan-time literals; the gradient comes
     * back as d exact DECIMAL sums — deterministic end to end.
@@ -70,8 +84,7 @@ object Classify {
     require(n > 0, "cannot train on an empty frame")
     var w = Array.fill(feats.size)(0.0)
     for (_ <- 0 until iters) {
-      val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }
-        .reduce(_ + _)
+      val margin = weightedSum(w, feats)
       val err = label.cast("double") - lit(1.0) / (lit(1.0) + exp(-margin))
       val aggs = feats.zipWithIndex.map { case (f, i) =>
         sum((err * f).cast("decimal(27,8)")).cast("double").as(s"g$i")
@@ -93,7 +106,7 @@ object Classify {
     // hazard the other operators guard with require)
     Seq("margin", "score", "pred").foreach(c =>
       require(!df.columns.contains(c), s"input must not already contain '$c'"))
-    val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    val margin = weightedSum(w, feats)
     df.withColumn("margin", margin)
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
       .withColumn("pred", col("margin") > lit(0.0))

@@ -557,19 +557,18 @@ object Similarity {
       "PQ training set is empty — widen trainFrac or check the input")
     var books = Array.tabulate(m)(s => seed.map(v => v.slice(s * sub, (s + 1) * sub)))
     for (_ <- 0 until iters) {
-      val sv = embeddings.select(explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"),
-          slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
-        .select(col("sv.s").as("s"), col("sv.v").as("v"))
-      // per-subspace assignment: one `when` branch per subspace, codebooks
-      // as plan-time literals (m·ksub·sub doubles — small by construction)
-      val code = (1 until m).foldLeft(
-        when(col("s") === 0, nearestCode(books(0), col("v")))) {
-        case (acc, s) => acc.when(col("s") === s, nearestCode(books(s), col("v")))
-      }
-      val sums = sv
-        .withColumn("code", code)
-        .select(col("s"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
+      // all-subspace assignment in one NearestCodes loop (codebooks ride
+      // as a reference object, so each Lloyd step reuses the SAME
+      // compiled stage instead of re-janino-compiling a fresh
+      // bias-literal when-chain); the per-(s, code, dim) decimal sums
+      // are unchanged addend-for-addend
+      val sums = embeddings
+        .select(nearestCodesCol(books, col("embedding")).as("cds"), col("embedding"))
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), element_at(col("cds"), s + 1).as("code"),
+            slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+        .select(col("sv.s").as("s"), col("sv.code").as("code"),
+          posexplode(col("sv.v")).as(Seq("dim", "x")))
         .groupBy(col("s"), col("code"), col("dim"))
         .agg(sum(col("x").cast("decimal(27,8)")).cast("double").as("sm"),
           count(lit(1)).as("n"))
@@ -589,12 +588,26 @@ object Similarity {
 
   /** Nearest codebook entry by L2 over the subvector:
     * argmin ‖v−c‖² = argmax(dot(c,v) − ‖c‖²/2); ties to the larger code.
+    * (Retained for the spec that proves [[NearestCodes]] equivalent; the
+    * operators all assign through [[nearestCodesCol]] — one compact
+    * codegen loop instead of m·ksub inline struct trees whose scalar
+    * bias literals defeated the codegen cache on every fresh codebook.)
     */
-  private def nearestCode(book: Array[Array[Double]], v: Column): Column =
+  private[operators] def nearestCode(book: Array[Array[Double]], v: Column): Column =
     array_max(array(book.zipWithIndex.map { case (c, i) =>
       struct((dot(typedLit(c.toSeq), v) - lit(0.5 * c.map(x => x * x).sum)).as("s"),
         lit(i).as("i"))
     }: _*)).getField("i")
+
+  /** All m PQ codes of a full embedding in one expression —
+    * [[graft.functions.expressions.NearestCodes]] (bit-exact contract in
+    * its scaladoc: DotFold order, same bias, ties to the larger code).
+    */
+  private[operators] def nearestCodesCol(
+      books: Array[Array[Array[Double]]], emb: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.NearestCodes(books,
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb)))
 
   /** PQ encode: the m codes per vector — m bytes of payload per row
     * against 4·Dim for float32 (32× at m=8, Dim=64). This is the table a
@@ -602,14 +615,9 @@ object Similarity {
     * embeddings.
     */
   def pqEncode(
-      embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
-    val m = books.length
-    val sub = Dim / m
+      embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
     embeddings.select(col("vec_id"),
-      array((0 until m).map(s =>
-        nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
-        .as("codes"))
-  }
+      nearestCodesCol(books, col("embedding")).as("codes"))
 
   /** IVF-PQ top-k: SRP coarse cells block the candidates (as [[ivfTopK]]),
     * but the candidate side carries ONLY (cell, vec_id, codes) — the
@@ -678,9 +686,7 @@ object Similarity {
     val sub = Dim / m
     val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
       srpCode(col("embedding"), 0, cellBits).as("cell"),
-      array((0 until m).map(s =>
-        nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
-        .as("codes"))
+      nearestCodesCol(books, col("embedding")).as("codes"))
     val queries = withNorm(embeddings)
       .filter(queryPred)
       .select(col("vec_id").as("query_id"),
@@ -728,16 +734,12 @@ object Similarity {
       cellBits: Int = 4,
       keepEmbedding: Boolean = false): DataFrame = {
     require(books.nonEmpty && Dim % books.length == 0, s"m must divide $Dim")
-    val m = books.length
-    val sub = Dim / m
     // keepEmbedding carries the raw vector beside the codes so a caller
     // that needs BOTH the code table and a coordinate-sum aggregate
     // (retrainPqStore's fresh sub_stats) pays one quantizer pass
     embeddings.select(Seq(col("vec_id"),
       srpCode(col("embedding"), 0, cellBits).as("cell"),
-      array((0 until m).map(s =>
-        nearestCode(books(s), slice(col("embedding"), s * sub + 1, sub))): _*)
-        .as("codes")) ++
+      nearestCodesCol(books, col("embedding")).as("codes")) ++
       (if (keepEmbedding) Seq(col("embedding")) else Nil): _*)
   }
 
@@ -1790,16 +1792,13 @@ object Similarity {
     require(books.nonEmpty && Dim % books.length == 0, s"m must divide $Dim")
     val m = books.length
     val sub = Dim / m
-    val sv = embeddings.select(explode(array((0 until m).map(s =>
-      struct(lit(s).as("s"),
-        slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
-      .select(col("sv.s").as("s"), col("sv.v").as("v"))
-    val code = (1 until m).foldLeft(
-      when(col("s") === 0, nearestCode(books(0), col("v")))) {
-      case (acc, s) => acc.when(col("s") === s, nearestCode(books(s), col("v")))
-    }
-    sv.withColumn("code", code)
-      .select(col("s"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
+    embeddings
+      .select(nearestCodesCol(books, col("embedding")).as("cds"), col("embedding"))
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), element_at(col("cds"), s + 1).as("code"),
+          slice(col("embedding"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+      .select(col("sv.s").as("s"), col("sv.code").as("code"),
+        posexplode(col("sv.v")).as(Seq("dim", "x")))
       .groupBy(col("s"), col("code"), col("dim"))
       .agg(
         count(lit(1)).as("n"),

@@ -1418,6 +1418,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("punct_ratio") > 0.0)
   }
 
+  test("NearestCodes expression ≡ the per-subspace nearestCode literal form, " +
+    "bit-for-bit (incl. ties), and WeightedSum ≡ the scalar-literal margin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150).cache()
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 1, salt = "nceq")
+    val sub = Similarity.Dim / books.length
+    // legacy shape: one nearestCode struct tree per subspace over a slice
+    val legacy = emb.select(col("vec_id"),
+      array((0 until books.length).map(s =>
+        Similarity.nearestCode(books(s),
+          slice(col("embedding"), s * sub + 1, sub))): _*).as("codes"))
+      .orderBy("vec_id").select("codes").as[Seq[Int]].collect().toSeq
+    val fused = Similarity.pqEncode(emb, books)
+      .orderBy("vec_id").select("codes").as[Seq[Int]].collect().toSeq
+    assert(fused === legacy)
+    // tie rule: two identical codewords must pick the LARGER code, as the
+    // struct array_max did
+    val tieBooks = Array(Array(Array.fill(Similarity.Dim)(0.5),
+      Array.fill(Similarity.Dim)(0.5)))
+    val tie = Similarity.pqEncode(emb.limit(5), tieBooks)
+      .select("codes").as[Seq[Int]].collect()
+    assert(tie.forall(_ === Seq(1)))
+    // WeightedSum ≡ Σ f·lit(w) reduce, on the real feature vector
+    val lf = Classify.labeledFeatures(docs)
+    val w = Array(0.25, -1.5, 3.0, 0.0, -0.125)
+    val viaLits = Classify.featureVector.zip(w)
+      .map { case (f, wi) => f * lit(wi) }.reduce(_ + _)
+    val both = lf.select(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.WeightedSum(w,
+          Classify.featureVector.map(
+            org.apache.spark.sql.graft.ColumnBridge.expression))).as("a"),
+      viaLits.as("b"))
+      .select((col("a") === col("b")).as("eq")).as[Boolean].collect()
+    assert(both.nonEmpty && both.forall(identity))
+  }
+
   test("pq codes are in range; full-rerank IVF-PQ equals exact-scored IVF") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(120).cache()
