@@ -219,6 +219,226 @@ case class NearestCodes(books: Array[Array[Array[Double]]], child: Expression)
     copy(child = newChild)
 }
 
+/** Argmax IVF cell of one embedding against the centroid table, returned
+  * as the winning struct `(s: best dot, i: cell)`.
+  *
+  * Replaces `array_max(array(struct(dot(typedLit(c), emb), lit(i)) …))`
+  * — numCells inline literal vectors whose generated source differs for
+  * every centroid set, so the kmeans Lloyd loop re-janino-compiled its
+  * assignment stage EVERY iteration and every retrain/serve against a
+  * fresh quantizer missed the codegen cache (the same two costs
+  * [[NearestCodes]] fixed for PQ). The centroids travel as one reference
+  * object, so the generated source is byte-identical across centroid
+  * values and the fused method is a small nested loop instead of a
+  * numCells-way unrolled struct tree riding the C2 JIT cliff.
+  *
+  * Bit-exact contract with the form it replaces: score of cell i is
+  * `Σ_d cents[i][d]·v[d]` accumulated strictly left-to-right from 0.0
+  * (DotFold order); the winner is the struct-`array_max` rule — greatest
+  * score, ties to the LARGER cell id. Assumes finite embeddings (no NaN
+  * scores — the DotFold assumption; a left-fold dot from 0.0 can also
+  * never produce -0.0, so primitive comparisons match Spark's ordering).
+  * A row whose vector length differs from the centroid dimensionality
+  * yields null, like a mismatched DotFold.
+  */
+case class NearestCellScore(cents: Array[Array[Double]], child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  require(cents.nonEmpty, "centroids must be non-empty")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", DoubleType, nullable = false),
+    StructField("i", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires an array<float|double> input, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val dim: Int = cents.head.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val isF = elemIsFloat
+    var best = 0.0
+    var bi = 0
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += ct(d) * x
+        d += 1
+      }
+      if (c == 0 || acc >= best) { best = acc; bi = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bi))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val get = if (elemIsFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val ct = ctx.freshName("ct")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = 0.0; int $bi = 0;
+         |  for (int $c = 0; $c < $centsRef.length; $c++) {
+         |    final double[] $ct = $centsRef[$c];
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += $ct[$d] * $get($d);
+         |    }
+         |    if ($c == 0 || $acc >= $best) { $best = $acc; $bi = $c; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ java.lang.Double.valueOf($best), java.lang.Integer.valueOf($bi) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellScore =
+    copy(child = newChild)
+}
+
+/** Top-k probe cells of one embedding, ordered by (score desc, cell desc).
+  *
+  * Replaces `transform(slice(reverse(array_sort(cellScores(…))), 1, k),
+  * s -> s.i)` — the multi-probe cell list — with one bounded
+  * insertion-select loop whose centroids ride as a reference object (same
+  * cache/JIT rationale as [[NearestCellScore]]). Order contract is the
+  * reversed ascending struct sort it replaces: descending score, ties to
+  * the LARGER cell id first. Scores are DotFold-order left folds; same
+  * finite-embedding assumptions as [[NearestCellScore]]; length mismatch
+  * yields null.
+  */
+case class TopCells(cents: Array[Array[Double]], k: Int, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.IntegerType
+
+  require(cents.nonEmpty, "centroids must be non-empty")
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_cells requires an array<float|double> input, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val dim: Int = cents.head.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val isF = elemIsFloat
+    val cap = math.min(k, cents.length)
+    val topS = new Array[Double](cap)
+    val topI = new Array[Int](cap)
+    var cnt = 0
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += ct(d) * x
+        d += 1
+      }
+      // insertion position: before every entry with score <= acc (equal
+      // scores — this candidate has the larger cell id, so it goes first)
+      var pos = cnt
+      while (pos > 0 && acc >= topS(pos - 1)) pos -= 1
+      if (pos < cap) {
+        var j = math.min(cnt, cap - 1)
+        while (j > pos) { topS(j) = topS(j - 1); topI(j) = topI(j - 1); j -= 1 }
+        topS(pos) = acc
+        topI(pos) = c
+        if (cnt < cap) cnt += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topI, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val get = if (elemIsFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      val cap = ctx.freshName("cap")
+      val topS = ctx.freshName("topS")
+      val topI = ctx.freshName("topI")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val ct = ctx.freshName("ct")
+      val acc = ctx.freshName("acc")
+      val pos = ctx.freshName("pos")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $cap = java.lang.Math.min($k, $centsRef.length);
+         |  final double[] $topS = new double[$cap];
+         |  final int[] $topI = new int[$cap];
+         |  int $cnt = 0;
+         |  for (int $c = 0; $c < $centsRef.length; $c++) {
+         |    final double[] $ct = $centsRef[$c];
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += $ct[$d] * $get($d);
+         |    }
+         |    int $pos = $cnt;
+         |    while ($pos > 0 && $acc >= $topS[$pos - 1]) $pos--;
+         |    if ($pos < $cap) {
+         |      for (int $j = java.lang.Math.min($cnt, $cap - 1); $j > $pos; $j--) {
+         |        $topS[$j] = $topS[$j - 1]; $topI[$j] = $topI[$j - 1];
+         |      }
+         |      $topS[$pos] = $acc;
+         |      $topI[$pos] = $c;
+         |      if ($cnt < $cap) $cnt++;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($topI, $cnt));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+}
+
 /** Constant-weight linear combination `Σ w_i · f_i` over feature columns.
   *
   * Replaces `feats.zip(w).map{ (f, wi) => f * lit(wi) }.reduce(_ + _)`:

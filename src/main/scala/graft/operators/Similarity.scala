@@ -290,17 +290,42 @@ object Similarity {
     if (n == 0) v else v.map(_ / n)
   }
 
-  /** Scored (cosine ∝ dot against unit centroids) struct array — shared by
-    * assignment (argmax) and probing (top-nprobe).
+  /** Scored (cosine ∝ dot against unit centroids) struct array.
+    * (Retained for the specs that prove [[NearestCellScore]]/[[TopCells]]
+    * equivalent; the operators assign via [[bestCell]] and probe via
+    * [[topCells]] — compact reference-object codegen loops instead of
+    * numCells inline literal vectors whose source changed with every
+    * centroid set, defeating the codegen cache on each kmeans iteration /
+    * retrain and riding the C2 JIT cliff at ≥100 centroids.)
     */
-  private def cellScores(emb: Column, cents: Array[Array[Double]]): Column =
+  private[operators] def cellScores(emb: Column, cents: Array[Array[Double]]): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
       struct(dot(typedLit(c.toSeq), emb).as("s"), lit(i).as("i"))
     }: _*)
 
+  /** Winning (s: dot, i: cell) struct — `array_max(cellScores(…))` as one
+    * constant-carrying codegen loop (bit-exact contract in
+    * [[graft.functions.expressions.NearestCellScore]]).
+    */
+  private[operators] def bestCell(emb: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.NearestCellScore(cents,
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb)))
+
+  /** Top-nprobe cell ids, (score desc, cell desc) —
+    * `transform(slice(reverse(array_sort(cellScores(…))), 1, k), _.i)` as
+    * one constant-carrying codegen loop
+    * ([[graft.functions.expressions.TopCells]]).
+    */
+  private[operators] def topCells(
+      emb: Column, cents: Array[Array[Double]], k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.TopCells(cents, k,
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb)))
+
   /** Argmax cell for one embedding (struct max: score, then index). */
   private def nearestCell(emb: Column, cents: Array[Array[Double]]): Column =
-    array_max(cellScores(emb, cents)).getField("i")
+    bestCell(emb, cents).getField("i")
 
   /** Enforcement for the broadcast query-serving shape's SMALL-PROBE
     * contract (previously documentation-only: a corpus-sized `queryPred`
@@ -388,9 +413,7 @@ object Similarity {
     val queries = e
       .filter(queryPred)
       .select(col("vec_id").as("query_id"),
-        explode(transform(
-          slice(reverse(array_sort(cellScores(col("embedding"), cents))), 1, nprobe),
-          s => s.getField("i"))).as("cell"),
+        explode(topCells(col("embedding"), cents, nprobe)).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
     val joined =
       // the small-probe contract is ENFORCED, not assumed: an oversized
@@ -504,9 +527,7 @@ object Similarity {
       else queryVecs.withColumn("nrm", norm(col("embedding")))
     val queries = qv
       .select(col("query_id"),
-        explode(transform(
-          slice(reverse(array_sort(cellScores(col("embedding"), cents))), 1, nprobe),
-          s => s.getField("i"))).as("cell"),
+        explode(topCells(col("embedding"), cents, nprobe)).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
     val joined =
       if (broadcastQueries && fitsBroadcast(queries, maxBroadcastProbes)) {
@@ -1277,7 +1298,7 @@ object Similarity {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val normsC = centroids.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
     withNorm(embeddings)
-      .withColumn("best", array_max(cellScores(col("embedding"), centroids)))
+      .withColumn("best", bestCell(col("embedding"), centroids))
       .withColumn("cell", col("best").getField("i"))
       .withColumn("proto_cosine",
         col("best").getField("s") /

@@ -1455,6 +1455,47 @@ class TextOpsSpec extends SparkSpec {
     assert(both.nonEmpty && both.forall(identity))
   }
 
+  test("NearestCellScore/TopCells ≡ the cellScores literal forms, bit-for-bit " +
+    "(argmax struct, probe order incl. ties)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150).cache()
+    val cents = Similarity.kmeansCentroids(emb, numCells = 17, iters = 1, salt = "nceq2")
+    // argmax struct: same winning (s, i) as array_max over the literal array
+    val legacyBest = emb.select(col("vec_id"),
+      array_max(Similarity.cellScores(col("embedding"), cents)).as("best"))
+      .orderBy("vec_id").select(col("best.s"), col("best.i"))
+      .as[(Double, Int)].collect().toSeq
+    val fusedBest = emb.select(col("vec_id"),
+      Similarity.bestCell(col("embedding"), cents).as("best"))
+      .orderBy("vec_id").select(col("best.s"), col("best.i"))
+      .as[(Double, Int)].collect().toSeq
+    assert(fusedBest === legacyBest)
+    // probe list: same ids in the same order as the reversed ascending sort
+    val nprobe = 5
+    val legacyProbe = emb.select(col("vec_id"),
+      transform(
+        slice(reverse(array_sort(Similarity.cellScores(col("embedding"), cents))),
+          1, nprobe),
+        s => s.getField("i")).as("cells"))
+      .orderBy("vec_id").select("cells").as[Seq[Int]].collect().toSeq
+    val fusedProbe = emb.select(col("vec_id"),
+      Similarity.topCells(col("embedding"), cents, nprobe).as("cells"))
+      .orderBy("vec_id").select("cells").as[Seq[Int]].collect().toSeq
+    assert(fusedProbe === legacyProbe)
+    // tie rule: identical centroids — argmax picks the LARGER cell id and
+    // the probe list orders equal scores by descending id, as the struct
+    // sort did
+    val tieCents = Array.fill(3)(Array.fill(Similarity.Dim)(0.25))
+    val tieBest = emb.limit(5)
+      .select(Similarity.bestCell(col("embedding"), tieCents).getField("i"))
+      .as[Int].collect()
+    assert(tieBest.forall(_ == 2))
+    val tieProbe = emb.limit(5)
+      .select(Similarity.topCells(col("embedding"), tieCents, 2))
+      .as[Seq[Int]].collect()
+    assert(tieProbe.forall(_ === Seq(2, 1)))
+  }
+
   test("pq codes are in range; full-rerank IVF-PQ equals exact-scored IVF") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(120).cache()
