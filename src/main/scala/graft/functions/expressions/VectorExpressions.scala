@@ -520,6 +520,110 @@ case class WeightedSum(weights: Array[Double], children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Asymmetric-distance (ADC) PQ score of a query embedding against one
+  * row's code vector: `Σ_s Σ_d emb[s·sub+d] · books[s][codes[s]][d]`.
+  *
+  * Replaces the `Σ_s dot(slice(emb, …), element_at(typedLit(books(s)), …))`
+  * chain — m inline literal codebook TABLES in the generated source, so
+  * every freshly trained codebook produced different whole-stage source
+  * (codegen cache could never hit across train/serve invocations) and the
+  * fused method carried m·ksub·sub literal doubles (the C2 JIT cliff).
+  * The codebooks ride as one reference object; source is byte-identical
+  * across codebook values.
+  *
+  * Bit-exact contract with the chain it replaces: per subspace s the
+  * partial is a DotFold left fold from 0.0 over the s-th slice (products
+  * commute bit-exactly, so `emb·book ≡ book·emb`); subspace partials sum
+  * strictly left-to-right (the `reduce(_ + _)` association). Null if
+  * either input is null; a vector whose length differs from m·sub yields
+  * null, like a mismatched DotFold (embeddings are fixed-Dim by
+  * construction). Codes must index inside the codebook (they come from
+  * [[NearestCodes]] by construction).
+  */
+case class AdcScore(
+    books: Array[Array[Array[Double]]], left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  require(books.nonEmpty, "codebooks must be non-empty")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(IntegerType, _))
+        if lt == FloatType || lt == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adc_score requires (array<float|double>, array<int>) inputs, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val sub: Int = books.head.head.length
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cs = r.asInstanceOf[ArrayData]
+    val m = books.length
+    if (v.numElements() != m * sub || cs.numElements() != m) return null
+    val isF = elemIsFloat
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val row = books(s)(cs.getInt(s))
+      var part = 0.0
+      var d = 0
+      val off = s * sub
+      while (d < sub) {
+        val x = if (isF) v.getFloat(off + d).toDouble else v.getDouble(off + d)
+        part += x * row(d)
+        d += 1
+      }
+      acc = if (s == 0) part else acc + part
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+      val get = if (elemIsFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val part = ctx.freshName("part")
+      val off = ctx.freshName("off")
+      s"""
+         |final int $m = $booksRef.length;
+         |if ($v.numElements() != $m * $sub || $cs.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    final double[] $row = $booksRef[$s][$cs.getInt($s)];
+         |    final int $off = $s * $sub;
+         |    double $part = 0.0;
+         |    for (int $d = 0; $d < $sub; $d++) {
+         |      $part += $get($off + $d) * $row[$d];
+         |    }
+         |    $acc = ($s == 0) ? $part : $acc + $part;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection size of two SORTED distinct string arrays, by merge scan.
   *
   * `array_intersect` builds a hash set per invocation — at millions of

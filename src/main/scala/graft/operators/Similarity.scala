@@ -630,6 +630,29 @@ object Similarity {
       graft.functions.expressions.NearestCodes(books,
         org.apache.spark.sql.graft.ColumnBridge.expression(emb)))
 
+  /** ADC score of a query embedding against a stored code vector —
+    * [[graft.functions.expressions.AdcScore]] (bit-exact contract in its
+    * scaladoc: per-subspace DotFold folds, left-to-right subspace sum).
+    */
+  private[operators] def adcScore(
+      books: Array[Array[Array[Double]]], emb: Column, codes: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.AdcScore(books,
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb),
+        org.apache.spark.sql.graft.ColumnBridge.expression(codes)))
+
+  /** The literal-table ADC chain [[adcScore]] replaces — retained for the
+    * spec that proves the fused expression bit-identical.
+    */
+  private[operators] def adcScoreLegacy(
+      books: Array[Array[Array[Double]]], emb: Column, codes: Column): Column = {
+    val sub = Dim / books.length
+    books.indices.map { s =>
+      dot(slice(emb, s * sub + 1, sub),
+        element_at(typedLit(books(s).map(_.toSeq).toSeq), codes(s) + 1))
+    }.reduce(_ + _)
+  }
+
   /** PQ encode: the m codes per vector — m bytes of payload per row
     * against 4·Dim for float32 (32× at m=8, Dim=64). This is the table a
     * 100 TB ANN deployment materializes once and scans instead of the
@@ -713,10 +736,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         srpCode(col("embedding"), 0, cellBits).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
-    val adc = (0 until m).map { s =>
-      dot(slice(col("emb_q"), s * sub + 1, sub),
-        element_at(typedLit(books(s).map(_.toSeq).toSeq), col("codes")(s) + 1))
-    }.reduce(_ + _)
+    val adc = adcScore(books, col("emb_q"), col("codes"))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     corpus
@@ -820,10 +840,7 @@ object Similarity {
       .select(col("query_id"),
         srpCode(col("embedding"), 0, cellBits).as("cell"),
         col("embedding").as("emb_q"), col("nrm").as("nrm_q"))
-    val adc = (0 until m).map { s =>
-      dot(slice(col("emb_q"), s * sub + 1, sub),
-        element_at(typedLit(books(s).map(_.toSeq).toSeq), col("codes")(s) + 1))
-    }.reduce(_ + _)
+    val adc = adcScore(books, col("emb_q"), col("codes"))
     val joined =
       if (broadcastQueries && fitsBroadcast(queries, maxBroadcastProbes)) {
         val probed = queries.select(col("cell")).distinct().collect().map(_.get(0))

@@ -1496,6 +1496,20 @@ class TextOpsSpec extends SparkSpec {
     assert(tieProbe.forall(_ === Seq(2, 1)))
   }
 
+  test("AdcScore expression ≡ the literal-table ADC chain, bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150).cache()
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 1, salt = "adceq")
+    val coded = Similarity.pqEncode(emb, books)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("codes"))
+    val both = coded.select(
+      Similarity.adcScore(books, col("embedding"), col("codes")).as("a"),
+      Similarity.adcScoreLegacy(books, col("embedding"), col("codes")).as("b"))
+      .select((col("a") === col("b")).as("eq")).as[Boolean].collect()
+    assert(both.nonEmpty && both.forall(identity))
+  }
+
   test("pq codes are in range; full-rerank IVF-PQ equals exact-scored IVF") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(120).cache()
