@@ -2010,10 +2010,18 @@ object Similarity {
     }
     val emb = spark.read.parquet(s"$inDir/assigned")
       .select(col("vec_id"), col("embedding"))
-    saveIvfAssigned(spark, outDir, assignIvfCells(emb, next), next)
+    // one materialized assignment pass feeds BOTH the store rewrite and
+    // the fresh stats (the retrainPqStore pin pattern): deriving stats
+    // from the pin instead of re-reading `<outDir>/assigned` drops a full
+    // second pass over the fat embedding column — at 100 TB that re-read
+    // is corpus-sized I/O for zero new information. cellStats sums are
+    // exact DECIMAL (order-independent), so pin-derived state ≡
+    // store-read state bit-for-bit.
+    val assigned = Pins.pin(assignIvfCells(emb, next))
+    saveIvfAssigned(spark, outDir, assigned, next)
     saveIvfIndex(spark, outDir, next, Some(cellStatsFromAssigned(
-      spark.read.parquet(s"$outDir/assigned")
-        .select(col("cell"), col("embedding")))))
+      assigned.select(col("cell"), col("embedding")))))
+    Pins.release(assigned)
     next
   }
 

@@ -990,7 +990,7 @@ object TextAnalysis {
     val dl = docLengths(docs)
     // the saveBm25Index layout rules carry over: dl denormalized onto
     // every posting row, 1-row stats sidecar, doclen as source of truth
-    bucketedPostings(buildBm25Positional(docs).join(dl, Seq("doc_id")))
+    bucketedPostingsOnePass(docs, positional = true)
       .write.mode("overwrite")
       .partitionBy("tok_bucket").parquet(s"$dir/postings_pos")
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
@@ -1323,6 +1323,58 @@ object TextAnalysis {
       .repartition(col("tok_bucket"), col("tok"))
       .sortWithinPartitions(col("tok"))
 
+  /** ONE-shuffle build of the dl-denormalized, bucket-laid-out postings
+    * the save/append paths write — replaces the three-exchange chain
+    * `build → join(doclen) → bucketedPostings` (groupBy(doc_id, tok)
+    * shuffle + doc_id join shuffle + (tok_bucket, tok) write shuffle):
+    *
+    *   - `dl` is attached INLINE before the explode (`size(toks)`, the
+    *     value docLengths computes), so the corpus-sized doc_id join
+    *     disappears — the build-time denormalization the Lucene-norms
+    *     layout pays is now a projection, not an exchange;
+    *   - the explode repartitions by `tok` FIRST; `tok ⊂ {doc_id, tok}`
+    *     satisfies the aggregation's clustering, so the groupBy reuses
+    *     that one exchange — and the write needs no further shuffle
+    *     because every tok (hence every row of a tok_bucket file) is
+    *     already colocated, exactly the repartition(tok_bucket, tok)
+    *     placement: one tok lives in one file, as before.
+    *
+    * Layout contract unchanged: rows sort by (tok_bucket, tok) within
+    * each task — the explicit tok_bucket prefix means the partitioned
+    * writer's required ordering is already satisfied and it inserts no
+    * sort of its own (the previous form relied on the writer's
+    * partition-column sort being stable above a tok-only sort); files
+    * stay tok-sorted for row-group min/max pruning. Skew note: a hot
+    * token concentrates its postings in one task here, but that is the
+    * placement the (tok_bucket, tok) write repartition already forced —
+    * the same rows met the same single task at the sort, now they meet
+    * it at the aggregation.
+    *
+    * `tokens(text)` materializes in its own projection (the shingleSets
+    * HOF rule): `size` and the generator both reference it, and inlining
+    * would tokenize twice per row.
+    */
+  private def bucketedPostingsOnePass(
+      docs: DataFrame, positional: Boolean): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .repartition(col("tok"))
+    val agg =
+      if (positional)
+        ex.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("ps"),
+            max(col("dl")).as("dl"))
+      else
+        ex.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    agg
+      .withColumn("tok_bucket", pmod(h60(col("tok")), lit(Bm25Buckets.toLong)))
+      .sortWithinPartitions(col("tok_bucket"), col("tok"))
+  }
+
   /** Persist [[buildBm25Index]] as `<dir>/postings` + `<dir>/doclen` +
     * `<dir>/stats` parquet (BIGINT/VARCHAR only — trivially
     * engine-portable): postings PARTITIONED BY `tok_bucket` with
@@ -1343,8 +1395,10 @@ object TextAnalysis {
     */
   def saveBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
-    val (postings, dl) = buildBm25Index(docs)
-    bucketedPostings(postings.join(dl, Seq("doc_id"))).write.mode("overwrite")
+    val dl = docLengths(docs)
+    // one-shuffle postings build (dl denormalized inline, no doc_id join,
+    // no separate write repartition) — see bucketedPostingsOnePass
+    bucketedPostingsOnePass(docs, positional = false).write.mode("overwrite")
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("overwrite").parquet(s"$dir/doclen")
     corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
@@ -1496,8 +1550,8 @@ object TextAnalysis {
         s"store at $dir has postings but no stats sidecar — rebuild it " +
           "with saveBm25Index before appending")
     }
-    val (postings, dl) = buildBm25Index(batch)
-    bucketedPostings(postings.join(dl, Seq("doc_id"))).write.mode("append")
+    val dl = docLengths(batch)
+    bucketedPostingsOnePass(batch, positional = false).write.mode("append")
       .partitionBy("tok_bucket").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/doclen")
     // one appended row per batch; loadBm25Stats sums them (mergeable
@@ -1535,7 +1589,7 @@ object TextAnalysis {
           "rebuild it with saveBm25Positional before appending")
     }
     val dl = docLengths(batch)
-    bucketedPostings(buildBm25Positional(batch).join(dl, Seq("doc_id")))
+    bucketedPostingsOnePass(batch, positional = true)
       .write.mode("append").partitionBy("tok_bucket")
       .parquet(s"$dir/postings_pos")
     dl.write.mode("append").parquet(s"$dir/doclen")

@@ -1786,6 +1786,42 @@ class TextOpsSpec extends SparkSpec {
     assert(none.map(_._4) === Seq("the secret key the", "the cat", "the cat sat"))
   }
 
+  test("one-pass store build ≡ the build→join(doclen)→bucket chain: same rows, " +
+    "files still tok-sorted per bucket") {
+    val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"),
+      (5L, "z x p q y z"), (6L, "q"))
+      .toDF("doc_id", "text")
+    val wd = java.nio.file.Files.createTempDirectory("bm25onepass").toString
+    TextAnalysis.saveBm25Index(spark, s"$wd/tf", d)
+    TextAnalysis.saveBm25Positional(spark, s"$wd/pos", d)
+    // legacy semantics: postings joined with (doc_id, dl)
+    val (p, dl) = TextAnalysis.buildBm25Index(d)
+    val wantTf = p.join(dl, Seq("doc_id"))
+      .select("doc_id", "tok", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val gotTf = spark.read.parquet(s"$wd/tf/postings")
+      .select("doc_id", "tok", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(gotTf === wantTf)
+    val wantPos = TextAnalysis.buildBm25Positional(d).join(dl, Seq("doc_id"))
+      .select("doc_id", "tok", "tf", "ps", "dl")
+      .as[(Long, String, Long, Seq[Int], Long)].collect().toSet
+    val gotPos = spark.read.parquet(s"$wd/pos/postings_pos")
+      .select("doc_id", "tok", "tf", "ps", "dl")
+      .as[(Long, String, Long, Seq[Int], Long)].collect().toSet
+    assert(gotPos === wantPos)
+    dl.unpersist(blocking = false)
+    // layout contract: every file tok-sorted (row-group min/max pruning)
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$wd/tf/postings"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val toks = spark.read.parquet(f.toString).select("tok").as[String].collect().toSeq
+      assert(toks === toks.sorted, s"file $f not tok-sorted")
+    }
+  }
+
   test("BM25 index lifecycle: build → save → load → serve equals the corpus scan") {
     val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
       .toDF("doc_id", "text")
