@@ -1931,10 +1931,14 @@ object Similarity {
     val (_, cellBits) = readStoreMeta(spark, s"$inDir/codes_meta", "PQ code store")
     val encoded = Pins.pin(
       encodePqCodes(embeddings, next, cellBits, keepEmbedding = true))
-    savePqCodes(spark, outDir,
-      encoded.select(col("vec_id"), col("cell"), col("codes")), next, cellBits)
-    savePqBooks(spark, outDir, next,
-      Some(pqSubspaceStatsFromCodes(encoded, next.length)))
+    // both outputs read the one pinned encode pass — overlapped
+    // (guide §2.6): the metadata-sized books/stats job back-fills the
+    // code-store write's task tail
+    graft.operators.Par.run(
+      () => savePqCodes(spark, outDir,
+        encoded.select(col("vec_id"), col("cell"), col("codes")), next, cellBits),
+      () => savePqBooks(spark, outDir, next,
+        Some(pqSubspaceStatsFromCodes(encoded, next.length))))
     Pins.release(encoded)
     next
   }
@@ -2018,9 +2022,12 @@ object Similarity {
     // exact DECIMAL (order-independent), so pin-derived state ≡
     // store-read state bit-for-bit.
     val assigned = Pins.pin(assignIvfCells(emb, next))
-    saveIvfAssigned(spark, outDir, assigned, next)
-    saveIvfIndex(spark, outDir, next, Some(cellStatsFromAssigned(
-      assigned.select(col("cell"), col("embedding")))))
+    // both outputs read the one pinned assignment — overlapped
+    // (guide §2.6), as in retrainPqStore
+    graft.operators.Par.run(
+      () => saveIvfAssigned(spark, outDir, assigned, next),
+      () => saveIvfIndex(spark, outDir, next, Some(cellStatsFromAssigned(
+        assigned.select(col("cell"), col("embedding"))))))
     Pins.release(assigned)
     next
   }

@@ -989,12 +989,16 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
     val dl = docLengths(docs)
     // the saveBm25Index layout rules carry over: dl denormalized onto
-    // every posting row, 1-row stats sidecar, doclen as source of truth
-    bucketedPostingsOnePass(docs, positional = true)
-      .write.mode("overwrite")
-      .partitionBy("tok_bucket").parquet(s"$dir/postings_pos")
-    dl.write.mode("overwrite").parquet(s"$dir/doclen")
-    corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // every posting row, 1-row stats sidecar, doclen as source of truth;
+    // the two output chains overlap as in saveBm25Index (guide §2.6)
+    Par.run(
+      () => bucketedPostingsOnePass(docs, positional = true)
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket").parquet(s"$dir/postings_pos"),
+      () => {
+        dl.write.mode("overwrite").parquet(s"$dir/doclen")
+        corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      })
     Pins.release(dl)
   }
 
@@ -1397,11 +1401,18 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
     val dl = docLengths(docs)
     // one-shuffle postings build (dl denormalized inline, no doc_id join,
-    // no separate write repartition) — see bucketedPostingsOnePass
-    bucketedPostingsOnePass(docs, positional = false).write.mode("overwrite")
-      .partitionBy("tok_bucket").parquet(s"$dir/postings")
-    dl.write.mode("overwrite").parquet(s"$dir/doclen")
-    corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // no separate write repartition) — see bucketedPostingsOnePass. The
+    // postings write and the doclen→stats writes are independent once dl
+    // is pinned, so they overlap (guide §2.6) — the doclen/stats jobs
+    // back-fill the postings write's task tail.
+    Par.run(
+      () => bucketedPostingsOnePass(docs, positional = false)
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket").parquet(s"$dir/postings"),
+      () => {
+        dl.write.mode("overwrite").parquet(s"$dir/doclen")
+        corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      })
     Pins.release(dl)
   }
 
@@ -1551,15 +1562,25 @@ object TextAnalysis {
           "with saveBm25Index before appending")
     }
     val dl = docLengths(batch)
-    bucketedPostingsOnePass(batch, positional = false).write.mode("append")
-      .partitionBy("tok_bucket").parquet(s"$dir/postings")
-    dl.write.mode("append").parquet(s"$dir/doclen")
-    // one appended row per batch; loadBm25Stats sums them (mergeable
-    // state — no file a live reader holds is ever overwritten). Write
-    // order postings → doclen → stats means a crash leaves either
-    // postings ahead of doclen or stats behind doclen —
-    // [[verifyBm25Stats]] reconciles all three tables and catches both.
-    corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    // one appended stats row per batch; loadBm25Stats sums them
+    // (mergeable state — no file a live reader holds is ever
+    // overwritten). The postings append overlaps the doclen → stats
+    // chain (guide §2.6; dl is pinned, so both threads read one
+    // materialization). Crash analysis: whichever writes land, every
+    // torn combination leaves some PAIR of the three tables
+    // inconsistent — stats behind/ahead of doclen fails the
+    // sidecar ↔ doclen reconciliation, and postings behind/ahead of
+    // doclen fails the postings ↔ doclen one — so [[verifyBm25Stats]]
+    // catches every crash state, exactly as it did under the strictly
+    // ordered write chain.
+    Par.run(
+      () => bucketedPostingsOnePass(batch, positional = false)
+        .write.mode("append")
+        .partitionBy("tok_bucket").parquet(s"$dir/postings"),
+      () => {
+        dl.write.mode("append").parquet(s"$dir/doclen")
+        corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      })
     Pins.release(dl)
   }
 
@@ -1589,11 +1610,15 @@ object TextAnalysis {
           "rebuild it with saveBm25Positional before appending")
     }
     val dl = docLengths(batch)
-    bucketedPostingsOnePass(batch, positional = true)
-      .write.mode("append").partitionBy("tok_bucket")
-      .parquet(s"$dir/postings_pos")
-    dl.write.mode("append").parquet(s"$dir/doclen")
-    corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    // overlapped append chains, same crash analysis as [[appendBm25Index]]
+    Par.run(
+      () => bucketedPostingsOnePass(batch, positional = true)
+        .write.mode("append").partitionBy("tok_bucket")
+        .parquet(s"$dir/postings_pos"),
+      () => {
+        dl.write.mode("append").parquet(s"$dir/doclen")
+        corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      })
     Pins.release(dl)
   }
 
@@ -1662,16 +1687,22 @@ object TextAnalysis {
       s"postings store at $inDir lacks the denormalized dl column — " +
         "rebuild it with saveBm25Index before deleting (legacy layout)")
     val hit = coalesce(pred, lit(false))
-    bucketedPostings(postings.filter(!hit)
-      .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
-      .write.mode("overwrite").partitionBy("tok_bucket")
-      .parquet(s"$outDir/postings")
     val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
       dl.withColumn("store", lit("bm25")), pred, Seq("store"), col("doc_id"))
-    survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
-    // survivor corpus stats re-derive from the new version's own doclen
-    corpusStats(spark.read.parquet(s"$outDir/doclen"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+    // survivor postings rewrite and the doclen → stats chain are
+    // independent reads of the (immutable) v1 store — overlapped
+    // (guide §2.6)
+    Par.run(
+      () => bucketedPostings(postings.filter(!hit)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
+        .write.mode("overwrite").partitionBy("tok_bucket")
+        .parquet(s"$outDir/postings"),
+      () => {
+        survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
+        // survivor corpus stats re-derive from the new version's own doclen
+        corpusStats(spark.read.parquet(s"$outDir/doclen"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+      })
     audit
   }
 
@@ -1699,15 +1730,19 @@ object TextAnalysis {
       s"positional store at $inDir lacks the denormalized dl column — " +
         "rebuild it with saveBm25Positional before deleting (legacy layout)")
     val hit = coalesce(pred, lit(false))
-    bucketedPostings(postingsPos.filter(!hit)
-      .select(col("doc_id"), col("tok"), col("tf"), col("ps"), col("dl")))
-      .write.mode("overwrite").partitionBy("tok_bucket")
-      .parquet(s"$outDir/postings_pos")
     val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
       dl.withColumn("store", lit("bm25_pos")), pred, Seq("store"), col("doc_id"))
-    survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
-    corpusStats(spark.read.parquet(s"$outDir/doclen"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+    // overlapped as in [[deleteFromBm25Index]]
+    Par.run(
+      () => bucketedPostings(postingsPos.filter(!hit)
+        .select(col("doc_id"), col("tok"), col("tf"), col("ps"), col("dl")))
+        .write.mode("overwrite").partitionBy("tok_bucket")
+        .parquet(s"$outDir/postings_pos"),
+      () => {
+        survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
+        corpusStats(spark.read.parquet(s"$outDir/doclen"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+      })
     audit
   }
 
