@@ -1321,16 +1321,11 @@ object TextAnalysis {
     */
   val Bm25Buckets = 64
 
-  private def bucketedPostings(postings: DataFrame): DataFrame =
-    postings
-      .withColumn("tok_bucket", pmod(h60(col("tok")), lit(Bm25Buckets.toLong)))
-      .repartition(col("tok_bucket"), col("tok"))
-      .sortWithinPartitions(col("tok"))
-
   /** ONE-shuffle build of the dl-denormalized, bucket-laid-out postings
-    * the save/append paths write — replaces the three-exchange chain
-    * `build → join(doclen) → bucketedPostings` (groupBy(doc_id, tok)
-    * shuffle + doc_id join shuffle + (tok_bucket, tok) write shuffle):
+    * the save/append paths write — replaces the previous three-exchange
+    * chain `build → join(doclen) → repartition(tok_bucket, tok)`
+    * (groupBy(doc_id, tok) shuffle + doc_id join shuffle +
+    * (tok_bucket, tok) write shuffle):
     *
     *   - `dl` is attached INLINE before the explode (`size(toks)`, the
     *     value docLengths computes), so the corpus-sized doc_id join
@@ -1691,10 +1686,18 @@ object TextAnalysis {
       dl.withColumn("store", lit("bm25")), pred, Seq("store"), col("doc_id"))
     // survivor postings rewrite and the doclen → stats chain are
     // independent reads of the (immutable) v1 store — overlapped
-    // (guide §2.6)
+    // (guide §2.6). The rewrite is SHUFFLE-FREE: the v1 store is already
+    // tok_bucket-partitioned with tok-sorted files, and a row filter
+    // preserves both, so survivors keep their stored bucket column and
+    // only re-sort locally (a task that concatenated several input files
+    // must restore the per-file order) — the previous form re-shuffled
+    // the entire surviving corpus through repartition(tok_bucket, tok)
+    // to recompute a layout it already had.
     Par.run(
-      () => bucketedPostings(postings.filter(!hit)
-        .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
+      () => postings.filter(!hit)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"),
+          col("tok_bucket"))
+        .sortWithinPartitions(col("tok_bucket"), col("tok"))
         .write.mode("overwrite").partitionBy("tok_bucket")
         .parquet(s"$outDir/postings"),
       () => {
@@ -1732,10 +1735,12 @@ object TextAnalysis {
     val hit = coalesce(pred, lit(false))
     val (survDl, audit) = graft.streaming.Maintenance.deleteWhere(
       dl.withColumn("store", lit("bm25_pos")), pred, Seq("store"), col("doc_id"))
-    // overlapped as in [[deleteFromBm25Index]]
+    // overlapped and shuffle-free as in [[deleteFromBm25Index]]
     Par.run(
-      () => bucketedPostings(postingsPos.filter(!hit)
-        .select(col("doc_id"), col("tok"), col("tf"), col("ps"), col("dl")))
+      () => postingsPos.filter(!hit)
+        .select(col("doc_id"), col("tok"), col("tf"), col("ps"), col("dl"),
+          col("tok_bucket"))
+        .sortWithinPartitions(col("tok_bucket"), col("tok"))
         .write.mode("overwrite").partitionBy("tok_bucket")
         .parquet(s"$outDir/postings_pos"),
       () => {
