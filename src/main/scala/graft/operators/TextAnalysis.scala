@@ -1353,7 +1353,7 @@ object TextAnalysis {
     * HOF rule): `size` and the generator both reference it, and inlining
     * would tokenize twice per row.
     */
-  private def bucketedPostingsOnePass(
+  private[operators] def bucketedPostingsOnePass(
       docs: DataFrame, positional: Boolean): DataFrame = {
     val ex = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))

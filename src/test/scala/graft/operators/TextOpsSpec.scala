@@ -1811,6 +1811,15 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Seq[Int], Long)].collect().toSet
     assert(gotPos === wantPos)
     dl.unpersist(blocking = false)
+    // plan contract: the one-pass build moves the corpus through exactly
+    // ONE exchange (the tok repartition the aggregation reuses) — the
+    // legacy chain paid three (groupBy shuffle + doc_id join shuffle +
+    // (tok_bucket, tok) write repartition)
+    val buildPlan = TextAnalysis.bucketedPostingsOnePass(d, positional = false)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "(?m)^.*Exchange".r.findAllIn(buildPlan).size
+    assert(nExchanges == 1,
+      s"one-pass postings build must have exactly 1 Exchange, got $nExchanges:\n$buildPlan")
     // layout contract: every file tok-sorted (row-group min/max pruning)
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$wd/tf/postings"))
