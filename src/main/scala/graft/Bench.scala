@@ -192,9 +192,18 @@ object Bench {
       .map(_.collect { case (_, v) if v >= 0 => v }.sum)
       .mkString("[", ",", "]")
     val sentinelJson = sentinels.mkString("[", ",", "]")
+    // core-count contract, verifiable from the output alone (r17 verdict
+    // item: the driver's scaling probe could not see which core count
+    // actually applied and had to guess): echo the env-derived cpus, the
+    // master string actually used, and the scheduler's defaultParallelism.
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else q(cpus)
+    val contract =
+      s""""cpus":$cpusJson,"master":${q(spark.sparkContext.master)},""" +
+        s""""default_parallelism":${spark.sparkContext.defaultParallelism},"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(timings)},""" +
         s""""runs":$runs,"pass_totals":$passTotals,"queries_median":${obj(medians)},""" +
+        contract +
         s""""sentinel_ms":$sentinelJson,""" +
         s""""shuffle_read_bytes":${objL(shufRead.toSeq)},""" +
         s""""shuffle_write_bytes":${objL(shufWrite.toSeq)},""" +
@@ -215,6 +224,7 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
         s""""runs":$runs,"pass_totals":$passTotals,"n_failed":${errors.size},""" +
+        contract +
         s""""sentinel_ms":$sentinelJson,""" +
         s""""sf":${q(sfDir)},"loadavg_before":$loadBefore,""" +
         s""""loadavg_after":${loadavg()},"slowest":${obj(slowest)},""" +

@@ -1566,29 +1566,46 @@ object Similarity {
     * of retraining per session. Both tables are metadata-sized
     * (cells × dim rows), written as one file each.
     */
+  /** Parquet schema of the driver-side centroid/codebook coordinate
+    * dumps: (index columns, coordinate) — see [[saveIvfIndex]] /
+    * [[savePqBooks]]. DOUBLE round-trips raw IEEE-754 bits, the same
+    * bit-exactness contract the Spark-written form carried.
+    */
+  private def coordSchema(idx: String*): org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      idx.map(c => s"required int32 $c;")
+        .mkString("message graft_coords { ", " ", " required double c; }"))
+
   def saveIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       cents: Array[Array[Double]],
       stats: Option[DataFrame] = None): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex
-      .flatMap { case (c, cell) => c.zipWithIndex.map { case (v, d) => (cell, d, v) } }
-      .toSeq.toDF("cell", "dim", "c")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // the coordinate rows already live on the driver (k×dim doubles) —
+    // dumped directly (TinyParquet), not through a distributed write job
+    graft.store.TinyParquet.writeGroups(spark, s"$dir/centroids",
+      coordSchema("cell", "dim"), f =>
+        cents.zipWithIndex.flatMap { case (c, cell) =>
+          c.zipWithIndex.map { case (v, d) =>
+            f.newGroup().append("cell", cell).append("dim", d).append("c", v)
+          }
+        }.toSeq)
     stats.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/cell_stats"))
   }
 
   /** Restore [[saveIvfIndex]]'s quantizer: the exact centroid array the
     * session that trained it held (cells must be 0..k-1 dense with a full
     * `Dim`-coordinate row set — enforced, a torn write fails loudly).
+    * Driver-side read ([[graft.store.TinyParquet]]): the table is k×dim
+    * metadata that was previously paying a schema-inference job plus a
+    * collect job per load.
     */
   def loadIvfCentroids(
       spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] = {
-    val rows = spark.read.parquet(s"$dir/centroids")
-      .select(col("cell").cast("int"), col("dim").cast("int"), col("c").cast("double"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val rows = graft.store.TinyParquet.readGroups(spark, s"$dir/centroids")
+      .map(g => (graft.store.TinyParquet.long(g, "cell").toInt,
+        graft.store.TinyParquet.long(g, "dim").toInt,
+        graft.store.TinyParquet.double(g, "c")))
     require(rows.nonEmpty, s"no centroids at $dir")
     val k = rows.map(_._1).max + 1
     val dim = rows.map(_._2).max + 1
@@ -1616,15 +1633,19 @@ object Similarity {
       dir: String,
       books: Array[Array[Array[Double]]],
       stats: Option[DataFrame] = None): Unit = {
-    import spark.implicits._
     stats.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/sub_stats"))
-    books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.flatMap { case (c, code) =>
-        c.zipWithIndex.map { case (v, d) => (s, code, d, v) }
-      }
-    }.toSeq.toDF("subspace", "code", "dim", "c")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    // m·ksub·sub driver-resident doubles — dumped directly (TinyParquet),
+    // not through a distributed write job; see saveIvfIndex
+    graft.store.TinyParquet.writeGroups(spark, s"$dir/codebooks",
+      coordSchema("subspace", "code", "dim"), f =>
+        books.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.flatMap { case (c, code) =>
+            c.zipWithIndex.map { case (v, d) =>
+              f.newGroup().append("subspace", s).append("code", code)
+                .append("dim", d).append("c", v)
+            }
+          }
+        }.toSeq)
   }
 
   /** Quantizer identity stamp: the first 15 md5 hex digits (the h60
@@ -1667,29 +1688,36 @@ object Similarity {
   /** One-row store-metadata sidecar: the quantizer stamp plus the cell
     * geometry the codes were derived under (`cell_bits` = −1 for stores
     * whose cell is a learned k-means assignment, not an SRP code).
+    * Written and read ON THE DRIVER ([[graft.store.TinyParquet]]) — two
+    * longs never justified a distributed write job plus a
+    * schema-inference + collect round trip per load, which the lifecycle
+    * JobProfiles showed as 3 of the ~40 sequential jobs in every
+    * store-building query. Still plain parquet on disk, same columns.
     */
+  private val storeMetaSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message graft_store_meta { required int64 qfp; required int64 cell_bits; }")
+
   private def writeStoreMeta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, qfp: Long, cellBits: Int): Unit = {
-    import spark.implicits._
-    Seq((qfp, cellBits.toLong)).toDF("qfp", "cell_bits")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+      path: String, qfp: Long, cellBits: Int): Unit =
+    graft.store.TinyParquet.writeGroups(spark, path, storeMetaSchema, f =>
+      Seq(f.newGroup().append("qfp", qfp).append("cell_bits", cellBits.toLong)))
 
   private def readStoreMeta(
       spark: org.apache.spark.sql.SparkSession,
       path: String, what: String): (Long, Int) = {
     val rows =
-      try spark.read.parquet(path)
-        .select(col("qfp").cast("long"), col("cell_bits").cast("long")).collect()
+      try graft.store.TinyParquet.readGroups(spark, path)
       catch {
-        case e: org.apache.spark.sql.AnalysisException =>
+        case e: java.io.FileNotFoundException =>
           throw new IllegalStateException(
             s"$what has no quantizer stamp at $path — rebuild the store " +
               "with its save* function before serving or appending", e)
       }
     require(rows.length == 1, s"torn store meta at $path: ${rows.length} rows")
-    (rows(0).getLong(0), rows(0).getLong(1).toInt)
+    (graft.store.TinyParquet.long(rows.head, "qfp"),
+      graft.store.TinyParquet.long(rows.head, "cell_bits").toInt)
   }
 
   private def requireStamp(stored: Long, supplied: Long, what: String, dir: String): Unit =
@@ -1735,8 +1763,22 @@ object Similarity {
       cents: Array[Array[Double]]): DataFrame = {
     val (stored, _) = readStoreMeta(spark, s"$dir/assigned_meta", "assigned store")
     requireStamp(stored, quantizerFingerprint(cents), "assigned store", dir)
-    spark.read.parquet(s"$dir/assigned")
+    spark.read.schema(assignedSchema).parquet(s"$dir/assigned")
   }
+
+  /** The [[saveIvfAssigned]] layout contract as an explicit read schema
+    * (the column set is FIXED by [[assignIvfCells]]' projection and the
+    * embeddings table's ARRAY<FLOAT> element type) — a load never pays
+    * the per-invocation footer-inference job; partition column `cell`
+    * still comes from the directory names. Round-trip specs pin
+    * supplied == written, so layout drift fails there, loudly.
+    */
+  private val assignedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, cell INT")
+
+  /** [[assignedSchema]] for the PQ code store ([[encodePqCodes]]). */
+  private val codesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, codes ARRAY<INT>, cell INT")
 
   /** Accrete a fresh batch onto a persisted assigned store WITHOUT
     * rewriting it — the micro-batch index-maintenance shape (pair with
@@ -1811,7 +1853,7 @@ object Similarity {
       books: Array[Array[Array[Double]]]): (DataFrame, Int) = {
     val (stored, cellBits) = readStoreMeta(spark, s"$dir/codes_meta", "PQ code store")
     requireStamp(stored, bookFingerprint(books), "PQ code store", dir)
-    (spark.read.parquet(s"$dir/codes"), cellBits)
+    (spark.read.schema(codesSchema).parquet(s"$dir/codes"), cellBits)
   }
 
   /** Mergeable per-codeword assignment state for incremental PQ codebook
@@ -2012,7 +2054,7 @@ object Similarity {
       rs.foreach(r => c(r.getInt(1)) = r.getDouble(2))
       next(cell) = unit(c)
     }
-    val emb = spark.read.parquet(s"$inDir/assigned")
+    val emb = spark.read.schema(assignedSchema).parquet(s"$inDir/assigned")
       .select(col("vec_id"), col("embedding"))
     // one materialized assignment pass feeds BOTH the store rewrite and
     // the fresh stats (the retrainPqStore pin pattern): deriving stats
@@ -2138,10 +2180,11 @@ object Similarity {
   def loadPqBooks(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$dir/codebooks")
-      .select(col("subspace").cast("int"), col("code").cast("int"),
-        col("dim").cast("int"), col("c").cast("double"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val rows = graft.store.TinyParquet.readGroups(spark, s"$dir/codebooks")
+      .map(g => (graft.store.TinyParquet.long(g, "subspace").toInt,
+        graft.store.TinyParquet.long(g, "code").toInt,
+        graft.store.TinyParquet.long(g, "dim").toInt,
+        graft.store.TinyParquet.double(g, "c")))
     require(rows.nonEmpty, s"no codebooks at $dir")
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1

@@ -1002,10 +1002,43 @@ object TextAnalysis {
     Pins.release(dl)
   }
 
+  /** The store layout contract as an explicit read schema — the postings
+    * column set is FIXED by [[bucketedPostingsOnePass]], so a load never
+    * needs the per-invocation schema-inference footer job (the catalog-
+    * supplied-schema analogue, same rationale as the Tables cache; the
+    * round-trip specs pin supplied == inferred, so layout drift fails
+    * loudly there, not silently here). Feature detection for pre-dl /
+    * pre-bucket legacy stores stays: a driver-side footer field check and
+    * an fs partition-dir check pick the legacy column set, preserving the
+    * loud rebuild errors and the serve fallbacks those layouts route to.
+    */
+  private def storedPostingsSchema(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      positional: Boolean): org.apache.spark.sql.types.StructType = {
+    val base = "doc_id BIGINT, tok STRING, tf BIGINT" +
+      (if (positional) ", ps ARRAY<INT>" else "")
+    val dl =
+      if (graft.store.TinyParquet.schemaHasField(spark, path, "dl")) ", dl BIGINT"
+      else ""
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tb =
+      if (fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("tok_bucket=")))
+        ", tok_bucket INT"
+      else ""
+    org.apache.spark.sql.types.StructType.fromDDL(base + dl + tb)
+  }
+
+  private val doclenSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, dl BIGINT")
+
   /** Reload a [[saveBm25Positional]] store: (postings_pos, doclen). */
   def loadBm25Positional(
       spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/postings_pos"), spark.read.parquet(s"$dir/doclen"))
+    (spark.read.schema(storedPostingsSchema(spark, s"$dir/postings_pos",
+        positional = true)).parquet(s"$dir/postings_pos"),
+      spark.read.schema(doclenSchema).parquet(s"$dir/doclen"))
 
   /** [[phraseTopK]] served from a stored positional index — identical
     * phrase occurrences and ranking by construction (same positions,
@@ -1459,13 +1492,18 @@ object TextAnalysis {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val row = spark.read.parquet(s"$dir/stats").agg(
-        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("a_tokens")), lit(0L)).as("a_tokens")).head()
-      if (row.getLong(0) == 0L) None
+      // the sidecar is one BIGINT pair per append batch — summed ON THE
+      // DRIVER (TinyParquet; BIGINT addition, order-free), replacing the
+      // schema-inference + aggregate-collect job pair every stored serve
+      // and every append gate previously paid. Values still come from
+      // the store files per invocation.
+      val rows = graft.store.TinyParquet.readGroups(spark, s"$dir/stats")
+      val nDocs = rows.map(g => graft.store.TinyParquet.long(g, "n_docs")).sum
+      val aTokens = rows.map(g => graft.store.TinyParquet.long(g, "a_tokens")).sum
+      if (nDocs == 0L) None
       else Some(spark.range(1).select(
-        lit(row.getLong(0)).as("n_docs"),
-        lit(row.getLong(1)).as("a_tokens")))
+        lit(nDocs).as("n_docs"),
+        lit(aTokens).as("a_tokens")))
     }
   }
 
@@ -1547,8 +1585,10 @@ object TextAnalysis {
     val hasData = requireBucketedLayout(spark, s"$dir/postings")
     if (hasData) {
       // both legacy-layout checks fire BEFORE any write, so a refused
-      // append leaves the store untouched
-      require(spark.read.parquet(s"$dir/postings").columns.contains("dl"),
+      // append leaves the store untouched; the dl check is a footer-only
+      // driver read (TinyParquet) — the full schema-inference job it
+      // replaces was one of the per-append chain-latency costs
+      require(graft.store.TinyParquet.schemaHasField(spark, s"$dir/postings", "dl"),
         s"postings store at $dir lacks the denormalized dl column — " +
           "rebuild it with saveBm25Index before appending (mixed row " +
           "schemas would corrupt the serve)")
@@ -1596,7 +1636,8 @@ object TextAnalysis {
     val hasData = requireBucketedLayout(spark, s"$dir/postings_pos",
       rebuildHint = "saveBm25Positional")
     if (hasData) {
-      require(spark.read.parquet(s"$dir/postings_pos").columns.contains("dl"),
+      // footer-only dl gate, as in appendBm25Index
+      require(graft.store.TinyParquet.schemaHasField(spark, s"$dir/postings_pos", "dl"),
         s"positional store at $dir lacks the denormalized dl column — " +
           "rebuild it with saveBm25Positional before appending (mixed row " +
           "schemas would corrupt the serve)")
@@ -1648,7 +1689,9 @@ object TextAnalysis {
   /** Reload a [[saveBm25Index]] store: (postings, doclen). */
   def loadBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/doclen"))
+    (spark.read.schema(storedPostingsSchema(spark, s"$dir/postings",
+        positional = false)).parquet(s"$dir/postings"),
+      spark.read.schema(doclenSchema).parquet(s"$dir/doclen"))
 
   /** Data-subject deletion THROUGH the postings store — the composition
     * of [[graft.streaming.Maintenance.deleteWhere]] with the inverted
@@ -1703,7 +1746,7 @@ object TextAnalysis {
       () => {
         survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
         // survivor corpus stats re-derive from the new version's own doclen
-        corpusStats(spark.read.parquet(s"$outDir/doclen"))
+        corpusStats(spark.read.schema(doclenSchema).parquet(s"$outDir/doclen"))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
       })
     audit
@@ -1745,7 +1788,7 @@ object TextAnalysis {
         .parquet(s"$outDir/postings_pos"),
       () => {
         survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
-        corpusStats(spark.read.parquet(s"$outDir/doclen"))
+        corpusStats(spark.read.schema(doclenSchema).parquet(s"$outDir/doclen"))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
       })
     audit
