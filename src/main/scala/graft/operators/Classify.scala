@@ -72,13 +72,71 @@ object Classify {
   /** Full-batch logistic-regression training: w ← w + lr·mean((y−σ(w·x))·x).
     * Weights enter each pass as plan-time literals; the gradient comes
     * back as d exact DECIMAL sums — deterministic end to end.
+    *
+    * Each pass is ONE shuffle-free job: the per-row gradient terms are
+    * still computed and DECIMAL(27,8)-rounded by codegen (the Spark cast
+    * — the rounding that makes the reduction exact), but the reduction
+    * finishes as a per-partition BigDecimal fold collected to the driver
+    * (d decimals per partition — metadata-sized) instead of a partial-agg
+    * → Exchange → final-agg chain that cost two scheduler jobs per
+    * iteration under AQE. Exact decimal addition is associative and
+    * commutative, so driver-folded partials ≡ Spark's sum bit-for-bit
+    * (spec-pinned against [[trainLogisticAgg]], including the final
+    * decimal→double cast: both sides are BigDecimal.doubleValue at
+    * scale 8).
     */
   def trainLogistic(
       df: DataFrame,
       feats: Seq[Column],
       label: Column,
       lr: Double = 1.0,
-      iters: Int = 10): Array[Double] = {
+      iters: Int = 10): Array[Double] =
+    trainLoop(df, feats, label, lr, iters) { proj =>
+      val d = proj.columns.length
+      val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+        val acc = Array.fill(d)(java.math.BigDecimal.ZERO)
+        var any = false
+        while (it.hasNext) {
+          val r = it.next()
+          var i = 0
+          while (i < d) {
+            if (!r.isNullAt(i)) {
+              acc(i) = acc(i).add(r.getDecimal(i, 27, 8).toJavaBigDecimal)
+              any = true
+            }
+            i += 1
+          }
+        }
+        if (any) Iterator.single(acc) else Iterator.empty
+      }.collect()
+      Array.tabulate(d) { i =>
+        partials.foldLeft(java.math.BigDecimal.ZERO)((s, p) => s.add(p(i)))
+          .doubleValue
+      }
+    }
+
+  /** The pre-fold gradient reduction (partial agg → Exchange → final agg
+    * per pass) — retained solely for the fold-equivalence spec; the
+    * arithmetic both paths share is pinned there bit-for-bit.
+    */
+  private[operators] def trainLogisticAgg(
+      df: DataFrame,
+      feats: Seq[Column],
+      label: Column,
+      lr: Double = 1.0,
+      iters: Int = 10): Array[Double] =
+    trainLoop(df, feats, label, lr, iters) { proj =>
+      val aggs = proj.columns.map(c => sum(col(c)).cast("double").as(c)).toSeq
+      val row = proj.agg(aggs.head, aggs.tail: _*).head()
+      Array.tabulate(proj.columns.length)(row.getDouble)
+    }
+
+  private def trainLoop(
+      df: DataFrame,
+      feats: Seq[Column],
+      label: Column,
+      lr: Double,
+      iters: Int)(gradient: DataFrame => Array[Double]): Array[Double] = {
     require(feats.nonEmpty && iters >= 0, "need features and iters >= 0")
     val n = df.count().toDouble
     require(n > 0, "cannot train on an empty frame")
@@ -86,11 +144,11 @@ object Classify {
     for (_ <- 0 until iters) {
       val margin = weightedSum(w, feats)
       val err = label.cast("double") - lit(1.0) / (lit(1.0) + exp(-margin))
-      val aggs = feats.zipWithIndex.map { case (f, i) =>
-        sum((err * f).cast("decimal(27,8)")).cast("double").as(s"g$i")
+      val terms = feats.zipWithIndex.map { case (f, i) =>
+        (err * f).cast("decimal(27,8)").as(s"g$i")
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      w = w.zipWithIndex.map { case (wi, i) => wi + lr * row.getDouble(i) / n }
+      val g = gradient(df.select(terms: _*))
+      w = w.zipWithIndex.map { case (wi, i) => wi + lr * g(i) / n }
     }
     w
   }

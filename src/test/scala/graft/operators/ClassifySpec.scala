@@ -30,6 +30,27 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("score") - 1.0 / (1.0 + math.exp(-m))) < 1e-15)
   }
 
+  test("driver-folded gradient ≡ Spark-agg gradient bit-for-bit (toy and real docs)") {
+    // the fold moves ONLY the final reduction of exact DECIMAL(27,8)
+    // terms to the driver; the per-row rounding cast stays codegen. Exact
+    // decimal addition is order-free, so every weight of every iteration
+    // must match to the last bit — on the separable toy set and on real
+    // documents (multiple partitions, so the fold actually merges
+    // partials), across distinct lr/iters settings.
+    val toy = ((1L to 20L).map(i => (i, "the a of and to in is it the a", "en")) ++
+      (21L to 40L).map(i => (i, "zzz qqq rrr sss ttt uuu vvv www xxx yyy", "de")))
+      .toDF("doc_id", "text", "lang")
+    for (df <- Seq(toy, docs); (lr, iters) <- Seq((1.0, 6), (16.0, 16))) {
+      val lf = Classify.labeledFeatures(df).localCheckpoint()
+      val fold = Classify.trainLogistic(lf, Classify.featureVector, col("label"),
+        lr = lr, iters = iters)
+      val agg = Classify.trainLogisticAgg(lf, Classify.featureVector, col("label"),
+        lr = lr, iters = iters)
+      assert(fold.map(java.lang.Double.doubleToRawLongBits).toSeq ===
+        agg.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+  }
+
   test("training on real docs beats the majority baseline for the en label") {
     val lf = Classify.labeledFeatures(docs).localCheckpoint()
     val w = Classify.trainLogistic(lf, Classify.featureVector, col("label"), lr = 16.0, iters = 16)
