@@ -987,19 +987,20 @@ object TextAnalysis {
     */
   def saveBm25Positional(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
-    val dl = docLengths(docs)
     // the saveBm25Index layout rules carry over: dl denormalized onto
     // every posting row, 1-row stats sidecar, doclen as source of truth;
-    // the two output chains overlap as in saveBm25Index (guide §2.6)
+    // the two output chains overlap as in saveBm25Index (guide §2.6) and
+    // the stats row folds from the just-written doclen file, pin-free
     Par.run(
       () => bucketedPostingsOnePass(docs, positional = true)
         .write.mode("overwrite")
         .partitionBy("tok_bucket").parquet(s"$dir/postings_pos"),
       () => {
-        dl.write.mode("overwrite").parquet(s"$dir/doclen")
-        corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+        docLengthsPlan(docs).write.mode("overwrite").parquet(s"$dir/doclen")
+        val (nDocs, aTokens) = corpusStatsPair(
+          spark.read.schema(doclenSchema).parquet(s"$dir/doclen"))
+        writeStatsRow(spark, s"$dir/stats", nDocs, aTokens, accrete = false)
       })
-    Pins.release(dl)
   }
 
   /** The store layout contract as an explicit read schema — the postings
@@ -1307,9 +1308,21 @@ object TextAnalysis {
   /** Checkpointed (doc_id, dl) table — one tokenize pass feeds both the
     * corpus stats and the per-doc join without a re-tokenize.
     */
-  private def docLengths(docs: DataFrame): DataFrame = Pins.pin(docs
+  private def docLengths(docs: DataFrame): DataFrame =
+    Pins.pin(docLengthsPlan(docs))
+
+  /** The unpinned (doc_id, dl) projection. The store writers use this
+    * directly: their stats row now folds either from the just-written
+    * doclen file (save/delete — correct by construction) or from a
+    * recompute of this narrow plan (append — the accreted doclen dir
+    * can't isolate the new batch), so nothing reads the frame twice and
+    * the per-call localCheckpoint job the pin paid buys nothing (the
+    * r17 pin-vs-recompute lesson: measure before pinning a cheap
+    * single-pass recompute).
+    */
+  private def docLengthsPlan(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), tokens(col("text")).as("toks"))
-    .select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
 
   // ------------------------------------------------- BM25 index lifecycle
 
@@ -1427,21 +1440,23 @@ object TextAnalysis {
     */
   def saveBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String, docs: DataFrame): Unit = {
-    val dl = docLengths(docs)
     // one-shuffle postings build (dl denormalized inline, no doc_id join,
     // no separate write repartition) — see bucketedPostingsOnePass. The
-    // postings write and the doclen→stats writes are independent once dl
-    // is pinned, so they overlap (guide §2.6) — the doclen/stats jobs
-    // back-fill the postings write's task tail.
+    // postings write and the doclen→stats chain are independent (each
+    // tokenizes its own pass), so they overlap (guide §2.6) — the
+    // doclen/stats jobs back-fill the postings write's task tail. The
+    // stats row folds from the just-written doclen file (narrow read,
+    // correct by construction), so nothing needs a pin.
     Par.run(
       () => bucketedPostingsOnePass(docs, positional = false)
         .write.mode("overwrite")
         .partitionBy("tok_bucket").parquet(s"$dir/postings"),
       () => {
-        dl.write.mode("overwrite").parquet(s"$dir/doclen")
-        corpusStats(dl).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+        docLengthsPlan(docs).write.mode("overwrite").parquet(s"$dir/doclen")
+        val (nDocs, aTokens) = corpusStatsPair(
+          spark.read.schema(doclenSchema).parquet(s"$dir/doclen"))
+        writeStatsRow(spark, s"$dir/stats", nDocs, aTokens, accrete = false)
       })
-    Pins.release(dl)
   }
 
   /** The 1-row (n_docs, a_tokens) corpus-statistics frame the BM25
@@ -1452,6 +1467,49 @@ object TextAnalysis {
     dl.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("a_tokens"))
+
+  /** [[corpusStats]] folded per partition and finished on the driver —
+    * one shuffle-free job instead of the partial-agg → Exchange →
+    * final-agg chain (two scheduler jobs under AQE) every save, append,
+    * and delete previously paid per stats row. BIGINT count/sum is
+    * exact and order-free, so the fold ≡ the agg on any partitioning;
+    * null dl is skipped exactly as SUM skips it (count still counts the
+    * row, as `count(lit(1))` does).
+    */
+  private def corpusStatsPair(dl: DataFrame): (Long, Long) = {
+    val parts = dl.select(col("dl")).queryExecution.toRdd.mapPartitions { it =>
+      var n = 0L
+      var s = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        n += 1L
+        if (!r.isNullAt(0)) s += r.getLong(0)
+      }
+      Iterator.single((n, s))
+    }.collect()
+    parts.foldLeft((0L, 0L)) { case ((n, s), (pn, ps)) => (n + pn, s + ps) }
+  }
+
+  /** The per-batch (n_docs, a_tokens) sidecar row, written ON THE DRIVER
+    * ([[graft.store.TinyParquet]]): the values are two longs already in
+    * hand, so the `coalesce(1)` 1-row write job (plus its AQE ceremony)
+    * disappears from every lifecycle chain. Same plain-parquet layout as
+    * the Spark-written rows — old and new sidecar generations mix freely
+    * under [[loadBm25Stats]]' commutative sum.
+    */
+  private val bm25StatsSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message graft_bm25_stats { required int64 n_docs; required int64 a_tokens; }")
+
+  private def writeStatsRow(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nDocs: Long, aTokens: Long, accrete: Boolean): Unit = {
+    def rows(f: org.apache.parquet.example.data.simple.SimpleGroupFactory) =
+      Seq(f.newGroup().append("n_docs", nDocs).append("a_tokens", aTokens))
+    if (accrete) graft.store.TinyParquet.appendGroups(
+      spark, dir, bm25StatsSchema, rows)
+    else graft.store.TinyParquet.writeGroups(spark, dir, bm25StatsSchema, rows)
+  }
 
   /** Grouping-free re-aggregate of the supplied stats frame — the
     * structurally bounded scalar-build shape the no-cartesian plan audit
@@ -1596,12 +1654,15 @@ object TextAnalysis {
         s"store at $dir has postings but no stats sidecar — rebuild it " +
           "with saveBm25Index before appending")
     }
-    val dl = docLengths(batch)
+    val dl = docLengthsPlan(batch)
     // one appended stats row per batch; loadBm25Stats sums them
     // (mergeable state — no file a live reader holds is ever
     // overwritten). The postings append overlaps the doclen → stats
-    // chain (guide §2.6; dl is pinned, so both threads read one
-    // materialization). Crash analysis: whichever writes land, every
+    // chain (guide §2.6). The stats pair folds from a RECOMPUTE of the
+    // narrow dl plan (tokenize is deterministic, so it equals the rows
+    // just written; the accreted doclen dir can't isolate this batch),
+    // which benched at parity with the localCheckpoint pin it replaces
+    // minus the pin job. Crash analysis: whichever writes land, every
     // torn combination leaves some PAIR of the three tables
     // inconsistent — stats behind/ahead of doclen fails the
     // sidecar ↔ doclen reconciliation, and postings behind/ahead of
@@ -1614,9 +1675,9 @@ object TextAnalysis {
         .partitionBy("tok_bucket").parquet(s"$dir/postings"),
       () => {
         dl.write.mode("append").parquet(s"$dir/doclen")
-        corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+        val (nDocs, aTokens) = corpusStatsPair(dl)
+        writeStatsRow(spark, s"$dir/stats", nDocs, aTokens, accrete = true)
       })
-    Pins.release(dl)
   }
 
   /** [[appendBm25Index]] for the POSITIONAL phrase store — the accretion
@@ -1645,17 +1706,18 @@ object TextAnalysis {
         s"store at $dir has positional postings but no stats sidecar — " +
           "rebuild it with saveBm25Positional before appending")
     }
-    val dl = docLengths(batch)
-    // overlapped append chains, same crash analysis as [[appendBm25Index]]
+    val dl = docLengthsPlan(batch)
+    // overlapped append chains, same crash analysis and pin-free
+    // stats-recompute rationale as [[appendBm25Index]]
     Par.run(
       () => bucketedPostingsOnePass(batch, positional = true)
         .write.mode("append").partitionBy("tok_bucket")
         .parquet(s"$dir/postings_pos"),
       () => {
         dl.write.mode("append").parquet(s"$dir/doclen")
-        corpusStats(dl).coalesce(1).write.mode("append").parquet(s"$dir/stats")
+        val (nDocs, aTokens) = corpusStatsPair(dl)
+        writeStatsRow(spark, s"$dir/stats", nDocs, aTokens, accrete = true)
       })
-    Pins.release(dl)
   }
 
   /** Layout guard for [[appendBm25Index]]: appending `tok_bucket=`-
@@ -1746,8 +1808,9 @@ object TextAnalysis {
       () => {
         survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
         // survivor corpus stats re-derive from the new version's own doclen
-        corpusStats(spark.read.schema(doclenSchema).parquet(s"$outDir/doclen"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+        val (nDocs, aTokens) = corpusStatsPair(
+          spark.read.schema(doclenSchema).parquet(s"$outDir/doclen"))
+        writeStatsRow(spark, s"$outDir/stats", nDocs, aTokens, accrete = false)
       })
     audit
   }
@@ -1788,8 +1851,9 @@ object TextAnalysis {
         .parquet(s"$outDir/postings_pos"),
       () => {
         survDl.drop("store").write.mode("overwrite").parquet(s"$outDir/doclen")
-        corpusStats(spark.read.schema(doclenSchema).parquet(s"$outDir/doclen"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
+        val (nDocs, aTokens) = corpusStatsPair(
+          spark.read.schema(doclenSchema).parquet(s"$outDir/doclen"))
+        writeStatsRow(spark, s"$outDir/stats", nDocs, aTokens, accrete = false)
       })
     audit
   }

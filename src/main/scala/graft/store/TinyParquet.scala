@@ -133,8 +133,31 @@ object TinyParquet {
     val fs = p.getFileSystem(conf(spark))
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    val f = new Path(p, "part-00000-graft.parquet")
-    val w = ExampleParquetWriter.builder(f)
+    writeOneFile(spark, new Path(p, "part-00000-graft.parquet"), schema, rows)
+  }
+
+  /** Accrete `rows` as ONE NEW uniquely-named parquet file under `dir`
+    * (created if absent) — the driver-side twin of
+    * `df.coalesce(1).write.mode("append")` for per-batch sidecar rows
+    * (the bm25 stats table). Nothing existing is read or touched, so a
+    * live reader's files are never overwritten; file names are
+    * irrelevant to readers ([[readGroups]] order only matters up to the
+    * caller's commutative merge).
+    */
+  def appendGroups(
+      spark: SparkSession, dir: String, schema: MessageType,
+      rows: SimpleGroupFactory => Seq[Group]): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf(spark))
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val name = s"part-${java.util.UUID.randomUUID().toString}-graft.parquet"
+    writeOneFile(spark, new Path(p, name), schema, rows)
+  }
+
+  private def writeOneFile(
+      spark: SparkSession, file: Path, schema: MessageType,
+      rows: SimpleGroupFactory => Seq[Group]): Unit = {
+    val w = ExampleParquetWriter.builder(file)
       .withConf(conf(spark))
       .withType(schema)
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
