@@ -808,20 +808,31 @@ object SparkEntry {
       val batch = emb.filter(col("vec_id") % 2 === 1)
       val cents = Similarity.kmeansCentroids(half, numCells = 8, iters = 2)
       val wd = s"${graft.streaming.PersistPipeline.workRoot}/annret-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      Similarity.saveIvfIndex(s, s"$wd/v1", cents,
-        Some(Similarity.cellStats(half, cents)))
-      Similarity.saveIvfAssigned(s, s"$wd/v1",
-        Similarity.assignIvfCells(half, cents), cents)
-      Similarity.appendIvfAssigned(s, s"$wd/v1", batch, cents)
-      // merge the batch's assignment state into the stored stats — a real
-      // localCheckpoint, not Pins.pin: the re-persist overwrites the very
-      // cell_stats files the merge reads, so lineage truncation is
-      // load-bearing (audits included); the table is cells×dim rows
-      val merged = Similarity.mergeCellStats(
-        Similarity.loadCellStats(s, s"$wd/v1"),
-        Similarity.cellStats(batch, cents)).localCheckpoint()
-      Similarity.saveIvfIndex(s, s"$wd/v1", cents, Some(merged))
-      Pins.release(merged)
+      // the index (centroids + stats) and assigned-corpus halves of the
+      // v1 build write disjoint files from the same inputs — overlapped
+      // (guide §2.6), each thread recomputing its own half-scan (the r17
+      // pin-vs-recompute lesson: no shared pin for a cheap fused pass)
+      graft.operators.Par.run(
+        () => Similarity.saveIvfIndex(s, s"$wd/v1", cents,
+          Some(Similarity.cellStats(half, cents))),
+        () => Similarity.saveIvfAssigned(s, s"$wd/v1",
+          Similarity.assignIvfCells(half, cents), cents))
+      // the batch accretion touches only assigned files; the stats merge
+      // reads and rewrites only cell_stats — disjoint, overlapped too
+      graft.operators.Par.run(
+        () => Similarity.appendIvfAssigned(s, s"$wd/v1", batch, cents),
+        () => {
+          // merge the batch's assignment state into the stored stats — a
+          // real localCheckpoint, not Pins.pin: the re-persist overwrites
+          // the very cell_stats files the merge reads, so lineage
+          // truncation is load-bearing (audits included); the table is
+          // cells×dim rows
+          val merged = Similarity.mergeCellStats(
+            Similarity.loadCellStats(s, s"$wd/v1"),
+            Similarity.cellStats(batch, cents)).localCheckpoint()
+          Similarity.saveIvfIndex(s, s"$wd/v1", cents, Some(merged))
+          Pins.release(merged)
+        })
       val next = Similarity.retrainIvfStore(s, s"$wd/v1", s"$wd/v2")
       Similarity.ivfTopKAssigned(Similarity.loadIvfAssigned(s, s"$wd/v2", next),
         col("vec_id") % 50 === 0, 5, next, nprobe = 8)
@@ -1609,20 +1620,29 @@ object SparkEntry {
       val books = Similarity.pqCodebooks(
         Similarity.pqTrainSet(half, 0.3), m = 8, ksub = 16, iters = 2)
       val wd = s"${graft.streaming.PersistPipeline.workRoot}/pqret-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      Similarity.savePqBooks(s, s"$wd/v1", books,
-        Some(Similarity.pqSubspaceStats(half, books)))
-      Similarity.savePqCodes(s, s"$wd/v1",
-        Similarity.encodePqCodes(half, books, cellBits = 4), books, cellBits = 4)
-      Similarity.appendPqCodes(s, s"$wd/v1", batch, books)
-      // merge the batch's assignment state into the stored stats — a real
-      // localCheckpoint, not Pins.pin: the re-persist overwrites the very
-      // sub_stats files the merge reads (the q_ivf_retrain rule); the
-      // table is m·ksub·sub rows
-      val merged = Similarity.mergePqSubStats(
-        Similarity.loadPqSubStats(s, s"$wd/v1"),
-        Similarity.pqSubspaceStats(batch, books)).localCheckpoint()
-      Similarity.savePqBooks(s, s"$wd/v1", books, Some(merged))
-      Pins.release(merged)
+      // overlapped v1 build and overlapped accretion/stats-merge, the
+      // q_ivf_retrain shape: books+sub_stats vs codes+meta write disjoint
+      // files, and the batch append touches only code files while the
+      // merge reads and rewrites only sub_stats
+      graft.operators.Par.run(
+        () => Similarity.savePqBooks(s, s"$wd/v1", books,
+          Some(Similarity.pqSubspaceStats(half, books))),
+        () => Similarity.savePqCodes(s, s"$wd/v1",
+          Similarity.encodePqCodes(half, books, cellBits = 4), books,
+          cellBits = 4))
+      graft.operators.Par.run(
+        () => Similarity.appendPqCodes(s, s"$wd/v1", batch, books),
+        () => {
+          // merge the batch's assignment state into the stored stats — a
+          // real localCheckpoint, not Pins.pin: the re-persist overwrites
+          // the very sub_stats files the merge reads (the q_ivf_retrain
+          // rule); the table is m·ksub·sub rows
+          val merged = Similarity.mergePqSubStats(
+            Similarity.loadPqSubStats(s, s"$wd/v1"),
+            Similarity.pqSubspaceStats(batch, books)).localCheckpoint()
+          Similarity.savePqBooks(s, s"$wd/v1", books, Some(merged))
+          Pins.release(merged)
+        })
       val next = Similarity.retrainPqStore(s, s"$wd/v1", s"$wd/v2", emb)
       pqRetrainStash = Some(next)
       val (codes, storedCellBits) = Similarity.loadPqCodes(s, s"$wd/v2", next)
