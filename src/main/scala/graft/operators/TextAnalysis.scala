@@ -1389,11 +1389,25 @@ object TextAnalysis {
     * writer's required ordering is already satisfied and it inserts no
     * sort of its own (the previous form relied on the writer's
     * partition-column sort being stable above a tok-only sort); files
-    * stay tok-sorted for row-group min/max pruning. Skew note: a hot
-    * token concentrates its postings in one task here, but that is the
-    * placement the (tok_bucket, tok) write repartition already forced —
-    * the same rows met the same single task at the sort, now they meet
-    * it at the aggregation.
+    * stay tok-sorted for row-group min/max pruning.
+    *
+    * Hot-token skew valve (guide §2.5): a tok-only placement sends a
+    * stopword-class token's ENTIRE postings through one task at corpus
+    * scale. The exchange therefore keys on (tok, salt) where
+    * `salt = pmod(xxhash64(doc_id), S)` — deterministic (task retries
+    * reproduce it; never rand-derived) and doc-complete (every
+    * (doc_id, tok) occurrence group still meets in exactly one task, so
+    * tf/positions aggregate unchanged). The salt column joins the
+    * grouping keys ({tok, salt} ⊂ {doc_id, tok, salt} keeps the single
+    * reused exchange) and drops after the aggregation: output ROWS are
+    * identical to the unsalted build (spec-proven on a forced-hot-token
+    * fixture); a hot token's rows now land in ≤ S files per bucket
+    * instead of 1, which no reader observes — serve-side df/tf and
+    * phrase positions are row-set functions, and within-file tok order
+    * still serves row-group pruning. S defaults to 16 and scales via
+    * `graft.bm25.build.salt` (at 100 TB raise it toward the cluster's
+    * task count / expected max postings per task; it costs nothing when
+    * tokens are cold — same exchange, same bytes, same file count).
     *
     * `tokens(text)` materializes in its own projection (the shingleSets
     * HOF rule): `size` and the generator both reference it, and inlining
@@ -1401,21 +1415,26 @@ object TextAnalysis {
     */
   private[operators] def bucketedPostingsOnePass(
       docs: DataFrame, positional: Boolean): DataFrame = {
+    val salt = docs.sparkSession.conf
+      .getOption("graft.bm25.build.salt").map(_.toInt).getOrElse(16)
+    require(salt >= 1, "graft.bm25.build.salt must be >= 1")
     val ex = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
-      .repartition(col("tok"))
+      .withColumn("slt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+      .repartition(col("tok"), col("slt"))
     val agg =
       if (positional)
-        ex.groupBy(col("doc_id"), col("tok"))
+        ex.groupBy(col("doc_id"), col("tok"), col("slt"))
           .agg(count(lit(1)).as("tf"),
             sort_array(collect_list(col("pos"))).as("ps"),
             max(col("dl")).as("dl"))
       else
-        ex.groupBy(col("doc_id"), col("tok"))
+        ex.groupBy(col("doc_id"), col("tok"), col("slt"))
           .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     agg
+      .drop("slt")
       .withColumn("tok_bucket", pmod(h60(col("tok")), lit(Bm25Buckets.toLong)))
       .sortWithinPartitions(col("tok_bucket"), col("tok"))
   }

@@ -1831,6 +1831,51 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted postings build ≡ unsalted on a forced-hot-token fixture; " +
+    "valve spreads the hot token, exchange count stays 1") {
+    // every doc carries the stopword-class token 'the' many times — the
+    // shape whose postings all met ONE task under tok-only placement
+    val hot = (1L to 40L).map(i =>
+      (i, ("the " * 8 + s"w$i u${i % 3}").trim)).toDF("doc_id", "text")
+    // rows must be IDENTICAL to the unsalted reference (the salt is
+    // grouping-transparent: every (doc_id, tok) group lives in one salt)
+    val want = hot
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("ps"), max(col("dl")).as("dl"))
+      .as[(Long, String, Long, Seq[Int], Long)].collect().toSet
+    val got = TextAnalysis.bucketedPostingsOnePass(hot, positional = true)
+      .select("doc_id", "tok", "tf", "ps", "dl")
+      .as[(Long, String, Long, Seq[Int], Long)].collect().toSet
+    assert(got === want)
+    // the valve property: the hot token's docs land on >1 salt value, so
+    // its postings no longer share one exchange partition
+    val salts = hot.select(pmod(xxhash64(col("doc_id")), lit(16L)))
+      .distinct().count()
+    assert(salts > 1, s"salt spread degenerate: $salts")
+    // and the build still moves the corpus through exactly ONE exchange
+    // (the (tok, salt) repartition the salted aggregation reuses)
+    val plan = TextAnalysis.bucketedPostingsOnePass(hot, positional = false)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
+    assert(nExchanges == 1,
+      s"salted one-pass build must have exactly 1 Exchange, got $nExchanges:\n$plan")
+    // end-to-end: a store built through the valve serves identically to
+    // the direct corpus scan (df/tf/positions are row-set functions)
+    val wd = java.nio.file.Files.createTempDirectory("bm25salt").toString
+    TextAnalysis.saveBm25Index(spark, s"$wd/tf", hot)
+    val (postings, doclen) = TextAnalysis.loadBm25Index(spark, s"$wd/tf")
+    val served = TextAnalysis.bm25TopKFromIndex(postings, doclen,
+      Seq("the", "w7"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = TextAnalysis.bm25TopK(hot, Seq("the", "w7"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === direct)
+  }
+
   test("BM25 index lifecycle: build → save → load → serve equals the corpus scan") {
     val d = Seq((1L, "x y z x"), (2L, "x q q"), (3L, "p p p"), (4L, "y y q"))
       .toDF("doc_id", "text")
